@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * Every query in the engine takes `(SparkSession, sfDir)` and reads
+  * its inputs through here, so the same code runs at any scale factor
+  * (and, on a real cluster, against any parquet root). Reads are plain
+  * `spark.read.parquet` relations: Catalyst handles column pruning and
+  * filter pushdown into the scan, which is the scale-critical property
+  * (at 100 TB the scan must only materialize referenced columns).
+  */
+object Tables {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.LongType
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** `events.parquet` stores TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` Spark surfaces the
+    * physical int64. Truncate ns → µs (exactly DuckDB's conversion) so
+    * event-time semantics and oracle hashes agree. No-op if a future
+    * driver regenerates the data at µs precision.
+    */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts",
+        timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case None => df
+    }
+
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   = apply(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = apply(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame   = apply(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame   = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

@@ -1,0 +1,394 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's relational operator surface (SURVEY.md §2.2–§2.6,
+  * §2.8), re-expressed Spark-first over the driver's TPC-H-ish tables
+  * so DuckDB can oracle every one of them.
+  *
+  * Each entry is a declarative DataFrame plan — no RDDs, no collect —
+  * so Catalyst supplies predicate pushdown, column pruning, partial
+  * aggregation and join-strategy selection. Determinism rules for the
+  * oracle hash-compare:
+  *   - every collected array is sorted (`sort_array`) on both sides;
+  *   - every FP accumulation is `round(_, 2)` on both sides;
+  *   - every top-k has a total-order tiebreak.
+  *
+  * Scale notes are per-query in the Scaladoc: the driver tests at
+  * sf0.01/sf0.1 but the plans are written for a 1000-executor cluster
+  * (broadcast the dimension side, shuffle only on declared keys).
+  */
+object RelationalOps {
+
+  // ---------------------------------------------------------------------
+  // §2.2 Projections / filters / predicates
+  // ---------------------------------------------------------------------
+
+  /** P1 — projection with rename + computed field
+    * (mongo_audit.py:90-92 `$project` with 1-flags/renames). */
+  private def p1(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      col("o_totalprice").as("price"),
+      upper(col("o_orderpriority")).as("prio"))
+
+  /** P2 — equality match (mongo_audit.py:59 `$match {doc_type: …}`).
+    * The filter reaches the parquet scan as a pushed predicate. */
+  private def p2(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+
+  /** P3 — existence predicate (mongo_audit.py:16-18 `$exists`):
+    * a derived nullable field, then IS NOT NULL. */
+  private def p3(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("big_prio",
+        when(col("o_totalprice") > 200000, col("o_orderpriority")))
+      .filter(col("big_prio").isNotNull)
+      .select(col("o_orderkey"), col("big_prio"))
+
+  /** P4 — disjunction (mongo_audit.py:87-89 `$or` bike-services). */
+  private def p4(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#1" || col("p_type") === "PROMO" ||
+        col("p_size") > 40)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+
+  /** P5 — inequality on a computed three-way compare
+    * (mongo_audit.py:180,184 `$cmp` + `$ne: 0`). */
+  private def p5(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_discount") > col("l_tax"), 1)
+          .when(col("l_discount") < col("l_tax"), -1)
+          .otherwise(0).as("comp"))
+      .filter(col("comp") =!= 0)
+
+  /** P6 — regex key-blacklist filter on exploded tokens
+    * (clean_and_write.py:14,283 PROBLEMCHARS drop). */
+  private def p6(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("tok"))
+      .filter(!col("tok").rlike("[sz]"))
+
+  /** P7 — namespace passthrough: prefix-dispatched clean-or-keep
+    * (clean_and_write.py:285-290 tiger/gnis/nist bypass). */
+  private def p7(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      when(split(col("p_name"), " ").getItem(0).isin("small", "red"),
+        col("p_name")).otherwise(upper(col("p_name"))).as("vname"))
+
+  // ---------------------------------------------------------------------
+  // §2.3 Joins
+  // ---------------------------------------------------------------------
+
+  /** J1 — left equi-join with grouped-array result (`$lookup`,
+    * mongo_audit.py:112-119): matches land in a sorted array. Equi-join
+    * on the shuffle key; at scale the grouped side aggregates partially
+    * map-side after the join exchange. */
+  private def j1(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+
+  /** J2 — inner join via unwind-of-lookup (mongo_audit.py:174-175). */
+  private def j2(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_name"))
+
+  /** J3 — semi-join (`$match {refs: {$ne: []}}`, mongo_audit.py:120):
+    * keep left rows with ≥1 match, never multiplying rows. Planned as
+    * LeftSemi — no payload columns cross the shuffle. */
+  private def j3(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** J4 — equi-join + mismatch post-filter (mongo_audit.py:204-224
+    * `$cmp` on joined fields, keep ≠). */
+  private def j4(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_extendedprice") > col("p_retailprice") * 30)
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"))
+
+  /** J5 — self-join (mongo_audit.py:109-124 bham⋈bham): line pairs
+    * within an order. Self-joins reuse the same scan; the shuffle is on
+    * the join key only. */
+  private def j5(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber").as("ln1"))
+    val b = Tables.lineitem(s, d).select(col("l_orderkey").as("rk"), col("l_linenumber").as("ln2"))
+    a.join(b, a("l_orderkey") === b("rk") && col("ln1") < col("ln2"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("pair_cnt"))
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.4 Aggregations
+  // ---------------------------------------------------------------------
+
+  /** A1 — exact distinct count (mongo_audit.py:7-12 unique users). */
+  private def a1(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).agg(countDistinct(col("o_custkey")).as("n_custs"))
+
+  /** A2 — group-by + count (+ exact integral sum)
+    * (mongo_audit.py:46-62). Partial+final hash aggregation. */
+  private def a2(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+
+  /** A3 — group-by + collect-set (mongo_audit.py:139-140 `$addToSet`). */
+  private def a3(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"))
+
+  /** A4 — group-by + collect-list / `$push` inverted index
+    * (mongo_audit.py:314-322 ref_docs build). */
+  private def a4(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sort_array(collect_list(col("l_orderkey"))).as("refers"))
+
+  /** A5 — group-by as distinct (mongo_audit.py:121). */
+  private def a5(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  /** A6 — count of filtered set, server-side (mongo_audit.py:15-19 —
+    * the reference materializes client-side; we never collect). */
+  private def a6(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_totalprice") > 100000)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** A7 — profiling aggregation (osm_structure_audit.py:31-83):
+    * per-key use count, distinct count, use/distinct ratio. */
+  private def a7(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("use_cnt"),
+        countDistinct(col("user_id")).as("uniq_users"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(count(lit(1)).cast("double") / countDistinct(col("user_id")), 4)
+          .as("use_per_uniq"))
+
+  /** A8 — array length (`$size`, mongo_audit.py:355-359). */
+  private def a8(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+
+  // ---------------------------------------------------------------------
+  // §2.5 Sorts / limits / top-k
+  // ---------------------------------------------------------------------
+
+  /** T1 — top-k by value (mongo_audit.py:361-362 `$sort`+`$limit`).
+    * Spark plans TakeOrderedAndProject: per-partition heaps, no global
+    * sort — the scale-correct physical shape. */
+  private def t1(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(5)
+
+  /** T2 — limit-1 sample (main.ipynb cell 49), made deterministic. */
+  private def t2(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")).limit(1)
+
+  /** T3 — array sort (clean_and_write.py:347 sorted node_refs). */
+  private def t3(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), array_sort(split(col("text"), " ")).as("toks_sorted"))
+
+  // ---------------------------------------------------------------------
+  // §2.6 Set ops / array-table conversion
+  // ---------------------------------------------------------------------
+
+  /** U1 — unwind (`$unwind`, mongo_audit.py:111): explode to rows. */
+  private def u1(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+
+  /** U2 — unwind preserving empties (mongo_audit.py:283-295
+    * preserveNullAndEmptyArrays) → explode_outer. */
+  private def u2(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode_outer(
+        when(col("n_chars") >= 300, slice(split(col("text"), " "), 1, 3))
+          .otherwise(array().cast("array<string>"))).as("tok"))
+
+  /** U3 — union of two ref columns then null-strip
+    * (mongo_audit.py:305-312). */
+  private def u3(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_custkey").as("key"))
+      .unionAll(Tables.customer(s, d).select(col("c_custkey").cast("long").as("key")))
+      .filter(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+
+  /** U4 — result-list concatenation (mongo_audit.py:76-79) as UNION ALL
+    * of per-type subresults. */
+  private def u4(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    l.filter(col("l_returnflag") === "A").select(col("l_returnflag"))
+      .unionByName(l.filter(col("l_returnflag") === "R").select(col("l_returnflag")))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** U5 — dedup via set (clean_and_write.py:258,272) → array_distinct. */
+  private def u5(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_sort(array_distinct(split(col("text"), " "))).as("vocab"))
+
+  // ---------------------------------------------------------------------
+  // §2.8 Mutations as recompute (immutable tables)
+  // ---------------------------------------------------------------------
+
+  /** M1 — conditional bulk update (mongo_audit.py:22-43 update_states):
+    * nested-struct `withField` rewrite guarded by a predicate. */
+  private def m1(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        struct(col("c_mktsegment").as("segment"), col("c_acctbal").as("bal")).as("acct"))
+      .withColumn("acct",
+        when(col("acct.bal") < 0,
+          col("acct").withField("segment", lit("DELINQUENT")))
+          .otherwise(col("acct")))
+      .select(col("c_custkey"), col("acct.segment").as("segment"),
+        col("acct.bal").as("bal"))
+
+  /** M2 — positional array-element update (mongo_audit.py:235-268
+    * `members.$` fix): rewrite only the FIRST matching element, via
+    * `transform` with an index guard. */
+  private def m2(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        transform(toks, (x, i) =>
+          when(i === array_position(toks, lit("data")) - 1, upper(x))
+            .otherwise(x)).as("toks2"))
+  }
+
+  /** M3 — materialized derived collection (mongo_audit.py:271-329
+    * write_ref_docs): the inverted reference index as a DataFrame
+    * (the sink side is exercised in Verify's parquet write). */
+  private def m3(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("refers"))
+      .withColumn("refer_count", size(col("refers")))
+
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_project" -> (p1 _),
+    "p2_eq_match" -> (p2 _),
+    "p3_exists" -> (p3 _),
+    "p4_or" -> (p4 _),
+    "p5_ne_computed" -> (p5 _),
+    "p6_key_blacklist" -> (p6 _),
+    "p7_namespace_passthrough" -> (p7 _),
+    "j1_lookup_group_array" -> (j1 _),
+    "j2_inner_join" -> (j2 _),
+    "j3_semi_join" -> (j3 _),
+    "j4_join_mismatch_filter" -> (j4 _),
+    "j5_self_join" -> (j5 _),
+    "a1_distinct_count" -> (a1 _),
+    "a2_group_count" -> (a2 _),
+    "a3_collect_set" -> (a3 _),
+    "a4_collect_list_push" -> (a4 _),
+    "a5_distinct" -> (a5 _),
+    "a6_filter_count" -> (a6 _),
+    "a7_profile_agg" -> (a7 _),
+    "a8_array_len" -> (a8 _),
+    "t1_topk" -> (t1 _),
+    "t2_limit" -> (t2 _),
+    "t3_array_sort" -> (t3 _),
+    "u1_explode" -> (u1 _),
+    "u2_explode_outer" -> (u2 _),
+    "u3_union_columns" -> (u3 _),
+    "u4_union_concat" -> (u4 _),
+    "u5_dedup_set" -> (u5 _),
+    "m1_conditional_update" -> (m1 _),
+    "m2_positional_array_update" -> (m2 _),
+    "m3_materialize_ref_docs" -> (m3 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p1_project" ->
+      "SELECT o_orderkey, o_totalprice AS price, upper(o_orderpriority) AS prio FROM orders",
+    "p2_eq_match" ->
+      "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag = 'R'",
+    "p3_exists" ->
+      "SELECT o_orderkey, big_prio FROM (SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN o_orderpriority END AS big_prio FROM orders) WHERE big_prio IS NOT NULL",
+    "p4_or" ->
+      "SELECT p_partkey, p_brand, p_type, p_size FROM part WHERE p_brand = 'Brand#1' OR p_type = 'PROMO' OR p_size > 40",
+    "p5_ne_computed" ->
+      "SELECT l_orderkey, l_linenumber, comp FROM (SELECT l_orderkey, l_linenumber, CASE WHEN l_discount > l_tax THEN 1 WHEN l_discount < l_tax THEN -1 ELSE 0 END AS comp FROM lineitem) WHERE comp <> 0",
+    "p6_key_blacklist" ->
+      "SELECT p_partkey, tok FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS tok FROM part) WHERE NOT regexp_matches(tok, '[sz]')",
+    "p7_namespace_passthrough" ->
+      "SELECT p_partkey, CASE WHEN split_part(p_name, ' ', 1) IN ('small', 'red') THEN p_name ELSE upper(p_name) END AS vname FROM part",
+    "j1_lookup_group_array" ->
+      "SELECT c_custkey, coalesce(list_sort(list(o_orderkey) FILTER (WHERE o_orderkey IS NOT NULL)), []) AS order_keys FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey",
+    "j2_inner_join" ->
+      "SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey",
+    "j3_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+    "j4_join_mismatch_filter" ->
+      "SELECT l_orderkey, l_linenumber, p_partkey FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_extendedprice > p_retailprice * 30",
+    "j5_self_join" ->
+      "SELECT a.l_orderkey, count(*) AS pair_cnt FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber GROUP BY a.l_orderkey",
+    "a1_distinct_count" ->
+      "SELECT count(DISTINCT o_custkey) AS n_custs FROM orders",
+    "a2_group_count" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    "a3_collect_set" ->
+      "SELECT c_nationkey, list_sort(list_distinct(list(c_mktsegment))) AS segments FROM customer GROUP BY c_nationkey",
+    "a4_collect_list_push" ->
+      "SELECT l_partkey, list_sort(list(l_orderkey)) AS refers FROM lineitem GROUP BY l_partkey",
+    "a5_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "a6_filter_count" ->
+      "SELECT count(*) AS cnt FROM orders WHERE o_totalprice > 100000",
+    "a7_profile_agg" ->
+      "SELECT event_type, count(*) AS use_cnt, count(DISTINCT user_id) AS uniq_users, round(sum(value), 2) AS sum_value, round(count(*)::DOUBLE / count(DISTINCT user_id), 4) AS use_per_uniq FROM events GROUP BY event_type",
+    "a8_array_len" ->
+      "SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents",
+    "t1_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5",
+    "t2_limit" ->
+      "SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 1",
+    "t3_array_sort" ->
+      "SELECT doc_id, list_sort(string_split(text, ' ')) AS toks_sorted FROM documents",
+    "u1_explode" ->
+      "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents",
+    "u2_explode_outer" ->
+      "SELECT doc_id, unnest(CASE WHEN n_chars >= 300 THEN string_split(text, ' ')[1:3] ELSE [NULL] END) AS tok FROM documents",
+    "u3_union_columns" ->
+      "SELECT key, count(*) AS cnt FROM (SELECT o_custkey AS key FROM orders UNION ALL SELECT CAST(c_custkey AS BIGINT) FROM customer) WHERE key IS NOT NULL GROUP BY key",
+    "u4_union_concat" ->
+      "SELECT l_returnflag, count(*) AS cnt FROM (SELECT l_returnflag FROM lineitem WHERE l_returnflag = 'A' UNION ALL SELECT l_returnflag FROM lineitem WHERE l_returnflag = 'R') GROUP BY l_returnflag",
+    "u5_dedup_set" ->
+      "SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS vocab FROM documents",
+    "m1_conditional_update" ->
+      "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'DELINQUENT' ELSE c_mktsegment END AS segment, c_acctbal AS bal FROM customer",
+    "m2_positional_array_update" ->
+      "SELECT doc_id, CASE WHEN pos IS NULL OR pos = 0 THEN l ELSE l[1:pos-1] || [upper(l[pos])] || l[pos+1:] END AS toks2 FROM (SELECT doc_id, string_split(text, ' ') AS l, list_position(string_split(text, ' '), 'data') AS pos FROM documents)",
+    "m3_materialize_ref_docs" ->
+      "SELECT l_partkey, refers, len(refers) AS refer_count FROM (SELECT l_partkey, list_sort(list_distinct(list(l_suppkey))) AS refers FROM lineitem GROUP BY l_partkey)"
+  )
+}
