@@ -30,12 +30,22 @@ object SparkEntry {
       .limit(10)
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data pipeline surface (text / dedup / similarity /
+    * windowed ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.RelationalOps.queries
+    operators.RelationalOps.queries ++
+      operators.TextOps.queries ++
+      operators.DedupOps.queries ++
+      operators.SimilarityOps.queries ++
+      operators.WindowOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.RelationalOps.oracles
+    operators.RelationalOps.oracles ++
+      operators.TextOps.oracles ++
+      operators.DedupOps.oracles ++
+      operators.SimilarityOps.oracles ++
+      operators.WindowOps.oracles
 }

@@ -29,7 +29,7 @@ object Tables {
   private def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts",
-        timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        timestamp_micros(expr("ts div 1000")))
       case None => df
     }
 

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fns._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+  * near-dup — the standard corpus-dedup toolbox, each expressed as a
+  * declarative plan whose shuffles are only on the declared keys.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - exact dedup shuffles once on a 60-bit content hash — never on
+  *     the text itself;
+  *   - MinHash/LSH turns the quadratic all-pairs problem into
+  *     equi-joins on band keys (shuffle on band key, candidates only);
+  *   - SimHash reduces each doc to a 16-bit int fingerprint —
+  *     partial+final agg, then grouping by fingerprint is free;
+  *   - the quadratic exact-Jaccard variant is deliberately blocked on
+  *     `source` (per-shard dedup), bounding each task's pair count;
+  *   - embedding near-dup joins within LSH-free small blocks here, with
+  *     the hyperplane-bucketed variant in [[SimilarityOps]] as the
+  *     scale path.
+  */
+object DedupOps {
+
+  /** d1 — exact dedup via content-hash groupBy: fingerprint the
+    * normalized text, group, keep the minimum doc_id as the canonical
+    * representative. The only shuffle key is the 8-byte hash.
+    */
+  private def d1(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5Long(lower(trim(col("text")))).as("content_fp"))
+      .groupBy(col("content_fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** d2 — MinHash + LSH near-dup: bigram shingles → 8 minhashes → 4
+    * bands of 2 → equi-join on (band, band-key) → exact Jaccard ≥ 0.5
+    * on the candidates only. The LSH band join is what makes this
+    * linear-ish at scale: docs only meet if a band collides.
+    */
+  private def d2(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), bigramShingles(toks(col("text"))).as("sh"))
+      .withColumn("mh", minhashes(col("sh"), 8))
+    val bands = docs.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(3)), b => struct(
+        b.as("band"),
+        concat_ws("_",
+          element_at(col("mh"), b * 2 + 1),
+          element_at(col("mh"), b * 2 + 2)).as("bkey")))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
+      .join(sets.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
+      .withColumn("jac", jaccard(col("sa"), col("sb")))
+      .filter(col("jac") >= 0.5)
+      .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+  }
+
+  /** d3 — SimHash: 16-bit locality-sensitive fingerprint. Each token
+    * votes ±1 per bit position of its hash; the sign of each bit-sum
+    * becomes the fingerprint bit. Two narrow explodes + one
+    * partial/final agg — no join, no quadratic anything.
+    */
+  private def d3(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .withColumn("h", md5Long(col("tok")))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(15))).as("bit"))
+      .withColumn("vote",
+        when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") >= 0, expr("cast(pow(2, bit) as bigint)"))
+        .otherwise(0L)).as("simhash16"))
+
+  /** d4 — exact n-gram Jaccard dedup, blocked per `source` (per-shard
+    * dedup): quadratic only within a block, which is how the exact
+    * variant stays tractable — each source's pair set is one task's
+    * worth of work, and blocks parallelize across the cluster.
+    */
+  private def d4(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), bigramShingles(toks(col("text"))).as("sh"))
+    docs.as("a")
+      .join(docs.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jac", jaccard(col("a.sh"), col("b.sh")))
+      .filter(col("jac") >= 0.1)
+      .select(col("a.source").as("source"), col("a.doc_id").as("i"),
+        col("b.doc_id").as("j"), round(col("jac"), 6).as("jac"))
+  }
+
+  /** d5 — embedding-cosine near-dup: all pairs above a similarity
+    * threshold. Written as the exact quadratic form at test scale; the
+    * bucketed variant (hyperplane LSH, [[SimilarityOps.queries]] s2) is
+    * the 100 TB path — same scoring expression, blocked join.
+    */
+  private def d5(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine6(col("a.emb"), col("b.emb")))
+      .filter(col("cos") >= 0.45)
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"), col("cos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (d1 _),
+    "d2_minhash_lsh" -> (d2 _),
+    "d3_simhash" -> (d3 _),
+    "d4_ngram_jaccard" -> (d4 _),
+    "d5_embedding_neardup" -> (d5 _)
+  )
+
+  /** Shared SQL fragments for the oracles (DuckDB dialect). */
+  private val SHINGLES =
+    """SELECT doc_id, source, list_distinct(list_transform(
+      |  generate_series(1, len(l)-1), i -> l[i] || ' ' || l[i+1])) AS sh
+      |FROM (SELECT doc_id, source, string_split(text,' ') AS l FROM documents)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> """
+      SELECT ('0x' || substr(md5(lower(trim(text))),1,15))::BIGINT AS content_fp,
+        min(doc_id) AS keeper, count(*) AS n_copies
+      FROM documents GROUP BY 1""",
+    "d2_minhash_lsh" -> s"""
+      WITH t AS ($SHINGLES),
+      m AS (SELECT doc_id, sh, list_transform(generate_series(0,7), k ->
+              list_min(list_transform(sh, s ->
+                ('0x' || substr(md5(k::VARCHAR || ':' || s),1,15))::BIGINT))) AS mh
+            FROM t),
+      b AS (SELECT doc_id, g.band AS band,
+              mh[2*g.band+1]::VARCHAR || '_' || mh[2*g.band+2]::VARCHAR AS bkey
+            FROM m, generate_series(0,3) g(band)),
+      c AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+            FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey
+              AND x.doc_id < y.doc_id),
+      p AS (SELECT i, j,
+              len(list_intersect(a.sh, bb.sh))::DOUBLE
+                / len(list_distinct(a.sh || bb.sh)) AS jac
+            FROM c JOIN m a ON c.i = a.doc_id JOIN m bb ON c.j = bb.doc_id)
+      SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.5""",
+    "d3_simhash" -> """
+      WITH e AS (SELECT doc_id,
+        ('0x' || substr(md5(tok),1,15))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)),
+      v AS (SELECT doc_id, g.bit AS bit,
+              sum(CASE WHEN (h >> g.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM e, generate_series(0,15) g(bit) GROUP BY doc_id, g.bit)
+      SELECT doc_id,
+        sum(CASE WHEN v >= 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)::BIGINT AS simhash16
+      FROM v GROUP BY doc_id""",
+    "d4_ngram_jaccard" -> s"""
+      WITH t AS ($SHINGLES),
+      p AS (SELECT a.source AS source, a.doc_id AS i, b.doc_id AS j,
+              len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(a.sh || b.sh)) AS jac
+            FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+      SELECT source, i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.1""",
+    "d5_embedding_neardup" -> """
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+                 FROM embeddings),
+      n AS (SELECT vec_id, emb,
+              sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM e),
+      p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+              round(list_sum(list_transform(generate_series(1, len(a.emb)),
+                k -> a.emb[k] * b.emb[k])) / (a.nrm * b.nrm), 6) AS cos
+            FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      SELECT i, j, cos FROM p WHERE cos >= 0.45"""
+  )
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fns._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * s1 is the exact baseline: broadcast the (small) query set, one
+  * pipelined pass over the corpus, per-query top-k via
+  * row_number-over-window — at 100 TB this is "scan once, keep a heap
+  * per query", the optimal exact shape.
+  *
+  * s2 is the scale path: random-hyperplane LSH. Every vector gets a
+  * 6-bit bucket (sign pattern against 6 fixed pseudo-random
+  * hyperplanes); the candidate join is an equi-join on the bucket, so
+  * the quadratic pair space never materializes. Hyperplanes are
+  * md5-derived constants — precomputed once on the driver
+  * ([[graft.functions.Fns.md5LongLocal]]) and shipped as a literal, so
+  * executors do zero hashing per row; the oracle recomputes the same
+  * constants in SQL.
+  */
+object SimilarityOps {
+
+  private val DIMS = 64
+  private val PLANES = 6
+  private val K = 5
+
+  /** plane(p)(d) = ((md5Long("p:d") mod 2000) - 1000) / 1000.0 — fixed
+    * pseudo-random coefficients in [-1, 1), identical in the oracle. */
+  private def planeCoefs: Seq[Seq[Double]] =
+    (0 until PLANES).map { p =>
+      (0 until DIMS).map { d =>
+        ((md5LongLocal(s"$p:$d") % 2000L) - 1000L) / 1000.0
+      }
+    }
+
+  /** Sign-bit bucket of a double-array embedding against the planes.
+    * Dots are rounded to 9 places before the sign test so that sub-ulp
+    * accumulation differences can't flip a bucket bit across engines.
+    */
+  private def bucketOf(emb: Column): Column = {
+    val planes = typedlit(planeCoefs)
+    aggregate(
+      sequence(lit(0), lit(PLANES - 1)),
+      lit(0L),
+      (acc, p) => acc +
+        when(round(dot(emb, element_at(planes, (p + 1).cast("int"))), 9) >= 0,
+          pow(lit(2.0), p).cast("long")).otherwise(lit(0L)))
+  }
+
+  private def queriesAndCorpus(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    (e.filter(col("vec_id") < 10), e)
+  }
+
+  /** s1 — exact brute-force cosine top-k: broadcast 10 query vectors,
+    * single corpus scan, rank with a deterministic tiebreak. */
+  private def s1(s: SparkSession, d: String): DataFrame = {
+    val (q, corpus) = queriesAndCorpus(s, d)
+    val scored = corpus
+      .join(broadcast(q.select(col("vec_id").as("qid"), col("emb").as("qemb"))),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine6(col("qemb"), col("emb")).as("cos"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+  }
+
+  /** s2 — LSH-bucketed ANN: equi-join query bucket to corpus bucket,
+    * exact cosine re-rank inside the bucket only. Recall < 1 by design;
+    * the bucket join is the 100 TB shape (shuffle on a 6-bit key with
+    * AQE handling skew, no cross join anywhere). */
+  private def s2(s: SparkSession, d: String): DataFrame = {
+    val (q, corpus) = queriesAndCorpus(s, d)
+    val cb = corpus.withColumn("bucket", bucketOf(col("emb")))
+    val qb = q.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      .withColumn("bucket", bucketOf(col("qemb")))
+    cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine6(col("qemb"), col("emb")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_ann_brute" -> (s1 _),
+    "s2_ann_lsh" -> (s2 _)
+  )
+
+  /** DuckDB mirror of the plane constants + dot/sign logic. */
+  private val PLANES_SQL =
+    """SELECT p.p AS p, list_transform(generate_series(0,63), d ->
+      |  (((('0x' || substr(md5(p.p::VARCHAR || ':' || d::VARCHAR),1,15))::BIGINT % 2000) - 1000) / 1000.0)) AS coef
+      |FROM generate_series(0,5) p(p)""".stripMargin
+
+  private val EMB_SQL =
+    """SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |FROM embeddings""".stripMargin
+
+  private val BUCKET_SQL =
+    """SELECT e.vec_id, e.emb, e.nrm,
+      |  sum(CASE WHEN round(list_sum(list_transform(generate_series(1,64),
+      |        k -> e.emb[k] * pl.coef[k])), 9) >= 0
+      |      THEN CAST(pow(2, pl.p) AS BIGINT) ELSE 0 END)::BIGINT AS bucket
+      |FROM e, pl GROUP BY e.vec_id, e.emb, e.nrm""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "s1_ann_brute" -> s"""
+      WITH e AS ($EMB_SQL),
+      sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+               round(list_sum(list_transform(generate_series(1,64),
+                 k -> q.emb[k] * c.emb[k])) / (q.nrm * c.nrm), 6) AS cos
+             FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      r AS (SELECT qid, nid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+            FROM sc)
+      SELECT qid, nid, cos, rank FROM r WHERE rank <= $K""",
+    "s2_ann_lsh" -> s"""
+      WITH pl AS ($PLANES_SQL),
+      e AS ($EMB_SQL),
+      b AS ($BUCKET_SQL),
+      sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+               round(list_sum(list_transform(generate_series(1,64),
+                 k -> q.emb[k] * c.emb[k])) / (q.nrm * c.nrm), 6) AS cos
+             FROM b q JOIN b c ON q.vec_id < 10 AND q.bucket = c.bucket
+               AND c.vec_id <> q.vec_id),
+      r AS (SELECT qid, nid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+            FROM sc)
+      SELECT qid, nid, cos, rank FROM r WHERE rank <= 3"""
+  )
+}

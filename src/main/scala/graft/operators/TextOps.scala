@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fns._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (language ID, quality scoring, token counting, fingerprinting,
+  * semi-structured extraction) over the `documents` / `events` tables.
+  *
+  * All are single-pass narrow transforms (no shuffle except the final
+  * aggregations) built from codegen'd built-ins — the shape that scans
+  * 100 TB at I/O speed: the parquet reader prunes to the referenced
+  * columns and every row is scored in one pipelined stage.
+  */
+object TextOps {
+
+  private val EN = Seq("the", "data", "table", "value", "row", "key")
+  private val DE = Seq("der", "die", "das", "und", "nicht")
+  private val FR = Seq("le", "la", "les", "et", "est")
+  private val ES = Seq("el", "los", "las", "y", "es")
+
+  private def countIn(tokens: org.apache.spark.sql.Column, ws: Seq[String]) =
+    size(filter(tokens, t => t.isInCollection(ws)))
+
+  /** x1 — language ID via stopword-hit scoring: count tokens in each
+    * language's closed stopword set, argmax wins, all-zero → "und"
+    * (undetermined). The classic cheap n-gram/stopword heuristic —
+    * per-row arithmetic only, embarrassingly parallel.
+    */
+  private def x1(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        countIn(t, EN).as("sc_en"), countIn(t, DE).as("sc_de"),
+        countIn(t, FR).as("sc_fr"), countIn(t, ES).as("sc_es"))
+      .withColumn("pred_lang",
+        when(greatest(col("sc_en"), col("sc_de"), col("sc_fr"), col("sc_es")) === 0, "und")
+          .when(col("sc_en") >= greatest(col("sc_de"), col("sc_fr"), col("sc_es")), "en")
+          .when(col("sc_de") >= greatest(col("sc_fr"), col("sc_es")), "de")
+          .when(col("sc_fr") >= col("sc_es"), "fr")
+          .otherwise("es"))
+      .select(col("doc_id"), col("pred_lang"), col("sc_en"))
+  }
+
+  /** x2 — document quality score: length score + stopword ratio + mean
+    * token length, the standard cheap pre-training quality gate.
+    * Pure per-row double arithmetic, identical accumulation order in
+    * the oracle.
+    */
+  private def x2(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), t.as("t"))
+      .select(col("doc_id"),
+        round(least(col("n_chars") / 500.0, lit(1.0)), 6).as("len_score"),
+        round(countIn(col("t"), EN).cast("double") / size(col("t")), 6).as("stop_ratio"),
+        round(aggregate(col("t"), lit(0L), (acc, x) => acc + length(x))
+          .cast("double") / size(col("t")), 6).as("mean_tok_len"))
+      .withColumn("quality",
+        round(col("len_score") * 0.5 + col("stop_ratio") * 0.3
+          + least(col("mean_tok_len") / 8.0, lit(1.0)) * 0.2, 6))
+  }
+
+  /** x3 — token counting: whitespace tokens and a BPE-ish regex
+    * tokenizer (letter runs / digit runs / single other chars) — the
+    * usual "how many tokens will this cost" estimator.
+    */
+  private def x3(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .as("re_tokens"))
+
+  /** x4 — document fingerprinting: a whole-text md5 fingerprint plus a
+    * position-weighted polynomial rolling hash over tokens
+    * (sum_i h(tok_i)·31^(i mod 8) mod p). Integer arithmetic mod p —
+    * exact and order-independent to sum, so the groupBy is a plain
+    * partial+final agg.
+    */
+  private def x4(s: SparkSession, d: String): DataFrame = {
+    val M = 1000000007L
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5Long(col("text")).as("md5_fp"),
+        posexplode(toks(col("text"))).as(Seq("i", "tok")))
+      .groupBy(col("doc_id"), col("md5_fp"))
+      .agg(((sum((md5Long(col("tok")) % 100003L)
+        * pow(lit(31.0), col("i") % 8).cast("long"))) % M).as("roll_fp"))
+  }
+
+  /** x5 — semi-structured extraction: pull a typed value out of the
+    * events' JSON `props` with a real JSON path op (codegen'd
+    * `get_json_object`), then aggregate. At scale: scan + narrow
+    * extract + one partial/final agg on `event_type`.
+    */
+  private def x5(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 6).as("avg_k"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_lang_id" -> (x1 _),
+    "x2_quality_score" -> (x2 _),
+    "x3_token_count" -> (x3 _),
+    "x4_fingerprint" -> (x4 _),
+    "x5_json_extract" -> (x5 _)
+  )
+
+  private def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString("[", ",", "]")
+
+  val oracles: Map[String, String] = Map(
+    "x1_lang_id" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+      sc AS (SELECT doc_id,
+        len(list_filter(l, x -> list_contains(${inList(EN)}, x))) AS sc_en,
+        len(list_filter(l, x -> list_contains(${inList(DE)}, x))) AS sc_de,
+        len(list_filter(l, x -> list_contains(${inList(FR)}, x))) AS sc_fr,
+        len(list_filter(l, x -> list_contains(${inList(ES)}, x))) AS sc_es FROM t)
+      SELECT doc_id,
+        CASE WHEN greatest(sc_en, sc_de, sc_fr, sc_es) = 0 THEN 'und'
+             WHEN sc_en >= greatest(sc_de, sc_fr, sc_es) THEN 'en'
+             WHEN sc_de >= greatest(sc_fr, sc_es) THEN 'de'
+             WHEN sc_fr >= sc_es THEN 'fr' ELSE 'es' END AS pred_lang,
+        sc_en FROM sc""",
+    "x2_quality_score" -> s"""
+      WITH t AS (SELECT doc_id, n_chars, string_split(text,' ') AS l FROM documents),
+      b AS (SELECT doc_id,
+        round(least(n_chars / 500.0, 1.0), 6) AS len_score,
+        round(len(list_filter(l, x -> list_contains(${inList(EN)}, x)))::DOUBLE / len(l), 6) AS stop_ratio,
+        round(list_aggregate(list_transform(l, x -> length(x)), 'sum')::DOUBLE / len(l), 6) AS mean_tok_len
+        FROM t)
+      SELECT doc_id, len_score, stop_ratio, mean_tok_len,
+        round(len_score*0.5 + stop_ratio*0.3 + least(mean_tok_len/8.0, 1.0)*0.2, 6) AS quality
+      FROM b""",
+    "x3_token_count" -> """
+      SELECT doc_id, len(string_split(text,' ')) AS ws_tokens,
+        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+      FROM documents""",
+    "x4_fingerprint" -> """
+      WITH t AS (SELECT doc_id,
+        ('0x' || substr(md5(text),1,15))::BIGINT AS md5_fp,
+        string_split(text,' ') AS l FROM documents)
+      SELECT doc_id, md5_fp,
+        list_sum(list_transform(generate_series(1, len(l)), i ->
+          (('0x' || substr(md5(l[i]),1,15))::BIGINT % 100003)
+            * CAST(pow(31, (i-1) % 8) AS BIGINT)))::BIGINT % 1000000007 AS roll_fp
+      FROM t""",
+    "x5_json_extract" -> """
+      SELECT event_type, count(*) AS cnt,
+        sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS sum_k,
+        round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)), 6) AS avg_k
+      FROM events GROUP BY event_type"""
+  )
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time and analytic window operators over the `events` stream
+  * table — the batch faces of the engine's streaming surface (the same
+  * tumbling/session windows run under Structured Streaming in
+  * `graft.streaming`; here they're expressed on the bounded table so
+  * the oracle can check them).
+  *
+  * Scale notes: tumbling/session windows shuffle once on
+  * (key, window); analytic windows shuffle once on the partition key.
+  * Both are the minimal-exchange plans for their semantics.
+  */
+object WindowOps {
+
+  /** w1 — tumbling event-time window: per (hour, event_type) count and
+    * sum. Epoch-aligned 1-hour windows == date_trunc in the oracle. */
+  private def w1(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** w2 — ranking window: top-3 orders per customer by price (dense
+    * per-group top-k; shuffle on the partition key only). */
+  private def w2(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rank"))
+
+  /** w3 — session window: per-user sessions with a 30-minute
+    * inactivity gap. Spark's `session_window` semantics: a new session
+    * starts when the gap is >= 30 min; session end = last event + gap.
+    * The oracle replicates with lag + cumulative-sum
+    * (gaps-and-islands). */
+  private def w3(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** w4 — lag/delta analytic: microseconds since the user's previous
+    * event (NULL for the first). One shuffle on user_id. */
+  private def w4(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("delta_us"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_tumbling_window" -> (w1 _),
+    "w2_rank_per_group" -> (w2 _),
+    "w3_session_window" -> (w3 _),
+    "w4_lag_delta" -> (w4 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "w1_tumbling_window" -> """
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2""",
+    "w2_rank_per_group" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders) WHERE rank <= 3""",
+    "w3_session_window" -> """
+      WITH e AS (SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS brk
+        FROM events),
+      g AS (SELECT user_id, ts, value,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM e)
+      SELECT user_id, min(ts) AS session_start,
+        max(ts) + INTERVAL 30 MINUTE AS session_end,
+        count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM g GROUP BY user_id, sid""",
+    "w4_lag_delta" -> """
+      SELECT user_id, event_id,
+        date_diff('microsecond',
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS delta_us
+      FROM events"""
+  )
+}
