@@ -38,7 +38,8 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.DedupOps.queries ++
       operators.SimilarityOps.queries ++
-      operators.WindowOps.queries
+      operators.WindowOps.queries ++
+      operators.CleanOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
       operators.TextOps.oracles ++
       operators.DedupOps.oracles ++
       operators.SimilarityOps.oracles ++
-      operators.WindowOps.oracles
+      operators.WindowOps.oracles ++
+      operators.CleanOps.oracles
 }
