@@ -39,7 +39,9 @@ object SparkEntry {
       operators.DedupOps.queries ++
       operators.SimilarityOps.queries ++
       operators.WindowOps.queries ++
-      operators.CleanOps.queries
+      operators.CleanOps.queries ++
+      Map("mm1_media_features" ->
+        ((s: SparkSession, d: String) => multimodal.MediaPipeline.features(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +51,17 @@ object SparkEntry {
       operators.DedupOps.oracles ++
       operators.SimilarityOps.oracles ++
       operators.WindowOps.oracles ++
-      operators.CleanOps.oracles
+      operators.CleanOps.oracles ++
+      Map("mm1_media_features" -> """
+        WITH b AS (SELECT doc_id, md5(text) AS h,
+          CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpg'
+               ELSE 'wav' END AS fmt
+          FROM documents),
+        e AS (SELECT doc_id, fmt, list_transform(generate_series(0,15),
+                i -> ('0x' || substr(h, 2*i+1, 2))::INT) AS bytes FROM b)
+        SELECT doc_id, fmt, 16 AS n_bytes,
+          ((bytes[1]*256 + bytes[2]) % 1920) + 1 AS width,
+          ((bytes[3]*256 + bytes[4]) % 1080) + 1 AS height,
+          round(list_sum(bytes)/16.0, 4) AS mean_byte
+        FROM e""")
 }

@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: media
+  * payloads as opaque `binary` columns with typed metadata, decoded /
+  * feature-extracted in per-partition batches.
+  *
+  * The Spark-side architecture is the real thing — explicit schema
+  * (`doc_id, fmt, media: binary`), a typed `Dataset[MediaRow]`, and
+  * `mapPartitions` batch iteration (the JVM analog of `mapInPandas`:
+  * one decoder instance per partition, rows streamed through it, so a
+  * native decoder library would be initialized once per task, not per
+  * row). The DECODE ITSELF IS A STUB — this container has no image
+  * codecs — replaced by a deterministic byte-level feature extractor
+  * ([[MediaPipeline.decodeStub]]) so the plumbing (schema, batching,
+  * partitioning, feature shape) is fully testable and oracle-checkable.
+  */
+object MediaPipeline {
+
+  /** One media row: payload + minimal typed metadata. */
+  case class MediaRow(doc_id: Long, fmt: String, media: Array[Byte])
+
+  /** Extracted features — what a real decoder would emit (dimensions,
+    * channel stats); here derived deterministically from the bytes. */
+  case class MediaFeatures(doc_id: Long, fmt: String, n_bytes: Int,
+    width: Int, height: Int, mean_byte: Double)
+
+  /** Synthesize a deterministic media corpus from `documents`: the
+    * md5 of the text as a 16-byte "payload" (stands in for image
+    * bytes), format cycled from the doc id. At 100 TB the payload
+    * column is a real binary column in parquet — everything downstream
+    * is unchanged. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      element_at(typedlit(Seq("png", "jpg", "wav")),
+        (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
+      unhex(md5(col("text"))).as("media"))
+  }
+
+  /** STUB decoder — stands in for e.g. an ImageIO/ffmpeg call. Reads
+    * "dimensions" from the first four bytes and a channel mean over
+    * the payload; pure function of the bytes, so the DuckDB oracle
+    * recomputes it from the md5 hex. */
+  def decodeStub(r: MediaRow): MediaFeatures = {
+    val b = r.media.map(_ & 0xff)
+    val width = ((b(0) << 8) | b(1)) % 1920 + 1
+    val height = ((b(2) << 8) | b(3)) % 1080 + 1
+    val mean = b.map(_.toLong).sum.toDouble / b.length
+    MediaFeatures(r.doc_id, r.fmt, r.media.length, width, height,
+      math.rint(mean * 10000) / 10000)
+  }
+
+  /** The batch feature-extraction operator: typed Dataset in,
+    * per-partition iteration (decoder init once per partition — the
+    * scale-relevant shape), typed Dataset out. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // a real pipeline would initialize the codec here, once
+      rows.map(decodeStub)
+    }
+  }
+
+  /** End-to-end: documents → media table → typed decode → features. */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(mediaTable(spark, dir).as[MediaRow]).toDF()
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming faces of the engine's event-time operators
+  * (the batch equivalents are oracle-checked in
+  * graft.operators.WindowOps — same expressions, bounded input).
+  *
+  * All transforms are source-agnostic `DataFrame => DataFrame`, so the
+  * same code runs over `readStream` (kafka/files at scale) and over a
+  * MemoryStream in tests. Watermarks bound state: 2 hours of event
+  * lateness, after which window state is evicted — the property that
+  * keeps a 100 TB/day stream's state finite.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Tumbling 1-hour counts per event type (streaming w1). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Per-user session windows, 30-minute gap (streaming w3). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Custom keyed state: running per-user totals via
+    * `mapGroupsWithState` — the KeyValueGroupedDataset state API the
+    * reference-parity surface doesn't need but a streaming pipeline
+    * does (counters, rate limits, dedup state live here). */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          val (n, s) = batch.foldLeft((prev.n_events, prev.sum_value)) {
+            case ((cn, cs), e) => (cn + 1, cs + e.value)
+          }
+          val next = UserRunning(user, n, math.rint(s * 100) / 100)
+          state.update(next)
+          next
+      }
+  }
+
+  /** The streaming output mode each query needs (state eviction
+    * semantics): append for watermarked windows, update for custom
+    * state. */
+  val outputModes: Map[String, OutputMode] = Map(
+    "tumbling" -> OutputMode.Append(),
+    "session" -> OutputMode.Append(),
+    "running" -> OutputMode.Update())
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming semantics checked against the batch equivalents: the same
+  * rows pushed through a MemoryStream must produce exactly what the
+  * batch expressions produce on the bounded table (w1/w3 parity), plus
+  * custom keyed state accumulates across micro-batches.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+  import EventStreams._
+
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  private val rows = Seq(
+    Event(1, ts(0), 1, "click", 1.0),
+    Event(2, ts(10), 1, "click", 2.0),
+    Event(3, ts(65), 1, "view", 3.0),   // >30min gap -> new session, new hour
+    Event(4, ts(70), 2, "click", 4.0),
+    Event(5, ts(130), 2, "click", 5.0)) // >30min gap for user 2
+
+  test("tumbling window counts match the batch expression") {
+    val mem = MemoryStream[Event]
+    val q = tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    // watermark hasn't passed; push a late-horizon event to close windows
+    mem.addData(Event(99, ts(600), 9, "noise", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tumbling")
+      .select(col("hour_start"), col("event_type"), col("cnt"), col("sum_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = tumblingCounts(rows.toDF()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(batch.subsetOf(streamed))
+    assert(streamed.contains((ts(0), "click", 2L, 3.0)))
+  }
+
+  test("session windows: 30-minute gap splits sessions") {
+    val mem = MemoryStream[Event]
+    val q = sessionCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    mem.addData(Event(99, ts(600), 9, "noise", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions")
+      .filter(col("user_id") === 1)
+      .select(col("session_start"), col("n_events"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(sessions == Set((ts(0), 2L), (ts(65), 1L)))
+  }
+
+  test("mapGroupsWithState accumulates across micro-batches") {
+    val mem = MemoryStream[Event]
+    val q = runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    // last update per user wins
+    val finals = spark.table("running").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).maxBy(_._1) }
+    assert(finals(1L) == (3L, 6.0))
+    assert(finals(2L) == (2L, 9.0))
+  }
+}
