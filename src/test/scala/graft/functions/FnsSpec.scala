@@ -1,0 +1,33 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+import Fns._
+
+class FnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("md5LongLocal is bit-identical to the md5Long expression (the " +
+    "cross-engine hash identity: DuckDB computes the same value)") {
+    // reference value cross-checked in DuckDB:
+    //   SELECT ('0x' || substr(md5('hello'),1,15))::BIGINT -> 419982666956583591
+    assert(md5LongLocal("hello") == 419982666956583591L)
+    val inputs = Seq("", "a", "0:foo bar", "7:x y", "αβγ", "a;b,c")
+    val viaExpr = inputs.toDF("v").select(md5Long(col("v"))).as[Long].collect().toSeq
+    assert(viaExpr == inputs.map(md5LongLocal))
+  }
+
+  test("dotN equals sequential HOF dot bit-for-bit") {
+    val a = Seq((Array(1.0, 2.5, -3.25, 0.125), Array(4.0, -1.5, 2.0, 8.0)))
+    val df = a.toDF("x", "y")
+    val h = df.select(dot(col("x"), col("y"))).as[Double].head()
+    val u = df.select(dotN(col("x"), col("y"), 4)).as[Double].head()
+    assert(java.lang.Double.doubleToLongBits(h) == java.lang.Double.doubleToLongBits(u))
+  }
+
+  test("bigramShingles produces distinct local-order shingles") {
+    val out = Seq("a b c a b").toDF("t")
+      .select(bigramShingles(toks(col("t")))).as[Seq[String]].head()
+    assert(out == Seq("a b", "b c", "c a"))
+  }
+}
