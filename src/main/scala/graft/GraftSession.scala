@@ -23,6 +23,7 @@ object GraftSession {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
+      .withExtensions(new GraftSparkExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

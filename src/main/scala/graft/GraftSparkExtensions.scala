@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** The engine's SparkSessionExtensions: registers the custom native
+  * expressions into the function registry so they're callable from
+  * SQL and `call_function` alike. Loadable by class name via
+  * `spark.sql.extensions=graft.GraftSparkExtensions` on any cluster,
+  * or programmatically via `builder.withExtensions` ([[GraftSession]]).
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}

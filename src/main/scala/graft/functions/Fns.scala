@@ -71,6 +71,16 @@ object Fns {
   /** Unrolled L2 norm. */
   def l2N(a: Column, n: Int): Column = sqrt(dotN(a, a, n))
 
+  /** The native codegen'd dot product ([[DotProduct]], registered by
+    * [[graft.GraftSparkExtensions]]) — same sequential semantics as
+    * [[dot]]/[[dotN]], compiled into the stage. Preferred form wherever
+    * the plan supports whole-stage codegen. */
+  def dotNative(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+
+  /** L2 norm via the native dot. */
+  def l2Native(a: Column): Column = sqrt(dotNative(a, a))
+
   /** Whitespace tokens of a text column. */
   def toks(text: Column): Column = split(text, " ")
 

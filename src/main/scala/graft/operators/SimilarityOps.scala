@@ -47,19 +47,19 @@ object SimilarityOps {
     */
   private def bucketOf(emb: Column): Column =
     planeCoefs.zipWithIndex.map { case (coefs, pl) =>
-      when(round(dotN(emb, typedlit(coefs), DIMS), 9) >= 0, lit(1L << pl))
+      when(round(dotNative(emb, typedlit(coefs)), 9) >= 0, lit(1L << pl))
         .otherwise(lit(0L))
     }.reduceLeft(_ + _)
 
   private def queriesAndCorpus(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("nrm", l2N(col("emb"), DIMS))
+      .withColumn("nrm", l2Native(col("emb")))
     (e.filter(col("vec_id") < 10), e)
   }
 
   private def cosPrecomp: Column =
-    round(dotN(col("qemb"), col("emb"), DIMS) / (col("qnrm") * col("nrm")), 6)
+    round(dotNative(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 6)
 
   /** s1 — exact brute-force cosine top-k: broadcast 10 query vectors,
     * single corpus scan, rank with a deterministic tiebreak. */
