@@ -40,6 +40,7 @@ object SparkEntry {
       operators.SimilarityOps.queries ++
       operators.WindowOps.queries ++
       operators.CleanOps.queries ++
+      operators.AnalyticsOps.queries ++
       Map("mm1_media_features" ->
         ((s: SparkSession, d: String) => multimodal.MediaPipeline.features(s, d)))
 
@@ -52,6 +53,7 @@ object SparkEntry {
       operators.SimilarityOps.oracles ++
       operators.WindowOps.oracles ++
       operators.CleanOps.oracles ++
+      operators.AnalyticsOps.oracles ++
       Map("mm1_media_features" -> """
         WITH b AS (SELECT doc_id, md5(text) AS h,
           CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpg'

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Analytics-completeness operators beyond the reference surface —
+  * grouping sets, pivot, quantiles, and the sketch-based distinct the
+  * 100 TB path actually uses. All partial+final aggregations; rollup /
+  * cube add grouping-set expansion before the same hash agg.
+  */
+object AnalyticsOps {
+
+  /** g1 — rollup: per (flag, status) + per-flag + grand totals in one
+    * pass. Quantities are integral-valued doubles, so sums are exact
+    * across engines. */
+  private def g1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+
+  /** g2 — cube over two order dimensions. */
+  private def g2(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** g3 — pivot: line status columns per return flag (explicit pivot
+    * values — at scale an implicit pivot would add a distinct pass). */
+  private def g3(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .count()
+
+  /** g4 — exact interpolated quantiles of order price (both engines:
+    * linear interpolation at (n-1)p over the sorted values). */
+  private def g4(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .agg(transform(
+        percentile(col("o_totalprice"), array(lit(0.25), lit(0.5), lit(0.75))),
+        x => round(x, 4)).as("quartiles"))
+
+  /** g5 — HyperLogLog distinct (the 100 TB form of a1): NO oracle —
+    * sketch implementations differ per engine, so the driver records
+    * the weaker rows-only check; correctness vs exact distinct is
+    * asserted in the spec (rsd bound). */
+  private def g5(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_rollup" -> (g1 _),
+    "g2_cube" -> (g2 _),
+    "g3_pivot" -> (g3 _),
+    "g4_quantiles" -> (g4 _),
+    "g5_approx_distinct" -> (g5 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g1_rollup" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "g2_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "g3_pivot" -> """
+      SELECT l_returnflag,
+        count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+        count(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+      FROM lineitem GROUP BY l_returnflag""",
+    "g4_quantiles" -> """
+      SELECT list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
+        x -> round(x, 4)) AS quartiles
+      FROM orders"""
+    // g5_approx_distinct: intentionally no oracle (per-engine sketches)
+  )
+}

@@ -1,0 +1,50 @@
+package graft.sinks
+
+import graft.SparkSpec
+import graft.osm.OsmXmlSource
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class DocumentSinksSpec extends SparkSpec {
+
+  test("JSONL sink round-trips the shaped OSM collection") {
+    val docs = OsmXmlSource.collection(spark,
+      getClass.getResource("/mini.osm").getPath)
+    val out = Files.createTempDirectory("graft-jsonl").toString
+    JsonLinesSink.write(docs, out)
+    // JSON is schemaless — reading back with the document schema keeps
+    // the typed maps (schema inference would surface structs)
+    val back = spark.read.schema(docs.schema).json(out)
+    assert(back.count() == docs.count())
+    // typed content survives the JSON round trip
+    val phones = back.filter(col("_id") === "1001")
+      .select(element_at(col("list_tags"), "phone"))
+      .collect().head.getSeq[String](0)
+    assert(phones == Seq("+1-360-555-9999 x1234"))
+    val lanes = back.filter(col("_id") === "1003")
+      .select(element_at(col("int_tags"), "lanes"))
+      .collect().head.getLong(0)
+    assert(lanes == 2L)
+  }
+
+  test("parquet sink preserves the exact schema") {
+    val docs = OsmXmlSource.collection(spark,
+      getClass.getResource("/mini.osm").getPath)
+    val out = Files.createTempDirectory("graft-parquet").toString
+    ParquetSink.write(docs, out)
+    val back = spark.read.parquet(out)
+    // parquet relaxes non-null fields to nullable; simpleString
+    // compares structure + types without nullability
+    assert(back.schema.simpleString == docs.schema.simpleString)
+    assert(back.count() == 7)
+  }
+
+  test("approx distinct stays within the declared rsd of exact (g5)") {
+    import graft.operators.AnalyticsOps
+    val approx = AnalyticsOps.queries("g5_approx_distinct")(spark, "/root/testdata/sf0.001")
+      .collect().head.getLong(0)
+    val exact = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(countDistinct(col("l_partkey"))).collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+}
