@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression checks — the properties that decide
+  * 100 TB behavior, locked in as assertions so a refactor can't
+  * silently lose them: predicate pushdown into the parquet scan,
+  * column pruning, broadcast join selection, TakeOrderedAndProject for
+  * top-k, partial+final hash aggregation, semi-join planning.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("equality filter is pushed into the parquet scan (p2)") {
+    val p = plan(q("p2_eq_match"))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("column pruning reaches the scan: a8 reads only doc_id,text") {
+    val p = plan(q("a8_array_len"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort (t1)") {
+    val p = plan(q("t1_topk"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("flagship query broadcast-joins the filtered dimension (entry)") {
+    val p = plan(SparkEntry.entry(spark))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("group-by count aggregates partial then final (a2)") {
+    val p = plan(q("a2_group_count"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("semi-join stays a LeftSemi (j3) — no payload multiplication") {
+    val p = plan(q("j3_semi_join"))
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("LSH ANN joins buckets with a broadcast equi-join (s2)") {
+    val p = plan(q("s2_ann_lsh"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("session window plans native UpdatingSessionsExec path (w3)") {
+    val p = plan(q("w3_session_window"))
+    assert(p.toLowerCase.contains("session"), p)
+  }
+}
