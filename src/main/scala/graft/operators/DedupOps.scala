@@ -50,10 +50,21 @@ object DedupOps {
     // a checkpoint of signatures, never of the corpus.
     import s.implicits._
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), bigramShingles(toks(col("text"))).as("sh"))
-      .as[(Long, Seq[String])]
+      .select(col("doc_id"), col("text"))
+      // kernel stages declare their parallelism: the parquet scan may
+      // yield very few partitions, which would serialize the hashing
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String)]
       .mapPartitions { it =>
-        it.map { case (id, sh) =>
+        it.map { case (id, text) =>
+          // distinct bigram shingles — same semantics as
+          // Fns.bigramShingles (dedup preserving first occurrence;
+          // order is immaterial downstream: min-hash and set ops)
+          val t = text.split(' ')
+          val seen = new scala.collection.mutable.LinkedHashSet[String]
+          var i = 0
+          while (i < t.length - 1) { seen.add(t(i) + " " + t(i + 1)); i += 1 }
+          val sh = seen.toSeq
           val mh = Array.tabulate(8) { k =>
             var min = Long.MaxValue
             sh.foreach { x =>
@@ -81,18 +92,18 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
-    val sets = docs.select(col("doc_id"), col("sh"))
-    // exact-Jaccard verification of the candidates as a typed kernel
-    // (same rationale as d4: per-pair set ops in primitive code)
-    import s.implicits._
-    cand
-      .join(sets.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
-      .join(sets.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
-      .select(col("i"), col("j"), col("sa"), col("sb"))
-      .as[(Long, Long, Seq[String], Seq[String])]
-      .mapPartitions(_.flatMap { case (i, j, sha, shb) =>
-        val sa = sha.toSet
-        val sb = shb.toSet
+    // exact-Jaccard verification: broadcast the doc→shingle-set map
+    // (each set built once, no array payload ever crosses a shuffle)
+    // and score the candidate id-pairs in a kernel. The broadcast holds
+    // to ~10M docs of signatures; past that, verification becomes a
+    // shuffle join on the 8-byte ids.
+    val setsMap = s.sparkContext.broadcast(
+      docs.select(col("doc_id"), col("sh")).as[(Long, Seq[String])]
+        .collect().map { case (id, sh) => id -> sh.toSet }.toMap)
+    cand.as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (i, j) =>
+        val sa = setsMap.value(i)
+        val sb = setsMap.value(j)
         val inter = if (sa.size <= sb.size) sa.count(sb) else sb.count(sa)
         val jac = inter.toDouble / (sa.size + sb.size - inter).toDouble
         if (jac >= 0.5) Some((i, j, round6(jac))) else None
@@ -177,6 +188,7 @@ object DedupOps {
     val rows = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", l2N(col("emb"), 64))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Array[Double], Double)]
     val corpus = s.sparkContext.broadcast(rows.collect().sortBy(_._1))
     rows.mapPartitions { it =>
