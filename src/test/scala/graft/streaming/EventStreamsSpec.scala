@@ -64,6 +64,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions == Set((ts(0), 2L), (ts(65), 1L)))
   }
 
+  test("file-source stream with Trigger.AvailableNow matches the batch " +
+    "aggregation on the bounded events table (SURVEY S1's incremental flavor)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = graft.Tables.events(spark, dir)
+    // file streams read directories; stage the table file into one
+    val staged = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(staged.toString)
+    // same ns->us normalization as Tables.events
+    val normalized = stream.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val q = tumblingCounts(normalized)
+      .writeStream.format("memory").queryName("file_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // append mode only emits watermark-closed windows; every emitted
+    // row must match the batch result exactly
+    val streamed = spark.table("file_stream").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = tumblingCounts(batchDf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed.subsetOf(batch))
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     val mem = MemoryStream[Event]
     val q = runningUserTotals(mem.toDS())
