@@ -41,6 +41,7 @@ object SparkEntry {
       operators.WindowOps.queries ++
       operators.CleanOps.queries ++
       operators.AnalyticsOps.queries ++
+      operators.RangeOps.queries ++
       Map("mm1_media_features" ->
         ((s: SparkSession, d: String) => multimodal.MediaPipeline.features(s, d)))
 
@@ -54,6 +55,7 @@ object SparkEntry {
       operators.WindowOps.oracles ++
       operators.CleanOps.oracles ++
       operators.AnalyticsOps.oracles ++
+      operators.RangeOps.oracles ++
       Map("mm1_media_features" -> """
         WITH b AS (SELECT doc_id, md5(text) AS h,
           CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpg'

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal/range join operators the reference lacks but a
+  * training-data pipeline needs (SURVEY §2.3 notes their absence;
+  * added as engine capability).
+  *
+  * r1 as-of join is implemented the scale-correct Spark way: instead
+  * of a per-row lookup join (quadratic or index-dependent), union both
+  * sides and take a running "last match" window — ONE shuffle on the
+  * partition key, linear scan within partitions, no join at all.
+  *
+  * r2 range join broadcasts the (small) interval side; Catalyst plans
+  * a broadcast nested-loop with the band predicate, which is the right
+  * physical shape for a handful of bands (for large interval tables
+  * the technique is interval bucketing back to an equi-join).
+  */
+object RangeOps {
+
+  /** r1 — as-of join: each error event gets the most recent
+    * click (same user, click.ts <= error.ts), with a deterministic
+    * same-timestamp tiebreak (clicks sort before errors, then by id). */
+  private def r1(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, (col("event_type") === "click").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isClick = col("event_type") === "click"
+    Tables.events(s, d)
+      .withColumn("prev_click_id",
+        last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("prev_click_value",
+        last(when(isClick, col("value")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("prev_click_id"), col("prev_click_value"))
+  }
+
+  /** r2 — range join: orders bucketed into price bands via an interval
+    * predicate against a broadcast literal dimension. */
+  private def r2(s: SparkSession, d: String): DataFrame = {
+    val bands = (0 until 8).map(i => (i, i * 75000.0, (i + 1) * 75000.0))
+    val bandDf = s.createDataFrame(bands).toDF("band", "lo", "hi")
+    Tables.orders(s, d)
+      .join(broadcast(bandDf),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r1_asof_join" -> (r1 _),
+    "r2_range_join" -> (r2 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "r1_asof_join" -> """
+      SELECT user_id, event_id, ts, prev_click_id, prev_click_value FROM (
+        SELECT user_id, event_id, ts, event_type,
+          last_value(CASE WHEN event_type='click' THEN event_id END IGNORE NULLS)
+            OVER w AS prev_click_id,
+          last_value(CASE WHEN event_type='click' THEN value END IGNORE NULLS)
+            OVER w AS prev_click_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+          ORDER BY ts, (event_type='click') DESC, event_id
+          ROWS UNBOUNDED PRECEDING)
+      ) WHERE event_type = 'error'""",
+    "r2_range_join" -> """
+      WITH bands AS (
+        SELECT i AS band, i * 75000.0 AS lo, (i+1) * 75000.0 AS hi
+        FROM generate_series(0, 7) t(i))
+      SELECT band, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+      FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY band"""
+  )
+}
