@@ -205,7 +205,24 @@ object DedupOps {
     }.toDF("i", "j", "cos")
   }
 
+  /** d6 — group-level MinHash sketches via the typed
+    * [[graft.functions.MinHashAgg]] UDAF: one 8-seed signature per
+    * `source`, computed with exact map-side partial aggregation
+    * (elementwise-min merge is associative+commutative). The
+    * group-vs-group Jaccard estimate between shards comes from
+    * comparing these signatures — no second pass over rows. */
+  private def d6(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("source"), bigramShingles(toks(col("text"))).as("sh"))
+      .as[(String, Seq[String])]
+      .groupByKey(_._1)
+      .agg(new graft.functions.MinHashAgg(8).toColumn.name("sig"))
+      .toDF("source", "sig")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d6_minhash_udaf" -> (d6 _),
     "d1_exact_dedup" -> (d1 _),
     "d2_minhash_lsh" -> (d2 _),
     "d3_simhash" -> (d3 _),
@@ -220,6 +237,13 @@ object DedupOps {
       |FROM (SELECT doc_id, source, string_split(text,' ') AS l FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d6_minhash_udaf" -> s"""
+      WITH t AS ($SHINGLES),
+      e AS (SELECT source, unnest(sh) AS s FROM t),
+      h AS (SELECT source, g.k AS k,
+              min(('0x' || substr(md5(g.k::VARCHAR || ':' || s),1,15))::BIGINT) AS mh
+            FROM e, generate_series(0,7) g(k) GROUP BY source, g.k)
+      SELECT source, list(mh ORDER BY k) AS sig FROM h GROUP BY source""",
     "d1_exact_dedup" -> """
       SELECT ('0x' || substr(md5(lower(trim(text))),1,15))::BIGINT AS content_fp,
         min(doc_id) AS keeper, count(*) AS n_copies
