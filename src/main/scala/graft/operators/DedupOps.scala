@@ -151,12 +151,17 @@ object DedupOps {
   private def d4(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-      .select(col("source"), col("doc_id"), bigramShingles(toks(col("text"))).as("sh"))
-      .as[(String, Long, Seq[String])]
+      .select(col("source"), col("doc_id"), col("text"))
+      .as[(String, Long, String)]
     docs.groupByKey(_._1)
-      .flatMapGroups { (src: String, it: Iterator[(String, Long, Seq[String])]) =>
-        val ds = it.map { case (_, id, sh) => (id, sh.toSet) }
-          .toArray.sortBy(_._1)
+      .flatMapGroups { (src: String, it: Iterator[(String, Long, String)]) =>
+        val ds = it.map { case (_, id, text) =>
+          val t = text.split(' ')
+          val sh = scala.collection.mutable.HashSet.empty[String]
+          var i = 0
+          while (i < t.length - 1) { sh.add(t(i) + " " + t(i + 1)); i += 1 }
+          (id, sh.toSet)
+        }.toArray.sortBy(_._1)
         for {
           ai <- ds.indices.iterator
           bi <- (ai + 1) until ds.length
@@ -221,8 +226,52 @@ object DedupOps {
       .toDF("source", "sig")
   }
 
+  /** d7 — dedup cluster resolution: connected components over the
+    * verified near-dup pairs (d2's output), labeling every document
+    * with the minimum doc id reachable through near-dup edges — the
+    * step that turns a pair list into "keep one per cluster".
+    *
+    * Iterative min-label propagation: each round joins the (tiny) edge
+    * set to the label table and takes the elementwise min — converges
+    * in diameter rounds, checked by a changed-count that short-
+    * circuits the loop. Label table is persisted per round and the
+    * previous round unpersisted; at cluster scale this is the standard
+    * large/small-star pattern with checkpointing.
+    */
+  private def d7(s: SparkSession, d: String): DataFrame = {
+    val edges = d2(s, d).select(col("i"), col("j"))
+    val sym = edges
+      .unionAll(edges.select(col("j").as("i"), col("i").as("j")))
+      .persist()
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("comp"))
+      .persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val prop = sym
+        .join(labels, sym("j") === labels("doc_id"))
+        .groupBy(sym("i").as("doc_id"))
+        .agg(min(col("comp")).as("ncomp"))
+      val next = labels.alias("l")
+        .join(prop.alias("p"), col("l.doc_id") === col("p.doc_id"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.comp"), coalesce(col("p.ncomp"), col("l.comp"))).as("comp"))
+        .persist()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d6_minhash_udaf" -> (d6 _),
+    "d7_dedup_components" -> (d7 _),
     "d1_exact_dedup" -> (d1 _),
     "d2_minhash_lsh" -> (d2 _),
     "d3_simhash" -> (d3 _),
@@ -237,6 +286,29 @@ object DedupOps {
       |FROM (SELECT doc_id, source, string_split(text,' ') AS l FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d7_dedup_components" -> s"""
+      WITH RECURSIVE t AS ($SHINGLES),
+      m AS (SELECT doc_id, sh, list_transform(generate_series(0,7), k ->
+              list_min(list_transform(sh, s ->
+                ('0x' || substr(md5(k::VARCHAR || ':' || s),1,15))::BIGINT))) AS mh
+            FROM t),
+      bb AS (SELECT doc_id, g.band AS band,
+              mh[2*g.band+1]::VARCHAR || '_' || mh[2*g.band+2]::VARCHAR AS bkey
+            FROM m, generate_series(0,3) g(band)),
+      c AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+            FROM bb x JOIN bb y ON x.band = y.band AND x.bkey = y.bkey
+              AND x.doc_id < y.doc_id),
+      p AS (SELECT i, j FROM (
+              SELECT i, j, len(list_intersect(a.sh, b2.sh))::DOUBLE
+                / len(list_distinct(a.sh || b2.sh)) AS jac
+              FROM c JOIN m a ON c.i = a.doc_id JOIN m b2 ON c.j = b2.doc_id)
+            WHERE jac >= 0.5),
+      e AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+      SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a""",
     "d6_minhash_udaf" -> s"""
       WITH t AS ($SHINGLES),
       e AS (SELECT source, unnest(sh) AS s FROM t),
