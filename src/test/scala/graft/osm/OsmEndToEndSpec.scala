@@ -23,7 +23,15 @@ class OsmEndToEndSpec extends SparkSpec {
   test("counts by doc_type (cell-36 reconciliation shape)") {
     val counts = docs.groupBy("doc_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(counts == Map("node" -> 4L, "way" -> 2L, "relation" -> 1L))
+    assert(counts == Map("node" -> 5L, "way" -> 2L, "relation" -> 1L))
+  }
+
+  test("tagless element shapes cleanly: null maps, pos present") {
+    val r = doc("1005").select(col("tags"), col("list_tags"), col("addr"),
+      col("pos"), col("node_refs"), col("members")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getSeq[Double](3) == Seq(48.79, -122.51))
+    assert(r.isNullAt(4) && r.isNullAt(5))
   }
 
   test("unique contributors (A1)") {

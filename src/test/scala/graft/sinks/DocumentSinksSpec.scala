@@ -36,7 +36,7 @@ class DocumentSinksSpec extends SparkSpec {
     // parquet relaxes non-null fields to nullable; simpleString
     // compares structure + types without nullability
     assert(back.schema.simpleString == docs.schema.simpleString)
-    assert(back.count() == 7)
+    assert(back.count() == 8)
   }
 
   test("approx distinct stays within the declared rsd of exact (g5)") {
