@@ -141,7 +141,15 @@ object CleanFns {
 
   /** F8 float promotion — with the `building:levels "3s"→3` special
     * case and the quote-char guard on `maxheight` (clean_and_write
-    * .py:220-226: values containing a quote char stay strings). */
+    * .py:220-226: values containing a quote char stay strings).
+    *
+    * Documented deviation: the reference's TO_FLOAT branch only ever
+    * calls `float()` for `maxheight` — the other listed keys fall
+    * through unconverted (the list's stated intent, "keys to store as
+    * floats", is implemented for one key). We promote the whole list,
+    * which is the intended semantics per SURVEY §7.4.5's policy.
+    * Likewise unparseable numerics yield null here where the
+    * reference's bare `int(float(v))` would raise. */
   def floatValue(k: Column, v: Column): Column =
     when(k === "building:levels" && v === "3s", lit(3.0))
       .when(k === "maxheight" && (v.contains("\"") || v.contains("'")),
