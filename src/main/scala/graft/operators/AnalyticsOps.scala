@@ -49,7 +49,24 @@ object AnalyticsOps {
     Tables.lineitem(s, d)
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
 
+  /** g6 — salted two-stage aggregation: the skew pattern for
+    * low-cardinality group keys (5 event types over 100 TB would put
+    * each key's entire partial state on one reducer). Stage 1 groups on
+    * (key, salt) — here a deterministic salt from the row id so the
+    * oracle reproduces it; in production `pmod(hash(...), N)` or a
+    * random salt, both fine because stage 2 re-merges exactly. Stage 2
+    * merges the N partials per key. Same result as the direct groupBy,
+    * shuffle fan-out N× wider. */
+  private def g6(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("c"), sum(col("value")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("cnt"), round(sum(col("v")), 2).as("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g6_salted_agg" -> (g6 _),
     "g1_rollup" -> (g1 _),
     "g2_cube" -> (g2 _),
     "g3_pivot" -> (g3 _),
@@ -58,6 +75,11 @@ object AnalyticsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g6_salted_agg" -> """
+      SELECT event_type, sum(c) AS cnt, round(sum(v), 2) AS sum_value FROM (
+        SELECT event_type, event_id % 16 AS salt, count(*) AS c, sum(value) AS v
+        FROM events GROUP BY 1, 2)
+      GROUP BY event_type""",
     "g1_rollup" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",

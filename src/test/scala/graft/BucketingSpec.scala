@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketing — the co-located-join technique from the scale design
+  * (SCALE.md): writing both join sides bucketed by the join key lets
+  * the join read bucket-aligned files with NO shuffle exchange. This
+  * spec proves the property end-to-end: same join, bucketed tables,
+  * zero Exchange operators on the probe sides.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed-by-join-key tables join without a shuffle exchange") {
+    val sf = "/root/testdata/sf0.001"
+
+    Tables.orders(spark, sf).write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    Tables.lineitem(spark, sf).write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_b")
+
+    // disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), plan)
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
+      // and it computes the right thing
+      val viaBuckets = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val direct = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(viaBuckets == direct)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
