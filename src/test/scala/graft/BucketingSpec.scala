@@ -10,6 +10,22 @@ import org.apache.spark.sql.functions._
   */
 class BucketingSpec extends SparkSpec {
 
+  test("partitioned writes prune partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("event_type"), plan)
+    // only the click partition's rows are read
+    val expected = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "click").count()
+    assert(q.agg(sum(col("cnt"))).collect().head.getLong(0) == expected)
+  }
+
   test("bucketed-by-join-key tables join without a shuffle exchange") {
     val sf = "/root/testdata/sf0.001"
 
