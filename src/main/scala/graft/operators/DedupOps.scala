@@ -78,18 +78,19 @@ object DedupOps {
       }
       .toDF("doc_id", "sh", "mh")
       .persist()
+    // band key kept as the two raw minhash longs — the equi-join
+    // shuffles 16 bytes per band instead of a concatenated string
     val bands = docs.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(3)), b => struct(
         b.as("band"),
-        concat_ws("_",
-          element_at(col("mh"), b * 2 + 1),
-          element_at(col("mh"), b * 2 + 2)).as("bkey")))).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+        element_at(col("mh"), b * 2 + 1).as("m1"),
+        element_at(col("mh"), b * 2 + 2).as("m2")))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.m1"), col("bk.m2"))
     val cand = bands.as("x")
       .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
+        col("x.band") === col("y.band") && col("x.m1") === col("y.m1") &&
+          col("x.m2") === col("y.m2") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
     // exact-Jaccard verification: broadcast the doc→shingle-set map
