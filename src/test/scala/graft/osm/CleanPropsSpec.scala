@@ -32,15 +32,20 @@ class CleanPropsSpec extends SparkSpec {
     assert(r.passed, s"$name: $r")
   }
 
+  /** sample() can return None under suchThat retries — draw until it
+    * doesn't (bounded; these generators are not sparse). */
+  private def draw[T](g: Gen[T]): T =
+    Iterator.continually(g.sample).flatten.next()
+
   test("formatPhone is idempotent on generated dirty phones") {
-    val inputs = Gen.listOfN(200, rawPhone).sample.get
+    val inputs = draw(Gen.listOfN(200, rawPhone))
     val once = phoneBatch(inputs)
     val twice = phoneBatch(once)
     assert(once == twice)
   }
 
   test("formatPhone output always matches the target format (+ optional ext)") {
-    val inputs = Gen.listOfN(200, rawPhone).sample.get
+    val inputs = draw(Gen.listOfN(200, rawPhone))
     val re = "^\\+1-\\d{3}-\\d{3}-\\d{4,}( x\\d+)?$".r
     val out = phoneBatch(inputs)
     val bad = inputs.zip(out).filterNot { case (_, o) => re.findFirstIn(o).isDefined }
@@ -54,7 +59,7 @@ class CleanPropsSpec extends SparkSpec {
       n <- Gen.chooseNum(1, 6)
       ts <- Gen.listOfN(n, token)
     } yield ts.mkString("; ")
-    val inputs = Gen.listOfN(150, listVal).sample.get
+    val inputs = draw(Gen.listOfN(150, listVal))
     val out = inputs.toDF("v").select(CleanFns.handleListKeys(col("v")))
       .as[Seq[String]].collect().toSeq
     inputs.zip(out).foreach { case (in, o) =>
