@@ -18,17 +18,23 @@ object Bench {
     // two timed runs per query, min reported: single-JVM timings at
     // local[32] carry GC/JIT noise that a second run strips
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // a failed query reports -1, never a (fast) bogus elapsed time
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
       }
-      val t = math.min(once(), once())
+      val (a, b) = (once(), once())
+      val t = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      // cached tables some operators persist are per-query scratch
+      spark.catalog.clearCache()
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -60,7 +60,7 @@ object DedupOps {
           // distinct bigram shingles — same semantics as
           // Fns.bigramShingles (dedup preserving first occurrence;
           // order is immaterial downstream: min-hash and set ops)
-          val t = text.split(' ')
+          val t = text.split(" ", -1)
           val seen = new scala.collection.mutable.LinkedHashSet[String]
           var i = 0
           while (i < t.length - 1) { seen.add(t(i) + " " + t(i + 1)); i += 1 }
@@ -107,7 +107,7 @@ object DedupOps {
         val sb = setsMap.value(j)
         val inter = if (sa.size <= sb.size) sa.count(sb) else sb.count(sa)
         val jac = inter.toDouble / (sa.size + sb.size - inter).toDouble
-        if (jac >= 0.5) Some((i, j, round6(jac))) else None
+        if (geqSql(jac, 0.5)) Some((i, j, round6(jac))) else None
       })
       .toDF("i", "j", "jac")
   }
@@ -133,9 +133,16 @@ object DedupOps {
 
   /** Spark's `round(_, 6)` for doubles, replicated for the typed
     * kernels so kernel output is bit-identical to the expression (and
-    * therefore to the oracle). */
+    * therefore to the oracle). NaN passes through (Spark round keeps
+    * it; BigDecimal would throw). */
   private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (x.isNaN) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** SQL-comparison semantics for kernel threshold filters: Spark and
+    * DuckDB both order NaN above every value, so `score >= t` must
+    * admit NaN (Java's primitive compare would drop it). */
+  private def geqSql(x: Double, t: Double): Boolean = x.isNaN || x >= t
 
   /** d4 — exact n-gram Jaccard dedup, blocked per `source` (per-shard
     * dedup): quadratic only within a block, so each block is one
@@ -157,7 +164,7 @@ object DedupOps {
     docs.groupByKey(_._1)
       .flatMapGroups { (src: String, it: Iterator[(String, Long, String)]) =>
         val ds = it.map { case (_, id, text) =>
-          val t = text.split(' ')
+          val t = text.split(" ", -1)
           val sh = scala.collection.mutable.HashSet.empty[String]
           var i = 0
           while (i < t.length - 1) { sh.add(t(i) + " " + t(i + 1)); i += 1 }
@@ -170,7 +177,7 @@ object DedupOps {
           (ib, sb) = ds(bi)
           inter = if (sa.size <= sb.size) sa.count(sb) else sb.count(sa)
           jac = inter.toDouble / (sa.size + sb.size - inter).toDouble
-          if jac >= 0.1
+          if geqSql(jac, 0.1)
         } yield (src, ia, ib, round6(jac))
       }
       .toDF("source", "i", "j", "jac")
@@ -191,12 +198,17 @@ object DedupOps {
     // projections don't codegen). Accumulation order matches the
     // oracle's sequential list_sum; rounding replicates Spark round().
     import s.implicits._
-    val rows = Tables.embeddings(s, d)
+    // one scan: collect the (small, broadcastable-by-precondition)
+    // corpus, broadcast it, and redistribute the same rows as the
+    // streamed side — no second parquet pass
+    val collected = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", l2N(col("emb"), 64))
-      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Array[Double], Double)]
-    val corpus = s.sparkContext.broadcast(rows.collect().sortBy(_._1))
+      .collect().sortBy(_._1)
+    val corpus = s.sparkContext.broadcast(collected)
+    val rows = s.createDataset(collected.toIndexedSeq)
+      .repartition(s.sparkContext.defaultParallelism)
     rows.mapPartitions { it =>
       val c = corpus.value
       it.flatMap { case (i, a, na) =>
@@ -205,7 +217,7 @@ object DedupOps {
           var k = 0
           while (k < 64) { sum += a(k) * b(k); k += 1 }
           val cos = round6(sum / (na * nb))
-          if (cos >= 0.45) Some((i, j, cos)) else None
+          if (geqSql(cos, 0.45)) Some((i, j, cos)) else None
         }
       }
     }.toDF("i", "j", "cos")
@@ -221,6 +233,11 @@ object DedupOps {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("source"), bigramShingles(toks(col("text"))).as("sh"))
+      // shingle-less docs contribute nothing to a sketch; dropping them
+      // also drops all-empty sources instead of emitting a Long.MaxValue
+      // sentinel signature (matches the oracle, which has no rows for
+      // such a source)
+      .filter(size(col("sh")) > 0)
       .as[(String, Seq[String])]
       .groupByKey(_._1)
       .agg(new graft.functions.MinHashAgg(8).toColumn.name("sig"))

@@ -86,8 +86,11 @@ object TextOps {
       .select(col("doc_id"), md5Long(col("text")).as("md5_fp"),
         posexplode(toks(col("text"))).as(Seq("i", "tok")))
       .groupBy(col("doc_id"), col("md5_fp"))
-      .agg(((sum((md5Long(col("tok")) % 100003L)
-        * pow(lit(31.0), col("i") % 8).cast("long"))) % M).as("roll_fp"))
+      // each term is reduced mod p BEFORE the sum so the long
+      // accumulator can't wrap even at billions of tokens (modular
+      // identity keeps the result unchanged)
+      .agg(((sum(((md5Long(col("tok")) % 100003L)
+        * pow(lit(31.0), col("i") % 8).cast("long")) % M)) % M).as("roll_fp"))
   }
 
   /** x5 — semi-structured extraction: pull a typed value out of the
@@ -147,8 +150,9 @@ object TextOps {
         string_split(text,' ') AS l FROM documents)
       SELECT doc_id, md5_fp,
         list_sum(list_transform(generate_series(1, len(l)), i ->
-          (('0x' || substr(md5(l[i]),1,15))::BIGINT % 100003)
-            * CAST(pow(31, (i-1) % 8) AS BIGINT)))::BIGINT % 1000000007 AS roll_fp
+          ((('0x' || substr(md5(l[i]),1,15))::BIGINT % 100003)
+            * CAST(pow(31, (i-1) % 8) AS BIGINT)) % 1000000007))::BIGINT
+          % 1000000007 AS roll_fp
       FROM t""",
     "x5_json_extract" -> """
       SELECT event_type, count(*) AS cnt,

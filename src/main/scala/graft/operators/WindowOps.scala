@@ -77,14 +77,14 @@ object WindowOps {
             ORDER BY o_totalprice DESC, o_orderkey) AS rank
         FROM orders) WHERE rank <= 3""",
     "w3_session_window" -> """
-      WITH e AS (SELECT user_id, ts, value,
+      WITH e AS (SELECT user_id, event_id, ts, value,
         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   >= INTERVAL 30 MINUTE
              THEN 1 ELSE 0 END AS brk
         FROM events),
       g AS (SELECT user_id, ts, value,
-              sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+              sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS UNBOUNDED PRECEDING) AS sid
             FROM e)
       SELECT user_id, min(ts) AS session_start,

@@ -113,9 +113,14 @@ object OsmAudit {
     * (the reference's result matrix), kept server-side. */
   def updateStates(docs: DataFrame): DataFrame = {
     val hasPostcode = col("addr").isNotNull && map_contains_key(col("addr"), "postcode")
+    // $set semantics = overwrite: drop any existing state entry before
+    // concat (map_concat throws on duplicate keys under the default
+    // EXCEPTION dedup policy)
     docs.withColumn("addr",
       when(hasPostcode,
-        map_concat(col("addr"), map(lit("state"), lit("WA"))))
+        map_concat(
+          map_filter(col("addr"), (k, _) => k =!= "state"),
+          map(lit("state"), lit("WA"))))
         .otherwise(col("addr")))
   }
 
@@ -124,9 +129,12 @@ object OsmAudit {
   def updateStatesReport(docs: DataFrame): DataFrame = {
     val hasPostcode = col("addr").isNotNull && map_contains_key(col("addr"), "postcode")
     val hasState = col("addr").isNotNull && map_contains_key(col("addr"), "state")
+    // modified = matched docs whose state actually changes (absent or
+    // not already "WA") — MongoDB's matched/modified distinction
+    val alreadyWa = hasState && element_at(col("addr"), "state") === "WA"
     docs.agg(
       sum(when(hasPostcode, 1).otherwise(0)).as("matched"),
-      sum(when(hasPostcode && !hasState, 1).otherwise(0)).as("modified"),
+      sum(when(hasPostcode && !alreadyWa, 1).otherwise(0)).as("modified"),
       sum(when(hasState, 1).otherwise(0)).as("state_pre"),
       sum(when(hasPostcode || hasState, 1).otherwise(0)).as("state_post"))
   }

@@ -135,7 +135,13 @@ object OsmShape {
       struct(p(t, "k").as("k"), stored.as("v"))
     }))
 
-    // ---- residual scalars (F8 string edits; passthrough kept raw)
+    // ---- residual scalars (F8 string edits; passthrough kept raw).
+    // Depth-1 fuel/payment values that aren't yes/no keep their
+    // lowercased residual here (the reference's handle_bools
+    // passthrough); yes/no values live in bool_tags only.
+    val boolResidualScalar = (t: Column) =>
+      p(t, "opfx").isin(BoolTags: _*) && p(t, "odepth") === 1 &&
+        boolValue(p(t, "v")).isNull
     val scalarPairs = filter(fixed, t =>
       p(t, "pass") ||
         (elseBranch(t) &&
@@ -144,10 +150,11 @@ object OsmShape {
           !p(t, "k").isin(ToIntKeys: _*) &&
           !(p(t, "k").isin(ToFloatKeys: _*) &&
             floatValue(p(t, "k"), p(t, "v")).isNotNull) &&
-          !p(t, "opfx").isin(BoolTags: _*)))
+          (!p(t, "opfx").isin(BoolTags: _*) || boolResidualScalar(t))))
     val tagsMap = lastWinsMap(transform(scalarPairs, t =>
       struct(p(t, "k").as("k"),
         when(p(t, "pass"), p(t, "v"))
+          .when(boolResidualScalar(t), boolResidual(p(t, "v")))
           .otherwise(miscValEditsStr(p(t, "k"), p(t, "v"))).as("v"))))
 
     val created = struct(

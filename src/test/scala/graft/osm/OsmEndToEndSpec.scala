@@ -102,6 +102,10 @@ class OsmEndToEndSpec extends SparkSpec {
     val t = doc("1004").select(col("tags")).collect().head
       .getMap[String, String](0)
     assert(t("maxheight") == "4'5\"")
+    // depth-1 bool-prefix key, non-yes/no value: lowercased residual in
+    // tags (the reference's handle_bools passthrough), no bool entry
+    assert(t("payment") == "cash_only")
+    assert(doc("1004").select(col("bool_tags")).collect().head.isNullAt(0))
     assert(t("kerb") == "rasied")
     assert(t("designation") == "public_footpath")
     assert(t("wikimedia_commons") == "https-img")
@@ -162,13 +166,18 @@ class OsmEndToEndSpec extends SparkSpec {
     assert(rows.head.getString(2) == "bob")
   }
 
-  test("updateStates sets addr.state=WA where postcode exists (M1)") {
+  test("updateStates sets addr.state=WA where postcode exists, " +
+    "overwriting an existing state (M1)") {
+    // 1002 carries addr:state=OR — the $set must overwrite, not throw
+    // on the duplicate map key
     val updated = OsmAudit.updateStates(docs)
     val st = updated.filter(col("_id") === "1002")
       .select(element_at(col("addr"), "state")).collect().head.getString(0)
     assert(st == "WA")
     val report = OsmAudit.updateStatesReport(docs).collect().head
-    assert((report.getLong(0), report.getLong(1)) == (1L, 1L))
+    // matched=1 (postcode), modified=1 (state was OR, not WA), pre=1
+    assert((report.getLong(0), report.getLong(1), report.getLong(2)) ==
+      (1L, 1L, 1L))
   }
 
   test("fixMismatchedRefs rewrites only the bad member (M2)") {
