@@ -56,8 +56,11 @@ object Fns {
   /** Cosine similarity of two double arrays, rounded to 6 places so the
     * cross-engine compare is insensitive to sub-ulp accumulation noise.
     */
-  def cosine6(a: Column, b: Column): Column =
-    round(dot(a, b) / (l2(a) * l2(b)), 6)
+  def cosine6(a: Column, b: Column): Column = {
+    val prod = l2(a) * l2(b)
+    when(prod === 0.0, lit(Double.NaN))
+      .otherwise(round(dot(a, b) / prod, 6))
+  }
 
   /** Fixed-dimension dot product, fully unrolled: Spark's higher-order
     * functions (zip_with/aggregate) evaluate interpreted, which
@@ -87,12 +90,19 @@ object Fns {
   /** Distinct word n-gram shingles (n=2) of a token array, as strings.
     * The standard MinHash input unit: local-word-order-sensitive but
     * robust to global reordering.
+    *
+    * Guarded for <2 tokens: `sequence(1, 0)` is DESCENDING in Spark
+    * (not empty) and ANSI `element_at` throws on index 0 — a
+    * single-token doc would otherwise kill the job. The empty-array
+    * branch matches DuckDB, whose `generate_series(1, 0)` IS empty.
     */
   def bigramShingles(tokens: Column): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), size(tokens) - 1),
-        i => concat(element_at(tokens, i), lit(" "), element_at(tokens, i + 1))))
+    when(size(tokens) >= 2,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(tokens) - 1),
+          i => concat(element_at(tokens, i), lit(" "), element_at(tokens, i + 1)))))
+      .otherwise(array().cast("array<string>"))
 
   /** k MinHash values of a shingle array: for each seed 0..k-1 the
     * minimum of the seeded hash over the shingles. One pass per seed —

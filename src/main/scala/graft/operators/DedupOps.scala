@@ -56,24 +56,30 @@ object DedupOps {
       .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions { it =>
-        it.map { case (id, text) =>
+        it.flatMap { case (id, text) =>
           // distinct bigram shingles — same semantics as
           // Fns.bigramShingles (dedup preserving first occurrence;
-          // order is immaterial downstream: min-hash and set ops)
+          // order is immaterial downstream: min-hash and set ops).
+          // Shingle-less docs are dropped: they have no signature (the
+          // oracle's NULL minhashes never band-join) — emitting a
+          // sentinel would collide every such doc in every band.
           val t = text.split(" ", -1)
           val seen = new scala.collection.mutable.LinkedHashSet[String]
           var i = 0
           while (i < t.length - 1) { seen.add(t(i) + " " + t(i + 1)); i += 1 }
-          val sh = seen.toSeq
-          val mh = Array.tabulate(8) { k =>
-            var min = Long.MaxValue
-            sh.foreach { x =>
-              val h = md5LongLocal(s"$k:$x")
-              if (h < min) min = h
+          if (seen.isEmpty) None
+          else {
+            val sh = seen.toSeq
+            val mh = Array.tabulate(8) { k =>
+              var min = Long.MaxValue
+              sh.foreach { x =>
+                val h = md5LongLocal(s"$k:$x")
+                if (h < min) min = h
+              }
+              min
             }
-            min
+            Some((id, sh, mh))
           }
-          (id, sh, mh)
         }
       }
       .toDF("doc_id", "sh", "mh")
@@ -284,6 +290,12 @@ object DedupOps {
       converged = changed == 0
       rounds += 1
     }
+    if (!converged)
+      // diameter > round cap: labels are mid-propagation — surface it
+      // instead of returning silently-wrong components
+      System.err.println(
+        s"[graft] d7_dedup_components: NOT converged after $rounds rounds; " +
+          "increase the cap for graphs of this diameter")
     labels
   }
 

@@ -181,7 +181,8 @@ object RelationalOps {
         count(lit(1)).as("use_cnt"),
         countDistinct(col("user_id")).as("uniq_users"),
         round(sum(col("value")), 2).as("sum_value"),
-        round(count(lit(1)).cast("double") / countDistinct(col("user_id")), 4)
+        round(when(countDistinct(col("user_id")) > 0,
+          count(lit(1)).cast("double") / countDistinct(col("user_id"))), 4)
           .as("use_per_uniq"))
 
   /** A8 — array length (`$size`, mongo_audit.py:355-359). */
@@ -365,7 +366,7 @@ object RelationalOps {
     "a6_filter_count" ->
       "SELECT count(*) AS cnt FROM orders WHERE o_totalprice > 100000",
     "a7_profile_agg" ->
-      "SELECT event_type, count(*) AS use_cnt, count(DISTINCT user_id) AS uniq_users, round(sum(value), 2) AS sum_value, round(count(*)::DOUBLE / count(DISTINCT user_id), 4) AS use_per_uniq FROM events GROUP BY event_type",
+      "SELECT event_type, count(*) AS use_cnt, count(DISTINCT user_id) AS uniq_users, round(sum(value), 2) AS sum_value, round(CASE WHEN count(DISTINCT user_id) > 0 THEN count(*)::DOUBLE / count(DISTINCT user_id) END, 4) AS use_per_uniq FROM events GROUP BY event_type",
     "a8_array_len" ->
       "SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents",
     "t1_topk" ->

@@ -58,8 +58,13 @@ object SimilarityOps {
     (e.filter(col("vec_id") < 10), e)
   }
 
-  private def cosPrecomp: Column =
-    round(dotNative(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 6)
+  /** ANSI division throws on a zero divisor — a zero-norm vector must
+    * score NaN (matching the kernel variant and DuckDB's 0/0). */
+  private def cosPrecomp: Column = {
+    val prod = col("qnrm") * col("nrm")
+    when(prod === 0.0, lit(Double.NaN))
+      .otherwise(round(dotNative(col("qemb"), col("emb")) / prod, 6))
+  }
 
   /** s1 — exact brute-force cosine top-k: broadcast 10 query vectors,
     * single corpus scan, rank with a deterministic tiebreak. */

@@ -60,7 +60,10 @@ object CleanFns {
     val hasUnit = last0.contains("#")
     val unit = when(hasUnit, last0)
     val toks = when(hasUnit, slice(toks0, lit(1), size(toks0) - 1)).otherwise(toks0)
-    val last = element_at(toks, -1)
+    // a unit-only value ("#215") leaves zero tokens; ANSI element_at on
+    // an empty array throws (the reference's python IndexErrors here —
+    // intended semantics: empty street, unit kept)
+    val last = when(size(toks) > 0, element_at(toks, -1))
     val mapped = mapLookup(StreetTypeMap, last)
     val cleaned = when(mapped.isNotNull,
       concat(array_join(slice(toks, lit(1), size(toks) - 1), " "), lit(" "), mapped))
@@ -136,8 +139,10 @@ object CleanFns {
       .otherwise(v)
 
   /** F8 int promotion — `int(float(v))`, truncating (clean_and_write
-    * .py:218-219). */
-  def intValue(v: Column): Column = v.cast("double").cast("long")
+    * .py:218-219). try_cast: ANSI mode is on in Spark 4, so a plain
+    * cast would abort the whole ingest on one unparseable value — the
+    * null-on-bad-input contract documented on [[floatValue]]. */
+  def intValue(v: Column): Column = v.try_cast("double").try_cast("long")
 
   /** F8 float promotion — with the `building:levels "3s"→3` special
     * case and the quote-char guard on `maxheight` (clean_and_write
@@ -154,7 +159,7 @@ object CleanFns {
     when(k === "building:levels" && v === "3s", lit(3.0))
       .when(k === "maxheight" && (v.contains("\"") || v.contains("'")),
         lit(null).cast("double"))
-      .otherwise(v.cast("double"))
+      .otherwise(v.try_cast("double"))
 
   /** F9 — the key-fix pipeline (clean_and_write.py:283-299), applied
     * to keys that are not in the tiger/gnis/nist passthrough

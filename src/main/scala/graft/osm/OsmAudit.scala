@@ -174,7 +174,10 @@ object OsmAudit {
       .groupBy(col("tag_key"))
       .agg(count(lit(1)).as("tag_use_count"),
         countDistinct(col("v")).as("uniq_count"),
-        round(count(lit(1)).cast("double") / countDistinct(col("v")), 4)
+        // ANSI division throws on zero; an all-null value column gives
+        // uniq_count 0 -> null ratio instead of aborting the profile
+        round(when(countDistinct(col("v")) > 0,
+          count(lit(1)).cast("double") / countDistinct(col("v"))), 4)
           .as("usage_per_uniq"))
 
   /** F12 — the shape-invariant validation (clean_and_write.py:358-379)

@@ -53,9 +53,11 @@ object EventStreams {
           val (n, s) = batch.foldLeft((prev.n_events, prev.sum_value)) {
             case ((cn, cs), e) => (cn + 1, cs + e.value)
           }
-          val next = UserRunning(user, n, math.rint(s * 100) / 100)
-          state.update(next)
-          next
+          // state keeps the EXACT accumulator — rounding state each
+          // micro-batch would compound error across batches; round only
+          // on emit
+          state.update(UserRunning(user, n, s))
+          UserRunning(user, n, math.rint(s * 100) / 100)
       }
   }
 

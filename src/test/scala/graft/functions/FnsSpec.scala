@@ -30,4 +30,10 @@ class FnsSpec extends SparkSpec {
       .select(bigramShingles(toks(col("t")))).as[Seq[String]].head()
     assert(out == Seq("a b", "b c", "c a"))
   }
+
+  test("bigramShingles on a single-token doc is empty, not an ANSI crash") {
+    val out = Seq("solo").toDF("t")
+      .select(bigramShingles(toks(col("t")))).as[Seq[String]].head()
+    assert(out == Seq.empty)
+  }
 }

@@ -49,6 +49,11 @@ class CleanFnsSpec extends SparkSpec {
     assert(street("Ave") == (" Avenue", None))
   }
 
+  test("cleanStreet: unit-only value keeps the unit, empty street " +
+    "(the reference's python IndexErrors here)") {
+    assert(street("#215") == ("", Some("#215")))
+  }
+
   private def addr(k: String, v: String): String =
     Seq(v).toDF("v")
       .select(CleanFns.auditAddr(org.apache.spark.sql.functions.lit(k), col("v"))
@@ -110,6 +115,9 @@ class CleanFnsSpec extends SparkSpec {
     assert(fv("building:levels", "3s") contains 3.0)
     assert(fv("maxheight", "4.5") contains 4.5)
     assert(fv("maxheight", "4'5\"").isEmpty) // quote guard: stays string
+    // ANSI mode: unparseable numerics null out instead of aborting
+    assert(iv("unknown").isEmpty)
+    assert(fv("level", "~3").isEmpty)
   }
 
   test("fixKey: contact strip, trailing _N strip, wrong-key map") {
