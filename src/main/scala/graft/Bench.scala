@@ -34,8 +34,17 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // any failed query (-1) poisons the headline: a smaller-is-better
+    // total must never look BETTER because a query crashed
+    val total =
+      if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    if (results.exists(_._2 < 0)) {
+      System.err.println("[graft] bench FAILED queries: " +
+        results.filter(_._2 < 0).map(_._1).mkString(", "))
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, FormatPhone}
 
 /** The engine's SparkSessionExtensions: registers the custom native
   * expressions into the function registry so they're callable from
@@ -17,5 +17,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("format_phone"),
+      new ExpressionInfo(classOf[FormatPhone].getName, "format_phone"),
+      (children: Seq[Expression]) => FormatPhone(children.head)))
   }
 }

@@ -20,13 +20,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * ([[Fns.dot]]), the typed kernels, and DuckDB's sequential
   * `list_sum` — the cross-engine determinism contract.
   *
-  * Null semantics: null if either array is null (nullIntolerant);
-  * array lengths are expected equal (embedding columns) — the shorter
-  * length bounds the loop, matching `zip_with`'s truncating behavior
-  * would pad nulls instead, so inputs are validated upstream.
+  * Null semantics: null if either array is null (nullIntolerant), and
+  * null if any traversed ELEMENT is null — matching `zip_with` +
+  * `aggregate`, where a null product poisons the accumulator
+  * ([[Fns.dot]]); the per-element checks are only emitted/executed
+  * when the input array type admits null elements. Array lengths are
+  * expected equal (embedding columns) — the shorter length bounds the
+  * loop, matching `zip_with`'s truncating behavior would pad nulls
+  * instead, so inputs are validated upstream.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
@@ -43,15 +52,23 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable
+
   override def prettyName: String = "dot_product"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = elemNullable
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -60,13 +77,20 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      // when the array type admits null elements the expression is
+      // nullable (see `nullable`), so ev.isNull is a real variable
+      val nullCheck =
+        if (elemNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) { ${ev.value} = $s; }
        """.stripMargin
     })
 

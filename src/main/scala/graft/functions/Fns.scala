@@ -31,9 +31,16 @@ object Fns {
     * Used to precompute literal constants (LSH hyperplanes) and inside
     * typed kernels that hash millions of shingles per task.
     */
+  private val mdLocal =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   def md5LongLocal(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
+    // digest() resets the instance, so the thread-local is reusable;
+    // getInstance per call costs ~1µs and dominates tight hash loops
+    val d = mdLocal.get().digest(s.getBytes("UTF-8"))
     val hi =
       ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
         ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |

@@ -76,7 +76,7 @@ object AnalyticsOps {
 
   val oracles: Map[String, String] = Map(
     "g6_salted_agg" -> """
-      SELECT event_type, sum(c) AS cnt, round(sum(v), 2) AS sum_value FROM (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS cnt, round(sum(v), 2) AS sum_value FROM (
         SELECT event_type, event_id % 16 AS salt, count(*) AS c, sum(value) AS v
         FROM events GROUP BY 1, 2)
       GROUP BY event_type""",

@@ -238,16 +238,29 @@ object DedupOps {
   private def d6(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("source"), bigramShingles(toks(col("text"))).as("sh"))
-      // shingle-less docs contribute nothing to a sketch; dropping them
-      // also drops all-empty sources instead of emitting a Long.MaxValue
-      // sentinel signature (matches the oracle, which has no rows for
-      // such a source)
-      .filter(size(col("sh")) > 0)
-      .as[(String, Seq[String])]
+      .select(col("source"), col("text"))
+      // shingling runs in the same primitive kernel shape as d2 —
+      // the interpreted higher-order expression (bigramShingles) was
+      // measured ~10x slower on this dense inner loop
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(String, String)]
+      .mapPartitions(_.flatMap { case (src, text) =>
+        val t = text.split(" ", -1)
+        val seen = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        while (i < t.length - 1) { seen.add(t(i) + " " + t(i + 1)); i += 1 }
+        // shingle-less docs contribute nothing to a sketch; dropping
+        // them also drops all-empty sources instead of emitting a
+        // Long.MaxValue sentinel signature (matches the oracle, which
+        // has no rows for such a source)
+        if (seen.isEmpty) None else Some((src, seen.toSeq))
+      })
       .groupByKey(_._1)
       .agg(new graft.functions.MinHashAgg(8).toColumn.name("sig"))
       .toDF("source", "sig")
+      // serialized for the driver compare (see RelationalOps scaladoc)
+      .select(col("source"),
+        array_join(transform(col("sig"), _.cast("string")), "|").as("sig"))
   }
 
   /** d7 — dedup cluster resolution: connected components over the
@@ -345,7 +358,7 @@ object DedupOps {
       h AS (SELECT source, g.k AS k,
               min(('0x' || substr(md5(g.k::VARCHAR || ':' || s),1,15))::BIGINT) AS mh
             FROM e, generate_series(0,7) g(k) GROUP BY source, g.k)
-      SELECT source, list(mh ORDER BY k) AS sig FROM h GROUP BY source""",
+      SELECT source, array_to_string(list(mh ORDER BY k), '|') AS sig FROM h GROUP BY source""",
     "d1_exact_dedup" -> """
       SELECT ('0x' || substr(md5(lower(trim(text))),1,15))::BIGINT AS content_fp,
         min(doc_id) AS keeper, count(*) AS n_copies

@@ -14,13 +14,25 @@ import graft.Tables
   * oracle hash-compare:
   *   - every collected array is sorted (`sort_array`) on both sides;
   *   - every FP accumulation is `round(_, 2)` on both sides;
-  *   - every top-k has a total-order tiebreak.
+  *   - every top-k has a total-order tiebreak;
+  *   - array-valued RESULT columns are serialized `'|'`-joined
+  *     ([[strJoin]]) on both sides: the driver's compare sorts rows in
+  *     pandas, which cannot order/hash ndarray cells — the operator
+  *     still computes the real array (collect/sort/distinct semantics
+  *     are exercised); only the final projection flattens it.
   *
   * Scale notes are per-query in the Scaladoc: the driver tests at
   * sf0.01/sf0.1 but the plans are written for a 1000-executor cluster
   * (broadcast the dimension side, shuffle only on declared keys).
   */
 object RelationalOps {
+
+  /** `'|'`-joined string form of an array column (elements cast to
+    * string first — `array_join` itself requires `array<string>`).
+    * DuckDB mirror: `array_to_string(list, '|')`. The test corpora
+    * contain no `'|'` anywhere (verified), so the join is injective. */
+  private def strJoin(arr: Column): Column =
+    array_join(transform(arr, _.cast("string")), "|")
 
   // ---------------------------------------------------------------------
   // §2.2 Projections / filters / predicates
@@ -95,7 +107,7 @@ object RelationalOps {
       .join(Tables.orders(s, d),
         col("c_custkey") === col("o_custkey"), "left")
       .groupBy(col("c_custkey"))
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+      .agg(strJoin(sort_array(collect_list(col("o_orderkey")))).as("order_keys"))
 
   /** J2 — inner join via unwind-of-lookup (mongo_audit.py:174-175). */
   private def j2(s: SparkSession, d: String): DataFrame =
@@ -151,14 +163,14 @@ object RelationalOps {
   private def a3(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .groupBy(col("c_nationkey"))
-      .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"))
+      .agg(strJoin(sort_array(collect_set(col("c_mktsegment")))).as("segments"))
 
   /** A4 — group-by + collect-list / `$push` inverted index
     * (mongo_audit.py:314-322 ref_docs build). */
   private def a4(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_partkey"))
-      .agg(sort_array(collect_list(col("l_orderkey"))).as("refers"))
+      .agg(strJoin(sort_array(collect_list(col("l_orderkey")))).as("refers"))
 
   /** A5 — group-by as distinct (mongo_audit.py:121). */
   private def a5(s: SparkSession, d: String): DataFrame =
@@ -212,7 +224,8 @@ object RelationalOps {
   /** T3 — array sort (clean_and_write.py:347 sorted node_refs). */
   private def t3(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), array_sort(split(col("text"), " ")).as("toks_sorted"))
+      .select(col("doc_id"),
+        strJoin(array_sort(split(col("text"), " "))).as("toks_sorted"))
 
   // ---------------------------------------------------------------------
   // §2.6 Set ops / array-table conversion
@@ -252,7 +265,7 @@ object RelationalOps {
   private def u5(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        array_sort(array_distinct(split(col("text"), " "))).as("vocab"))
+        strJoin(array_sort(array_distinct(split(col("text"), " ")))).as("vocab"))
 
   // ---------------------------------------------------------------------
   // §2.8 Mutations as recompute (immutable tables)
@@ -278,9 +291,9 @@ object RelationalOps {
     val toks = split(col("text"), " ")
     Tables.documents(s, d)
       .select(col("doc_id"),
-        transform(toks, (x, i) =>
+        strJoin(transform(toks, (x, i) =>
           when(i === array_position(toks, lit("data")) - 1, upper(x))
-            .otherwise(x)).as("toks2"))
+            .otherwise(x))).as("toks2"))
   }
 
   /** M3 — materialized derived collection (mongo_audit.py:271-329
@@ -289,8 +302,9 @@ object RelationalOps {
   private def m3(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_partkey"))
-      .agg(sort_array(collect_set(col("l_suppkey"))).as("refers"))
-      .withColumn("refer_count", size(col("refers")))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("refers_arr"))
+      .select(col("l_partkey"), strJoin(col("refers_arr")).as("refers"),
+        size(col("refers_arr")).as("refer_count"))
 
   // ---------------------------------------------------------------------
 
@@ -344,7 +358,7 @@ object RelationalOps {
     "p7_namespace_passthrough" ->
       "SELECT p_partkey, CASE WHEN split_part(p_name, ' ', 1) IN ('small', 'red') THEN p_name ELSE upper(p_name) END AS vname FROM part",
     "j1_lookup_group_array" ->
-      "SELECT c_custkey, coalesce(list_sort(list(o_orderkey) FILTER (WHERE o_orderkey IS NOT NULL)), []) AS order_keys FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey",
+      "SELECT c_custkey, array_to_string(coalesce(list_sort(list(o_orderkey) FILTER (WHERE o_orderkey IS NOT NULL)), []), '|') AS order_keys FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey",
     "j2_inner_join" ->
       "SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey",
     "j3_semi_join" ->
@@ -358,9 +372,9 @@ object RelationalOps {
     "a2_group_count" ->
       "SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag, l_linestatus",
     "a3_collect_set" ->
-      "SELECT c_nationkey, list_sort(list_distinct(list(c_mktsegment))) AS segments FROM customer GROUP BY c_nationkey",
+      "SELECT c_nationkey, array_to_string(list_sort(list_distinct(list(c_mktsegment))), '|') AS segments FROM customer GROUP BY c_nationkey",
     "a4_collect_list_push" ->
-      "SELECT l_partkey, list_sort(list(l_orderkey)) AS refers FROM lineitem GROUP BY l_partkey",
+      "SELECT l_partkey, array_to_string(list_sort(list(l_orderkey)), '|') AS refers FROM lineitem GROUP BY l_partkey",
     "a5_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "a6_filter_count" ->
@@ -374,7 +388,7 @@ object RelationalOps {
     "t2_limit" ->
       "SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 1",
     "t3_array_sort" ->
-      "SELECT doc_id, list_sort(string_split(text, ' ')) AS toks_sorted FROM documents",
+      "SELECT doc_id, array_to_string(list_sort(string_split(text, ' ')), '|') AS toks_sorted FROM documents",
     "u1_explode" ->
       "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents",
     "u2_explode_outer" ->
@@ -384,12 +398,12 @@ object RelationalOps {
     "u4_union_concat" ->
       "SELECT l_returnflag, count(*) AS cnt FROM (SELECT l_returnflag FROM lineitem WHERE l_returnflag = 'A' UNION ALL SELECT l_returnflag FROM lineitem WHERE l_returnflag = 'R') GROUP BY l_returnflag",
     "u5_dedup_set" ->
-      "SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS vocab FROM documents",
+      "SELECT doc_id, array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|') AS vocab FROM documents",
     "m1_conditional_update" ->
       "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'DELINQUENT' ELSE c_mktsegment END AS segment, c_acctbal AS bal FROM customer",
     "m2_positional_array_update" ->
-      "SELECT doc_id, CASE WHEN pos IS NULL OR pos = 0 THEN l ELSE l[1:pos-1] || [upper(l[pos])] || l[pos+1:] END AS toks2 FROM (SELECT doc_id, string_split(text, ' ') AS l, list_position(string_split(text, ' '), 'data') AS pos FROM documents)",
+      "SELECT doc_id, array_to_string(CASE WHEN pos IS NULL OR pos = 0 THEN l ELSE l[1:pos-1] || [upper(l[pos])] || l[pos+1:] END, '|') AS toks2 FROM (SELECT doc_id, string_split(text, ' ') AS l, list_position(string_split(text, ' '), 'data') AS pos FROM documents)",
     "m3_materialize_ref_docs" ->
-      "SELECT l_partkey, refers, len(refers) AS refer_count FROM (SELECT l_partkey, list_sort(list_distinct(list(l_suppkey))) AS refers FROM lineitem GROUP BY l_partkey)"
+      "SELECT l_partkey, array_to_string(refers, '|') AS refers, len(refers) AS refer_count FROM (SELECT l_partkey, list_sort(list_distinct(list(l_suppkey))) AS refers FROM lineitem GROUP BY l_partkey)"
   )
 }

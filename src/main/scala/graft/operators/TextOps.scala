@@ -156,7 +156,7 @@ object TextOps {
       FROM t""",
     "x5_json_extract" -> """
       SELECT event_type, count(*) AS cnt,
-        sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS sum_k,
+        CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
         round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)), 6) AS avg_k
       FROM events GROUP BY event_type"""
   )

@@ -35,17 +35,14 @@ object CleanFns {
     * become a ` x<ext>` suffix, then hyphenate `+C-AAA-LLL-NNNN`.
     */
   def formatPhone(num: Column): Column = {
-    val digits0 = regexp_replace(num, "\\D", "")
-    val digits1 = regexp_replace(digits0, "^(1*)306", "$1360")
-    val d = when(digits0.rlike("^1*306"), digits1).otherwise(digits0)
-    val withCc = when(substring(d, 1, 1) =!= "1", concat(lit("1"), d)).otherwise(d)
-    val ext = concat(substring(withCc, 1, 11), lit(" x"), withCc.substr(lit(12), length(withCc) - 11))
-    val full = when(length(withCc) > 12, ext).otherwise(withCc)
-    val formatted = concat(
-      lit("+"), substring(full, 1, 1), lit("-"), substring(full, 2, 3),
-      lit("-"), substring(full, 5, 3), lit("-"),
-      full.substr(lit(8), length(full) - 7))
-    when(num.rlike("^" + PhoneRe + "$"), num).otherwise(formatted)
+    // native expression ([[graft.functions.FormatPhone]]): the built-in
+    // chain needs each intermediate (digits → typo-fixed → country-coded
+    // → extension-split) in several downstream positions, and Column ops
+    // build trees, not DAGs — the re-inlined subtrees exceeded Janino's
+    // 64KB method limit and dropped f1 out of codegen (ADVICE r1)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.FormatPhone(ColumnBridge.expression(num)))
   }
 
   /** F2 — `clean_street_type` (clean_and_write.py:66-77): returns

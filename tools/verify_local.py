@@ -43,10 +43,17 @@ def main():
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    dirs = set(d for d in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, d)))
+    # union: a query that crashed in graft.Verify writes no output dir —
+    # that's a failure, not a silent omission from the gate
+    names = sorted(dirs | set(oracles))
     n_pass = n_fail = n_noracle = 0
     for name in names:
+        if name not in dirs:
+            print(f"  [FAIL-miss] {name}: no spark output dir (query crashed?)")
+            n_fail += 1
+            continue
         path = os.path.join(out_dir, name)
         r = con.execute(f"SELECT * FROM '{path}/*.parquet'")
         scols = [d[0] for d in r.description]
