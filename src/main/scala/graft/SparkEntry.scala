@@ -42,6 +42,7 @@ object SparkEntry {
       operators.CleanOps.queries ++
       operators.AnalyticsOps.queries ++
       operators.RangeOps.queries ++
+      operators.GeoOps.queries ++
       Map("mm1_media_features" ->
         ((s: SparkSession, d: String) => multimodal.MediaPipeline.features(s, d)))
 
@@ -56,6 +57,7 @@ object SparkEntry {
       operators.CleanOps.oracles ++
       operators.AnalyticsOps.oracles ++
       operators.RangeOps.oracles ++
+      operators.GeoOps.oracles ++
       Map("mm1_media_features" -> """
         WITH b AS (SELECT doc_id, md5(text) AS h,
           CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpg'

@@ -280,9 +280,17 @@ object DedupOps {
     val sym = edges
       .unionAll(edges.select(col("j").as("i"), col("i").as("j")))
       .persist()
-    var labels = Tables.documents(s, d)
+    // propagate only over edge-touched vertices: near-dup pairs are a
+    // tiny fraction of the corpus, so the per-round join/agg state is
+    // ∝ |edge vertices|, not |docs| — the property that makes iterative
+    // propagation viable at 100 TB. Isolated docs join back once at the
+    // end (their component is trivially themselves).
+    var labels = sym.select(col("i").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("comp"))
       .persist()
+    // `labels` is always a projection of `cached`, the round's persisted
+    // plan — unpersist must target the plan that was actually cached
+    var cached = labels
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -290,16 +298,18 @@ object DedupOps {
         .join(labels, sym("j") === labels("doc_id"))
         .groupBy(sym("i").as("doc_id"))
         .agg(min(col("comp")).as("ncomp"))
-      val next = labels.alias("l")
+      // carry the previous label through the propagation join so the
+      // changed-count is a filter over the (persisted) result instead
+      // of a second join against the old label table
+      val step = labels.alias("l")
         .join(prop.alias("p"), col("l.doc_id") === col("p.doc_id"), "left")
-        .select(col("l.doc_id").as("doc_id"),
+        .select(col("l.doc_id").as("doc_id"), col("l.comp").as("old_comp"),
           least(col("l.comp"), coalesce(col("p.ncomp"), col("l.comp"))).as("comp"))
         .persist()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels.unpersist()
-      labels = next
+      val changed = step.filter(col("comp") =!= col("old_comp")).count()
+      cached.unpersist()
+      cached = step
+      labels = step.select(col("doc_id"), col("comp"))
       converged = changed == 0
       rounds += 1
     }
@@ -309,7 +319,9 @@ object DedupOps {
       System.err.println(
         s"[graft] d7_dedup_components: NOT converged after $rounds rounds; " +
           "increase the cap for graphs of this diameter")
-    labels
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -103,9 +103,51 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("cos"), col("rank"))
   }
 
+  /** s3 — IVF-style ANN (the other scale path SURVEY names next to
+    * LSH): a fixed coarse quantizer assigns every vector to its
+    * nearest-centroid cell; queries probe only their own cell and
+    * re-rank exactly inside it.
+    *
+    * Centroids here are the first 4 corpus vectors (deterministic so
+    * the oracle replays them; in production they come from a driver-
+    * side k-means sample — same plan shape). The assignment is one
+    * broadcast-join pass (4 codegen'd dot products per row, no
+    * shuffle); the probe is an equi-join on the int cell id. At 100 TB:
+    * centroid table ≪ broadcast limit, assignment is scan-speed, and
+    * the candidate space is |cell| instead of |corpus|.
+    */
+  private def s3(s: SparkSession, d: String): DataFrame = {
+    val (_, corpus) = queriesAndCorpus(s, d)
+    val cents = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+    val assigned = corpus
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cid"),
+        when(col("cnrm") * col("nrm") === 0.0, lit(Double.NaN))
+          .otherwise(round(dotNative(col("emb"), col("cemb"))
+            / (col("cnrm") * col("nrm")), 6)).as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cid").as("cell"))
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"), col("cell"))
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> (s1 _),
-    "s2_ann_lsh" -> (s2 _)
+    "s2_ann_lsh" -> (s2 _),
+    "s3_ann_ivf" -> (s3 _)
   )
 
   /** DuckDB mirror of the plane constants + dot/sign logic. */
@@ -146,6 +188,26 @@ object SimilarityOps {
                  k -> q.emb[k] * c.emb[k])) / (q.nrm * c.nrm), 6) AS cos
              FROM b q JOIN b c ON q.vec_id < 10 AND q.bucket = c.bucket
                AND c.vec_id <> q.vec_id),
+      r AS (SELECT qid, nid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+            FROM sc)
+      SELECT qid, nid, cos, rank FROM r WHERE rank <= 3""",
+    "s3_ann_ivf" -> s"""
+      WITH e AS ($EMB_SQL),
+      c AS (SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM e WHERE vec_id < 4),
+      a0 AS (SELECT e.vec_id, e.emb, e.nrm, c.cid,
+               round(list_sum(list_transform(generate_series(1,64),
+                 k -> e.emb[k] * c.cemb[k])) / (e.nrm * c.cnrm), 6) AS ccos
+             FROM e, c),
+      a AS (SELECT vec_id, emb, nrm, cid AS cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY ccos DESC, cid) AS rn FROM a0)
+            WHERE rn = 1),
+      sc AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+               round(list_sum(list_transform(generate_series(1,64),
+                 k -> q.emb[k] * x.emb[k])) / (q.nrm * x.nrm), 6) AS cos
+             FROM a q JOIN a x ON q.vec_id < 10 AND q.cell = x.cell
+               AND x.vec_id <> q.vec_id),
       r AS (SELECT qid, nid, cos,
               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
             FROM sc)

@@ -106,12 +106,65 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
         round(avg(col("k")), 6).as("avg_k"))
 
+  /** x6 — PII redaction: find-and-mask emails and phone numbers, with
+    * per-document redaction counts — the standard pre-training privacy
+    * scrub. Per-row regex only (codegen'd `regexp_replace` /
+    * `regexp_extract_all`), so it runs at scan speed at any scale. PII
+    * is planted deterministically from doc_id (the corpus itself is
+    * synthetic tokens) so the oracle sees the same inputs.
+    */
+  private def x6(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[a-z0-9.]+@[a-z0-9.]+"
+    val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+    val planted = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com")))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit(" call 360-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("redacted"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).as("n_phones"))
+  }
+
+  /** x7 — corpus-level n-gram frequency: top-20 bigrams with a total-
+    * order tiebreak. Kernel shingling (non-distinct — corpus counting
+    * wants every occurrence, unlike MinHash's set semantics) →
+    * partial+final hash agg on the ngram → TakeOrderedAndProject; one
+    * shuffle on the ngram key. The shingle loop is a typed kernel for
+    * the same reason as d2/d6: the interpreted higher-order transform
+    * measured ~7x slower on this dense inner loop (SCALE.md).
+    */
+  private def x7(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[String]
+      .mapPartitions(_.flatMap { text =>
+        val t = text.split(" ", -1)
+        (0 until t.length - 1).iterator.map(i => t(i) + " " + t(i + 1))
+      })
+      .toDF("ngram")
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_lang_id" -> (x1 _),
     "x2_quality_score" -> (x2 _),
     "x3_token_count" -> (x3 _),
     "x4_fingerprint" -> (x4 _),
-    "x5_json_extract" -> (x5 _)
+    "x5_json_extract" -> (x5 _),
+    "x6_pii_redact" -> (x6 _),
+    "x7_top_ngrams" -> (x7 _)
   )
 
   private def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString("[", ",", "]")
@@ -158,6 +211,26 @@ object TextOps {
       SELECT event_type, count(*) AS cnt,
         CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
         round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)), 6) AS avg_k
-      FROM events GROUP BY event_type"""
+      FROM events GROUP BY event_type""",
+    "x6_pii_redact" -> """
+      WITH p AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+               THEN text || ' contact user' || doc_id::VARCHAR || '@example.com'
+             WHEN doc_id % 3 = 1
+               THEN text || ' call 360-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             ELSE text END AS t
+        FROM documents)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+          '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+        len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+')) AS n_emails,
+        len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS n_phones
+      FROM p""",
+    "x7_top_ngrams" -> """
+      WITH l AS (SELECT string_split(text, ' ') AS l FROM documents),
+      n AS (SELECT unnest(list_transform(generate_series(1, len(l)-1),
+              i -> l[i] || ' ' || l[i+1])) AS ngram FROM l)
+      SELECT ngram, count(*) AS cnt FROM n
+      GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20"""
   )
 }

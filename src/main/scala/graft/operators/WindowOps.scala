@@ -58,11 +58,25 @@ object WindowOps {
         (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("delta_us"))
   }
 
+  /** w5 — sliding event-time window: 10-minute windows every 5 minutes
+    * (each event lands in exactly width/slide = 2 windows). Spark
+    * expands the slide inline (no self-join); the shuffle key is
+    * (window, event_type) — the same single-exchange shape as w1 with
+    * a 2× row expansion, which is how sliding windows should scale. */
+  private def w5(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_tumbling_window" -> (w1 _),
     "w2_rank_per_group" -> (w2 _),
     "w3_session_window" -> (w3 _),
-    "w4_lag_delta" -> (w4 _)
+    "w4_lag_delta" -> (w4 _),
+    "w5_sliding_window" -> (w5 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -95,6 +109,16 @@ object WindowOps {
       SELECT user_id, event_id,
         date_diff('microsecond',
           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS delta_us
-      FROM events"""
+      FROM events""",
+    // every event is in exactly two 10-min/5-min-slide windows: the
+    // epoch-aligned floor window and the one 5 minutes earlier
+    "w5_sliding_window" -> """
+      WITH e AS (SELECT event_type, value, epoch_us(ts) AS eu FROM events),
+      x AS (SELECT event_type, value,
+              make_timestamp((eu // 300000000) * 300000000 - o.o) AS win_start
+            FROM e, (VALUES (0::BIGINT), (300000000::BIGINT)) o(o))
+      SELECT win_start, event_type, count(*) AS cnt,
+        round(sum(value), 2) AS sum_value
+      FROM x GROUP BY win_start, event_type"""
   )
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-2 operator additions (sliding
+  * windows, PII redaction, corpus n-grams, IVF ANN, geo binning) —
+  * properties the DuckDB oracle can't state directly.
+  */
+class NewOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("w5: every event lands in exactly width/slide = 2 windows") {
+    val total = q("w5_sliding_window")
+      .agg(sum(col("cnt"))).head().getLong(0)
+    val events = Tables.events(spark, sf).count()
+    assert(total == 2 * events)
+  }
+
+  test("w5: window starts are 5-minute aligned") {
+    val misaligned = q("w5_sliding_window")
+      .filter(unix_seconds(col("win_start")) % 300 =!= 0).count()
+    assert(misaligned == 0)
+  }
+
+  test("x6: planted PII is found and masked") {
+    val r = q("x6_pii_redact").cache()
+    val emailDocs = r.filter(col("doc_id") % 3 === 0)
+    assert(emailDocs.filter(col("n_emails") < 1).count() == 0)
+    assert(emailDocs.filter(!col("redacted").contains("<EMAIL>")).count() == 0)
+    val phoneDocs = r.filter(col("doc_id") % 3 === 1)
+    assert(phoneDocs.filter(col("n_phones") < 1).count() == 0)
+    assert(phoneDocs.filter(!col("redacted").contains("<PHONE>")).count() == 0)
+    // nothing PII-shaped survives redaction
+    assert(r.filter(col("redacted").rlike("@example\\.com")).count() == 0)
+    assert(r.filter(col("redacted").rlike("\\d{3}-\\d{3}-\\d{4}")).count() == 0)
+    r.unpersist()
+  }
+
+  test("x7: exactly top-20, counts non-increasing under the tiebreak order") {
+    val rows = q("x7_top_ngrams").collect()
+    assert(rows.length == 20)
+    val counts = rows.map(_.getAs[Long]("cnt"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("s3: per-query neighbor lists are ranked 1..n with k <= 3") {
+    val rows = q("s3_ann_ivf").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    byQ.values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.length <= 3)
+      assert(ranks.sameElements(1 to ranks.length))
+    }
+  }
+
+  test("s3 probes one cell: neighbors are a subset of s1's full scan space") {
+    // IVF with nprobe=1 can lose recall but never invents a neighbor:
+    // every (qid, nid) it returns must score identically in the exact
+    // brute-force results when present there
+    val ivf = q("s3_ann_ivf").select(col("qid"), col("nid"), col("cos"))
+    val brute = q("s1_ann_brute")
+      .select(col("qid").as("bqid"), col("nid").as("bnid"), col("cos").as("bcos"))
+    val joined = ivf.join(brute,
+      col("qid") === col("bqid") && col("nid") === col("bnid"))
+    assert(joined.filter(col("cos") =!= col("bcos")).count() == 0)
+  }
+
+  test("geo1: cells stay inside the bounding box") {
+    val r = q("geo1_bbox_bin").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val clat = row.getAs[Long]("cell_lat")
+      val clon = row.getAs[Long]("cell_lon")
+      assert(clat >= 125 && clat <= 145, s"cell_lat $clat")
+      assert(clon >= 57 && clon <= 150, s"cell_lon $clon")
+      assert(row.getAs[Long]("cnt") > 0)
+    }
+  }
+
+  test("format_phone is SQL-registered via the extensions") {
+    assert(spark.sql("SELECT format_phone('306-555-1234') AS p").head().getString(0)
+      == "+1-360-555-1234")
+  }
+}
