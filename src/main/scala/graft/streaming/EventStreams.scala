@@ -61,11 +61,44 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the streaming face of the batch d1
+    * operator (content-hash dedup): fingerprint the payload, keep the
+    * first arrival, drop re-deliveries. `dropDuplicatesWithinWatermark`
+    * is the state-BOUNDED variant: fingerprint state is evicted once
+    * the watermark passes, so a 100 TB/day stream holds only one
+    * watermark-window of hashes, not the stream's history. Dedup key is
+    * the 60-bit md5 fingerprint, never the payload itself — state size
+    * is 8 bytes + key overhead per distinct document.
+    */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_fp",
+        graft.functions.Fns.md5Long(lower(trim(col("text")))))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("content_fp")
+
+  /** Watermarked stream-stream inner join: each left event pairs with
+    * right events of the same user within the following hour. Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark can size and EVICT the join state — the only
+    * stream-stream join shape that runs unbounded. */
+  def joinWithinHour(left: DataFrame, right: DataFrame): DataFrame =
+    left.withWatermark("ts", "1 hour").alias("l")
+      .join(
+        right.withWatermark("ts", "1 hour").alias("r"),
+        expr("""l.user_id = r.user_id AND
+                r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR"""))
+      .select(col("l.user_id").as("user_id"),
+        col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
+        col("l.ts").as("left_ts"), col("r.ts").as("right_ts"))
+
   /** The streaming output mode each query needs (state eviction
-    * semantics): append for watermarked windows, update for custom
-    * state. */
+    * semantics): append for watermarked windows and joins, update for
+    * custom state. */
   val outputModes: Map[String, OutputMode] = Map(
     "tumbling" -> OutputMode.Append(),
     "session" -> OutputMode.Append(),
-    "running" -> OutputMode.Update())
+    "running" -> OutputMode.Update(),
+    "dedup" -> OutputMode.Append(),
+    "join" -> OutputMode.Append())
 }

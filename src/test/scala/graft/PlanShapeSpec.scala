@@ -59,4 +59,25 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(q("w3_session_window"))
     assert(p.toLowerCase.contains("session"), p)
   }
+
+  test("IVF ANN never falls back to a cartesian product (s3)") {
+    val p = plan(q("s3_ann_ivf"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("geo binning aggregates partial then final on the cell key (geo1)") {
+    val p = plan(q("geo1_bbox_bin"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("PII redaction reads only doc_id,text (column pruning, x6)") {
+    val p = plan(q("x6_pii_redact"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("corpus n-gram top-k plans TakeOrderedAndProject (x7)") {
+    val p = plan(q("x7_top_ngrams"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

@@ -96,6 +96,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.subsetOf(batch))
   }
 
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  test("streaming dedup keeps first arrival, drops re-deliveries across " +
+    "micro-batches (state-bounded dropDuplicatesWithinWatermark)") {
+    val mem = MemoryStream[Doc]
+    val q = dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    mem.addData(
+      Doc(1, ts(0), "alpha beta"),
+      Doc(2, ts(1), "gamma delta"),
+      Doc(3, ts(2), "ALPHA BETA  ")) // normalizes to doc 1's fingerprint
+    q.processAllAvailable()
+    // re-delivery in a LATER micro-batch must still be dropped
+    mem.addData(Doc(4, ts(5), "alpha beta"), Doc(5, ts(6), "epsilon"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 5L))
+  }
+
+  test("watermarked stream-stream join pairs events within the hour bound") {
+    val l = MemoryStream[Event]
+    val r = MemoryStream[Event]
+    val q = joinWithinHour(l.toDF(), r.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    l.addData(Event(10, ts(0), 1, "click", 1.0))
+    r.addData(
+      Event(20, ts(30), 1, "view", 0.0),   // within the hour -> joins
+      Event(21, ts(90), 1, "view", 0.0),   // past the bound -> no join
+      Event(22, ts(10), 2, "view", 0.0))   // other user -> no join
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ssjoin")
+      .select(col("left_id"), col("right_id"))
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(pairs == Set((10L, 20L)))
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     val mem = MemoryStream[Event]
     val q = runningUserTotals(mem.toDS())
