@@ -43,8 +43,11 @@ object SparkEntry {
       operators.AnalyticsOps.queries ++
       operators.RangeOps.queries ++
       operators.GeoOps.queries ++
-      Map("mm1_media_features" ->
-        ((s: SparkSession, d: String) => multimodal.MediaPipeline.features(s, d)))
+      Map(
+        "mm1_media_features" ->
+          ((s: SparkSession, d: String) => multimodal.MediaPipeline.features(s, d)),
+        "mm2_frame_sample" ->
+          ((s: SparkSession, d: String) => multimodal.MediaPipeline.frameFeatures(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -69,5 +72,15 @@ object SparkEntry {
           ((bytes[1]*256 + bytes[2]) % 1920) + 1 AS width,
           ((bytes[3]*256 + bytes[4]) % 1080) + 1 AS height,
           round(list_sum(bytes)/16.0, 4) AS mean_byte
-        FROM e""")
+        FROM e""",
+      "mm2_frame_sample" -> """
+        WITH f AS (SELECT doc_id, u.f AS frame_idx,
+          md5(text || ':' || u.f::VARCHAR) AS h
+          FROM documents, (VALUES (0), (2)) u(f)),
+        b AS (SELECT doc_id, frame_idx, list_transform(generate_series(0,15),
+                j -> ('0x' || substr(h, 2*j+1, 2))::INT) AS bytes FROM f)
+        SELECT doc_id, frame_idx,
+          round(list_sum(bytes)/16.0, 4) AS frame_mean,
+          len(list_filter(bytes, x -> x >= 128)) AS n_high
+        FROM b""")
 }

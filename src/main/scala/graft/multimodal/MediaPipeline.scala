@@ -70,4 +70,56 @@ object MediaPipeline {
     import spark.implicits._
     extractFeatures(mediaTable(spark, dir).as[MediaRow]).toDF()
   }
+
+  // -------------------------------------------------------------------
+  // mm2 — video frame sampling (1 row in → N frame rows out)
+  // -------------------------------------------------------------------
+
+  /** One video row: opaque byte payload, 16-byte "frames". */
+  case class VideoRow(doc_id: Long, video: Array[Byte])
+
+  /** Per-sampled-frame features a real decoder would emit. */
+  case class FrameFeatures(doc_id: Long, frame_idx: Int,
+    frame_mean: Double, n_high: Int)
+
+  /** Synthesized 64-byte "video" (4 frames of 16 bytes): block i is
+    * md5(text || ":i") — deterministic, so the oracle regenerates the
+    * identical bytes. In production this is a real binary column;
+    * everything downstream is unchanged. */
+  def videoTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val blocks = (0 until 4).map(i =>
+      unhex(md5(concat(col("text"), lit(s":$i")))))
+    Tables.documents(spark, dir).select(
+      col("doc_id"), concat(blocks: _*).as("video"))
+  }
+
+  /** Frame sampling + per-frame features: every `stride`-th 16-byte
+    * frame gets a brightness mean and a high-byte count. The shape is
+    * the multimodal generator pattern — one input row expands to N
+    * frame rows inside a per-partition batch (decoder init once per
+    * task), never on the driver. At 100 TB the expansion factor is
+    * bounded by the stride, and the narrow output (id, idx, scalars)
+    * is what shuffles — never the payload. */
+  def sampleFrames(videos: Dataset[VideoRow], stride: Int): Dataset[FrameFeatures] = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions { rows =>
+      // a real pipeline would initialize the video codec here, once
+      rows.flatMap { r =>
+        (0 until r.video.length / 16 by stride).iterator.map { f =>
+          val b = r.video.slice(16 * f, 16 * f + 16).map(_ & 0xff)
+          FrameFeatures(r.doc_id, f,
+            math.rint(b.sum.toDouble / 16 * 10000) / 10000,
+            b.count(_ >= 128))
+        }
+      }
+    }
+  }
+
+  /** End-to-end: documents → videos → sampled frame features
+    * (stride 2 over 4 frames ⇒ frames 0 and 2). */
+  def frameFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(videoTable(spark, dir).as[VideoRow], 2).toDF()
+  }
 }

@@ -34,6 +34,28 @@ class MediaPipelineSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("frame sampling: stride-2 over 4 frames yields frames 0 and 2 per video") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).count()
+    val frames = frameFeatures(spark, sf).cache()
+    assert(frames.count() == 2 * docs)
+    val idxs = frames.select(col("frame_idx")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(idxs == Set(0, 2))
+    assert(frames.filter(col("frame_mean") < 0 || col("frame_mean") > 255).count() == 0)
+    assert(frames.filter(col("n_high") < 0 || col("n_high") > 16).count() == 0)
+    frames.unpersist()
+  }
+
+  test("frame sampling at stride 1 yields every frame") {
+    import spark.implicits._
+    val v = Seq(VideoRow(7L, Array.tabulate(64)(i => i.toByte))).toDS()
+    val fs = sampleFrames(v, 1).collect().sortBy(_.frame_idx)
+    assert(fs.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+    // frame 0 bytes are 0..15 -> mean 7.5, none >= 128
+    assert(fs.head.frame_mean == 7.5 && fs.head.n_high == 0)
+  }
+
   test("features equals the pure-SQL recomputation (oracle parity shape)") {
     val viaDs = features(spark, sf)
       .select(col("doc_id"), col("width")).orderBy("doc_id")
