@@ -43,6 +43,7 @@ object SparkEntry {
       operators.AnalyticsOps.queries ++
       operators.RangeOps.queries ++
       operators.GeoOps.queries ++
+      operators.SampleOps.queries ++
       Map(
         "mm1_media_features" ->
           ((s: SparkSession, d: String) => multimodal.MediaPipeline.features(s, d)),
@@ -61,6 +62,7 @@ object SparkEntry {
       operators.AnalyticsOps.oracles ++
       operators.RangeOps.oracles ++
       operators.GeoOps.oracles ++
+      operators.SampleOps.oracles ++
       Map("mm1_media_features" -> """
         WITH b AS (SELECT doc_id, md5(text) AS h,
           CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpg'

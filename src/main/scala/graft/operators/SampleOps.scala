@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fns.md5Long
+
+/** Deterministic sampling / splitting for dataset curation — the
+  * operators a training-data pipeline runs on every corpus refresh.
+  *
+  * All sampling here is HASH-based, not RNG-based, which is the only
+  * form that behaves at 100 TB: the decision for a row is a pure
+  * function of its key, so it is reproducible across runs, stable
+  * under repartitioning/retries (an RNG sample changes when a task is
+  * re-executed), consistent across tables (joining two tables sampled
+  * on the same key keeps matching rows together), and exactly
+  * replayable by the DuckDB oracle. `TABLESAMPLE`/`df.sample` trade
+  * all of that for nothing at this scale.
+  *
+  * The hash is the engine's md5 family; `bucket(k, n)` = md5Long(key)
+  * mod n is uniform over buckets for any key distribution.
+  */
+object SampleOps {
+
+  private def bucket(key: Column, n: Int): Column = md5Long(key) % n
+
+  /** sm1 — stratified sampling: per-stratum keep-rates (heavy
+    * downsample of over-represented event types, light of rare ones).
+    * One narrow filter — no shuffle at all; the sample rate per
+    * stratum is exact in expectation and deterministic in fact. */
+  private def sm1(s: SparkSession, d: String): DataFrame = {
+    val rate = when(col("event_type") === "click", 50)   // 5%
+      .when(col("event_type") === "view", 100)           // 10%
+      .otherwise(500)                                    // 50%
+    Tables.events(s, d)
+      .filter(bucket(col("event_id"), 1000) < rate)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+  }
+
+  /** sm2 — train/val/test split assignment (80/10/10 by key hash) with
+    * per-(source, split) counts: the split label is a pure function of
+    * doc_id, so every run, every table joined on doc_id, and the
+    * oracle all agree on membership. */
+  private def sm2(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket(col("doc_id"), 100) < 80, "train")
+          .when(bucket(col("doc_id"), 100) < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** sm3 — mixture weighting: per-source sampling rates implementing a
+    * target corpus mixture (e.g. upweight rare high-quality sources by
+    * keeping them whole, downsample bulk sources). Same hash filter,
+    * rates driven by a small map — at scale the map is a broadcast
+    * config, the pass stays narrow. */
+  private def sm3(s: SparkSession, d: String): DataFrame = {
+    val rate = when(col("source").isin("src0", "src1"), 1000) // keep all
+      .when(col("source") === "src2", 250)                    // 25%
+      .otherwise(100)                                         // 10%
+    Tables.documents(s, d)
+      .filter(bucket(col("doc_id"), 1000) < rate)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sm1_stratified_sample" -> (sm1 _),
+    "sm2_split_assign" -> (sm2 _),
+    "sm3_mixture_weights" -> (sm3 _)
+  )
+
+  private val H =
+    "('0x' || substr(md5(%s::VARCHAR),1,15))::BIGINT"
+
+  val oracles: Map[String, String] = Map(
+    "sm1_stratified_sample" -> s"""
+      SELECT event_id, event_type, user_id FROM events
+      WHERE ${H.format("event_id")} % 1000 <
+        CASE WHEN event_type = 'click' THEN 50
+             WHEN event_type = 'view' THEN 100 ELSE 500 END""",
+    "sm2_split_assign" -> s"""
+      WITH a AS (SELECT source,
+        CASE WHEN ${H.format("doc_id")} % 100 < 80 THEN 'train'
+             WHEN ${H.format("doc_id")} % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split
+        FROM documents)
+      SELECT source, split, count(*) AS cnt FROM a GROUP BY source, split""",
+    "sm3_mixture_weights" -> s"""
+      SELECT source, count(*) AS kept FROM documents
+      WHERE ${H.format("doc_id")} % 1000 <
+        CASE WHEN source IN ('src0', 'src1') THEN 1000
+             WHEN source = 'src2' THEN 250 ELSE 100 END
+      GROUP BY source"""
+  )
+}

@@ -80,6 +80,36 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("sm1: hash sampling is deterministic (two runs, identical rows)") {
+    val a = q("sm1_stratified_sample").collect().map(_.toString).sorted
+    val b = q("sm1_stratified_sample").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    assert(a.nonEmpty)
+  }
+
+  test("sm1: per-stratum rates land near their targets") {
+    val kept = q("sm1_stratified_sample")
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.events(spark, sf)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rate(t: String) = kept.getOrElse(t, 0L).toDouble / totals(t)
+    // uniform hash ⇒ binomial concentration; wide tolerances for sf0.001
+    assert(rate("click") < 0.15, s"click ${rate("click")}")
+    assert(rate("view") < 0.25, s"view ${rate("view")}")
+    assert(rate("purchase") > 0.3, s"purchase ${rate("purchase")}")
+  }
+
+  test("sm2: splits are exhaustive and disjoint (counts sum to the corpus)") {
+    val total = q("sm2_split_assign")
+      .agg(sum(col("cnt"))).head().getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+    val splits = q("sm2_split_assign").select(col("split")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+  }
+
   test("format_phone is SQL-registered via the extensions") {
     assert(spark.sql("SELECT format_phone('306-555-1234') AS p").head().getString(0)
       == "+1-360-555-1234")
