@@ -144,6 +144,16 @@ object RelationalOps {
       .agg(count(lit(1)).as("pair_cnt"))
   }
 
+  /** J6 — anti-join (beyond the reference, which has no anti join —
+    * engine completeness per §2.3's "no ... anti joins" note):
+    * customers with NO orders. Planned LeftAnti: like the semi-join,
+    * no payload crosses the exchange and rows never multiply. */
+  private def j6(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
   // ---------------------------------------------------------------------
   // §2.4 Aggregations
   // ---------------------------------------------------------------------
@@ -267,6 +277,25 @@ object RelationalOps {
       .select(col("doc_id"),
         strJoin(array_sort(array_distinct(split(col("text"), " ")))).as("vocab"))
 
+  /** U6 — intersect (beyond the reference, which has no
+    * intersect/except — §2.6's completeness note): customers that both
+    * placed an order and hold a positive balance. Spark plans
+    * INTERSECT as a distinct + LeftSemi — same no-payload exchange
+    * as J3. */
+  private def u6(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_custkey").as("key"))
+      .intersect(Tables.customer(s, d)
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_custkey").cast("long").as("key")))
+
+  /** U7 — except: positive-balance customers that never ordered
+    * (distinct + LeftAnti). */
+  private def u7(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_custkey").cast("long").as("key"))
+      .except(Tables.orders(s, d).select(col("o_custkey").as("key")))
+
   // ---------------------------------------------------------------------
   // §2.8 Mutations as recompute (immutable tables)
   // ---------------------------------------------------------------------
@@ -321,6 +350,7 @@ object RelationalOps {
     "j3_semi_join" -> (j3 _),
     "j4_join_mismatch_filter" -> (j4 _),
     "j5_self_join" -> (j5 _),
+    "j6_anti_join" -> (j6 _),
     "a1_distinct_count" -> (a1 _),
     "a2_group_count" -> (a2 _),
     "a3_collect_set" -> (a3 _),
@@ -337,6 +367,8 @@ object RelationalOps {
     "u3_union_columns" -> (u3 _),
     "u4_union_concat" -> (u4 _),
     "u5_dedup_set" -> (u5 _),
+    "u6_intersect" -> (u6 _),
+    "u7_except" -> (u7 _),
     "m1_conditional_update" -> (m1 _),
     "m2_positional_array_update" -> (m2 _),
     "m3_materialize_ref_docs" -> (m3 _)
@@ -367,6 +399,8 @@ object RelationalOps {
       "SELECT l_orderkey, l_linenumber, p_partkey FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_extendedprice > p_retailprice * 30",
     "j5_self_join" ->
       "SELECT a.l_orderkey, count(*) AS pair_cnt FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber GROUP BY a.l_orderkey",
+    "j6_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
     "a1_distinct_count" ->
       "SELECT count(DISTINCT o_custkey) AS n_custs FROM orders",
     "a2_group_count" ->
@@ -399,6 +433,10 @@ object RelationalOps {
       "SELECT l_returnflag, count(*) AS cnt FROM (SELECT l_returnflag FROM lineitem WHERE l_returnflag = 'A' UNION ALL SELECT l_returnflag FROM lineitem WHERE l_returnflag = 'R') GROUP BY l_returnflag",
     "u5_dedup_set" ->
       "SELECT doc_id, array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|') AS vocab FROM documents",
+    "u6_intersect" ->
+      "SELECT o_custkey AS key FROM orders INTERSECT SELECT CAST(c_custkey AS BIGINT) FROM customer WHERE c_acctbal > 0",
+    "u7_except" ->
+      "SELECT CAST(c_custkey AS BIGINT) AS key FROM customer WHERE c_acctbal > 0 EXCEPT SELECT o_custkey FROM orders",
     "m1_conditional_update" ->
       "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'DELINQUENT' ELSE c_mktsegment END AS segment, c_acctbal AS bal FROM customer",
     "m2_positional_array_update" ->

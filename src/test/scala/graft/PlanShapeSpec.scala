@@ -60,6 +60,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.toLowerCase.contains("session"), p)
   }
 
+  test("anti-join stays a LeftAnti (j6) — no payload, no multiplication") {
+    val p = plan(q("j6_anti_join"))
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("IVF ANN never falls back to a cartesian product (s3)") {
     val p = plan(q("s3_ann_ivf"))
     assert(!p.contains("CartesianProduct"), p)
