@@ -49,3 +49,18 @@ case class FormatSink(format: String, options: Map[String, String] = Map.empty)
     if (path.nonEmpty) w.save(path) else w.save()
   }
 }
+
+/** Hive-style partitioned parquet sink — the LAYOUT lever at 100 TB:
+  * writing the corpus partitioned by a low-cardinality curation key
+  * (source, language, train/val/test split) turns every downstream
+  * filter on that key into directory pruning — zero I/O for the
+  * excluded partitions, visible as `PartitionFilters` in the scan.
+  * Keep partition keys low-cardinality (≤ thousands of directories);
+  * high-cardinality layout belongs to bucketing (`BucketingSpec`). */
+case class PartitionedParquetSink(partitionKeys: String*)
+  extends DocumentSink {
+  override def write(df: DataFrame, path: String, overwrite: Boolean): Unit =
+    df.write.mode(mode(overwrite))
+      .partitionBy(partitionKeys: _*)
+      .parquet(path)
+}

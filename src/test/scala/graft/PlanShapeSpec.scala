@@ -60,6 +60,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.toLowerCase.contains("session"), p)
   }
 
+  test("phone cleaning stays inside whole-stage codegen (f1) — the " +
+    "native format_phone expression, not a 64KB-overflow fallback") {
+    val df = q("f1_phone_clean")
+    val exec = df.queryExecution.executedPlan
+    // "*(n)" in the simple string marks WholeStageCodegen stages; check
+    // the tree for the real node
+    assert(exec.find(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+      .isDefined, exec.toString)
+    assert(exec.toString.contains("format_phone"), exec.toString)
+    // the generated stage must actually compile: CODEGEN_ONLY makes a
+    // Janino failure throw instead of silently falling back
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try assert(df.limit(5).collect().length == 5)
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("anti-join stays a LeftAnti (j6) — no payload, no multiplication") {
     val p = plan(q("j6_anti_join"))
     assert(p.contains("LeftAnti"), p)

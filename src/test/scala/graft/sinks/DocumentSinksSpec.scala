@@ -39,6 +39,24 @@ class DocumentSinksSpec extends SparkSpec {
     assert(back.count() == 8)
   }
 
+  test("partitioned parquet sink: a filter on the partition key prunes " +
+    "directories (PartitionFilters, zero data read for excluded sources)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Files.createTempDirectory("graft-part").toString
+    PartitionedParquetSink("source").write(docs, out)
+    // hive layout on disk
+    val dirs = new java.io.File(out).listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("source=")).toSet
+    assert(dirs.nonEmpty)
+    val back = spark.read.parquet(out).filter(col("source") === "src0")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("source"), plan)
+    // round trip is lossless for the selected partition
+    assert(back.count() ==
+      docs.filter(col("source") === "src0").count())
+  }
+
   test("approx distinct stays within the declared rsd of exact (g5)") {
     import graft.operators.AnalyticsOps
     val approx = AnalyticsOps.queries("g5_approx_distinct")(spark, "/root/testdata/sf0.001")
