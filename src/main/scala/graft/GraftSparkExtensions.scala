@@ -16,10 +16,23 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        arity("dot_product", children, 2)
+        DotProduct(children(0), children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("format_phone"),
       new ExpressionInfo(classOf[FormatPhone].getName, "format_phone"),
-      (children: Seq[Expression]) => FormatPhone(children.head)))
+      (children: Seq[Expression]) => {
+        arity("format_phone", children, 1)
+        FormatPhone(children.head)
+      }))
   }
+
+  /** Wrong arity must be an analysis-time error naming the function —
+    * `children(i)` alone would silently drop extras or crash with a
+    * bare NoSuchElementException. */
+  private def arity(name: String, children: Seq[Expression], n: Int): Unit =
+    require(children.length == n,
+      s"$name requires exactly $n argument(s), got ${children.length}")
 }

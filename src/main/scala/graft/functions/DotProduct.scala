@@ -32,10 +32,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
-    case ArrayType(_, n) => n
-    case _ => false
-  })
+  // lazy val: nullSafeEval consults this per row on the interpreted path
+  private lazy val elemNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, n) => n
+      case _ => false
+    })
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {

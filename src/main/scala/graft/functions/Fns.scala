@@ -94,6 +94,39 @@ object Fns {
   /** Whitespace tokens of a text column. */
   def toks(text: Column): Column = split(text, " ")
 
+  /** `'|'`-joined string form of an array column (elements cast to
+    * string first — `array_join` itself requires `array<string>`).
+    * DuckDB mirror: `array_to_string(list, '|')`. Used to serialize
+    * array-valued RESULT columns for the driver's compare (its pandas
+    * row sort cannot order ndarray cells); the operator still computes
+    * the real array — only the final projection flattens it. The test
+    * corpora contain no `'|'` anywhere (verified), so the join is
+    * injective. */
+  def strJoin(arr: Column): Column =
+    array_join(transform(arr, _.cast("string")), "|")
+
+  /** JVM-side distinct bigram shingles of a whitespace-tokenized text,
+    * in first-occurrence order — the kernel-tier counterpart of
+    * [[bigramShingles]] (interpreted higher-order expressions measured
+    * ~10x slower on this dense inner loop; SCALE.md). ONE definition on
+    * purpose: d2/d4/d6's kernels and the SHINGLES oracle SQL must stay
+    * in lockstep, so the tokenizer lives here and nowhere else. */
+  def bigramShinglesLocal(text: String): Seq[String] = {
+    val t = text.split(" ", -1)
+    val seen = new scala.collection.mutable.LinkedHashSet[String]
+    var i = 0
+    while (i < t.length - 1) { seen.add(t(i) + " " + t(i + 1)); i += 1 }
+    seen.toSeq
+  }
+
+  /** All consecutive bigrams, NON-distinct (corpus frequency counting
+    * wants every occurrence; same tokenizer as
+    * [[bigramShinglesLocal]]). */
+  def bigramsLocal(text: String): Iterator[String] = {
+    val t = text.split(" ", -1)
+    (0 until t.length - 1).iterator.map(i => t(i) + " " + t(i + 1))
+  }
+
   /** Distinct word n-gram shingles (n=2) of a token array, as strings.
     * The standard MinHash input unit: local-word-order-sensitive but
     * robust to global reordering.

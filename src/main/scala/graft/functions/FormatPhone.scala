@@ -22,6 +22,7 @@ object PhoneFormat {
   private val WellFormed =
     java.util.regex.Pattern.compile("^\\+1-\\d{3}-\\d{3}-\\d{4}$")
   private val AreaTypo = java.util.regex.Pattern.compile("^(1*)306")
+  private val NonDigit = java.util.regex.Pattern.compile("\\D")
 
   /** SQL `substring(s, pos, len)`: 1-based, clipped, empty when the
     * range falls outside the string or `len <= 0` — matching Spark's
@@ -35,7 +36,7 @@ object PhoneFormat {
 
   def formatString(num: String): String = {
     if (WellFormed.matcher(num).find()) return num
-    var dig = num.replaceAll("\\D", "")
+    var dig = NonDigit.matcher(num).replaceAll("")
     val m = AreaTypo.matcher(dig)
     if (m.find()) dig = m.replaceFirst("$1360")
     if (!ss(dig, 1, 1).equals("1")) dig = "1" + dig

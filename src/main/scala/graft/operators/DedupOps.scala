@@ -57,19 +57,15 @@ object DedupOps {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          // distinct bigram shingles — same semantics as
-          // Fns.bigramShingles (dedup preserving first occurrence;
-          // order is immaterial downstream: min-hash and set ops).
-          // Shingle-less docs are dropped: they have no signature (the
-          // oracle's NULL minhashes never band-join) — emitting a
-          // sentinel would collide every such doc in every band.
-          val t = text.split(" ", -1)
-          val seen = new scala.collection.mutable.LinkedHashSet[String]
-          var i = 0
-          while (i < t.length - 1) { seen.add(t(i) + " " + t(i + 1)); i += 1 }
-          if (seen.isEmpty) None
+          // distinct bigram shingles (shared kernel tokenizer,
+          // Fns.bigramShinglesLocal — in lockstep with the SHINGLES
+          // oracle SQL). Shingle-less docs are dropped: they have no
+          // signature (the oracle's NULL minhashes never band-join) —
+          // emitting a sentinel would collide every such doc in every
+          // band.
+          val sh = bigramShinglesLocal(text)
+          if (sh.isEmpty) None
           else {
-            val sh = seen.toSeq
             val mh = Array.tabulate(8) { k =>
               var min = Long.MaxValue
               sh.foreach { x =>
@@ -170,11 +166,7 @@ object DedupOps {
     docs.groupByKey(_._1)
       .flatMapGroups { (src: String, it: Iterator[(String, Long, String)]) =>
         val ds = it.map { case (_, id, text) =>
-          val t = text.split(" ", -1)
-          val sh = scala.collection.mutable.HashSet.empty[String]
-          var i = 0
-          while (i < t.length - 1) { sh.add(t(i) + " " + t(i + 1)); i += 1 }
-          (id, sh.toSet)
+          (id, bigramShinglesLocal(text).toSet)
         }.toArray.sortBy(_._1)
         for {
           ai <- ds.indices.iterator
@@ -245,22 +237,18 @@ object DedupOps {
       .repartition(s.sparkContext.defaultParallelism)
       .as[(String, String)]
       .mapPartitions(_.flatMap { case (src, text) =>
-        val t = text.split(" ", -1)
-        val seen = new scala.collection.mutable.LinkedHashSet[String]
-        var i = 0
-        while (i < t.length - 1) { seen.add(t(i) + " " + t(i + 1)); i += 1 }
         // shingle-less docs contribute nothing to a sketch; dropping
         // them also drops all-empty sources instead of emitting a
         // Long.MaxValue sentinel signature (matches the oracle, which
         // has no rows for such a source)
-        if (seen.isEmpty) None else Some((src, seen.toSeq))
+        val sh = bigramShinglesLocal(text)
+        if (sh.isEmpty) None else Some((src, sh))
       })
       .groupByKey(_._1)
       .agg(new graft.functions.MinHashAgg(8).toColumn.name("sig"))
       .toDF("source", "sig")
-      // serialized for the driver compare (see RelationalOps scaladoc)
-      .select(col("source"),
-        array_join(transform(col("sig"), _.cast("string")), "|").as("sig"))
+      // serialized for the driver compare (Fns.strJoin scaladoc)
+      .select(col("source"), strJoin(col("sig")).as("sig"))
   }
 
   /** d7 — dedup cluster resolution: connected components over the
@@ -319,8 +307,12 @@ object DedupOps {
       System.err.println(
         s"[graft] d7_dedup_components: NOT converged after $rounds rounds; " +
           "increase the cap for graphs of this diameter")
+    // no broadcast hint: the label map is usually tiny (edge vertices),
+    // but on a heavily-duplicated corpus it can be a large fraction of
+    // the rows — let the planner/AQE pick broadcast vs shuffle from the
+    // actual runtime size instead of forcing an 8 GB-capped broadcast
     Tables.documents(s, d).select(col("doc_id"))
-      .join(broadcast(labels), Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
   }
 

@@ -27,12 +27,7 @@ import graft.Tables
   */
 object RelationalOps {
 
-  /** `'|'`-joined string form of an array column (elements cast to
-    * string first — `array_join` itself requires `array<string>`).
-    * DuckDB mirror: `array_to_string(list, '|')`. The test corpora
-    * contain no `'|'` anywhere (verified), so the join is injective. */
-  private def strJoin(arr: Column): Column =
-    array_join(transform(arr, _.cast("string")), "|")
+  import graft.functions.Fns.strJoin
 
   // ---------------------------------------------------------------------
   // §2.2 Projections / filters / predicates
@@ -400,7 +395,9 @@ object RelationalOps {
     "j5_self_join" ->
       "SELECT a.l_orderkey, count(*) AS pair_cnt FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber GROUP BY a.l_orderkey",
     "j6_anti_join" ->
-      "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+      // NOT EXISTS, not NOT IN: a NULL o_custkey would make NOT IN return
+      // zero rows (three-valued logic) while LeftAnti still anti-matches
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
     "a1_distinct_count" ->
       "SELECT count(DISTINCT o_custkey) AS n_custs FROM orders",
     "a2_group_count" ->

@@ -118,14 +118,14 @@ object SimilarityOps {
     */
   private def s3(s: SparkSession, d: String): DataFrame = {
     val (_, corpus) = queriesAndCorpus(s, d)
+    // centroid columns take the qemb/qnrm names so the shared cosine
+    // contract (cosPrecomp: zero-norm→NaN, round 6) applies verbatim
     val cents = corpus.filter(col("vec_id") < 4)
-      .select(col("vec_id").as("cid"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+      .select(col("vec_id").as("cid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
     val assigned = corpus
       .join(broadcast(cents))
       .select(col("vec_id"), col("emb"), col("nrm"), col("cid"),
-        when(col("cnrm") * col("nrm") === 0.0, lit(Double.NaN))
-          .otherwise(round(dotNative(col("emb"), col("cemb"))
-            / (col("cnrm") * col("nrm")), 6)).as("ccos"))
+        cosPrecomp.as("ccos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("ccos").desc, col("cid").asc)))

@@ -146,10 +146,7 @@ object TextOps {
       .select(col("text"))
       .repartition(s.sparkContext.defaultParallelism)
       .as[String]
-      .mapPartitions(_.flatMap { text =>
-        val t = text.split(" ", -1)
-        (0 until t.length - 1).iterator.map(i => t(i) + " " + t(i + 1))
-      })
+      .mapPartitions(_.flatMap(bigramsLocal))
       .toDF("ngram")
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("cnt"))
