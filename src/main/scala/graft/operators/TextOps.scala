@@ -154,7 +154,55 @@ object TextOps {
       .limit(20)
   }
 
+  /** x8 — train/test contamination check: for every doc in the held-out
+    * split (the hash-split of SampleOps.sm2), count how many of its
+    * distinct bigram shingles also occur anywhere in the train split —
+    * the standard benchmark-leakage audit run before any evaluation.
+    *
+    * Plan shape at 100 TB: shingle both sides with the kernel
+    * tokenizer, distinct the train side (shuffle on the shingle), one
+    * equi-join shingle-to-shingle, count per test doc. The join key is
+    * the shingle string; at larger n-grams it would be the 60-bit hash,
+    * same plan.
+    */
+  private def x8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def shingleRows(lo: Int, hi: Int): DataFrame =
+      Tables.documents(s, d)
+        .filter(md5Long(col("doc_id")) % 100 >= lo &&
+          md5Long(col("doc_id")) % 100 < hi)
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          bigramShinglesLocal(text).map(sh => (id, sh))
+        })
+        .toDF("doc_id", "sh")
+    val train = shingleRows(0, 80).select(col("sh")).distinct()
+    val test = shingleRows(90, 100)
+    test.join(train, Seq("sh"))
+      .groupBy(test("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_contaminated"))
+  }
+
+  /** x9 — repetition score: fraction of a document's bigrams that are
+    * repeats (1 − distinct/total), the classic Gopher-style quality
+    * rule for filtering loop-y machine-generated text. Pure per-row
+    * arithmetic; null for docs too short to have a bigram. */
+  private def x9(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), (size(t) - 1).as("n_bigrams"),
+        size(bigramShingles(t)).as("n_distinct"))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 6))
+          .as("rep_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x8_contamination" -> (x8 _),
+    "x9_repetition" -> (x9 _),
     "x1_lang_id" -> (x1 _),
     "x2_quality_score" -> (x2 _),
     "x3_token_count" -> (x3 _),
@@ -228,6 +276,26 @@ object TextOps {
       n AS (SELECT unnest(list_transform(generate_series(1, len(l)-1),
               i -> l[i] || ' ' || l[i+1])) AS ngram FROM l)
       SELECT ngram, count(*) AS cnt FROM n
-      GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20"""
+      GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""",
+    "x8_contamination" -> """
+      WITH s AS (SELECT doc_id,
+        ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS bkt,
+        list_distinct(list_transform(generate_series(1, len(l)-1),
+          i -> l[i] || ' ' || l[i+1])) AS sh
+        FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents)),
+      train AS (SELECT DISTINCT unnest(sh) AS sh FROM s WHERE bkt < 80),
+      test AS (SELECT doc_id, unnest(sh) AS sh FROM s WHERE bkt >= 90)
+      SELECT test.doc_id, count(DISTINCT test.sh) AS n_contaminated
+      FROM test JOIN train ON test.sh = train.sh
+      GROUP BY test.doc_id""",
+    "x9_repetition" -> """
+      WITH b AS (SELECT doc_id, len(l)-1 AS n_bigrams,
+        len(list_distinct(list_transform(generate_series(1, len(l)-1),
+          i -> l[i] || ' ' || l[i+1]))) AS n_distinct
+        FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))
+      SELECT doc_id, n_bigrams,
+        CASE WHEN n_bigrams > 0
+             THEN round(1.0 - n_distinct::DOUBLE / n_bigrams, 6) END AS rep_ratio
+      FROM b"""
   )
 }

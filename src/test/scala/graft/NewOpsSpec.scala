@@ -110,6 +110,25 @@ class NewOpsSpec extends SparkSpec {
     assert(splits.subsetOf(Set("train", "val", "test")))
   }
 
+  test("x8: contaminated test docs actually share a shingle with train") {
+    // re-derive membership: every reported doc must be in the test split
+    val reported = q("x8_contamination").cache()
+    val testSplit = Tables.documents(spark, sf)
+      .filter(graft.functions.Fns.md5Long(col("doc_id")) % 100 >= 90)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val bad = reported.collect().filterNot(r => testSplit(r.getLong(0)))
+    assert(bad.isEmpty, bad.mkString(","))
+    assert(reported.filter(col("n_contaminated") < 1).count() == 0)
+    reported.unpersist()
+  }
+
+  test("x9: repetition ratio is in [0,1] and null only for <2-token docs") {
+    val r = q("x9_repetition").cache()
+    assert(r.filter(col("rep_ratio") < 0 || col("rep_ratio") > 1).count() == 0)
+    assert(r.filter(col("rep_ratio").isNull && col("n_bigrams") > 0).count() == 0)
+    r.unpersist()
+  }
+
   test("format_phone is SQL-registered via the extensions") {
     assert(spark.sql("SELECT format_phone('306-555-1234') AS p").head().getString(0)
       == "+1-360-555-1234")
