@@ -61,6 +61,73 @@ object EventStreams {
       }
   }
 
+  case class SessionAgg(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Open-session state: event-time bounds in micros + exact
+    * accumulators (rounding happens on emit, never in state). */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+  /** Custom sessionization via `flatMapGroupsWithState` +
+    * EventTimeTimeout — the full-control state API (`session_window`
+    * covers the fixed-gap case declaratively; this is where custom
+    * session logic lives: dynamic gaps, session caps, mid-session
+    * emission). Semantics match w3: gap ≥ 30 min starts a new session,
+    * session end = last event + gap.
+    *
+    * State discipline at scale: one OpenSession record per active user;
+    * closed sessions are emitted as soon as a later event proves the
+    * gap, and the final open session is emitted when the watermark
+    * passes its timeout — so state size tracks ACTIVE users, not
+    * history, and emission is append-mode (each session exactly once).
+    */
+  def sessionizeCustom(events: Dataset[Event]): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000
+    def toAgg(user: Long, s: OpenSession): SessionAgg =
+      SessionAgg(user,
+        new java.sql.Timestamp(s.startUs / 1000),
+        new java.sql.Timestamp((s.lastUs + gapUs) / 1000),
+        s.n, math.rint(s.sum * 100) / 100)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed the open session's horizon: emit + clear
+            val out = state.getOption.map(toAgg(user, _))
+            state.remove()
+            out.iterator
+          } else {
+            // micro-batch delivery order is not event-time order
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[SessionAgg]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000
+              open match {
+                case Some(s) if us - s.lastUs < gapUs =>
+                  open = Some(OpenSession(s.startUs, math.max(s.lastUs, us),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += toAgg(user, s)
+                  open = Some(OpenSession(us, us, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(us, us, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // fires once the event-time watermark passes session end
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup — the streaming face of the batch d1
     * operator (content-hash dedup): fingerprint the payload, keep the
     * first arrival, drop re-deliveries. `dropDuplicatesWithinWatermark`

@@ -96,6 +96,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.subsetOf(batch))
   }
 
+  test("flatMapGroupsWithState sessionizer matches session_window (w3 parity)") {
+    val mem = MemoryStream[Event]
+    val q = sessionizeCustom(mem.toDS())
+      .writeStream.format("memory").queryName("custom_sessions")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    // advance the watermark far past every session so timeouts fire
+    mem.addData(Event(99, ts(600), 9, "noise", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(100, ts(1200), 9, "noise2", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val custom = spark.table("custom_sessions")
+      .filter(col("user_id") =!= 9)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val declarative = sessionCounts(rows.toDF())
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(custom == declarative)
+  }
+
   case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
   test("streaming dedup keeps first arrival, drops re-deliveries across " +
