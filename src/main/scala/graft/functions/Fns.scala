@@ -91,6 +91,24 @@ object Fns {
   /** L2 norm via the native dot. */
   def l2Native(a: Column): Column = sqrt(dotNative(a, a))
 
+  /** Fixed-point half-up rounding computed IDENTICALLY in any engine:
+    * floor(x·10^d + 0.5) / 10^d.
+    *
+    * `round()` is not engine-portable on doubles: Spark expands the
+    * exact decimal of the double (BigDecimal HALF_UP) while DuckDB
+    * multiplies in floating point — within an ulp of a .5 boundary the
+    * two disagree (observed at sf0.1: a grid-cell avg at 2 dp, token
+    * ratios at 6 dp). This formula runs the same IEEE ops on both
+    * engines, so wherever the input double is, the result is
+    * bit-identical. DuckDB mirror: `floor(x*10^d + 0.5)/10^d`.
+    * For positive finite inputs only (Spark's floor yields LONG, so a
+    * NaN would become 0, not propagate — NaN-producing expressions keep
+    * their explicit guards). */
+  def roundFp(c: Column, d: Int): Column = {
+    val p = math.pow(10, d)
+    floor(c * p + 0.5) / p
+  }
+
   /** Whitespace tokens of a text column. */
   def toks(text: Column): Column = split(text, " ")
 

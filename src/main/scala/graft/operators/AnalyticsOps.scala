@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Fns.roundFp
 
 /** Analytics-completeness operators beyond the reference surface —
   * grouping sets, pivot, quantiles, and the sketch-based distinct the
@@ -39,7 +40,7 @@ object AnalyticsOps {
     Tables.orders(s, d)
       .agg(transform(
         percentile(col("o_totalprice"), array(lit(0.25), lit(0.5), lit(0.75))),
-        x => round(x, 4)).as("quartiles"))
+        x => roundFp(x, 4)).as("quartiles"))
 
   /** g5 — HyperLogLog distinct (the 100 TB form of a1): NO oracle —
     * sketch implementations differ per engine, so the driver records
@@ -63,7 +64,7 @@ object AnalyticsOps {
       .groupBy(col("event_type"), col("salt"))
       .agg(count(lit(1)).as("c"), sum(col("value")).as("v"))
       .groupBy(col("event_type"))
-      .agg(sum(col("c")).as("cnt"), round(sum(col("v")), 2).as("sum_value"))
+      .agg(sum(col("c")).as("cnt"), roundFp(sum(col("v")), 2).as("sum_value"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g6_salted_agg" -> (g6 _),
@@ -76,7 +77,7 @@ object AnalyticsOps {
 
   val oracles: Map[String, String] = Map(
     "g6_salted_agg" -> """
-      SELECT event_type, CAST(sum(c) AS BIGINT) AS cnt, round(sum(v), 2) AS sum_value FROM (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS cnt, floor(sum(v)*100 + 0.5)/100 AS sum_value FROM (
         SELECT event_type, event_id % 16 AS salt, count(*) AS c, sum(value) AS v
         FROM events GROUP BY 1, 2)
       GROUP BY event_type""",
@@ -93,7 +94,7 @@ object AnalyticsOps {
       FROM lineitem GROUP BY l_returnflag""",
     "g4_quantiles" -> """
       SELECT list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
-        x -> round(x, 4)) AS quartiles
+        x -> floor(x*10000 + 0.5)/10000) AS quartiles
       FROM orders"""
     // g5_approx_distinct: intentionally no oracle (per-engine sketches)
   )

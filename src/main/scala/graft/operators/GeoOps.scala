@@ -43,7 +43,7 @@ object GeoOps {
       .groupBy(expr("(o_orderkey % 1700) DIV 10").as("cell_lat"),
         expr("(o_orderkey % 3600) DIV 10").as("cell_lon"))
       .agg(count(lit(1)).as("cnt"),
-        round(avg(col("o_totalprice")), 2).as("avg_price"))
+        graft.functions.Fns.roundFp(avg(col("o_totalprice")), 2).as("avg_price"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -58,7 +58,7 @@ object GeoOps {
         FROM orders)
       SELECT (o_orderkey % 1700)//10 AS cell_lat,
         (o_orderkey % 3600)//10 AS cell_lon,
-        count(*) AS cnt, round(avg(o_totalprice), 2) AS avg_price
+        count(*) AS cnt, floor(avg(o_totalprice)*100 + 0.5)/100 AS avg_price
       FROM g
       WHERE lat >= 40.0 AND lat <= 60.0 AND lon >= -123.0 AND lon <= -30.0
       GROUP BY 1, 2"""

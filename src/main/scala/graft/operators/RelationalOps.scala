@@ -197,8 +197,8 @@ object RelationalOps {
       .agg(
         count(lit(1)).as("use_cnt"),
         countDistinct(col("user_id")).as("uniq_users"),
-        round(sum(col("value")), 2).as("sum_value"),
-        round(when(countDistinct(col("user_id")) > 0,
+        graft.functions.Fns.roundFp(sum(col("value")), 2).as("sum_value"),
+        graft.functions.Fns.roundFp(when(countDistinct(col("user_id")) > 0,
           count(lit(1)).cast("double") / countDistinct(col("user_id"))), 4)
           .as("use_per_uniq"))
 
@@ -385,7 +385,10 @@ object RelationalOps {
     "p7_namespace_passthrough" ->
       "SELECT p_partkey, CASE WHEN split_part(p_name, ' ', 1) IN ('small', 'red') THEN p_name ELSE upper(p_name) END AS vname FROM part",
     "j1_lookup_group_array" ->
-      "SELECT c_custkey, array_to_string(coalesce(list_sort(list(o_orderkey) FILTER (WHERE o_orderkey IS NOT NULL)), []), '|') AS order_keys FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey",
+      // outer coalesce: DuckDB's array_to_string([]) is NULL while
+      // Spark's array_join of an empty array is '' (hit at sf0.1 by a
+      // customer with zero orders)
+      "SELECT c_custkey, coalesce(array_to_string(list_sort(list(o_orderkey) FILTER (WHERE o_orderkey IS NOT NULL)), '|'), '') AS order_keys FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey",
     "j2_inner_join" ->
       "SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey",
     "j3_semi_join" ->
@@ -411,7 +414,7 @@ object RelationalOps {
     "a6_filter_count" ->
       "SELECT count(*) AS cnt FROM orders WHERE o_totalprice > 100000",
     "a7_profile_agg" ->
-      "SELECT event_type, count(*) AS use_cnt, count(DISTINCT user_id) AS uniq_users, round(sum(value), 2) AS sum_value, round(CASE WHEN count(DISTINCT user_id) > 0 THEN count(*)::DOUBLE / count(DISTINCT user_id) END, 4) AS use_per_uniq FROM events GROUP BY event_type",
+      "SELECT event_type, count(*) AS use_cnt, count(DISTINCT user_id) AS uniq_users, floor(sum(value)*100 + 0.5)/100 AS sum_value, floor(CASE WHEN count(DISTINCT user_id) > 0 THEN count(*)::DOUBLE / count(DISTINCT user_id) END*10000 + 0.5)/10000 AS use_per_uniq FROM events GROUP BY event_type",
     "a8_array_len" ->
       "SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents",
     "t1_topk" ->

@@ -51,15 +51,17 @@ object TextOps {
     */
   private def x2(s: SparkSession, d: String): DataFrame = {
     val t = toks(col("text"))
+    // roundFp, not round(): these are small-integer ratios whose exact
+    // decimal expansions land on .5 boundaries (observed at sf0.1)
     Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"), t.as("t"))
       .select(col("doc_id"),
-        round(least(col("n_chars") / 500.0, lit(1.0)), 6).as("len_score"),
-        round(countIn(col("t"), EN).cast("double") / size(col("t")), 6).as("stop_ratio"),
-        round(aggregate(col("t"), lit(0L), (acc, x) => acc + length(x))
+        roundFp(least(col("n_chars") / 500.0, lit(1.0)), 6).as("len_score"),
+        roundFp(countIn(col("t"), EN).cast("double") / size(col("t")), 6).as("stop_ratio"),
+        roundFp(aggregate(col("t"), lit(0L), (acc, x) => acc + length(x))
           .cast("double") / size(col("t")), 6).as("mean_tok_len"))
       .withColumn("quality",
-        round(col("len_score") * 0.5 + col("stop_ratio") * 0.3
+        roundFp(col("len_score") * 0.5 + col("stop_ratio") * 0.3
           + least(col("mean_tok_len") / 8.0, lit(1.0)) * 0.2, 6))
   }
 
@@ -104,7 +106,7 @@ object TextOps {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
-        round(avg(col("k")), 6).as("avg_k"))
+        roundFp(avg(col("k")), 6).as("avg_k"))
 
   /** x6 — PII redaction: find-and-mask emails and phone numbers, with
     * per-document redaction counts — the standard pre-training privacy
@@ -231,12 +233,12 @@ object TextOps {
     "x2_quality_score" -> s"""
       WITH t AS (SELECT doc_id, n_chars, string_split(text,' ') AS l FROM documents),
       b AS (SELECT doc_id,
-        round(least(n_chars / 500.0, 1.0), 6) AS len_score,
-        round(len(list_filter(l, x -> list_contains(${inList(EN)}, x)))::DOUBLE / len(l), 6) AS stop_ratio,
-        round(list_aggregate(list_transform(l, x -> length(x)), 'sum')::DOUBLE / len(l), 6) AS mean_tok_len
+        floor(least(n_chars / 500.0, 1.0)*1000000 + 0.5)/1000000 AS len_score,
+        floor(len(list_filter(l, x -> list_contains(${inList(EN)}, x)))::DOUBLE / len(l)*1000000 + 0.5)/1000000 AS stop_ratio,
+        floor(list_aggregate(list_transform(l, x -> length(x)), 'sum')::DOUBLE / len(l)*1000000 + 0.5)/1000000 AS mean_tok_len
         FROM t)
       SELECT doc_id, len_score, stop_ratio, mean_tok_len,
-        round(len_score*0.5 + stop_ratio*0.3 + least(mean_tok_len/8.0, 1.0)*0.2, 6) AS quality
+        floor((len_score*0.5 + stop_ratio*0.3 + least(mean_tok_len/8.0, 1.0)*0.2)*1000000 + 0.5)/1000000 AS quality
       FROM b""",
     "x3_token_count" -> """
       SELECT doc_id, len(string_split(text,' ')) AS ws_tokens,
@@ -255,7 +257,7 @@ object TextOps {
     "x5_json_extract" -> """
       SELECT event_type, count(*) AS cnt,
         CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
-        round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)), 6) AS avg_k
+        floor(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT))*1000000 + 0.5)/1000000 AS avg_k
       FROM events GROUP BY event_type""",
     "x6_pii_redact" -> """
       WITH p AS (SELECT doc_id,

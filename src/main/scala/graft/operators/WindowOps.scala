@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Fns.roundFp
 
 /** Event-time and analytic window operators over the `events` stream
   * table — the batch faces of the engine's streaming surface (the same
@@ -22,7 +23,7 @@ object WindowOps {
   private def w1(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), roundFp(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
@@ -44,7 +45,7 @@ object WindowOps {
   private def w3(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), roundFp(sum(col("value")), 2).as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
@@ -67,7 +68,7 @@ object WindowOps {
     Tables.events(s, d)
       .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
         col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), roundFp(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").as("win_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
@@ -82,7 +83,7 @@ object WindowOps {
   val oracles: Map[String, String] = Map(
     "w1_tumbling_window" -> """
       SELECT date_trunc('hour', ts) AS hour_start, event_type,
-        count(*) AS cnt, round(sum(value), 2) AS sum_value
+        count(*) AS cnt, floor(sum(value)*100 + 0.5)/100 AS sum_value
       FROM events GROUP BY 1, 2""",
     "w2_rank_per_group" -> """
       SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
@@ -103,7 +104,7 @@ object WindowOps {
             FROM e)
       SELECT user_id, min(ts) AS session_start,
         max(ts) + INTERVAL 30 MINUTE AS session_end,
-        count(*) AS n_events, round(sum(value), 2) AS sum_value
+        count(*) AS n_events, floor(sum(value)*100 + 0.5)/100 AS sum_value
       FROM g GROUP BY user_id, sid""",
     "w4_lag_delta" -> """
       SELECT user_id, event_id,
@@ -118,7 +119,7 @@ object WindowOps {
               make_timestamp((eu // 300000000) * 300000000 - o.o) AS win_start
             FROM e, (VALUES (0::BIGINT), (300000000::BIGINT)) o(o))
       SELECT win_start, event_type, count(*) AS cnt,
-        round(sum(value), 2) AS sum_value
+        floor(sum(value)*100 + 0.5)/100 AS sum_value
       FROM x GROUP BY win_start, event_type"""
   )
 }
