@@ -133,13 +133,12 @@ object DedupOps {
       .agg(sum(when(col("v") >= 0, expr("cast(pow(2, bit) as bigint)"))
         .otherwise(0L)).as("simhash16"))
 
-  /** Spark's `round(_, 6)` for doubles, replicated for the typed
-    * kernels so kernel output is bit-identical to the expression (and
-    * therefore to the oracle). NaN passes through (Spark round keeps
-    * it; BigDecimal would throw). */
-  private def round6(x: Double): Double =
-    if (x.isNaN) x
-    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  /** Engine-portable 6-dp rounding for the typed kernels — the JVM
+    * face of [[graft.functions.Fns.roundFp]]: floor(x·1e6 + 0.5)/1e6,
+    * the same IEEE ops the oracle's floor form runs (Spark's round()
+    * and DuckDB's round() disagree within an ulp of a .5 boundary).
+    * NaN propagates (java floor of NaN is NaN, no long cast here). */
+  private def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
   /** SQL-comparison semantics for kernel threshold filters: Spark and
     * DuckDB both order NaN above every value, so `score >= t` must
@@ -194,7 +193,7 @@ object DedupOps {
     // products as a primitive-loop kernel. Measured ~70x faster than
     // the same plan with per-pair expression eval (nested-loop join
     // projections don't codegen). Accumulation order matches the
-    // oracle's sequential list_sum; rounding replicates Spark round().
+    // oracle's sequential list_sum; rounding is the portable floor form.
     import s.implicits._
     // one scan: collect the (small, broadcastable-by-precondition)
     // corpus, broadcast it, and redistribute the same rows as the
@@ -383,7 +382,7 @@ object DedupOps {
               len(list_intersect(a.sh, bb.sh))::DOUBLE
                 / len(list_distinct(a.sh || bb.sh)) AS jac
             FROM c JOIN m a ON c.i = a.doc_id JOIN m bb ON c.j = bb.doc_id)
-      SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.5""",
+      SELECT i, j, floor(jac*1000000 + 0.5)/1000000 AS jac FROM p WHERE jac >= 0.5""",
     "d3_simhash" -> """
       WITH e AS (SELECT doc_id,
         ('0x' || substr(md5(tok),1,15))::BIGINT AS h
@@ -400,15 +399,15 @@ object DedupOps {
               len(list_intersect(a.sh, b.sh))::DOUBLE
                 / len(list_distinct(a.sh || b.sh)) AS jac
             FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
-      SELECT source, i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.1""",
+      SELECT source, i, j, floor(jac*1000000 + 0.5)/1000000 AS jac FROM p WHERE jac >= 0.1""",
     "d5_embedding_neardup" -> """
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
                  FROM embeddings),
       n AS (SELECT vec_id, emb,
               sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM e),
       p AS (SELECT a.vec_id AS i, b.vec_id AS j,
-              round(list_sum(list_transform(generate_series(1, len(a.emb)),
-                k -> a.emb[k] * b.emb[k])) / (a.nrm * b.nrm), 6) AS cos
+              floor(list_sum(list_transform(generate_series(1, len(a.emb)),
+                k -> a.emb[k] * b.emb[k])) / (a.nrm * b.nrm)*1000000 + 0.5)/1000000 AS cos
             FROM n a JOIN n b ON a.vec_id < b.vec_id)
       SELECT i, j, cos FROM p WHERE cos >= 0.45"""
   )

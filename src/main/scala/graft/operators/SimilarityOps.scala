@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Fns._
+import graft.functions.Fns.roundFp
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`embedding: array<float>`, 64-dim).
@@ -41,13 +42,13 @@ object SimilarityOps {
   /** Sign-bit bucket of a double-array embedding against the planes —
     * statically unrolled per plane (literal coefficient arrays +
     * [[graft.functions.Fns.dotN]]) so the whole bucket computation is
-    * one codegen'd expression. Dots are rounded to 9 places before the
-    * sign test so that sub-ulp accumulation differences can't flip a
-    * bucket bit across engines.
+    * one codegen'd expression. Dots are rounded to 9 places (portable
+    * floor form) before the sign test so that sub-ulp accumulation
+    * differences can't flip a bucket bit across engines.
     */
   private def bucketOf(emb: Column): Column =
     planeCoefs.zipWithIndex.map { case (coefs, pl) =>
-      when(round(dotNative(emb, typedlit(coefs)), 9) >= 0, lit(1L << pl))
+      when(roundFp(dotNative(emb, typedlit(coefs)), 9) >= 0, lit(1L << pl))
         .otherwise(lit(0L))
     }.reduceLeft(_ + _)
 
@@ -63,7 +64,7 @@ object SimilarityOps {
   private def cosPrecomp: Column = {
     val prod = col("qnrm") * col("nrm")
     when(prod === 0.0, lit(Double.NaN))
-      .otherwise(round(dotNative(col("qemb"), col("emb")) / prod, 6))
+      .otherwise(roundFp(dotNative(col("qemb"), col("emb")) / prod, 6))
   }
 
   /** s1 — exact brute-force cosine top-k: broadcast 10 query vectors,
@@ -163,8 +164,8 @@ object SimilarityOps {
 
   private val BUCKET_SQL =
     """SELECT e.vec_id, e.emb, e.nrm,
-      |  sum(CASE WHEN round(list_sum(list_transform(generate_series(1,64),
-      |        k -> e.emb[k] * pl.coef[k])), 9) >= 0
+      |  sum(CASE WHEN floor(list_sum(list_transform(generate_series(1,64),
+      |        k -> e.emb[k] * pl.coef[k]))*1000000000 + 0.5)/1000000000 >= 0
       |      THEN CAST(pow(2, pl.p) AS BIGINT) ELSE 0 END)::BIGINT AS bucket
       |FROM e, pl GROUP BY e.vec_id, e.emb, e.nrm""".stripMargin
 
@@ -172,8 +173,8 @@ object SimilarityOps {
     "s1_ann_brute" -> s"""
       WITH e AS ($EMB_SQL),
       sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
-               round(list_sum(list_transform(generate_series(1,64),
-                 k -> q.emb[k] * c.emb[k])) / (q.nrm * c.nrm), 6) AS cos
+               floor(list_sum(list_transform(generate_series(1,64),
+                 k -> q.emb[k] * c.emb[k])) / (q.nrm * c.nrm)*1000000 + 0.5)/1000000 AS cos
              FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
       r AS (SELECT qid, nid, cos,
               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
@@ -184,8 +185,8 @@ object SimilarityOps {
       e AS ($EMB_SQL),
       b AS ($BUCKET_SQL),
       sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
-               round(list_sum(list_transform(generate_series(1,64),
-                 k -> q.emb[k] * c.emb[k])) / (q.nrm * c.nrm), 6) AS cos
+               floor(list_sum(list_transform(generate_series(1,64),
+                 k -> q.emb[k] * c.emb[k])) / (q.nrm * c.nrm)*1000000 + 0.5)/1000000 AS cos
              FROM b q JOIN b c ON q.vec_id < 10 AND q.bucket = c.bucket
                AND c.vec_id <> q.vec_id),
       r AS (SELECT qid, nid, cos,
@@ -196,16 +197,16 @@ object SimilarityOps {
       WITH e AS ($EMB_SQL),
       c AS (SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM e WHERE vec_id < 4),
       a0 AS (SELECT e.vec_id, e.emb, e.nrm, c.cid,
-               round(list_sum(list_transform(generate_series(1,64),
-                 k -> e.emb[k] * c.cemb[k])) / (e.nrm * c.cnrm), 6) AS ccos
+               floor(list_sum(list_transform(generate_series(1,64),
+                 k -> e.emb[k] * c.cemb[k])) / (e.nrm * c.cnrm)*1000000 + 0.5)/1000000 AS ccos
              FROM e, c),
       a AS (SELECT vec_id, emb, nrm, cid AS cell FROM (
               SELECT *, row_number() OVER (PARTITION BY vec_id
                 ORDER BY ccos DESC, cid) AS rn FROM a0)
             WHERE rn = 1),
       sc AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
-               round(list_sum(list_transform(generate_series(1,64),
-                 k -> q.emb[k] * x.emb[k])) / (q.nrm * x.nrm), 6) AS cos
+               floor(list_sum(list_transform(generate_series(1,64),
+                 k -> q.emb[k] * x.emb[k])) / (q.nrm * x.nrm)*1000000 + 0.5)/1000000 AS cos
              FROM a q JOIN a x ON q.vec_id < 10 AND q.cell = x.cell
                AND x.vec_id <> q.vec_id),
       r AS (SELECT qid, nid, cos,
