@@ -262,16 +262,62 @@ object DedupOps {
     * previous round unpersisted; at cluster scale this is the standard
     * large/small-star pattern with checkpointing.
     */
-  private def d7(s: SparkSession, d: String): DataFrame = {
-    val edges = d2(s, d).select(col("i"), col("j"))
+  private def d7(s: SparkSession, d: String): DataFrame =
+    d7Components(s, d)
+
+  /** Size-gated hybrid (tested equal in `NewOpsSpec`): the verified
+    * near-dup edge set is orders of magnitude smaller than the corpus,
+    * and when it fits on the driver (`driverMaxEdges`, default 5M ≈
+    * 80 MB) union-find resolves components in milliseconds — the
+    * iterative join rounds would spend multiples of that on scheduler
+    * overhead alone. Past the threshold the distributed min-label
+    * propagation takes over unchanged. This is the same explicit
+    * small-side/large-side split the LSH verification uses (broadcast
+    * vs shuffle join).
+    */
+  private[graft] def d7Components(
+      s: SparkSession, d: String, driverMaxEdges: Long = 5000000L): DataFrame = {
+    import s.implicits._
+    val edges = d2(s, d).select(col("i"), col("j")).persist()
+    val nEdges = edges.count()
+    val labels: DataFrame =
+      if (nEdges <= driverMaxEdges) {
+        // driver union-find with path compression; component label =
+        // the minimum member id, matching the propagation semantics
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.as[(Long, Long)].collect().foreach { case (i, j) =>
+          parent.getOrElseUpdate(i, i)
+          parent.getOrElseUpdate(j, j)
+          val (ri, rj) = (find(i), find(j))
+          if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+        }
+        val comp = parent.keys.toSeq.map(v => (v, find(v)))
+        comp.toDF("doc_id", "comp")
+      } else
+        propagateMinLabels(s, edges)
+    // no broadcast hint: the label map is usually tiny (edge vertices),
+    // but on a heavily-duplicated corpus it can be a large fraction of
+    // the rows — let the planner/AQE pick broadcast vs shuffle from the
+    // actual runtime size instead of forcing an 8 GB-capped broadcast
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+  }
+
+  /** The 100 TB path: iterative min-label propagation over edge-touched
+    * vertices only (state ∝ |edge vertices|, not |docs|), converging in
+    * diameter rounds with a changed-count short-circuit. */
+  private def propagateMinLabels(s: SparkSession, edges: DataFrame): DataFrame = {
     val sym = edges
       .unionAll(edges.select(col("j").as("i"), col("i").as("j")))
       .persist()
-    // propagate only over edge-touched vertices: near-dup pairs are a
-    // tiny fraction of the corpus, so the per-round join/agg state is
-    // ∝ |edge vertices|, not |docs| — the property that makes iterative
-    // propagation viable at 100 TB. Isolated docs join back once at the
-    // end (their component is trivially themselves).
     var labels = sym.select(col("i").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("comp"))
       .persist()
@@ -306,13 +352,7 @@ object DedupOps {
       System.err.println(
         s"[graft] d7_dedup_components: NOT converged after $rounds rounds; " +
           "increase the cap for graphs of this diameter")
-    // no broadcast hint: the label map is usually tiny (edge vertices),
-    // but on a heavily-duplicated corpus it can be a large fraction of
-    // the rows — let the planner/AQE pick broadcast vs shuffle from the
-    // actual runtime size instead of forcing an 8 GB-capped broadcast
-    Tables.documents(s, d).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+    labels
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -129,6 +129,16 @@ class NewOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("d7 hybrid: driver union-find equals distributed min-label propagation") {
+    val fast = operators.DedupOps.d7Components(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driverMaxEdges = -1 forces the distributed loop on the same data
+    val distributed = operators.DedupOps.d7Components(spark, sf, driverMaxEdges = -1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == distributed)
+    assert(fast.nonEmpty)
+  }
+
   test("format_phone is SQL-registered via the extensions") {
     assert(spark.sql("SELECT format_phone('306-555-1234') AS p").head().getString(0)
       == "+1-360-555-1234")
