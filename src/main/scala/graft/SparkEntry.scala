@@ -24,7 +24,7 @@ object SparkEntry {
       .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(graft.functions.Fns.roundFp(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)

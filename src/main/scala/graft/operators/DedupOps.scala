@@ -267,16 +267,21 @@ object DedupOps {
 
   /** Size-gated hybrid (tested equal in `NewOpsSpec`): the verified
     * near-dup edge set is orders of magnitude smaller than the corpus,
-    * and when it fits on the driver (`driverMaxEdges`, default 5M ≈
-    * 80 MB) union-find resolves components in milliseconds — the
-    * iterative join rounds would spend multiples of that on scheduler
-    * overhead alone. Past the threshold the distributed min-label
-    * propagation takes over unchanged. This is the same explicit
-    * small-side/large-side split the LSH verification uses (broadcast
-    * vs shuffle join).
+    * and when it fits on the driver union-find resolves components in
+    * milliseconds — the iterative join rounds would spend multiples of
+    * that on scheduler overhead alone. Past the threshold the
+    * distributed min-label propagation takes over unchanged. This is
+    * the same explicit small-side/large-side split the LSH verification
+    * uses (broadcast vs shuffle join).
+    *
+    * Gate sizing: 1M edges costs the driver ~50-100 MB transient (the
+    * collect materializes boxed tuples, the parent map, and up to a
+    * 2M-vertex LocalRelation — several times the raw 16 B/edge), well
+    * within a default driver heap but not the "~16 MB" the raw-longs
+    * arithmetic would suggest.
     */
   private[graft] def d7Components(
-      s: SparkSession, d: String, driverMaxEdges: Long = 5000000L): DataFrame = {
+      s: SparkSession, d: String, driverMaxEdges: Long = 1000000L): DataFrame = {
     import s.implicits._
     val edges = d2(s, d).select(col("i"), col("j")).persist()
     val nEdges = edges.count()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Fns.roundFp
 
 /** Temporal/range join operators the reference lacks but a
   * training-data pipeline needs (SURVEY §2.3 notes their absence;
@@ -48,7 +49,7 @@ object RangeOps {
       .join(broadcast(bandDf),
         col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
       .groupBy(col("band"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .agg(count(lit(1)).as("cnt"), roundFp(sum(col("o_totalprice")), 2).as("sum_price"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -73,7 +74,7 @@ object RangeOps {
       WITH bands AS (
         SELECT i AS band, i * 75000.0 AS lo, (i+1) * 75000.0 AS hi
         FROM generate_series(0, 7) t(i))
-      SELECT band, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+      SELECT band, count(*) AS cnt, floor(sum(o_totalprice)*100 + 0.5)/100 AS sum_price
       FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
       GROUP BY band"""
   )

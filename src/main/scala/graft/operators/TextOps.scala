@@ -198,7 +198,7 @@ object TextOps {
         size(bigramShingles(t)).as("n_distinct"))
       .select(col("doc_id"), col("n_bigrams"),
         when(col("n_bigrams") > 0,
-          round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 6))
+          roundFp(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 6))
           .as("rep_ratio"))
   }
 
@@ -297,7 +297,7 @@ object TextOps {
         FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents))
       SELECT doc_id, n_bigrams,
         CASE WHEN n_bigrams > 0
-             THEN round(1.0 - n_distinct::DOUBLE / n_bigrams, 6) END AS rep_ratio
+             THEN floor((1.0 - n_distinct::DOUBLE / n_bigrams)*1000000 + 0.5)/1000000 END AS rep_ratio
       FROM b"""
   )
 }

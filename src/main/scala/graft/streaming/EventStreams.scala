@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import graft.functions.Fns.roundFp
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming faces of the engine's event-time operators
@@ -26,7 +27,7 @@ object EventStreams {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), roundFp(sum(col("value")), 2).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
@@ -35,7 +36,7 @@ object EventStreams {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), roundFp(sum(col("value")), 2).as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
@@ -57,73 +58,77 @@ object EventStreams {
           // micro-batch would compound error across batches; round only
           // on emit
           state.update(UserRunning(user, n, s))
-          UserRunning(user, n, math.rint(s * 100) / 100)
+          UserRunning(user, n, math.floor(s * 100 + 0.5) / 100)
       }
   }
 
   case class SessionAgg(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
-  /** Open-session state: event-time bounds in micros + exact
-    * accumulators (rounding happens on emit, never in state). */
-  case class OpenSession(startUs: Long, lastUs: Long, n: Long, sum: Double)
+  /** Buffered per-user events awaiting sessionization: (ts-micros,
+    * value) pairs. Exact accumulators happen at emit time from the
+    * buffer; nothing is rounded or aggregated in state. */
+  case class EventBuffer(events: Seq[(Long, Double)])
 
   /** Custom sessionization via `flatMapGroupsWithState` +
     * EventTimeTimeout — the full-control state API (`session_window`
     * covers the fixed-gap case declaratively; this is where custom
-    * session logic lives: dynamic gaps, session caps, mid-session
-    * emission). Semantics match w3: gap ≥ 30 min starts a new session,
+    * session logic lives: dynamic gaps, session caps, enrichment at
+    * emit). Semantics match w3: gap ≥ 30 min starts a new session,
     * session end = last event + gap.
     *
-    * State discipline at scale: one OpenSession record per active user;
-    * closed sessions are emitted as soon as a later event proves the
-    * gap, and the final open session is emitted when the watermark
-    * passes its timeout — so state size tracks ACTIVE users, not
-    * history, and emission is append-mode (each session exactly once).
+    * Correctness under disorder: allowed-lateness events can arrive in
+    * LATER micro-batches with EARLIER timestamps — they can extend a
+    * session backwards, merge two buffered sessions, or split an
+    * eager-emitted one. So nothing is emitted until the event-time
+    * watermark passes `max(buffered ts) + gap`: past that point any
+    * future event is ≥ watermark > every buffered session's reach and
+    * cannot alter the buffer's sessionization. State holds at most one
+    * watermark-horizon (2 h) of a user's events; emission is
+    * append-mode, each session exactly once — the same late-data
+    * contract `session_window` itself provides.
     */
   def sessionizeCustom(events: Dataset[Event]): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
     val gapUs = 30L * 60 * 1000000
-    def toAgg(user: Long, s: OpenSession): SessionAgg =
-      SessionAgg(user,
-        new java.sql.Timestamp(s.startUs / 1000),
-        new java.sql.Timestamp((s.lastUs + gapUs) / 1000),
-        s.n, math.rint(s.sum * 100) / 100)
+    def sessions(user: Long, buf: Seq[(Long, Double)]): Iterator[SessionAgg] = {
+      val sorted = buf.sorted
+      val out = Seq.newBuilder[SessionAgg]
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        var sum = sorted(i)._2
+        while (j + 1 < sorted.length && sorted(j + 1)._1 - sorted(j)._1 < gapUs) {
+          j += 1; sum += sorted(j)._2
+        }
+        out += SessionAgg(user,
+          new java.sql.Timestamp(sorted(i)._1 / 1000),
+          new java.sql.Timestamp((sorted(j)._1 + gapUs) / 1000),
+          j - i + 1,
+          // portable floor rounding, same as the batch w3 surface
+          math.floor(sum * 100 + 0.5) / 100)
+        i = j + 1
+      }
+      out.result().iterator
+    }
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+        (user: Long, batch: Iterator[Event], state: GroupState[EventBuffer]) =>
           if (batch.isEmpty && state.hasTimedOut) {
-            // watermark passed the open session's horizon: emit + clear
-            val out = state.getOption.map(toAgg(user, _))
+            // watermark > max(ts) + gap: the buffer's sessionization is
+            // final — emit everything, clear state
+            val out = state.getOption.iterator.flatMap(b => sessions(user, b.events))
             state.remove()
-            out.iterator
+            out
           } else {
-            // micro-batch delivery order is not event-time order
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            val closed = Seq.newBuilder[SessionAgg]
-            var open = state.getOption
-            sorted.foreach { e =>
-              val us = e.ts.getTime * 1000
-              open match {
-                case Some(s) if us - s.lastUs < gapUs =>
-                  open = Some(OpenSession(s.startUs, math.max(s.lastUs, us),
-                    s.n + 1, s.sum + e.value))
-                case Some(s) =>
-                  closed += toAgg(user, s)
-                  open = Some(OpenSession(us, us, 1, e.value))
-                case None =>
-                  open = Some(OpenSession(us, us, 1, e.value))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              // fires once the event-time watermark passes session end
-              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000)
-            }
-            closed.result().iterator
+            val buf = state.getOption.map(_.events).getOrElse(Seq.empty) ++
+              batch.map(e => (e.ts.getTime * 1000, e.value))
+            state.update(EventBuffer(buf))
+            state.setTimeoutTimestamp((buf.map(_._1).max + gapUs) / 1000)
+            Iterator.empty
           }
       }
   }

@@ -96,16 +96,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.subsetOf(batch))
   }
 
-  test("flatMapGroupsWithState sessionizer matches session_window (w3 parity)") {
+  test("flatMapGroupsWithState sessionizer matches session_window (w3 " +
+    "parity), including an out-of-order late arrival in a later batch") {
     val mem = MemoryStream[Event]
     val q = sessionizeCustom(mem.toDS())
       .writeStream.format("memory").queryName("custom_sessions")
       .outputMode("append").start()
     mem.addData(rows: _*)
     q.processAllAvailable()
-    // advance the watermark far past every session so timeouts fire
-    mem.addData(Event(99, ts(600), 9, "noise", 0.0))
+    // in-watermark late event (ts 00:20, watermark is 130min-2h): merges
+    // BACKWARDS into user 1's first session — the case eager emission
+    // would get wrong
+    val late = Event(6, ts(20), 1, "click", 1.5)
+    mem.addData(late, Event(99, ts(600), 9, "noise", 0.0))
     q.processAllAvailable()
+    // advance the watermark far past every session so timeouts fire
     mem.addData(Event(100, ts(1200), 9, "noise2", 0.0))
     q.processAllAvailable()
     q.stop()
@@ -115,10 +120,13 @@ class EventStreamsSpec extends SparkSpec {
         col("n_events"), col("sum_value"))
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
         r.getLong(3), r.getDouble(4))).toSet
-    val declarative = sessionCounts(rows.toDF())
+    val declarative = sessionCounts((rows :+ late).toDF())
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
         r.getLong(3), r.getDouble(4))).toSet
     assert(custom == declarative)
+    // the late event really did extend the first session backwards-merge
+    assert(custom.exists { case (u, st, _, n, sum) =>
+      u == 1L && st == ts(0) && n == 3L && sum == 4.5 })
   }
 
   case class Doc(doc_id: Long, ts: Timestamp, text: String)
