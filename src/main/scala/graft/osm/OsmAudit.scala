@@ -182,15 +182,32 @@ object OsmAudit {
 
   /** F12 — the shape-invariant validation (clean_and_write.py:358-379)
     * as a violations side-output: empty on a clean extract. */
-  def violations(docs: DataFrame): DataFrame = {
+  def violations(docs: DataFrame): DataFrame =
+    docs.filter(violationCond).select(col("_id"), col("doc_type"))
+
+  private def violationCond: Column = {
     def has(c: String): Column = col(c).isNotNull
-    docs.filter(
-      (col("doc_type") === "node" &&
-        (has("node_refs") || has("members") || !has("pos"))) ||
-        (col("doc_type") === "way" &&
-          (has("pos") || has("members") || !has("node_refs"))) ||
-        (col("doc_type") === "relation" &&
-          (has("pos") || has("node_refs") || !has("members"))))
-      .select(col("_id"), col("doc_type"))
+    (col("doc_type") === "node" &&
+      (has("node_refs") || has("members") || !has("pos"))) ||
+      (col("doc_type") === "way" &&
+        (has("pos") || has("members") || !has("node_refs"))) ||
+      (col("doc_type") === "relation" &&
+        (has("pos") || has("node_refs") || !has("members")))
+  }
+
+  /** Pipeline-attached quality metrics via `observe` — the engine's
+    * face of the reference's dbstats + shape checks (SURVEY §2.1 S7 /
+    * §2.7 F12) that costs NO second scan: the counters accumulate as a
+    * side effect of whatever action consumes `docs`, and are read from
+    * the returned observation after that action. At 100 TB this is how
+    * ingest jobs publish doc counts / violation counts without
+    * re-reading the corpus. */
+  def withShapeMetrics(docs: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("shape_metrics")
+    val observed = docs.observe(obs,
+      count(lit(1)).as("n_docs"),
+      sum(when(violationCond, 1L).otherwise(0L)).as("n_violations"),
+      sum(when(col("doc_type") === "node", 1L).otherwise(0L)).as("n_nodes"))
+    (observed, obs)
   }
 }

@@ -136,6 +136,15 @@ class OsmEndToEndSpec extends SparkSpec {
     assert(OsmAudit.violations(docs).count() == 0L)
   }
 
+  test("observe() metrics ride the consuming action for free (S7/F12)") {
+    val (observed, obs) = OsmAudit.withShapeMetrics(docs)
+    val total = observed.count() // the ONLY scan; metrics are a side effect
+    val row = obs.get
+    assert(row("n_docs") == total)
+    assert(row("n_violations") == 0L)
+    assert(row("n_nodes").asInstanceOf[Long] > 0L)
+  }
+
   test("countDocsBy finds keys across typed views (A2)") {
     val m = OsmAudit.countDocsBy(docs, "service").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
