@@ -330,6 +330,31 @@ object RelationalOps {
       .select(col("l_partkey"), strJoin(col("refers_arr")).as("refers"),
         size(col("refers_arr")).as("refer_count"))
 
+  /** M4 — upsert / keep-latest merge (beyond the reference's in-place
+    * updates: the recompute form every lakehouse ingest uses). A delta
+    * batch (here: re-ingested docs with a bumped version, synthesized
+    * deterministically) merges into the base corpus; the winner per key
+    * is the highest (version, then text for a total order) via one
+    * window rank. At scale: union is free, the only shuffle is the
+    * per-key window — i.e. MERGE INTO without a table format, and the
+    * same plan a Delta/Iceberg MERGE compiles to for
+    * latest-wins semantics. */
+  private def m4(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), lit(1).as("version"))
+    val delta = Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+        lit(2).as("version"))
+    base.unionByName(delta)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("version").desc, col("text").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("text"), col("version"))
+  }
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -366,7 +391,8 @@ object RelationalOps {
     "u7_except" -> (u7 _),
     "m1_conditional_update" -> (m1 _),
     "m2_positional_array_update" -> (m2 _),
-    "m3_materialize_ref_docs" -> (m3 _)
+    "m3_materialize_ref_docs" -> (m3 _),
+    "m4_upsert_latest" -> (m4 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -442,6 +468,15 @@ object RelationalOps {
     "m2_positional_array_update" ->
       "SELECT doc_id, array_to_string(CASE WHEN pos IS NULL OR pos = 0 THEN l ELSE l[1:pos-1] || [upper(l[pos])] || l[pos+1:] END, '|') AS toks2 FROM (SELECT doc_id, string_split(text, ' ') AS l, list_position(string_split(text, ' '), 'data') AS pos FROM documents)",
     "m3_materialize_ref_docs" ->
-      "SELECT l_partkey, array_to_string(refers, '|') AS refers, len(refers) AS refer_count FROM (SELECT l_partkey, list_sort(list_distinct(list(l_suppkey))) AS refers FROM lineitem GROUP BY l_partkey)"
+      "SELECT l_partkey, array_to_string(refers, '|') AS refers, len(refers) AS refer_count FROM (SELECT l_partkey, list_sort(list_distinct(list(l_suppkey))) AS refers FROM lineitem GROUP BY l_partkey)",
+    "m4_upsert_latest" -> """
+      WITH u AS (
+        SELECT doc_id, text, 1 AS version FROM documents
+        UNION ALL
+        SELECT doc_id, text || ' v2', 2 FROM documents WHERE doc_id % 10 = 0),
+      r AS (SELECT doc_id, text, version,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY version DESC, text) AS rn FROM u)
+      SELECT doc_id, text, version FROM r WHERE rn = 1"""
   )
 }

@@ -139,6 +139,15 @@ class NewOpsSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("m4 upsert: delta rows win, untouched rows survive, no key lost") {
+    val docs = Tables.documents(spark, sf).count()
+    val r = q("m4_upsert_latest").cache()
+    assert(r.count() == docs) // exactly one row per key
+    assert(r.filter(col("doc_id") % 10 === 0 && col("version") =!= 2).count() == 0)
+    assert(r.filter(col("doc_id") % 10 =!= 0 && col("version") =!= 1).count() == 0)
+    r.unpersist()
+  }
+
   test("format_phone is SQL-registered via the extensions") {
     assert(spark.sql("SELECT format_phone('306-555-1234') AS p").head().getString(0)
       == "+1-360-555-1234")
