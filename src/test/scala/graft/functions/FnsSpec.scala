@@ -25,6 +25,18 @@ class FnsSpec extends SparkSpec {
     assert(java.lang.Double.doubleToLongBits(h) == java.lang.Double.doubleToLongBits(u))
   }
 
+  test("kernel tokenizers stay in lockstep with the expression tier " +
+    "(bigramShinglesLocal == bigramShingles; bigramsLocal count law)") {
+    val inputs = Seq("a b c a b", "x", "", "a  b", "data data data", "α β γ")
+    val viaExpr = inputs.toDF("t")
+      .select(bigramShingles(toks(col("t")))).as[Seq[String]].collect().toSeq
+    assert(viaExpr == inputs.map(bigramShinglesLocal))
+    // non-distinct bigrams: always max(0, n_tokens - 1) of them
+    inputs.foreach { t =>
+      assert(bigramsLocal(t).length == math.max(0, t.split(" ", -1).length - 1))
+    }
+  }
+
   test("bigramShingles produces distinct local-order shingles") {
     val out = Seq("a b c a b").toDF("t")
       .select(bigramShingles(toks(col("t")))).as[Seq[String]].head()
