@@ -203,11 +203,16 @@ object OsmAudit {
     * ingest jobs publish doc counts / violation counts without
     * re-reading the corpus. */
   def withShapeMetrics(docs: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
-    val obs = org.apache.spark.sql.Observation("shape_metrics")
+    // auto-generated unique name: a fixed name throws
+    // DUPLICATED_METRICS_NAME when two observed branches meet in one
+    // action (e.g. union of two ingests)
+    val obs = org.apache.spark.sql.Observation()
+    // count(when(...)), not sum(when/otherwise): sum over zero rows is
+    // NULL, and an empty batch must publish 0, not null
     val observed = docs.observe(obs,
       count(lit(1)).as("n_docs"),
-      sum(when(violationCond, 1L).otherwise(0L)).as("n_violations"),
-      sum(when(col("doc_type") === "node", 1L).otherwise(0L)).as("n_nodes"))
+      count(when(violationCond, lit(1))).as("n_violations"),
+      count(when(col("doc_type") === "node", lit(1))).as("n_nodes"))
     (observed, obs)
   }
 }

@@ -145,6 +145,24 @@ class OsmEndToEndSpec extends SparkSpec {
     assert(row("n_nodes").asInstanceOf[Long] > 0L)
   }
 
+  test("violation predicate actually fires on a malformed doc, and an " +
+    "empty batch publishes 0 (not null) metrics") {
+    // damage one node: drop its pos -> violates the node invariant
+    val damaged = docs.filter(col("doc_type") === "node").limit(1)
+      .withColumn("pos", org.apache.spark.sql.functions.lit(null)
+        .cast(docs.schema("pos").dataType))
+    assert(OsmAudit.violations(damaged).count() == 1L)
+    val (obsDf, obs) = OsmAudit.withShapeMetrics(damaged)
+    obsDf.count()
+    assert(obs.get("n_violations") == 1L)
+    // empty batch: counters must be 0, not null
+    val (emptyDf, emptyObs) = OsmAudit.withShapeMetrics(docs.limit(0))
+    emptyDf.count()
+    assert(emptyObs.get("n_docs") == 0L)
+    assert(emptyObs.get("n_violations") == 0L)
+    assert(emptyObs.get("n_nodes") == 0L)
+  }
+
   test("countDocsBy finds keys across typed views (A2)") {
     val m = OsmAudit.countDocsBy(docs, "service").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
