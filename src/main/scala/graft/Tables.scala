@@ -43,4 +43,15 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame   = apply(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so the whole surface is also
+    * reachable SQL-first (`spark.sql("SELECT ... FROM lineitem ...")`),
+    * with the engine's registered functions (`dot_product`,
+    * `format_phone`) callable inline. Views go through [[apply]], so
+    * the events ns→µs normalization applies identically. */
+  def registerViews(s: SparkSession, d: String): Unit =
+    names.foreach(n => apply(s, d, n).createOrReplaceTempView(n))
 }

@@ -148,6 +148,23 @@ class NewOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("SQL-first entry: registered views + registered functions " +
+    "reproduce the DataFrame surface") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql("""
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_returnflag, l_linestatus""")
+      .collect().map(_.toString).sorted
+    val viaDf = q("a2_group_count").collect().map(_.toString).sorted
+    assert(viaSql.sameElements(viaDf))
+    // engine functions are callable from SQL over the views
+    val cleaned = spark.sql(
+      "SELECT format_phone('306-555-1234') AS p FROM region LIMIT 1")
+      .head().getString(0)
+    assert(cleaned == "+1-360-555-1234")
+  }
+
   test("format_phone is SQL-registered via the extensions") {
     assert(spark.sql("SELECT format_phone('306-555-1234') AS p").head().getString(0)
       == "+1-360-555-1234")
