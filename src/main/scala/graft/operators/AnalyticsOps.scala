@@ -50,6 +50,20 @@ object AnalyticsOps {
     Tables.lineitem(s, d)
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
 
+  /** g7 — approximate quantiles (the 100 TB form of g4): a fixed-size
+    * quantile sketch with declared accuracy, mergeable across
+    * partitions — exact percentile holds all values per group, the
+    * sketch holds O(1/ε). NO oracle, same policy as g5: sketch
+    * implementations differ per engine, so the driver records the
+    * rows-only check and the spec bounds the sketch against g4's exact
+    * quartiles. */
+  private def g7(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .agg(transform(
+        approx_percentile(col("o_totalprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)),
+        x => roundFp(x, 4)).as("approx_quartiles"))
+
   /** g6 — salted two-stage aggregation: the skew pattern for
     * low-cardinality group keys (5 event types over 100 TB would put
     * each key's entire partial state on one reducer). Stage 1 groups on
@@ -72,7 +86,8 @@ object AnalyticsOps {
     "g2_cube" -> (g2 _),
     "g3_pivot" -> (g3 _),
     "g4_quantiles" -> (g4 _),
-    "g5_approx_distinct" -> (g5 _)
+    "g5_approx_distinct" -> (g5 _),
+    "g7_approx_quantiles" -> (g7 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -96,6 +111,8 @@ object AnalyticsOps {
       SELECT list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
         x -> floor(x*10000 + 0.5)/10000) AS quartiles
       FROM orders"""
-    // g5_approx_distinct: intentionally no oracle (per-engine sketches)
+    // g5_approx_distinct, g7_approx_quantiles: intentionally no oracle
+    // (per-engine sketches); accuracy is spec-bounded against the exact
+    // forms instead
   )
 }

@@ -148,6 +148,14 @@ class NewOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("g7: sketch quartiles track the exact quantiles within 1%") {
+    val approx = q("g7_approx_quantiles").head().getSeq[Double](0)
+    val exact = q("g4_quantiles").head().getSeq[Double](0)
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) <= 0.01 * math.abs(e), s"approx $a vs exact $e")
+    }
+  }
+
   test("SQL-first entry: registered views + registered functions " +
     "reproduce the DataFrame surface") {
     Tables.registerViews(spark, sf)
