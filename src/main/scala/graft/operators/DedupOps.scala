@@ -304,9 +304,15 @@ object DedupOps {
           if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
         }
         val comp = parent.keys.toSeq.map(v => (v, find(v)))
+        edges.unpersist() // collected above; the LocalRelation is free of it
         comp.toDF("doc_id", "comp")
-      } else
-        propagateMinLabels(s, edges)
+      } else {
+        val out = propagateMinLabels(s, edges)
+        // sym was persisted and fully materialized in round 1; the
+        // returned labels are checkpointed — edges' cache is dead weight
+        edges.unpersist()
+        out
+      }
     // no broadcast hint: the label map is usually tiny (edge vertices),
     // but on a heavily-duplicated corpus it can be a large fraction of
     // the rows — let the planner/AQE pick broadcast vs shuffle from the
@@ -357,7 +363,14 @@ object DedupOps {
       System.err.println(
         s"[graft] d7_dedup_components: NOT converged after $rounds rounds; " +
           "increase the cap for graphs of this diameter")
-    labels
+    // eager localCheckpoint truncates the per-round lineage (it grows
+    // linearly with rounds) and lets every loop cache be released NOW
+    // instead of leaking for the session; the checkpoint blocks are
+    // context-cleaned once the result RDD is GC'd
+    val out = labels.localCheckpoint(true)
+    cached.unpersist()
+    sym.unpersist()
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

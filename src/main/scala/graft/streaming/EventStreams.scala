@@ -91,6 +91,17 @@ object EventStreams {
   def sessionizeCustom(events: Dataset[Event]): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
     val gapUs = 30L * 60 * 1000000
+    // full-microsecond conversion: getTime carries only millis — the
+    // sub-millisecond part lives in getNanos. Dropping it would shift
+    // the gap comparison (and the emitted bounds) by up to 999 µs vs
+    // the batch session_window (w3), which compares at full µs.
+    def toUs(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000 + (ts.getNanos % 1000000) / 1000
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp((us / 1000000) * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
     def sessions(user: Long, buf: Seq[(Long, Double)]): Iterator[SessionAgg] = {
       val sorted = buf.sorted
       val out = Seq.newBuilder[SessionAgg]
@@ -102,8 +113,8 @@ object EventStreams {
           j += 1; sum += sorted(j)._2
         }
         out += SessionAgg(user,
-          new java.sql.Timestamp(sorted(i)._1 / 1000),
-          new java.sql.Timestamp((sorted(j)._1 + gapUs) / 1000),
+          toTs(sorted(i)._1),
+          toTs(sorted(j)._1 + gapUs),
           j - i + 1,
           // portable floor rounding, same as the batch w3 surface
           math.floor(sum * 100 + 0.5) / 100)
@@ -125,9 +136,11 @@ object EventStreams {
             out
           } else {
             val buf = state.getOption.map(_.events).getOrElse(Seq.empty) ++
-              batch.map(e => (e.ts.getTime * 1000, e.value))
+              batch.map(e => (toUs(e.ts), e.value))
             state.update(EventBuffer(buf))
-            state.setTimeoutTimestamp((buf.map(_._1).max + gapUs) / 1000)
+            // round UP to whole millis so the timeout never fires before
+            // watermark > max(ts) + gap at full µs resolution
+            state.setTimeoutTimestamp((buf.map(_._1).max + gapUs + 999) / 1000)
             Iterator.empty
           }
       }

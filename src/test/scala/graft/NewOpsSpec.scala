@@ -148,12 +148,24 @@ class NewOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
-  test("g7: sketch quartiles track the exact quantiles within 1%") {
+  test("g7: sketch quartiles honor the declared RANK-error bound " +
+    "(accuracy bounds rank, not value — a value bound would be " +
+    "distribution-dependent and spuriously fail on skewed data)") {
     val approx = q("g7_approx_quantiles").head().getSeq[Double](0)
-    val exact = q("g4_quantiles").head().getSeq[Double](0)
-    approx.zip(exact).foreach { case (a, e) =>
-      assert(math.abs(a - e) <= 0.01 * math.abs(e), s"approx $a vs exact $e")
+    val prices = Tables.orders(spark, sf).select(col("o_totalprice")).cache()
+    val n = prices.count()
+    // accuracy=10000 in g7 => rank error <= n/accuracy (+1 for ties)
+    val eps = n.toDouble / 10000 + 1
+    Seq(0.25, 0.5, 0.75).zip(approx).foreach { case (p, a) =>
+      val below = prices.filter(col("o_totalprice") < a).count()
+      val atOrBelow = prices.filter(col("o_totalprice") <= a).count()
+      val target = p * n
+      // the returned value's rank interval must reach within eps of
+      // the target rank
+      assert(below - eps <= target && target <= atOrBelow + eps,
+        s"p=$p approx=$a rankRange=[$below,$atOrBelow] target=$target n=$n")
     }
+    prices.unpersist()
   }
 
   test("SQL-first entry: registered views + registered functions " +

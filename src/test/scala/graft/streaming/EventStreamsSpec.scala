@@ -129,6 +129,44 @@ class EventStreamsSpec extends SparkSpec {
       u == 1L && st == ts(0) && n == 3L && sum == 4.5 })
   }
 
+  private def tsUs(min: Int, micros: Int): Timestamp = {
+    val t = ts(min); t.setNanos(micros * 1000); t
+  }
+
+  test("sessionizer keeps sub-millisecond precision: µs-level gap " +
+    "decisions and emitted bounds match session_window (w3 parity)") {
+    // ms-truncation would see both pairs as exactly 30:00.000 apart and
+    // split/merge them identically; at full µs they differ
+    val subRows = Seq(
+      Event(1, tsUs(0, 500), 1, "click", 1.0),
+      Event(2, tsUs(30, 400), 1, "click", 2.0), // gap - 100µs -> same session
+      Event(3, tsUs(0, 500), 2, "click", 3.0),
+      Event(4, tsUs(30, 600), 2, "click", 4.0)) // gap + 100µs -> new session
+    val mem = MemoryStream[Event]
+    val q = sessionizeCustom(mem.toDS())
+      .writeStream.format("memory").queryName("subms_sessions")
+      .outputMode("append").start()
+    mem.addData(subRows: _*)
+    mem.addData(Event(99, ts(600), 9, "noise", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(100, ts(1200), 9, "noise2", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val custom = spark.table("subms_sessions")
+      .filter(col("user_id") =!= 9)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val declarative = sessionCounts(subRows.toDF())
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(custom == declarative)
+    // user 1 merged into one 2-event session; user 2 split into two
+    assert(custom.count(_._1 == 1L) == 1 && custom.count(_._1 == 2L) == 2)
+    // emitted bounds carry the microseconds (end = last ts + gap, at µs)
+    assert(custom.exists { case (u, st, en, _, _) =>
+      u == 1L && st == tsUs(0, 500) && en == tsUs(60, 400) })
+  }
+
   case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
   test("streaming dedup keeps first arrival, drops re-deliveries across " +

@@ -45,9 +45,12 @@ def main():
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     dirs = set(d for d in os.listdir(out_dir)
                if os.path.isdir(os.path.join(out_dir, d)))
-    # union: a query that crashed in graft.Verify writes no output dir —
-    # that's a failure, not a silent omission from the gate
-    names = sorted(dirs | set(oracles))
+    # union with the FULL query list (queries.json) so a crashed
+    # no-oracle query is a FAIL-miss, not a silent omission; fall back
+    # to oracle keys for output dirs written before queries.json existed
+    qpath = os.path.join(out_dir, "queries.json")
+    declared = set(json.load(open(qpath))) if os.path.exists(qpath) else set()
+    names = sorted(dirs | set(oracles) | declared)
     n_pass = n_fail = n_noracle = 0
     for name in names:
         if name not in dirs:
