@@ -48,7 +48,9 @@ object SparkEntry {
         "mm1_media_features" ->
           ((s: SparkSession, d: String) => multimodal.MediaPipeline.features(s, d)),
         "mm2_frame_sample" ->
-          ((s: SparkSession, d: String) => multimodal.MediaPipeline.frameFeatures(s, d)))
+          ((s: SparkSession, d: String) => multimodal.MediaPipeline.frameFeatures(s, d)),
+        "mm3_audio_chunk" ->
+          ((s: SparkSession, d: String) => multimodal.MediaPipeline.audioChunks(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -84,5 +86,21 @@ object SparkEntry {
         SELECT doc_id, frame_idx,
           round(list_sum(bytes)/16.0, 4) AS frame_mean,
           len(list_filter(bytes, x -> x >= 128)) AS n_high
-        FROM b""")
+        FROM b""",
+      "mm3_audio_chunk" -> """
+        WITH a AS (SELECT doc_id, text,
+          CAST((doc_id % 2500) + 500 AS INT) AS dur FROM documents),
+        c AS (SELECT doc_id, text, dur,
+          unnest(generate_series(0, CAST(ceil(dur/1000.0) AS INT) - 1))
+            AS chunk_idx FROM a),
+        b AS (SELECT doc_id, chunk_idx, dur,
+          md5(text || ':a' || (chunk_idx % 3)::VARCHAR) AS h FROM c),
+        e AS (SELECT doc_id, chunk_idx, dur,
+          list_transform(generate_series(0,15),
+            i -> ('0x' || substr(h, 2*i+1, 2))::INT) AS bytes FROM b)
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+          CAST(chunk_idx*1000 AS INT) AS start_ms,
+          CAST(least((chunk_idx+1)*1000, dur) AS INT) AS end_ms,
+          round(list_sum(bytes)/16.0, 4) AS chunk_mean
+        FROM e""")
 }

@@ -122,4 +122,62 @@ object MediaPipeline {
     import spark.implicits._
     sampleFrames(videoTable(spark, dir).as[VideoRow], 2).toDF()
   }
+
+  // -------------------------------------------------------------------
+  // mm3 — audio chunking (duration metadata drives the expansion)
+  // -------------------------------------------------------------------
+
+  /** One audio row: payload + the duration a real container header
+    * would declare. */
+  case class AudioRow(doc_id: Long, duration_ms: Int, audio: Array[Byte])
+
+  /** Per-chunk features: time bounds from the metadata, a level mean a
+    * real decoder would compute from the samples. */
+  case class AudioChunk(doc_id: Long, chunk_idx: Int, start_ms: Int,
+    end_ms: Int, chunk_mean: Double)
+
+  /** Synthesized 48-byte "audio" (3 blocks of 16: block i is
+    * md5(text || ":a<i>")) with a deterministic duration 500–2999 ms —
+    * both replayable by the oracle. In production: binary column +
+    * real header metadata, downstream unchanged. */
+  def audioTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val blocks = (0 until 3).map(i =>
+      unhex(md5(concat(col("text"), lit(s":a$i")))))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      ((col("doc_id") % 2500) + 500).cast("int").as("duration_ms"),
+      concat(blocks: _*).as("audio"))
+  }
+
+  /** Fixed-window audio chunking: each row expands to
+    * ceil(duration/chunkMs) chunk rows inside the partition batch —
+    * the generator shape mm2 uses, but METADATA-driven (the expansion
+    * factor comes from a typed column, not the payload length, which
+    * is how variable-length media behaves: a 3-hour podcast row
+    * expands 10800×, a 2-second clip 2×). The last chunk is clipped to
+    * the real duration. Only the narrow (id, idx, bounds, scalar)
+    * output ever shuffles; the payload dies inside the task. */
+  def chunkAudio(audio: Dataset[AudioRow], chunkMs: Int): Dataset[AudioChunk] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      // a real pipeline would initialize the audio codec here, once
+      rows.flatMap { r =>
+        val n = (r.duration_ms + chunkMs - 1) / chunkMs
+        (0 until n).iterator.map { i =>
+          val blk = (i % 3) * 16
+          val b = r.audio.slice(blk, blk + 16).map(_ & 0xff)
+          AudioChunk(r.doc_id, i, i * chunkMs,
+            math.min((i + 1) * chunkMs, r.duration_ms),
+            math.rint(b.sum.toDouble / 16 * 10000) / 10000)
+        }
+      }
+    }
+  }
+
+  /** End-to-end: documents → audio rows → 1-second chunks. */
+  def audioChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chunkAudio(audioTable(spark, dir).as[AudioRow], 1000).toDF()
+  }
 }

@@ -80,8 +80,23 @@ object AnalyticsOps {
       .groupBy(col("event_type"))
       .agg(sum(col("c")).as("cnt"), roundFp(sum(col("v")), 2).as("sum_value"))
 
+  /** g8 — GROUPING SETS ((flag),(status)): the grouping-set shape
+    * rollup/cube can't express (two independent one-column rollouts in
+    * a single pass instead of two scans + union). `grouping_id`
+    * disambiguates which set produced a row — and real NULL group
+    * values from set-induced NULLs. Physically identical to g1/g2: one
+    * Expand then one partial+final hash agg. */
+  private def g8(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+        sum(col("l_quantity")).as("sum_qty"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g6_salted_agg" -> (g6 _),
+    "g8_grouping_sets" -> (g8 _),
     "g1_rollup" -> (g1 _),
     "g2_cube" -> (g2 _),
     "g3_pivot" -> (g3 _),
@@ -110,7 +125,14 @@ object AnalyticsOps {
     "g4_quantiles" -> """
       SELECT list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
         x -> floor(x*10000 + 0.5)/10000) AS quartiles
-      FROM orders"""
+      FROM orders""",
+    // GROUPING bitmask convention verified identical (leftmost arg =
+    // MSB, 1 = aggregated away): (flag) set -> gid 1, (status) -> 2
+    "g8_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        count(*) AS cnt, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
     // g5_approx_distinct, g7_approx_quantiles: intentionally no oracle
     // (per-engine sketches); accuracy is spec-bounded against the exact
     // forms instead

@@ -355,6 +355,31 @@ object RelationalOps {
       .select(col("doc_id"), col("text"), col("version"))
   }
 
+  /** M5 — SCD2 history build (beyond the reference: the temporal-table
+    * form of its update operators): each user's event stream becomes
+    * validity intervals [valid_from, valid_to) per observed state, the
+    * open current row flagged — how a lakehouse materializes "what was
+    * true when" from a change log. lead() over the key is the whole
+    * computation: one shuffle on user_id, no join, no self-merge. */
+  private def m5(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("state"), col("ts").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** U8 — positional unwind (the `$unwind includeArrayIndex` variant
+    * of U1): explode with the element's 0-based index — Generate with
+    * position, same narrow no-shuffle shape as U1. */
+  private def u8(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("idx", "tok")))
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -392,7 +417,9 @@ object RelationalOps {
     "m1_conditional_update" -> (m1 _),
     "m2_positional_array_update" -> (m2 _),
     "m3_materialize_ref_docs" -> (m3 _),
-    "m4_upsert_latest" -> (m4 _)
+    "m4_upsert_latest" -> (m4 _),
+    "m5_scd2_intervals" -> (m5 _),
+    "u8_posexplode" -> (u8 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -477,6 +504,17 @@ object RelationalOps {
       r AS (SELECT doc_id, text, version,
               row_number() OVER (PARTITION BY doc_id
                 ORDER BY version DESC, text) AS rn FROM u)
-      SELECT doc_id, text, version FROM r WHERE rn = 1"""
+      SELECT doc_id, text, version FROM r WHERE rn = 1""",
+    "m5_scd2_intervals" -> """
+      SELECT user_id, event_id, event_type AS state, ts AS valid_from,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          AS is_current
+      FROM events""",
+    "u8_posexplode" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+      SELECT doc_id, unnest(generate_series(1, len(l))) - 1 AS idx,
+        unnest(l) AS tok
+      FROM t"""
   )
 }

@@ -65,10 +65,29 @@ object SampleOps {
       .agg(count(lit(1)).as("kept"))
   }
 
+  /** sm4 — per-group cap (balanced downsampling): keep at most K docs
+    * per source, selected by HASH order — "no source dominates the
+    * mixture" with a hard per-group budget, the companion to sm3's
+    * rate-based weighting. Hash order makes the kept set a pure
+    * function of the data (reproducible, retry-stable), not of
+    * partition layout. One shuffle on source; the rank is a bounded
+    * per-key top-k, and with a `filter(rn <= K)` directly over the
+    * window Spark never materializes more than the group's rows. */
+  private def sm4(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(md5Long(col("doc_id")).asc, col("doc_id").asc)))
+      .filter(col("rn") <= 15)
+      .select(col("source"), col("doc_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sm1_stratified_sample" -> (sm1 _),
     "sm2_split_assign" -> (sm2 _),
-    "sm3_mixture_weights" -> (sm3 _)
+    "sm3_mixture_weights" -> (sm3 _),
+    "sm4_group_cap" -> (sm4 _)
   )
 
   private val H =
@@ -92,6 +111,12 @@ object SampleOps {
       WHERE ${H.format("doc_id")} % 1000 <
         CASE WHEN source IN ('src0', 'src1') THEN 1000
              WHEN source = 'src2' THEN 250 ELSE 100 END
-      GROUP BY source"""
+      GROUP BY source""",
+    "sm4_group_cap" -> s"""
+      SELECT source, doc_id, rn FROM (
+        SELECT source, doc_id, row_number() OVER (PARTITION BY source
+          ORDER BY ${H.format("doc_id")}, doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 15"""
   )
 }

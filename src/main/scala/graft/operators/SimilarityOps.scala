@@ -144,10 +144,35 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("cos"), col("rank"))
   }
 
+  /** s4 — k-NN self-join: EVERY corpus vector gets its top-3
+    * neighbors from its own LSH bucket — the all-pairs companion to
+    * s2 (s2 answers a small query set; s4 builds the neighbor graph
+    * that clustering / semantic-dedup consumes). No broadcast: the
+    * "query" side IS the corpus, so both sides shuffle on the bucket
+    * key, the quadratic cost is confined per bucket, and AQE splits a
+    * skewed bucket at runtime. At 100 TB this is the only viable
+    * all-pairs shape — the exact variant is a cartesian join by
+    * definition. */
+  private def s4(s: SparkSession, d: String): DataFrame = {
+    val (_, corpus) = queriesAndCorpus(s, d)
+    val cb = corpus.withColumn("bucket", bucketOf(col("emb")))
+    cb.select(col("bucket"), col("vec_id").as("qid"),
+      col("emb").as("qemb"), col("nrm").as("qnrm"))
+      .join(cb, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> (s1 _),
     "s2_ann_lsh" -> (s2 _),
-    "s3_ann_ivf" -> (s3 _)
+    "s3_ann_ivf" -> (s3 _),
+    "s4_knn_join" -> (s4 _)
   )
 
   /** DuckDB mirror of the plane constants + dot/sign logic. */
@@ -187,6 +212,19 @@ object SimilarityOps {
                floor(list_sum(list_transform(generate_series(1,64),
                  k -> q.emb[k] * c.emb[k])) / (q.nrm * c.nrm)*1000000 + 0.5)/1000000 AS cos
              FROM b q JOIN b c ON q.vec_id < 10 AND q.bucket = c.bucket
+               AND c.vec_id <> q.vec_id),
+      r AS (SELECT qid, nid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+            FROM sc)
+      SELECT qid, nid, cos, rank FROM r WHERE rank <= 3""",
+    "s4_knn_join" -> s"""
+      WITH pl AS ($PLANES_SQL),
+      e AS ($EMB_SQL),
+      b AS ($BUCKET_SQL),
+      sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+               floor(list_sum(list_transform(generate_series(1,64),
+                 k -> q.emb[k] * c.emb[k])) / (q.nrm * c.nrm)*1000000 + 0.5)/1000000 AS cos
+             FROM b q JOIN b c ON q.bucket = c.bucket
                AND c.vec_id <> q.vec_id),
       r AS (SELECT qid, nid, cos,
               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank

@@ -202,7 +202,37 @@ object TextOps {
           .as("rep_ratio"))
   }
 
+  /** x10 — TF-IDF term weighting: top-3 characteristic terms per
+    * document by tf × (N/df). The idf factor is the RAW rarity ratio
+    * N/df, not log(N/df): a single IEEE division is bit-identical
+    * across engines, while libm log is not correctly-rounded and can't
+    * be oracle-hashed (swapping in log-idf is a one-line change and
+    * does not alter the plan). Plan shape at 100 TB: tf is one
+    * partial+final agg on (doc, term); df is an agg over tf whose
+    * result is VOCABULARY-sized, so it broadcasts back; N rides along
+    * as a 1-row broadcast cross join; the final per-doc top-k is one
+    * window on doc_id. Three aggs, no corpus-sized join ever
+    * shuffles twice. */
+  private def x10(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        ((col("tf") * col("n")).cast("double") / col("df")).as("weight"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("weight").desc, col("term").asc)))
+      .filter(col("rank") <= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x10_tfidf" -> (x10 _),
     "x8_contamination" -> (x8 _),
     "x9_repetition" -> (x9 _),
     "x1_lang_id" -> (x1 _),
@@ -217,6 +247,19 @@ object TextOps {
   private def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    "x10_tfidf" -> """
+      WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                 FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      w AS (SELECT tf.doc_id, tf.term,
+              CAST(tf.tf * n.n AS DOUBLE) / df.df AS weight
+            FROM tf JOIN df ON tf.term = df.term, n),
+      r AS (SELECT doc_id, term, weight, row_number() OVER (
+              PARTITION BY doc_id ORDER BY weight DESC, term) AS rank
+            FROM w)
+      SELECT doc_id, term, weight, rank FROM r WHERE rank <= 3""",
     "x1_lang_id" -> s"""
       WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
       sc AS (SELECT doc_id,

@@ -72,12 +72,28 @@ object WindowOps {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** w6 — running cumulative aggregate (rows unbounded preceding →
+    * current row): the explicit frame-spec window the w-family lacked.
+    * The accumulation ORDER is pinned by (ts, event_id), so the
+    * left-to-right FP sum is reproducible run-to-run; one shuffle on
+    * user_id and a per-partition sort, same exchange shape as w4. */
+  private def w6(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("running_n"),
+        roundFp(sum(col("value")).over(w), 2).as("running_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_tumbling_window" -> (w1 _),
     "w2_rank_per_group" -> (w2 _),
     "w3_session_window" -> (w3 _),
     "w4_lag_delta" -> (w4 _),
-    "w5_sliding_window" -> (w5 _)
+    "w5_sliding_window" -> (w5 _),
+    "w6_running_total" -> (w6 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -111,6 +127,13 @@ object WindowOps {
         date_diff('microsecond',
           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS delta_us
       FROM events""",
+    "w6_running_total" -> """
+      SELECT user_id, event_id,
+        count(*) OVER w AS running_n,
+        floor(sum(value) OVER w * 100 + 0.5)/100 AS running_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     // every event is in exactly two 10-min/5-min-slide windows: the
     // epoch-aligned floor window and the one 5 minutes earlier
     "w5_sliding_window" -> """

@@ -189,4 +189,126 @@ class NewOpsSpec extends SparkSpec {
     assert(spark.sql("SELECT format_phone('306-555-1234') AS p").head().getString(0)
       == "+1-360-555-1234")
   }
+
+  // ----- round-3 additions -----
+
+  test("w6: the last running row per user equals the user's totals") {
+    val r = q("w6_running_total").cache()
+    val last = r.groupBy(col("user_id"))
+      .agg(max(col("running_n")).as("n"), max(col("running_value")).as("_ignore"))
+      .select(col("user_id"), col("n"))
+    val expected = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    assert(last.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(last).count() == 0)
+    // running_n is dense 1..n per user: as many rows as the max
+    val bad = r.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("rows"), max(col("running_n")).as("mx"),
+        countDistinct(col("running_n")).as("dn"))
+      .filter(col("rows") =!= col("mx") || col("dn") =!= col("rows"))
+    assert(bad.count() == 0)
+    r.unpersist()
+  }
+
+  test("m5: SCD2 intervals chain per user — one open current row, " +
+    "each closed interval ends where the next begins") {
+    val r = q("m5_scd2_intervals").cache()
+    assert(r.count() == Tables.events(spark, sf).count())
+    val currents = r.groupBy(col("user_id"))
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_open"))
+      .filter(col("n_open") =!= 1)
+    assert(currents.count() == 0)
+    // closed intervals are well-formed ([from, to) with from <= to;
+    // equal-timestamp events produce zero-width intervals, not overlap)
+    assert(r.filter(!col("is_current") &&
+      col("valid_from") > col("valid_to")).count() == 0)
+    r.unpersist()
+  }
+
+  test("g8: both grouping sets are present and each re-totals the table") {
+    val r = q("g8_grouping_sets").cache()
+    val total = Tables.lineitem(spark, sf).count()
+    assert(r.select(col("gid")).distinct().collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L))
+    Seq(1L, 2L).foreach { g =>
+      assert(r.filter(col("gid") === g).agg(sum(col("cnt"))).head().getLong(0)
+        == total)
+    }
+    // set 1 groups by flag (status aggregated away -> null), set 2 the reverse
+    assert(r.filter(col("gid") === 1 && col("l_linestatus").isNotNull).count() == 0)
+    assert(r.filter(col("gid") === 2 && col("l_returnflag").isNotNull).count() == 0)
+    r.unpersist()
+  }
+
+  test("sm4: per-source cap keeps min(15, group size), ranks dense") {
+    val r = q("sm4_group_cap")
+    val kept = r.groupBy(col("source")).agg(count(lit(1)).as("kept"),
+      max(col("rn")).as("mxrn"))
+    val sizes = Tables.documents(spark, sf).groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+    val bad = kept.join(sizes, Seq("source"))
+      .filter(col("kept") =!= least(lit(15), col("n")) ||
+        col("mxrn") =!= col("kept"))
+    assert(bad.count() == 0)
+  }
+
+  test("x10: top-3 terms match an independent driver-side tf-idf " +
+    "recomputation (lockstep)") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(row => (row.getLong(0), row.getString(1).split(" ").toSeq))
+    val n = docs.length.toLong
+    val dfm = docs.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+    val expected = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).toSeq
+        .map { case (t, xs) => (t, (xs.length * n).toDouble / dfm(t)) }
+        .sortBy { case (t, wt) => (-wt, t) }
+        .take(3).zipWithIndex
+        .map { case ((t, wt), i) => (id, t, wt, i + 1) }
+    }.toSet
+    val got = q("x10_tfidf").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("u8: positional explode indexes are dense 0..n-1 per doc and " +
+    "row-count-equal to the plain explode") {
+    val r = q("u8_posexplode").cache()
+    assert(r.count() == q("u1_explode").count())
+    val bad = r.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), max(col("idx")).as("mx"),
+        countDistinct(col("idx")).as("dn"))
+      .filter(col("mx") =!= col("n") - 1 || col("dn") =!= col("n"))
+    assert(bad.count() == 0)
+    r.unpersist()
+  }
+
+  test("s4: restricted to s2's query set, the knn self-join emits " +
+    "exactly s2's neighbor lists (lockstep)") {
+    val s4 = q("s4_knn_join").filter(col("qid") < 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val s2 = q("s2_ann_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(s4 == s2)
+    assert(s4.nonEmpty)
+  }
+
+  test("mm3: chunk count is ceil(duration/1s), bounds tile the duration") {
+    val r = q("mm3_audio_chunk").cache()
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      ((col("doc_id") % 2500) + 500).cast("int").as("dur"))
+    val perDoc = r.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), max(col("end_ms")).as("last_end"))
+      .join(docs, Seq("doc_id"))
+      .filter(col("n_chunks") =!= ceil(col("dur") / 1000.0).cast("long") ||
+        col("last_end") =!= col("dur"))
+    assert(perDoc.count() == 0)
+    // every chunk starts on its grid point and never exceeds 1s
+    assert(r.filter(col("start_ms") =!= col("chunk_idx") * 1000).count() == 0)
+    assert(r.filter(col("end_ms") - col("start_ms") > 1000 ||
+      col("end_ms") <= col("start_ms")).count() == 0)
+    r.unpersist()
+  }
 }
