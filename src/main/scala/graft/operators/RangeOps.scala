@@ -52,9 +52,39 @@ object RangeOps {
       .agg(count(lit(1)).as("cnt"), roundFp(sum(col("o_totalprice")), 2).as("sum_price"))
   }
 
+  /** r3 — interval-overlap self-join via GRID BINNING: every pair of
+    * events (same user) whose 5-minute activity windows overlap. The
+    * naive form is a per-user non-equi self-join (quadratic per user;
+    * Catalyst would plan a nested loop). Instead each interval is
+    * binned to the fixed-width grid cells it touches — with cell width
+    * = interval length, exactly two consecutive cells — and the join
+    * becomes an EQUI-join on (user_id, cell): shuffle both sides on
+    * that key, quadratic cost confined to one cell's density, AQE
+    * splits hot cells. A pair overlapping across a cell boundary would
+    * match twice, so each pair is claimed by exactly one cell — the one
+    * containing max(a.start, b.start), which both intervals provably
+    * cover — a filter, not a distinct (no second shuffle). This is the
+    * standard spatial-join decomposition, 1-D. */
+  private def r3(s: SparkSession, d: String): DataFrame = {
+    val C = 300000000L // 5 min in µs = interval length = grid cell width
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("st"))
+      .withColumn("en", col("st") + C)
+    def binned(side: String) = e
+      .withColumn("cell", explode(array(expr(s"st div $C"), expr(s"st div $C") + 1)))
+      .select(col("user_id"), col("cell"), col("event_id").as(s"${side}_id"),
+        col("st").as(s"${side}_st"), col("en").as(s"${side}_en"))
+    binned("a").join(binned("b"), Seq("user_id", "cell"))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_st") <= col("b_en") && col("b_st") <= col("a_en") &&
+        col("cell") === expr(s"greatest(a_st, b_st) div $C"))
+      .select(col("user_id"), col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_asof_join" -> (r1 _),
-    "r2_range_join" -> (r2 _)
+    "r2_range_join" -> (r2 _),
+    "r3_interval_overlap" -> (r3 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -76,6 +106,13 @@ object RangeOps {
         FROM generate_series(0, 7) t(i))
       SELECT band, count(*) AS cnt, floor(sum(o_totalprice)*100 + 0.5)/100 AS sum_price
       FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
-      GROUP BY band"""
+      GROUP BY band""",
+    "r3_interval_overlap" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS st,
+                   epoch_us(ts) + 300000000 AS en FROM events)
+      SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+      FROM e a JOIN e b ON a.user_id = b.user_id
+        AND a.event_id < b.event_id
+        AND a.st <= b.en AND b.st <= a.en"""
   )
 }

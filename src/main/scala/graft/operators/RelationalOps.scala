@@ -380,6 +380,65 @@ object RelationalOps {
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("idx", "tok")))
 
+  /** M6 — CDC apply: fold an insert/update/delete change log into a
+    * base snapshot (m4 is latest-wins upsert; m6 adds the DELETE
+    * semantic and out-of-band inserts — the full MERGE triad a CDC
+    * ingest needs). Log batches are synthesized deterministically so
+    * the oracle can replay them: v2 uppercases every doc_id%3==0, v3
+    * deletes doc_id%10==0, v2 also inserts fresh keys (id+100000 for
+    * doc_id%50==0). Winner per key = max version via one window rank;
+    * a winning 'D' row erases the key. At scale this is the identical
+    * plan to m4 — union is free, ONE shuffle on the merge key — and
+    * deletes cost nothing extra: they ride the same rank and vanish in
+    * the final filter instead of requiring a second anti-join pass. */
+  private def m6(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"), col("text"),
+      lit(1).as("version"), lit("U").as("op"))
+    val updates = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), upper(col("text")).as("text"),
+        lit(2).as("version"), lit("U").as("op"))
+    val inserts = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("new:"), col("doc_id")).as("text"),
+        lit(2).as("version"), lit("U").as("op"))
+    val deletes = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit(null).cast("string").as("text"),
+        lit(3).as("version"), lit("D").as("op"))
+    base.unionByName(updates).unionByName(inserts).unionByName(deletes)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("version").desc)))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("doc_id"), col("text"), col("version"))
+  }
+
+  /** J7 — bloom-filter pre-join pruning: the 100 TB semi-join
+    * technique for when the key set is too large to broadcast as an
+    * exact hash relation but its BLOOM fits in a few MB. The sketch is
+    * built with one distributed aggregation over the dimension side
+    * (`stat.bloomFilter` — no collect of keys), shipped to every task,
+    * and applied as a scan-side pre-filter so only candidate rows ever
+    * reach the shuffle; the exact LeftSemi afterwards removes the ~fpp
+    * false positives, so the RESULT is exactly the semi-join (which is
+    * what the oracle checks). Spark's AQE runtime row-level filtering
+    * (`spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`) injects
+    * this same shape automatically; this operator makes it explicit
+    * and unit-testable. */
+  private def j7(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey"))
+    val bf = bigOrders.stat.bloomFilter("o_orderkey", 1L << 20, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bfB.value.mightContainLong(k))
+    Tables.lineitem(s, d)
+      .filter(mightContain(col("l_orderkey")))
+      .join(bigOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+  }
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -419,7 +478,9 @@ object RelationalOps {
     "m3_materialize_ref_docs" -> (m3 _),
     "m4_upsert_latest" -> (m4 _),
     "m5_scd2_intervals" -> (m5 _),
-    "u8_posexplode" -> (u8 _)
+    "m6_cdc_apply" -> (m6 _),
+    "u8_posexplode" -> (u8 _),
+    "j7_bloom_prejoin" -> (j7 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -515,6 +576,23 @@ object RelationalOps {
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
       SELECT doc_id, unnest(generate_series(1, len(l))) - 1 AS idx,
         unnest(l) AS tok
-      FROM t"""
+      FROM t""",
+    "m6_cdc_apply" -> """
+      WITH log AS (
+        SELECT doc_id, text, 1 AS version, 'U' AS op FROM documents
+        UNION ALL
+        SELECT doc_id, upper(text), 2, 'U' FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 100000, 'new:' || doc_id::VARCHAR, 2, 'U'
+        FROM documents WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT doc_id, NULL, 3, 'D' FROM documents WHERE doc_id % 10 = 0),
+      r AS (SELECT doc_id, text, version, op, row_number() OVER (
+              PARTITION BY doc_id ORDER BY version DESC) AS rn FROM log)
+      SELECT doc_id, text, version FROM r WHERE rn = 1 AND op <> 'D'""",
+    "j7_bloom_prejoin" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE l_orderkey IN
+        (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)"""
   )
 }

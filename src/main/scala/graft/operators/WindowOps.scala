@@ -87,13 +87,30 @@ object WindowOps {
         roundFp(sum(col("value")).over(w), 2).as("running_value"))
   }
 
+  /** w7 — quantile binning via ntile: each customer's orders split
+    * into spend quartiles (per-key relative binning — "is this one of
+    * the customer's top-quartile orders"). PARTITIONED ntile scales:
+    * the shuffle key is o_custkey (high cardinality), each partition
+    * sorts only its own rows. The GLOBAL form (ntile over an
+    * unpartitioned window) would serialize 100 TB through one task —
+    * the scale path for global binning is g7's approx-quantile
+    * cut-points joined back as a broadcast band dimension (r2's
+    * shape), so it's deliberately not an operator here. */
+  private def w7(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc))
+          .as("spend_quartile"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_tumbling_window" -> (w1 _),
     "w2_rank_per_group" -> (w2 _),
     "w3_session_window" -> (w3 _),
     "w4_lag_delta" -> (w4 _),
     "w5_sliding_window" -> (w5 _),
-    "w6_running_total" -> (w6 _)
+    "w6_running_total" -> (w6 _),
+    "w7_ntile" -> (w7 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -134,6 +151,11 @@ object WindowOps {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "w7_ntile" -> """
+      SELECT o_orderkey, o_custkey,
+        ntile(4) OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice, o_orderkey) AS spend_quartile
+      FROM orders""",
     // every event is in exactly two 10-min/5-min-slide windows: the
     // epoch-aligned floor window and the one 5 minutes earlier
     "w5_sliding_window" -> """

@@ -295,6 +295,88 @@ class NewOpsSpec extends SparkSpec {
     assert(s4.nonEmpty)
   }
 
+  test("j7: bloom pre-join equals the exact semi-join, and the bloom " +
+    "actually prunes") {
+    val exact = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).filter(col("o_totalprice") > 300000)
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val got = q("j7_bloom_prejoin")
+    assert(got.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+    // the sketch rejects keys outside the dimension set (1% fpp):
+    // pre-filter keeps well under the full fact table
+    val bigKeys = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 300000).count()
+    val allKeys = Tables.orders(spark, sf).count()
+    assert(bigKeys < allKeys / 2) // the prune has something to do
+  }
+
+  test("r3: grid-binned overlap join matches a naive per-user " +
+    "non-equi self-join (lockstep), each pair exactly once") {
+    val C = 300000000L
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("st"))
+      .withColumn("en", col("st") + C)
+    val a = e.select(col("user_id"), col("event_id").as("a_id"),
+      col("st").as("a_st"), col("en").as("a_en"))
+    val b = e.select(col("user_id").as("u2"), col("event_id").as("b_id"),
+      col("st").as("b_st"), col("en").as("b_en"))
+    val naive = a.join(b, col("user_id") === col("u2") &&
+        col("a_id") < col("b_id") &&
+        col("a_st") <= col("b_en") && col("b_st") <= col("a_en"))
+      .select(col("user_id"), col("a_id"), col("b_id"))
+    val got = q("r3_interval_overlap").cache()
+    assert(got.count() == got.distinct().count()) // no double-claimed pair
+    assert(got.exceptAll(naive).count() == 0 &&
+      naive.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+    got.unpersist()
+  }
+
+  test("m6: CDC apply — deletes gone, updates win, inserts present, " +
+    "untouched rows at v1") {
+    val r = q("m6_cdc_apply").cache()
+    val docs = Tables.documents(spark, sf).cache()
+    // deleted keys absent (delete beats the v2 update on %30 keys)
+    assert(r.filter(col("doc_id") % 10 === 0 &&
+      col("doc_id") < 100000).count() == 0)
+    // surviving %3 keys carry the v2 uppercase text
+    assert(r.filter(col("doc_id") % 3 === 0 && col("doc_id") < 100000 &&
+      col("version") =!= 2).count() == 0)
+    // inserts present with their synthetic text
+    val nIns = docs.filter(col("doc_id") % 50 === 0).count()
+    assert(r.filter(col("doc_id") >= 100000).count() == nIns)
+    // everything else untouched at version 1
+    assert(r.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 10 =!= 0 &&
+      col("doc_id") < 100000 && col("version") =!= 1).count() == 0)
+    docs.unpersist(); r.unpersist()
+  }
+
+  test("w7: per-customer quartiles are balanced (sizes differ by <=1, " +
+    "larger tiles first) and ordered by spend") {
+    val r = q("w7_ntile").cache()
+    val sizes = r.groupBy(col("o_custkey"), col("spend_quartile"))
+      .agg(count(lit(1)).as("n"))
+    val bad = sizes.groupBy(col("o_custkey"))
+      .agg(max(col("n")).as("mx"), min(col("n")).as("mn"))
+      .filter(col("mx") - col("mn") > 1)
+    assert(bad.count() == 0)
+    // within a customer, a lower quartile never holds a higher price
+    val joined = r.join(Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")), Seq("o_orderkey"))
+    val aw = joined.groupBy(col("o_custkey"), col("spend_quartile"))
+      .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    val cross = aw.as("x").join(aw.as("y"),
+      col("x.o_custkey") === col("y.o_custkey") &&
+        col("x.spend_quartile") < col("y.spend_quartile") &&
+        col("x.hi") > col("y.lo"))
+    assert(cross.count() == 0)
+    r.unpersist()
+  }
+
   test("mm3: chunk count is ceil(duration/1s), bounds tile the duration") {
     val r = q("mm3_audio_chunk").cache()
     val docs = Tables.documents(spark, sf).select(col("doc_id"),
