@@ -101,16 +101,23 @@ object MediaPipeline {
     * task), never on the driver. At 100 TB the expansion factor is
     * bounded by the stride, and the narrow output (id, idx, scalars)
     * is what shuffles — never the payload. */
+  /** Oracle-critical mean of one 16-byte block, rounded half-up to 4
+    * places. ONE definition: mm2 frames and mm3 chunks (and their
+    * DuckDB oracles) must round identically. */
+  private def blockMean(block: Array[Byte]): Double = {
+    val s = block.map(_ & 0xff).sum
+    math.rint(s.toDouble / 16 * 10000) / 10000
+  }
+
   def sampleFrames(videos: Dataset[VideoRow], stride: Int): Dataset[FrameFeatures] = {
     import videos.sparkSession.implicits._
     videos.mapPartitions { rows =>
       // a real pipeline would initialize the video codec here, once
       rows.flatMap { r =>
         (0 until r.video.length / 16 by stride).iterator.map { f =>
-          val b = r.video.slice(16 * f, 16 * f + 16).map(_ & 0xff)
-          FrameFeatures(r.doc_id, f,
-            math.rint(b.sum.toDouble / 16 * 10000) / 10000,
-            b.count(_ >= 128))
+          val b = r.video.slice(16 * f, 16 * f + 16)
+          FrameFeatures(r.doc_id, f, blockMean(b),
+            b.count(x => (x & 0xff) >= 128))
         }
       }
     }
@@ -166,10 +173,9 @@ object MediaPipeline {
         val n = (r.duration_ms + chunkMs - 1) / chunkMs
         (0 until n).iterator.map { i =>
           val blk = (i % 3) * 16
-          val b = r.audio.slice(blk, blk + 16).map(_ & 0xff)
           AudioChunk(r.doc_id, i, i * chunkMs,
             math.min((i + 1) * chunkMs, r.duration_ms),
-            math.rint(b.sum.toDouble / 16 * 10000) / 10000)
+            blockMean(r.audio.slice(blk, blk + 16)))
         }
       }
     }

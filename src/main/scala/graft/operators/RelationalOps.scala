@@ -429,7 +429,11 @@ object RelationalOps {
     val bigOrders = Tables.orders(s, d)
       .filter(col("o_totalprice") > 300000)
       .select(col("o_orderkey"))
-    val bf = bigOrders.stat.bloomFilter("o_orderkey", 1L << 20, 0.01)
+    // size the sketch from the real key count — a fixed capacity would
+    // silently saturate (fpp -> 1, zero pruning) once the dimension
+    // outgrows it; the count is a cheap scan of one pruned column
+    val nKeys = math.max(bigOrders.count(), 1L)
+    val bf = bigOrders.stat.bloomFilter("o_orderkey", nKeys, 0.01)
     val bfB = s.sparkContext.broadcast(bf)
     val mightContain = udf((k: java.lang.Long) =>
       k != null && bfB.value.mightContainLong(k))

@@ -66,6 +66,19 @@ object SimilarityOps {
       .otherwise(roundFp(dotNative(col("qemb"), col("emb")) / prod, 6))
   }
 
+  /** Shared per-query top-k over scored (qid, nid, cos) candidates:
+    * rank with the deterministic (cos desc, nid) tiebreak, keep k.
+    * ONE definition on purpose — all four ANN variants and their
+    * oracle SQL must tie-break identically, or a drifted copy would
+    * silently hash-mismatch. */
+  private def topNeighbors(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+
   /** s1 — exact brute-force cosine top-k: broadcast 10 query vectors,
     * single corpus scan, rank with a deterministic tiebreak. */
   private def s1(s: SparkSession, d: String): DataFrame = {
@@ -75,12 +88,7 @@ object SimilarityOps {
         col("nrm").as("qnrm"))),
         col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos"))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("nid").asc)))
-      .filter(col("rank") <= K)
-      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+    topNeighbors(scored, K)
   }
 
   /** s2 — LSH-bucketed ANN: equi-join query bucket to corpus bucket,
@@ -93,14 +101,9 @@ object SimilarityOps {
     val qb = q.select(col("vec_id").as("qid"), col("emb").as("qemb"),
       col("nrm").as("qnrm"))
       .withColumn("bucket", bucketOf(col("qemb")))
-    cb.join(broadcast(qb), Seq("bucket"))
+    topNeighbors(cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("nid").asc)))
-      .filter(col("rank") <= 3)
-      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+      .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos")), 3)
   }
 
   /** s3 — IVF-style ANN (the other scale path SURVEY names next to
@@ -134,14 +137,9 @@ object SimilarityOps {
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("nrm").as("qnrm"), col("cell"))
-    assigned.join(broadcast(q), Seq("cell"))
+    topNeighbors(assigned.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("nid").asc)))
-      .filter(col("rank") <= 3)
-      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+      .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos")), 3)
   }
 
   /** s4 — k-NN self-join: EVERY corpus vector gets its top-3
@@ -156,16 +154,11 @@ object SimilarityOps {
   private def s4(s: SparkSession, d: String): DataFrame = {
     val (_, corpus) = queriesAndCorpus(s, d)
     val cb = corpus.withColumn("bucket", bucketOf(col("emb")))
-    cb.select(col("bucket"), col("vec_id").as("qid"),
+    topNeighbors(cb.select(col("bucket"), col("vec_id").as("qid"),
       col("emb").as("qemb"), col("nrm").as("qnrm"))
       .join(cb, Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("nid").asc)))
-      .filter(col("rank") <= 3)
-      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+      .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos")), 3)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

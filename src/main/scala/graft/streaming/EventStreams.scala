@@ -31,6 +31,19 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Sliding 10-minute windows every 5 minutes per event type
+    * (streaming w5). Each event lands in width/slide = 2 windows —
+    * Spark expands the multiplicity BEFORE the shuffle, so state per
+    * key stays one aggregate row per open (window, type) pair and the
+    * watermark evicts both copies together. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), roundFp(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
   /** Per-user session windows, 30-minute gap (streaming w3). */
   def sessionCounts(events: DataFrame): DataFrame =
     events
@@ -182,6 +195,7 @@ object EventStreams {
     * custom state. */
   val outputModes: Map[String, OutputMode] = Map(
     "tumbling" -> OutputMode.Append(),
+    "sliding" -> OutputMode.Append(),
     "session" -> OutputMode.Append(),
     "running" -> OutputMode.Update(),
     "dedup" -> OutputMode.Append(),

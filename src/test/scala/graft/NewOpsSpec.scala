@@ -195,8 +195,7 @@ class NewOpsSpec extends SparkSpec {
   test("w6: the last running row per user equals the user's totals") {
     val r = q("w6_running_total").cache()
     val last = r.groupBy(col("user_id"))
-      .agg(max(col("running_n")).as("n"), max(col("running_value")).as("_ignore"))
-      .select(col("user_id"), col("n"))
+      .agg(max(col("running_n")).as("n"))
     val expected = Tables.events(spark, sf).groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"))
     assert(last.exceptAll(expected).count() == 0 &&

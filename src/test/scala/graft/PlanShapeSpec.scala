@@ -102,4 +102,31 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(q("x7_top_ngrams"))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("grid-binned overlap join is an equi-join — never a nested " +
+    "loop or cartesian (r3)") {
+    val p = plan(q("r3_interval_overlap"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bloom pre-join keeps the exact LeftSemi after the probe (j7)") {
+    val p = plan(q("j7_bloom_prejoin"))
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("knn self-join never degenerates to a cartesian product (s4); " +
+    "at test scale the tiny corpus may legitimately broadcast — the " +
+    "shuffle-on-bucket-key property holds once size estimates exceed " +
+    "the broadcast threshold") {
+    val p = plan(q("s4_knn_join"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("grouping sets expand once then aggregate partial+final (g8)") {
+    val p = plan(q("g8_grouping_sets"))
+    assert(p.contains("Expand"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
 }

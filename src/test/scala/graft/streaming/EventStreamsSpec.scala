@@ -48,6 +48,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.contains((ts(0), "click", 2L, 3.0)))
   }
 
+  test("sliding window counts match the batch expression, 2 windows " +
+    "per event") {
+    val mem = MemoryStream[Event]
+    val q = slidingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    mem.addData(Event(99, ts(600), 9, "noise", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sliding")
+      .select(col("win_start"), col("event_type"), col("cnt"), col("sum_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = slidingCounts(rows.toDF()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(batch.subsetOf(streamed))
+    // each of the 5 events appears in exactly 2 windows
+    assert(batch.toSeq.map(_._3).sum == 2 * rows.length)
+  }
+
   test("session windows: 30-minute gap splits sessions") {
     val mem = MemoryStream[Event]
     val q = sessionCounts(mem.toDF())
