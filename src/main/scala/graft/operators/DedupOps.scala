@@ -265,6 +265,26 @@ object DedupOps {
   private def d7(s: SparkSession, d: String): DataFrame =
     d7Components(s, d)
 
+  /** d8 — semantic (embedding-space) dedup end-to-end: LSH-bucketed
+    * cosine edges ([[SimilarityOps.bucketEdges]], threshold 0.3 —
+    * bucket-CONDITIONAL strength: surviving a 6-bit sign-pattern
+    * collision already implies similarity, so the verify threshold
+    * composes with the bucket prior, exactly how banded MinHash-LSH
+    * composes band collision with a Jaccard verify) →
+    * connected components ([[componentsOf]]) → per-cluster canonical
+    * survivor (the min vec_id) and an `is_dup` drop flag. This is the
+    * composition a training pipeline actually runs — "collapse
+    * paraphrases/near-translations the text fingerprints can't see" —
+    * and every stage is the scale shape already proven separately:
+    * edge generation never leaves its bucket, components never touch
+    * non-edge vertices, the final label join is AQE-sized. */
+  private def d8(s: SparkSession, d: String): DataFrame =
+    componentsOf(s, SimilarityOps.bucketEdges(s, d, 0.3)
+        .select(col("i"), col("j")),
+      Tables.embeddings(s, d).select(col("vec_id")))
+      .select(col("vec_id"), col("comp"),
+        (col("vec_id") =!= col("comp")).as("is_dup"))
+
   /** Size-gated hybrid (tested equal in `NewOpsSpec`): the verified
     * near-dup edge set is orders of magnitude smaller than the corpus,
     * and when it fits on the driver union-find resolves components in
@@ -281,9 +301,20 @@ object DedupOps {
     * arithmetic would suggest.
     */
   private[graft] def d7Components(
-      s: SparkSession, d: String, driverMaxEdges: Long = 1000000L): DataFrame = {
+      s: SparkSession, d: String, driverMaxEdges: Long = 1000000L): DataFrame =
+    componentsOf(s, d2(s, d).select(col("i"), col("j")),
+      Tables.documents(s, d).select(col("doc_id")), driverMaxEdges)
+
+  /** Connected components over an arbitrary (i, j) edge set, labels
+    * joined back onto a one-column `universe` of ids (isolated ids
+    * label themselves). Shared by d7 (text near-dup graph) and d8
+    * (embedding near-dup graph) — the size-gated hybrid is the
+    * algorithm, the edge producer is the parameter. */
+  private[graft] def componentsOf(s: SparkSession, edges0: DataFrame,
+      universe: DataFrame, driverMaxEdges: Long = 1000000L): DataFrame = {
     import s.implicits._
-    val edges = d2(s, d).select(col("i"), col("j")).persist()
+    val idName = universe.columns.head
+    val edges = edges0.persist()
     val nEdges = edges.count()
     val labels: DataFrame =
       if (nEdges <= driverMaxEdges) {
@@ -317,9 +348,9 @@ object DedupOps {
     // but on a heavily-duplicated corpus it can be a large fraction of
     // the rows — let the planner/AQE pick broadcast vs shuffle from the
     // actual runtime size instead of forcing an 8 GB-capped broadcast
-    Tables.documents(s, d).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+    universe
+      .join(labels.withColumnRenamed("doc_id", idName), Seq(idName), "left")
+      .select(col(idName), coalesce(col("comp"), col(idName)).as("comp"))
   }
 
   /** The 100 TB path: iterative min-label propagation over edge-touched
@@ -376,6 +407,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d6_minhash_udaf" -> (d6 _),
     "d7_dedup_components" -> (d7 _),
+    "d8_semantic_dedup" -> (d8 _),
     "d1_exact_dedup" -> (d1 _),
     "d2_minhash_lsh" -> (d2 _),
     "d3_simhash" -> (d3 _),
@@ -467,6 +499,20 @@ object DedupOps {
               floor(list_sum(list_transform(generate_series(1, len(a.emb)),
                 k -> a.emb[k] * b.emb[k])) / (a.nrm * b.nrm)*1000000 + 0.5)/1000000 AS cos
             FROM n a JOIN n b ON a.vec_id < b.vec_id)
-      SELECT i, j, cos FROM p WHERE cos >= 0.45"""
+      SELECT i, j, cos FROM p WHERE cos >= 0.45""",
+    "d8_semantic_dedup" -> s"""
+      WITH RECURSIVE ${SimilarityOps.bucketSqlCtes},
+      p AS (SELECT x.vec_id AS i, y.vec_id AS j
+            FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+            WHERE floor(list_sum(list_transform(generate_series(1,64),
+                k -> x.emb[k] * y.emb[k])) / (x.nrm * y.nrm)*1000000 + 0.5)/1000000
+              >= 0.3),
+      ed AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+      reach(a, b) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a)
+      SELECT a AS vec_id, min(b) AS comp, min(b) <> a AS is_dup
+      FROM reach GROUP BY a"""
   )
 }

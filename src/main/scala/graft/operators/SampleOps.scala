@@ -83,11 +83,27 @@ object SampleOps {
       .select(col("source"), col("doc_id"), col("rn"))
   }
 
+  /** sm5 — fixed-size global sample: exactly K rows, chosen by hash
+    * order — the deterministic replacement for reservoir sampling.
+    * orderBy+limit plans as TakeOrderedAndProject: each task keeps a
+    * K-row heap, the driver merges P heaps — no global sort, no RNG
+    * state, and the selected set is a pure function of the data
+    * (identical across retries, partitionings, and engines — an actual
+    * reservoir depends on arrival order, which a distributed retry
+    * does not preserve). */
+  private def sm5(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5Long(col("doc_id")).as("h"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .limit(100)
+      .select(col("doc_id"), col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sm1_stratified_sample" -> (sm1 _),
     "sm2_split_assign" -> (sm2 _),
     "sm3_mixture_weights" -> (sm3 _),
-    "sm4_group_cap" -> (sm4 _)
+    "sm4_group_cap" -> (sm4 _),
+    "sm5_global_sample" -> (sm5 _)
   )
 
   private val H =
@@ -117,6 +133,9 @@ object SampleOps {
         SELECT source, doc_id, row_number() OVER (PARTITION BY source
           ORDER BY ${H.format("doc_id")}, doc_id) AS rn
         FROM documents)
-      WHERE rn <= 15"""
+      WHERE rn <= 15""",
+    "sm5_global_sample" -> s"""
+      SELECT doc_id, source FROM documents
+      ORDER BY ${H.format("doc_id")}, doc_id LIMIT 100"""
   )
 }

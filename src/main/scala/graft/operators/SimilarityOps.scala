@@ -58,6 +58,30 @@ object SimilarityOps {
     (e.filter(col("vec_id") < 10), e)
   }
 
+  /** Thresholded similarity edges (i < j, cos ≥ thresh) from the LSH
+    * bucket self-join — s4's candidate generation re-used as the edge
+    * producer for embedding-space dedup clustering
+    * ([[DedupOps]] d8). Same scale shape as s4: both sides shuffle on
+    * the bucket key, candidate space confined per bucket. NaN cosines
+    * (zero-norm vectors) pass the threshold under SQL comparison
+    * semantics (Spark and DuckDB both order NaN greatest). */
+  private[graft] def bucketEdges(s: SparkSession, d: String,
+      thresh: Double): DataFrame = {
+    val (_, corpus) = queriesAndCorpus(s, d)
+    val cb = corpus.withColumn("bucket", bucketOf(col("emb")))
+    cb.select(col("bucket"), col("vec_id").as("qid"),
+      col("emb").as("qemb"), col("nrm").as("qnrm"))
+      .join(cb, Seq("bucket"))
+      .filter(col("qid") < col("vec_id"))
+      .select(col("qid").as("i"), col("vec_id").as("j"), cosPrecomp.as("cos"))
+      .filter(col("cos") >= thresh)
+  }
+
+  /** SQL fragments for oracles that re-derive the bucket table
+    * (shared with [[DedupOps]] d8). */
+  private[operators] def bucketSqlCtes: String =
+    s"pl AS ($PLANES_SQL),\n      e AS ($EMB_SQL),\n      b AS ($BUCKET_SQL)"
+
   /** ANSI division throws on a zero divisor — a zero-norm vector must
     * score NaN (matching the kernel variant and DuckDB's 0/0). */
   private def cosPrecomp: Column = {

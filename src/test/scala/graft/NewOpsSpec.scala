@@ -376,6 +376,41 @@ class NewOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("d8: semantic-dedup components are consistent with the edge " +
+    "set — edge endpoints share a component, labels are component minima") {
+    val r = q("d8_semantic_dedup").cache()
+    assert(r.count() == Tables.embeddings(spark, sf).count())
+    val edges = operators.SimilarityOps.bucketEdges(spark, sf, 0.3)
+      .select(col("i"), col("j")).cache()
+    val lbl = r.select(col("vec_id"), col("comp"))
+    // both endpoints of every edge carry the same label
+    val viol = edges
+      .join(lbl.withColumnRenamed("vec_id", "i").withColumnRenamed("comp", "ca"), Seq("i"))
+      .join(lbl.withColumnRenamed("vec_id", "j").withColumnRenamed("comp", "cb"), Seq("j"))
+      .filter(col("ca") =!= col("cb"))
+    assert(viol.count() == 0)
+    // the label IS the component minimum, and is_dup marks non-minima
+    val badMin = r.groupBy(col("comp")).agg(min(col("vec_id")).as("mn"))
+      .filter(col("comp") =!= col("mn"))
+    assert(badMin.count() == 0)
+    assert(r.filter(col("is_dup") === (col("vec_id") === col("comp"))).count() == 0)
+    // the graph is non-trivial at this sf: some real cluster exists
+    assert(r.filter(col("is_dup")).count() > 0)
+    edges.unpersist(); r.unpersist()
+  }
+
+  test("sm5: global sample is exactly K, deterministic, and equals " +
+    "the driver-side hash-order recomputation") {
+    val got = q("sm5_global_sample").collect().map(_.getLong(0)).toSeq
+    assert(got.length == 100)
+    assert(got == q("sm5_global_sample").collect().map(_.getLong(0)).toSeq)
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.Fns.md5Long(col("doc_id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, h) => (h, id) }.take(100).map(_._1).toSeq
+    assert(got.sorted == expected.sorted)
+  }
+
   test("mm3: chunk count is ceil(duration/1s), bounds tile the duration") {
     val r = q("mm3_audio_chunk").cache()
     val docs = Tables.documents(spark, sf).select(col("doc_id"),

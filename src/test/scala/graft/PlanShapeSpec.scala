@@ -124,6 +124,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("global hash sample plans TakeOrderedAndProject — per-task " +
+    "heaps, no global sort (sm5)") {
+    val p = plan(q("sm5_global_sample"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("grouping sets expand once then aggregate partial+final (g8)") {
     val p = plan(q("g8_grouping_sets"))
     assert(p.contains("Expand"), p)
