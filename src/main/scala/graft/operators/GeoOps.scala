@@ -46,8 +46,36 @@ object GeoOps {
         graft.functions.Fns.roundFp(avg(col("o_totalprice")), 2).as("avg_price"))
   }
 
+  /** geo2 — Z-ORDER layout statistic: interleave the two 8-bit cell
+    * coordinates into a 16-bit Morton code, group rows into z-buckets
+    * (64 consecutive codes = one 8×8-cell block ≈ one file at scale),
+    * and report per-bucket total vs bbox-member counts. This measures
+    * the thing z-ordering exists for: a 2-D bbox maps to FEW contiguous
+    * z-ranges, so bbox rows concentrate in a small minority of buckets
+    * (`NewOpsSpec` pins the locality bound) — lay parquet files out in
+    * z order and min/max file stats prune everything else. The
+    * interleave itself is pure codegen'd integer bit math, zero
+    * shuffle; the only exchange is the final per-bucket agg. */
+  private def geo2(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(
+      expr("(o_orderkey % 1700) DIV 10").as("clat"),
+      expr("((o_orderkey % 3600) DIV 10) DIV 2").as("clon2"))
+    val z = (0 until 8).map { b =>
+      (shiftright(col("clat"), b) % 2) * lit(1L << (2 * b + 1)) +
+        (shiftright(col("clon2"), b) % 2) * lit(1L << (2 * b))
+    }.reduce(_ + _)
+    base.withColumn("z", z)
+      // geo1's bbox (lat 40..60, lon -123..-30) in cell coordinates
+      .withColumn("in_bbox", col("clat").between(125, 145) &&
+        col("clon2").between(28, 75))
+      .groupBy(expr("z DIV 64").as("zbucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("in_bbox"), 1L).otherwise(0L)).as("bbox_cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "geo1_bbox_bin" -> (geo1 _)
+    "geo1_bbox_bin" -> (geo1 _),
+    "geo2_zorder" -> (geo2 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -61,6 +89,19 @@ object GeoOps {
         count(*) AS cnt, floor(avg(o_totalprice)*100 + 0.5)/100 AS avg_price
       FROM g
       WHERE lat >= 40.0 AND lat <= 60.0 AND lon >= -123.0 AND lon <= -30.0
-      GROUP BY 1, 2"""
+      GROUP BY 1, 2""",
+    "geo2_zorder" -> """
+      WITH g AS (SELECT (o_orderkey % 1700)//10 AS clat,
+                   ((o_orderkey % 3600)//10)//2 AS clon2 FROM orders),
+      z AS (SELECT clat, clon2,
+              CAST(list_sum(list_transform(generate_series(0,7), b ->
+                ((clat >> b) & 1) * (1 << (2*b+1)) +
+                ((clon2 >> b) & 1) * (1 << (2*b)))) AS BIGINT) AS z
+            FROM g)
+      SELECT z//64 AS zbucket, count(*) AS cnt,
+        CAST(sum(CASE WHEN clat BETWEEN 125 AND 145
+                   AND clon2 BETWEEN 28 AND 75 THEN 1 ELSE 0 END) AS BIGINT)
+          AS bbox_cnt
+      FROM z GROUP BY 1"""
   )
 }

@@ -411,6 +411,27 @@ class NewOpsSpec extends SparkSpec {
     assert(got.sorted == expected.sorted)
   }
 
+  test("geo2: z-order locality — bbox rows concentrate in a small " +
+    "minority of z-buckets (the file-pruning property), and the code " +
+    "is a true interleave (distinct cells -> distinct codes)") {
+    val r = q("geo2_zorder").cache()
+    val total = r.count()
+    val touched = r.filter(col("bbox_cnt") > 0).count()
+    assert(touched > 0)
+    // bbox covers ~3% of cells; 8x8-block alignment inflates that to
+    // at most ~¼ of buckets even at the tiny sf's sparse occupancy
+    assert(touched.toDouble / total < 0.25,
+      s"bbox touched $touched of $total z-buckets")
+    // interleave injectivity over the realized domain: bucket count
+    // must equal the number of distinct occupied 8x8 cell blocks
+    val blocks = Tables.orders(spark, sf)
+      .select(expr("((o_orderkey % 1700) DIV 10) DIV 8").as("ba"),
+        expr("(((o_orderkey % 3600) DIV 10) DIV 2) DIV 8").as("bb"))
+      .distinct().count()
+    assert(total == blocks, s"$total z-buckets vs $blocks cell blocks")
+    r.unpersist()
+  }
+
   test("mm3: chunk count is ceil(duration/1s), bounds tile the duration") {
     val r = q("mm3_audio_chunk").cache()
     val docs = Tables.documents(spark, sf).select(col("doc_id"),
