@@ -278,9 +278,23 @@ object DedupOps {
     * and every stage is the scale shape already proven separately:
     * edge generation never leaves its bucket, components never touch
     * non-edge vertices, the final label join is AQE-sized. */
+  private[graft] val D8_THRESH = 0.3
+
+  /** d8's edge set: bucketed cosine edges at [[D8_THRESH]], with NaN
+    * cosines EXCLUDED. A zero-norm embedding (a common upstream
+    * failure) lands in one fixed bucket and scores NaN against
+    * everything there; NaN passes a `>=` threshold under SQL
+    * NaN-greatest semantics, which is harmless when listing pairs
+    * (d5/s2) but destructive here — it would weld every degenerate
+    * vector into one cluster and mark all but one as droppable.
+    * Undefined similarity must not merge. */
+  private[graft] def d8Edges(s: SparkSession, d: String): DataFrame =
+    SimilarityOps.bucketEdges(s, d, D8_THRESH)
+      .filter(!isnan(col("cos")))
+      .select(col("i"), col("j"))
+
   private def d8(s: SparkSession, d: String): DataFrame =
-    componentsOf(s, SimilarityOps.bucketEdges(s, d, 0.3)
-        .select(col("i"), col("j")),
+    componentsOf(s, d8Edges(s, d),
       Tables.embeddings(s, d).select(col("vec_id")))
       .select(col("vec_id"), col("comp"),
         (col("vec_id") =!= col("comp")).as("is_dup"))
@@ -313,7 +327,11 @@ object DedupOps {
   private[graft] def componentsOf(s: SparkSession, edges0: DataFrame,
       universe: DataFrame, driverMaxEdges: Long = 1000000L): DataFrame = {
     import s.implicits._
+    require(universe.columns.length == 1,
+      s"universe must be a single id column, got ${universe.columns.mkString(",")}")
     val idName = universe.columns.head
+    require(idName != "comp" && !idName.startsWith("__cc"),
+      s"universe id column '$idName' collides with the output/internal names")
     val edges = edges0.persist()
     val nEdges = edges.count()
     val labels: DataFrame =
@@ -348,9 +366,13 @@ object DedupOps {
     // but on a heavily-duplicated corpus it can be a large fraction of
     // the rows — let the planner/AQE pick broadcast vs shuffle from the
     // actual runtime size instead of forcing an 8 GB-capped broadcast
+    // collision-proof label names: the universe id may be called
+    // anything (d7: doc_id, d8: vec_id) except the reserved ones the
+    // require above rejects
     universe
-      .join(labels.withColumnRenamed("doc_id", idName), Seq(idName), "left")
-      .select(col(idName), coalesce(col("comp"), col(idName)).as("comp"))
+      .join(labels.toDF("__cc_id", "__cc_comp"),
+        col(idName) === col("__cc_id"), "left")
+      .select(col(idName), coalesce(col("__cc_comp"), col(idName)).as("comp"))
   }
 
   /** The 100 TB path: iterative min-label propagation over edge-touched
@@ -502,11 +524,12 @@ object DedupOps {
       SELECT i, j, cos FROM p WHERE cos >= 0.45""",
     "d8_semantic_dedup" -> s"""
       WITH RECURSIVE ${SimilarityOps.bucketSqlCtes},
-      p AS (SELECT x.vec_id AS i, y.vec_id AS j
-            FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-            WHERE floor(list_sum(list_transform(generate_series(1,64),
+      p0 AS (SELECT x.vec_id AS i, y.vec_id AS j,
+              floor(list_sum(list_transform(generate_series(1,64),
                 k -> x.emb[k] * y.emb[k])) / (x.nrm * y.nrm)*1000000 + 0.5)/1000000
-              >= 0.3),
+                AS cos
+            FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      p AS (SELECT i, j FROM p0 WHERE cos >= 0.3 AND NOT isnan(cos)),
       ed AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
       reach(a, b) AS (
         SELECT vec_id, vec_id FROM embeddings

@@ -65,7 +65,11 @@ object GeoOps {
         (shiftright(col("clon2"), b) % 2) * lit(1L << (2 * b))
     }.reduce(_ + _)
     base.withColumn("z", z)
-      // geo1's bbox (lat 40..60, lon -123..-30) in cell coordinates
+      // the cell-granular COVER of geo1's bbox (lat 40..60, lon
+      // -123..-30): boundary cells 145/28/75 extend slightly past the
+      // row-level predicate on three unaligned edges — deliberately,
+      // because file pruning operates at cell granularity and must be
+      // conservative (a file is read iff any of its cells intersects)
       .withColumn("in_bbox", col("clat").between(125, 145) &&
         col("clon2").between(28, 75))
       .groupBy(expr("z DIV 64").as("zbucket"))

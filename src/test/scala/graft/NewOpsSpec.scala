@@ -380,8 +380,10 @@ class NewOpsSpec extends SparkSpec {
     "set — edge endpoints share a component, labels are component minima") {
     val r = q("d8_semantic_dedup").cache()
     assert(r.count() == Tables.embeddings(spark, sf).count())
-    val edges = operators.SimilarityOps.bucketEdges(spark, sf, 0.3)
-      .select(col("i"), col("j")).cache()
+    // the SAME edge producer d8 clusters (threshold + NaN exclusion
+    // included) — an independently hardcoded re-derivation would let
+    // the two silently drift
+    val edges = operators.DedupOps.d8Edges(spark, sf).cache()
     val lbl = r.select(col("vec_id"), col("comp"))
     // both endpoints of every edge carry the same label
     val viol = edges
