@@ -44,6 +44,7 @@ object SparkEntry {
       operators.RangeOps.queries ++
       operators.GeoOps.queries ++
       operators.SampleOps.queries ++
+      operators.PipelineOps.queries ++
       Map(
         "mm1_media_features" ->
           ((s: SparkSession, d: String) => multimodal.MediaPipeline.features(s, d)),
@@ -65,6 +66,7 @@ object SparkEntry {
       operators.RangeOps.oracles ++
       operators.GeoOps.oracles ++
       operators.SampleOps.oracles ++
+      operators.PipelineOps.oracles ++
       Map("mm1_media_features" -> """
         WITH b AS (SELECT doc_id, md5(text) AS h,
           CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpg'

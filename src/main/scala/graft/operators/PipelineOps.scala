@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fns.md5Long
+
+/** Composed end-to-end curation pipeline — the proof that the
+  * operator families are COMPOSABLE, not just individually correct.
+  * A corpus refresh in a training-data pipeline is exactly this chain,
+  * and the whole thing is one declarative plan: Catalyst fuses the
+  * quality gate into the scan, and the three keyed stages cost three
+  * shuffles total (content_fp, doc_id is shuffle-free after dedup's
+  * window — see below — and (source, split)).
+  *
+  * Stage semantics deliberately reuse the standalone operators' rules
+  * (d1's fingerprint, sm2's split hash, sm4's hash-order cap) so the
+  * pipeline's behavior is the composition of already-verified parts —
+  * and the oracle replays the identical chain in SQL.
+  */
+object PipelineOps {
+
+  /** pipe1 — quality gate → exact dedup → split assign → per-(source,
+    * split) cap:
+    *   1. keep docs with 5..1000 whitespace tokens (narrow, fused into
+    *      the scan);
+    *   2. exact-dedup on the d1 content fingerprint, keeping the
+    *      minimum doc_id (one shuffle on the 8-byte hash — text never
+    *      shuffles);
+    *   3. assign train/val/test by the sm2 hash rule (narrow — a pure
+    *      function of doc_id);
+    *   4. cap each (source, split) cell at 40 docs in hash order (one
+    *      shuffle on the small composite key; bounded per-key top-k).
+    * At 100 TB: two real shuffles of skinny rows, everything else
+    * pipelined — the plan a hand-built ingest DAG converges to anyway,
+    * except here AQE still re-plans each exchange at runtime. */
+  private def pipe1(s: SparkSession, d: String): DataFrame = {
+    val gated = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .filter(size(split(col("text"), " ")).between(5, 1000))
+    val deduped = gated
+      .withColumn("content_fp", md5Long(lower(trim(col("text")))))
+      .withColumn("krn", row_number().over(
+        Window.partitionBy(col("content_fp")).orderBy(col("doc_id").asc)))
+      .filter(col("krn") === 1)
+    val h = md5Long(col("doc_id"))
+    deduped
+      .withColumn("split",
+        when(h % 100 < 80, "train").when(h % 100 < 90, "val")
+          .otherwise("test"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"), col("split"))
+          .orderBy(h.asc, col("doc_id").asc)))
+      .filter(col("rn") <= 40)
+      .select(col("source"), col("split"), col("doc_id"), col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe1_curation" -> (pipe1 _)
+  )
+
+  private val H = "('0x' || substr(md5(%s::VARCHAR),1,15))::BIGINT"
+
+  val oracles: Map[String, String] = Map(
+    "pipe1_curation" -> s"""
+      WITH g AS (SELECT doc_id, source, text FROM documents
+                 WHERE len(string_split(text, ' ')) BETWEEN 5 AND 1000),
+      dd AS (SELECT doc_id, source, row_number() OVER (
+               PARTITION BY ('0x' || substr(md5(lower(trim(text))),1,15))::BIGINT
+               ORDER BY doc_id) AS krn FROM g),
+      sp AS (SELECT doc_id, source,
+               CASE WHEN ${H.format("doc_id")} % 100 < 80 THEN 'train'
+                    WHEN ${H.format("doc_id")} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM dd WHERE krn = 1),
+      r AS (SELECT source, split, doc_id, row_number() OVER (
+              PARTITION BY source, split
+              ORDER BY ${H.format("doc_id")}, doc_id) AS rn FROM sp)
+      SELECT source, split, doc_id, rn FROM r WHERE rn <= 40"""
+  )
+}

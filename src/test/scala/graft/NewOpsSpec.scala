@@ -434,6 +434,33 @@ class NewOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("pipe1: curation pipeline laws — no dup fingerprints survive, " +
+    "split rule matches sm2, caps hold, gate bounds hold") {
+    val r = q("pipe1_curation").cache()
+    val docs = Tables.documents(spark, sf)
+    val joined = r.join(docs, Seq("doc_id")).cache()
+    // every surviving doc passes the quality gate
+    assert(joined.filter(!size(split(col("text"), " ")).between(5, 1000))
+      .count() == 0)
+    // no two survivors share a content fingerprint
+    val fps = joined.select(
+      graft.functions.Fns.md5Long(lower(trim(col("text")))).as("fp"))
+    assert(fps.count() == fps.distinct().count())
+    // the split column is exactly sm2's rule
+    val h = graft.functions.Fns.md5Long(col("doc_id"))
+    val expectedSplit = when(h % 100 < 80, "train")
+      .when(h % 100 < 90, "val").otherwise("test")
+    assert(r.join(docs.select(col("doc_id"), expectedSplit.as("es")), Seq("doc_id"))
+      .filter(col("split") =!= col("es")).count() == 0)
+    // the cap holds per (source, split) with dense ranks
+    val bad = r.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n"), max(col("rn")).as("mx"))
+      .filter(col("n") > 40 || col("mx") =!= col("n"))
+    assert(bad.count() == 0)
+    assert(r.count() > 0)
+    joined.unpersist(); r.unpersist()
+  }
+
   test("mm3: chunk count is ceil(duration/1s), bounds tile the duration") {
     val r = q("mm3_audio_chunk").cache()
     val docs = Tables.documents(spark, sf).select(col("doc_id"),
