@@ -17,8 +17,10 @@ import graft.functions.Fns._
   *     equi-joins on band keys (shuffle on band key, candidates only);
   *   - SimHash reduces each doc to a 16-bit int fingerprint —
   *     partial+final agg, then grouping by fingerprint is free;
-  *   - the quadratic exact-Jaccard variant is deliberately blocked on
-  *     `source` (per-shard dedup), bounding each task's pair count;
+  *   - the quadratic exact-Jaccard variant is blocked per `source`
+  *     AND triangle-sub-blocked within it (B buckets -> B(B+1)/2
+  *     tasks per shard), so parallelism never degenerates to the
+  *     shard count;
   *   - embedding near-dup joins within LSH-free small blocks here, with
   *     the hyperplane-bucketed variant in [[SimilarityOps]] as the
   *     scale path.
@@ -146,8 +148,9 @@ object DedupOps {
   private def geqSql(x: Double, t: Double): Boolean = x.isNaN || x >= t
 
   /** d4 — exact n-gram Jaccard dedup, blocked per `source` (per-shard
-    * dedup): quadratic only within a block, so each block is one
-    * task's worth of work and blocks parallelize across the cluster.
+    * dedup) and triangle-decomposed within each shard (see
+    * [[D4_SUBBLOCKS]]): quadratic only within a bucket pair, and every
+    * bucket pair is its own task.
     *
     * The pairwise scoring runs as a typed `flatMapGroups` kernel: the
     * declarative layer handles the data movement (one shuffle on the
@@ -157,25 +160,62 @@ object DedupOps {
     * codegen (nested-loop join projections are interpreted) and
     * measures ~30x slower.
     */
+  /** Sub-blocks per source for d4's TRIANGLE decomposition. A plain
+    * per-source block gives exactly |sources| tasks — 5 shards would
+    * idle 27 of 32 local cores and 995 of 1000 executors. Hashing each
+    * source's docs into B buckets and materializing every bucket PAIR
+    * (x ≤ y) as its own task turns that into |sources|·B(B+1)/2 tasks
+    * with the identical exact pair space: an unordered doc pair with
+    * buckets (bx, by) is computed in exactly one block,
+    * (min(bx,by), max(bx,by)). Each doc ships to B blocks — the
+    * replication is of raw TEXT (shingles are rebuilt per block:
+    * B× bounded CPU beats B× shuffle of the much-larger shingle
+    * sets). At scale, B grows with shard size (quadratic work per
+    * block shrinks as 1/B²). */
+  private val D4_SUBBLOCKS = 8
+
   private def d4(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val B = D4_SUBBLOCKS
     val docs = Tables.documents(s, d)
       .select(col("source"), col("doc_id"), col("text"))
       .as[(String, Long, String)]
-    docs.groupByKey(_._1)
-      .flatMapGroups { (src: String, it: Iterator[(String, Long, String)]) =>
-        val ds = it.map { case (_, id, text) =>
-          (id, bigramShinglesLocal(text).toSet)
-        }.toArray.sortBy(_._1)
-        for {
-          ai <- ds.indices.iterator
-          bi <- (ai + 1) until ds.length
-          (ia, sa) = ds(ai)
-          (ib, sb) = ds(bi)
-          inter = if (sa.size <= sb.size) sa.count(sb) else sb.count(sa)
-          jac = inter.toDouble / (sa.size + sb.size - inter).toDouble
-          if geqSql(jac, 0.1)
-        } yield (src, ia, ib, round6(jac))
+    val replicated = docs.flatMap { case (src, id, text) =>
+      val b = (md5LongLocal(id.toString) % B).toInt
+      (0 until B).iterator.map { c =>
+        (src, math.min(b, c), math.max(b, c), b, id, text)
+      }
+    }
+    replicated
+      .groupByKey { case (src, x, y, _, _, _) => (src, x, y) }
+      .flatMapGroups { (key: (String, Int, Int),
+          it: Iterator[(String, Int, Int, Int, Long, String)]) =>
+        val (src, x, y) = key
+        val ds = it.map { case (_, _, _, b, id, text) =>
+          (b, id, bigramShinglesLocal(text).toSet)
+        }.toArray.sortBy(_._2)
+        def score(ia: Long, sa: Set[String], ib: Long, sb: Set[String]) = {
+          val inter = if (sa.size <= sb.size) sa.count(sb) else sb.count(sa)
+          val jac = inter.toDouble / (sa.size + sb.size - inter).toDouble
+          if (geqSql(jac, 0.1)) Some((src, ia, ib, round6(jac))) else None
+        }
+        if (x == y) {
+          // intra-bucket: all pairs, ids ascending by construction
+          for {
+            ai <- ds.indices.iterator
+            bi <- (ai + 1) until ds.length
+            r <- score(ds(ai)._2, ds(ai)._3, ds(bi)._2, ds(bi)._3)
+          } yield r
+        } else {
+          // cross-bucket: one doc from each side; normalize to i < j
+          val as = ds.filter(_._1 == x)
+          val bs = ds.filter(_._1 == y)
+          for {
+            (_, ia, sa) <- as.iterator
+            (_, ib, sb) <- bs.iterator
+            r <- if (ia < ib) score(ia, sa, ib, sb) else score(ib, sb, ia, sa)
+          } yield r
+        }
       }
       .toDF("source", "i", "j", "jac")
   }
