@@ -132,10 +132,15 @@ object RelationalOps {
     * within an order. Self-joins reuse the same scan; the shuffle is on
     * the join key only. */
   private def j5(s: SparkSession, d: String): DataFrame = {
-    val a = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber").as("ln1"))
-    val b = Tables.lineitem(s, d).select(col("l_orderkey").as("rk"), col("l_linenumber").as("ln2"))
-    a.join(b, a("l_orderkey") === b("rk") && col("ln1") < col("ln2"))
-      .groupBy(col("l_orderkey"))
+    // both sides are the IDENTICAL child plan (same projection, names
+    // disambiguated by alias only), so Spark shuffles once and feeds
+    // the second side from a ReusedExchange — half the exchange I/O of
+    // the naive rename-one-side form (asserted in PlanShapeSpec)
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"))
+    l.as("a").join(l.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_linenumber") < col("b.l_linenumber"))
+      .groupBy(col("a.l_orderkey").as("l_orderkey"))
       .agg(count(lit(1)).as("pair_cnt"))
   }
 

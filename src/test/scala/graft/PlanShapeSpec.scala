@@ -124,6 +124,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("self-join shuffles once and reuses the exchange for the " +
+    "second side (j5) — asserted on the FINAL adaptive plan with the " +
+    "broadcast path disabled (at real scale the table exceeds the " +
+    "threshold and this SMJ shape is what runs)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = q("j5_self_join")
+      df.collect() // AQE only materializes exchange reuse at runtime
+      val p = plan(df)
+      assert(p.contains("ReusedExchange"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("global hash sample plans TakeOrderedAndProject — per-task " +
     "heaps, no global sort (sm5)") {
     val p = plan(q("sm5_global_sample"))
