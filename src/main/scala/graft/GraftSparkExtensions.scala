@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import graft.functions.{DotProduct, FormatPhone}
 
 /** The engine's SparkSessionExtensions: registers the custom native
@@ -26,6 +27,27 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("format_phone", children, 1)
         FormatPhone(children.head)
+      }))
+    // Spark's bloom sketch expressions (the pair its own runtime-filter
+    // rule injects) are NOT in the public registry in 4.1 — surface
+    // them so the explicit bloom pre-join (RelationalOps j7) probes
+    // with a codegen'd native expression instead of an opaque UDF.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_filter_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => new BloomFilterAggregate(c)
+        case Seq(c, n) => new BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+        case cs => throw new IllegalArgumentException(
+          s"bloom_filter_agg requires 1-3 arguments, got ${cs.length}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "might_contain"),
+      (children: Seq[Expression]) => {
+        arity("might_contain", children, 2)
+        BloomFilterMightContain(children(0), children(1))
       }))
   }
 

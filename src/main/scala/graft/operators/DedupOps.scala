@@ -37,12 +37,44 @@ object DedupOps {
       .groupBy(col("content_fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Gate for d2's candidate verification: at or below this many
+    * signatures the doc→shingle-set map is broadcast (zero extra
+    * shuffles); above it verification becomes a shuffle join of the
+    * candidate id-pairs against the persisted signature table — the
+    * 100 TB path, where nothing corpus-sized ever reaches the driver.
+    * 2M signatures ≈ a few hundred MB of shingle sets, the practical
+    * ceiling for a task-side broadcast map. */
+  private[graft] val D2_BROADCAST_MAX_DOCS = 2000000L
+
+  /** Per-session memo of the verified near-dup pair table, keyed by
+    * (session, data dir). d2 exposes the pairs, d7 consumes them as
+    * its edge set, and pipelines run both — without the memo d7
+    * re-runs the whole shingle→minhash→band-join→verify pipeline just
+    * to produce edges it already has. The value is an eagerly
+    * localCheckpoint'ed DataFrame: lineage is truncated, the blocks
+    * live in executor storage (never the driver), and they're freed
+    * when the entry is dropped or the session ends. Bench/Verify
+    * implications are recorded in SCALE.md (warm vs cold numbers). */
+  private val pairMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Test/bench hook: drop memoized pair tables (e.g. between cold
+    * timing runs). */
+  private[graft] def clearPairMemo(): Unit = pairMemo.clear()
+
   /** d2 — MinHash + LSH near-dup: bigram shingles → 8 minhashes → 4
     * bands of 2 → equi-join on (band, band-key) → exact Jaccard ≥ 0.5
     * on the candidates only. The LSH band join is what makes this
     * linear-ish at scale: docs only meet if a band collides.
     */
-  private def d2(s: SparkSession, d: String): DataFrame = {
+  private def d2(s: SparkSession, d: String): DataFrame = d2Pairs(s, d)
+
+  /** Memoized face of [[computeD2Pairs]] — see [[pairMemo]]. */
+  private[graft] def d2Pairs(s: SparkSession, d: String): DataFrame =
+    pairMemo.getOrElseUpdate((s, d), computeD2Pairs(s, d, D2_BROADCAST_MAX_DOCS))
+
+  private[graft] def computeD2Pairs(s: SparkSession, d: String,
+      broadcastMaxDocs: Long): DataFrame = {
     // Signature computation is a typed kernel: 8 seeded md5 minhashes
     // over every shingle is pure dense hashing, which interpreted
     // higher-order expressions evaluate ~10x slower (the declarative
@@ -97,23 +129,60 @@ object DedupOps {
           col("x.m2") === col("y.m2") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
-    // exact-Jaccard verification: broadcast the doc→shingle-set map
-    // (each set built once, no array payload ever crosses a shuffle)
-    // and score the candidate id-pairs in a kernel. The broadcast holds
-    // to ~10M docs of signatures; past that, verification becomes a
-    // shuffle join on the 8-byte ids.
-    val setsMap = s.sparkContext.broadcast(
-      docs.select(col("doc_id"), col("sh")).as[(Long, Seq[String])]
-        .collect().map { case (id, sh) => id -> sh.toSet }.toMap)
-    cand.as[(Long, Long)]
-      .mapPartitions(_.flatMap { case (i, j) =>
-        val sa = setsMap.value(i)
-        val sb = setsMap.value(j)
-        val inter = if (sa.size <= sb.size) sa.count(sb) else sb.count(sa)
-        val jac = inter.toDouble / (sa.size + sb.size - inter).toDouble
-        if (geqSql(jac, 0.5)) Some((i, j, round6(jac))) else None
-      })
-      .toDF("i", "j", "jac")
+    // exact-Jaccard verification, size-gated (enforced, not advisory):
+    // the count below is a metadata-cheap scan of the persisted
+    // signature table and decides which physical shape verification
+    // takes. Either way each shingle set is built once and the SAME
+    // scoring kernel runs — the two paths are plan-shape variants of
+    // one algorithm, asserted row-identical in NewOpsSpec.
+    val nDocs = docs.count()
+    val verified: DataFrame =
+      if (nDocs <= broadcastMaxDocs) {
+        // small corpus: broadcast the doc→shingle-set map; candidate
+        // pairs score against task-local memory, zero extra shuffles
+        val setsMap = s.sparkContext.broadcast(
+          docs.select(col("doc_id"), col("sh")).as[(Long, Seq[String])]
+            .collect().map { case (id, sh) => id -> sh.toSet }.toMap)
+        cand.as[(Long, Long)]
+          .mapPartitions(_.flatMap { case (i, j) =>
+            val sa = setsMap.value(i)
+            val sb = setsMap.value(j)
+            scorePair(i, sa, j, sb)
+          })
+          .toDF("i", "j", "jac")
+      } else {
+        // large corpus: nothing corpus-sized touches the driver.
+        // Join the (candidate-sized, ≪ corpus) pair list to the
+        // persisted signature table on the 8-byte ids — shingle
+        // arrays cross the shuffle only for docs that banded into a
+        // candidate pair — then score in the same kernel.
+        val sigs = docs.select(col("doc_id"), col("sh"))
+        cand
+          .join(sigs.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
+          .join(sigs.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
+          .select(col("i"), col("j"), col("sh_i"), col("sh_j"))
+          .as[(Long, Long, Seq[String], Seq[String])]
+          .mapPartitions(_.flatMap { case (i, j, shi, shj) =>
+            scorePair(i, shi.toSet, j, shj.toSet)
+          })
+          .toDF("i", "j", "jac")
+      }
+    // eager checkpoint: materializes the (small) pair table so the
+    // signature cache can be released immediately, truncates lineage
+    // for d7's iterative consumer, and backs the pairMemo reuse
+    val out = verified.localCheckpoint(true)
+    docs.unpersist()
+    out
+  }
+
+  /** d2's exact-Jaccard scoring kernel — one definition shared by the
+    * broadcast and shuffle verification paths so the gate can never
+    * drift the semantics. */
+  private def scorePair(i: Long, sa: Set[String], j: Long,
+      sb: Set[String]): Option[(Long, Long, Double)] = {
+    val inter = if (sa.size <= sb.size) sa.count(sb) else sb.count(sa)
+    val jac = inter.toDouble / (sa.size + sb.size - inter).toDouble
+    if (geqSql(jac, 0.5)) Some((i, j, round6(jac))) else None
   }
 
   /** d3 — SimHash: 16-bit locality-sensitive fingerprint. Each token
@@ -220,12 +289,40 @@ object DedupOps {
       .toDF("source", "i", "j", "jac")
   }
 
+  /** Gate for d5's exact all-pairs form: at or below this many
+    * embedding rows the corpus is broadcast (64 doubles + norm ≈ 530 B
+    * a row → ~2.5 GB at the cap, the practical broadcast ceiling);
+    * above it the exact quadratic algorithm is not runnable at all —
+    * the ENFORCED fallback is the LSH-bucketed plan
+    * ([[SimilarityOps.bucketEdges]], same scoring contract), which
+    * trades recall < 1 for a per-bucket candidate space. */
+  private[graft] val D5_BROADCAST_MAX_ROWS = 5000000L
+
+  private def d5(s: SparkSession, d: String): DataFrame =
+    d5Pairs(s, d, D5_BROADCAST_MAX_ROWS)
+
+  private[graft] val D5_THRESH = 0.45
+
   /** d5 — embedding-cosine near-dup: all pairs above a similarity
     * threshold. Written as the exact quadratic form at test scale; the
     * bucketed variant (hyperplane LSH, [[SimilarityOps.queries]] s2) is
-    * the 100 TB path — same scoring expression, blocked join.
+    * the 100 TB path — same scoring expression, blocked join. The gate
+    * is enforced in code (not an advisory comment): past
+    * `broadcastMaxRows` the call degrades to the bucketed plan instead
+    * of OOMing the driver — recall < 1, and every pair it does emit
+    * carries the identical rounded cosine (spec'd subset-equal in
+    * NewOpsSpec).
     */
-  private def d5(s: SparkSession, d: String): DataFrame = {
+  private[graft] def d5Pairs(s: SparkSession, d: String,
+      broadcastMaxRows: Long): DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    if (n > broadcastMaxRows)
+      SimilarityOps.bucketEdges(s, d, D5_THRESH)
+        .select(col("i"), col("j"), col("cos"))
+    else d5Exact(s, d)
+  }
+
+  private def d5Exact(s: SparkSession, d: String): DataFrame = {
     // Exact all-pairs: broadcast one side (the definition of the
     // algorithm — if the corpus outgrows a broadcast, the answer is
     // the LSH-bucketed variant in SimilarityOps, not a bigger
@@ -254,7 +351,7 @@ object DedupOps {
           var k = 0
           while (k < 64) { sum += a(k) * b(k); k += 1 }
           val cos = round6(sum / (na * nb))
-          if (geqSql(cos, 0.45)) Some((i, j, cos)) else None
+          if (geqSql(cos, D5_THRESH)) Some((i, j, cos)) else None
         }
       }
     }.toDF("i", "j", "cos")
@@ -356,7 +453,11 @@ object DedupOps {
     */
   private[graft] def d7Components(
       s: SparkSession, d: String, driverMaxEdges: Long = 1000000L): DataFrame =
-    componentsOf(s, d2(s, d).select(col("i"), col("j")),
+    // edge set = d2's memoized/checkpointed pair table: in a session
+    // that already ran d2 (every real pipeline does) the shingle→
+    // minhash→band-join→verify pipeline is not re-run to re-derive
+    // edges d2 already produced
+    componentsOf(s, d2Pairs(s, d).select(col("i"), col("j")),
       Tables.documents(s, d).select(col("doc_id")), driverMaxEdges)
 
   /** Connected components over an arbitrary (i, j) edge set, labels
@@ -483,6 +584,13 @@ object DedupOps {
       |  generate_series(1, len(l)-1), i -> l[i] || ' ' || l[i+1])) AS sh
       |FROM (SELECT doc_id, source, string_split(text,' ') AS l FROM documents)""".stripMargin
 
+  // The d7/d8 oracles resolve components with a recursive `reach` CTE
+  // that materializes the transitive closure (~Σ|component|² rows).
+  // That is fine at the gate's sf (sf0.01: 500 docs / 500 vectors,
+  // near-dup clusters of 2-4) but would dominate gate runtime if the
+  // driver ever oracles at a much larger sf or a densifying threshold —
+  // the documented upgrade is iterative min-label semantics (bounded
+  // rows per vertex), which the ENGINE side already uses.
   val oracles: Map[String, String] = Map(
     "d7_dedup_components" -> s"""
       WITH RECURSIVE t AS ($SHINGLES),

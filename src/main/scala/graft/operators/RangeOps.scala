@@ -56,9 +56,11 @@ object RangeOps {
     * events (same user) whose 5-minute activity windows overlap. The
     * naive form is a per-user non-equi self-join (quadratic per user;
     * Catalyst would plan a nested loop). Instead each interval is
-    * binned to the fixed-width grid cells it touches — with cell width
-    * = interval length, exactly two consecutive cells — and the join
-    * becomes an EQUI-join on (user_id, cell): shuffle both sides on
+    * binned to the fixed-width grid cells it touches — generically
+    * `sequence(st div C, en div C)`, so the decomposition stays exact
+    * for ANY interval-length/cell-width ratio (with the current
+    * 5-minute interval == cell width that is two consecutive cells) —
+    * and the join becomes an EQUI-join on (user_id, cell): shuffle both sides on
     * that key, quadratic cost confined to one cell's density, AQE
     * splits hot cells. A pair overlapping across a cell boundary would
     * match twice, so each pair is claimed by exactly one cell — the one
@@ -71,7 +73,7 @@ object RangeOps {
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("st"))
       .withColumn("en", col("st") + C)
     def binned(side: String) = e
-      .withColumn("cell", explode(array(expr(s"st div $C"), expr(s"st div $C") + 1)))
+      .withColumn("cell", explode(sequence(expr(s"st div $C"), expr(s"en div $C"))))
       .select(col("user_id"), col("cell"), col("event_id").as(s"${side}_id"),
         col("st").as(s"${side}_st"), col("en").as(s"${side}_en"))
     binned("a").join(binned("b"), Seq("user_id", "cell"))

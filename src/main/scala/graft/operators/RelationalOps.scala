@@ -146,11 +146,15 @@ object RelationalOps {
 
   /** J6 — anti-join (beyond the reference, which has no anti join —
     * engine completeness per §2.3's "no ... anti joins" note):
-    * customers with NO orders. Planned LeftAnti: like the semi-join,
-    * no payload crosses the exchange and rows never multiply. */
+    * customers with NO big-ticket (>300k) order. Planned LeftAnti:
+    * like the semi-join, no payload crosses the exchange and rows
+    * never multiply; the right-side filter pushes to its scan. The
+    * filtered form (vs "no orders at all") keeps the result non-empty
+    * at every sf, so the oracle hash actually exercises anti
+    * semantics instead of matching on the empty set. */
   private def j6(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
-      .join(Tables.orders(s, d),
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
@@ -288,13 +292,17 @@ object RelationalOps {
         .filter(col("c_acctbal") > 0)
         .select(col("c_custkey").cast("long").as("key")))
 
-  /** U7 — except: positive-balance customers that never ordered
-    * (distinct + LeftAnti). */
+  /** U7 — except: positive-balance customers minus those with a
+    * big-ticket (>300k) order (distinct + LeftAnti). Filtered right
+    * side for the same reason as J6: a non-empty difference at every
+    * sf, so the gate checks EXCEPT semantics, not the empty set. */
   private def u7(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .filter(col("c_acctbal") > 0)
       .select(col("c_custkey").cast("long").as("key"))
-      .except(Tables.orders(s, d).select(col("o_custkey").as("key")))
+      .except(Tables.orders(s, d)
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("key")))
 
   // ---------------------------------------------------------------------
   // §2.8 Mutations as recompute (immutable tables)
@@ -316,14 +324,16 @@ object RelationalOps {
   /** M2 — positional array-element update (mongo_audit.py:235-268
     * `members.$` fix): rewrite only the FIRST matching element, via
     * `transform` with an index guard. */
-  private def m2(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
+  private def m2(s: SparkSession, d: String): DataFrame =
+    // the match position is hoisted into its own projection: evaluated
+    // once per ROW, not once per array element (the inlined form
+    // re-scans the array inside the lambda — O(n²) per row)
     Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("pos", array_position(col("toks"), lit("data")))
       .select(col("doc_id"),
-        strJoin(transform(toks, (x, i) =>
-          when(i === array_position(toks, lit("data")) - 1, upper(x))
-            .otherwise(x))).as("toks2"))
-  }
+        strJoin(transform(col("toks"), (x, i) =>
+          when(i === col("pos") - 1, upper(x)).otherwise(x))).as("toks2"))
 
   /** M3 — materialized derived collection (mongo_audit.py:271-329
     * write_ref_docs): the inverted reference index as a DataFrame
@@ -390,7 +400,7 @@ object RelationalOps {
     * semantic and out-of-band inserts — the full MERGE triad a CDC
     * ingest needs). Log batches are synthesized deterministically so
     * the oracle can replay them: v2 uppercases every doc_id%3==0, v3
-    * deletes doc_id%10==0, v2 also inserts fresh keys (id+100000 for
+    * deletes doc_id%10==0, v2 also inserts fresh keys (-id-1 for
     * doc_id%50==0). Winner per key = max version via one window rank;
     * a winning 'D' row erases the key. At scale this is the identical
     * plan to m4 — union is free, ONE shuffle on the merge key — and
@@ -404,8 +414,13 @@ object RelationalOps {
     val updates = docs.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), upper(col("text")).as("text"),
         lit(2).as("version"), lit("U").as("op"))
+    // insert keys are provably OUTSIDE the base key space: doc_id ≥ 0
+    // always, so -(doc_id)-1 < 0 can never collide with a real key at
+    // any corpus size (an additive offset like id+100000 silently
+    // collides once ids reach the offset, leaving two version-2 rows
+    // whose winner the version-only ordering picks nondeterministically)
     val inserts = docs.filter(col("doc_id") % 50 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"),
+      .select((-col("doc_id") - 1).as("doc_id"),
         concat(lit("new:"), col("doc_id")).as("text"),
         lit(2).as("version"), lit("U").as("op"))
     val deletes = docs.filter(col("doc_id") % 10 === 0)
@@ -413,7 +428,11 @@ object RelationalOps {
         lit(3).as("version"), lit("D").as("op"))
     base.unionByName(updates).unionByName(inserts).unionByName(deletes)
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("version").desc)))
+        // (version desc, op, text) is a TOTAL order over any one key's
+        // log rows even under key collisions — determinism by
+        // construction, not by the keyspace assumption above
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("version").desc, col("op").asc, col("text").asc)))
       .filter(col("rn") === 1 && col("op") =!= "D")
       .select(col("doc_id"), col("text"), col("version"))
   }
@@ -438,12 +457,18 @@ object RelationalOps {
     // silently saturate (fpp -> 1, zero pruning) once the dimension
     // outgrows it; the count is a cheap scan of one pruned column
     val nKeys = math.max(bigOrders.count(), 1L)
-    val bf = bigOrders.stat.bloomFilter("o_orderkey", nKeys, 0.01)
-    val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bfB.value.mightContainLong(k))
+    // native bloom: `bloom_filter_agg` builds the sketch distributed
+    // (one agg over the pruned key column, no key collect) and
+    // `might_contain` probes it as a codegen'd Catalyst expression —
+    // the probe stays inside WholeStageCodegen (asserted in
+    // PlanShapeSpec) instead of breaking the span the way a Scala UDF
+    // does. The few-MB sketch itself is the only driver round-trip,
+    // shipped back as a binary literal (= a task broadcast).
+    val bf = bigOrders
+      .agg(expr(s"bloom_filter_agg(o_orderkey, ${nKeys}L)").as("bf"))
+      .head().getAs[Array[Byte]](0)
     Tables.lineitem(s, d)
-      .filter(mightContain(col("l_orderkey")))
+      .filter(call_function("might_contain", lit(bf), col("l_orderkey")))
       .join(bigOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
   }
@@ -523,7 +548,7 @@ object RelationalOps {
     "j6_anti_join" ->
       // NOT EXISTS, not NOT IN: a NULL o_custkey would make NOT IN return
       // zero rows (three-valued logic) while LeftAnti still anti-matches
-      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)",
     "a1_distinct_count" ->
       "SELECT count(DISTINCT o_custkey) AS n_custs FROM orders",
     "a2_group_count" ->
@@ -559,7 +584,7 @@ object RelationalOps {
     "u6_intersect" ->
       "SELECT o_custkey AS key FROM orders INTERSECT SELECT CAST(c_custkey AS BIGINT) FROM customer WHERE c_acctbal > 0",
     "u7_except" ->
-      "SELECT CAST(c_custkey AS BIGINT) AS key FROM customer WHERE c_acctbal > 0 EXCEPT SELECT o_custkey FROM orders",
+      "SELECT CAST(c_custkey AS BIGINT) AS key FROM customer WHERE c_acctbal > 0 EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000",
     "m1_conditional_update" ->
       "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'DELINQUENT' ELSE c_mktsegment END AS segment, c_acctbal AS bal FROM customer",
     "m2_positional_array_update" ->
@@ -592,12 +617,12 @@ object RelationalOps {
         UNION ALL
         SELECT doc_id, upper(text), 2, 'U' FROM documents WHERE doc_id % 3 = 0
         UNION ALL
-        SELECT doc_id + 100000, 'new:' || doc_id::VARCHAR, 2, 'U'
+        SELECT -doc_id - 1, 'new:' || doc_id::VARCHAR, 2, 'U'
         FROM documents WHERE doc_id % 50 = 0
         UNION ALL
         SELECT doc_id, NULL, 3, 'D' FROM documents WHERE doc_id % 10 = 0),
       r AS (SELECT doc_id, text, version, op, row_number() OVER (
-              PARTITION BY doc_id ORDER BY version DESC) AS rn FROM log)
+              PARTITION BY doc_id ORDER BY version DESC, op, text) AS rn FROM log)
       SELECT doc_id, text, version FROM r WHERE rn = 1 AND op <> 'D'""",
     "j7_bloom_prejoin" -> """
       SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

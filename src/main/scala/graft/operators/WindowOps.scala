@@ -93,9 +93,9 @@ object WindowOps {
     * the shuffle key is o_custkey (high cardinality), each partition
     * sorts only its own rows. The GLOBAL form (ntile over an
     * unpartitioned window) would serialize 100 TB through one task —
-    * the scale path for global binning is g7's approx-quantile
+    * global binning is instead the [[w8]] operator: quantile
     * cut-points joined back as a broadcast band dimension (r2's
-    * shape), so it's deliberately not an operator here. */
+    * shape). */
   private def w7(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"),
@@ -103,7 +103,40 @@ object WindowOps {
           .orderBy(col("o_totalprice").asc, col("o_orderkey").asc))
           .as("spend_quartile"))
 
+  /** w8 — GLOBAL quantile binning: every order labeled with its
+    * global spend quartile. This is w7's documented scale path made a
+    * first-class operator: a global ntile would serialize the whole
+    * table through one task's sort, so instead
+    *   (1) ONE aggregation computes the exact quartile cut-points
+    *       (partial+final agg — rows never converge to one task, only
+    *       per-partition agg states do; at extreme scale swap in
+    *       approx_percentile, same plan shape);
+    *   (2) the 3 cut-points become a 4-row [lo, hi) band dimension —
+    *       broadcast, exactly r2's range-join shape;
+    *   (3) the fact table equi-ish-joins the broadcast bands — a
+    *       scan-speed map-side pass, NO global sort, NO extra
+    *       shuffle of the facts (asserted in PlanShapeSpec).
+    * Cut-points are rounded (portable floor form) before binning in
+    * BOTH engines so a sub-ulp interpolation difference can't flip a
+    * boundary row's bin. */
+  private def w8(s: SparkSession, d: String): DataFrame = {
+    val cuts = Tables.orders(s, d)
+      .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("c"))
+      .select(transform(col("c"), x => roundFp(x, 6)).as("c"))
+      .select(
+        concat(array(lit(Double.NegativeInfinity)), col("c")).as("los"),
+        concat(col("c"), array(lit(Double.PositiveInfinity))).as("his"))
+    val bands = cuts
+      .select(col("his"), posexplode(col("los")).as(Seq("bin", "lo")))
+      .select(col("bin"), col("lo"), element_at(col("his"), col("bin") + 1).as("hi"))
+    Tables.orders(s, d)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .select(col("o_orderkey"), col("bin").as("spend_quartile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w8_global_bin" -> (w8 _),
     "w1_tumbling_window" -> (w1 _),
     "w2_rank_per_group" -> (w2 _),
     "w3_session_window" -> (w3 _),
@@ -114,6 +147,21 @@ object WindowOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // quantile_cont == Spark's exact `percentile` (same linear
+    // interpolation: lower + (higher-lower)*frac, identical IEEE ops);
+    // both engines round the cut-points with the portable floor form
+    // before binning
+    "w8_global_bin" -> """
+      WITH c AS (SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS c
+                 FROM orders),
+      cuts AS (SELECT list_transform(c, x -> floor(x*1000000 + 0.5)/1000000) AS c
+               FROM c),
+      bands AS (SELECT i AS bin,
+          CASE WHEN i = 0 THEN '-infinity'::DOUBLE ELSE c[i] END AS lo,
+          CASE WHEN i = 3 THEN 'infinity'::DOUBLE ELSE c[i+1] END AS hi
+        FROM cuts, generate_series(0, 3) t(i))
+      SELECT o_orderkey, bin AS spend_quartile
+      FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi""",
     "w1_tumbling_window" -> """
       SELECT date_trunc('hour', ts) AS hour_start, event_type,
         count(*) AS cnt, floor(sum(value)*100 + 0.5)/100 AS sum_value

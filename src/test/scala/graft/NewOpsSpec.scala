@@ -339,18 +339,22 @@ class NewOpsSpec extends SparkSpec {
     "untouched rows at v1") {
     val r = q("m6_cdc_apply").cache()
     val docs = Tables.documents(spark, sf).cache()
+    // insert keys are negative (-id-1), provably outside the base key
+    // space (doc_id >= 0) at ANY corpus size — so base keys are
+    // exactly the non-negative ones
+    assert(docs.filter(col("doc_id") < 0).count() == 0)
     // deleted keys absent (delete beats the v2 update on %30 keys)
     assert(r.filter(col("doc_id") % 10 === 0 &&
-      col("doc_id") < 100000).count() == 0)
+      col("doc_id") >= 0).count() == 0)
     // surviving %3 keys carry the v2 uppercase text
-    assert(r.filter(col("doc_id") % 3 === 0 && col("doc_id") < 100000 &&
+    assert(r.filter(col("doc_id") % 3 === 0 && col("doc_id") >= 0 &&
       col("version") =!= 2).count() == 0)
     // inserts present with their synthetic text
     val nIns = docs.filter(col("doc_id") % 50 === 0).count()
-    assert(r.filter(col("doc_id") >= 100000).count() == nIns)
+    assert(r.filter(col("doc_id") < 0).count() == nIns)
     // everything else untouched at version 1
     assert(r.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 10 =!= 0 &&
-      col("doc_id") < 100000 && col("version") =!= 1).count() == 0)
+      col("doc_id") >= 0 && col("version") =!= 1).count() == 0)
     docs.unpersist(); r.unpersist()
   }
 
@@ -475,6 +479,60 @@ class NewOpsSpec extends SparkSpec {
     assert(r.filter(col("start_ms") =!= col("chunk_idx") * 1000).count() == 0)
     assert(r.filter(col("end_ms") - col("start_ms") > 1000 ||
       col("end_ms") <= col("start_ms")).count() == 0)
+    r.unpersist()
+  }
+
+  test("d2: shuffle-join verification (gate forced low) is row-identical " +
+    "to the broadcast path") {
+    import graft.operators.DedupOps
+    // threshold 0 forces the shuffle-join fallback; MaxValue forces the
+    // broadcast map — same candidates, same kernel, same rows
+    val shuffled = DedupOps.computeD2Pairs(spark, sf, 0L).cache()
+    val broadcasted = DedupOps.computeD2Pairs(spark, sf, Long.MaxValue).cache()
+    assert(shuffled.count() > 0)
+    assert(shuffled.exceptAll(broadcasted).count() == 0 &&
+      broadcasted.exceptAll(shuffled).count() == 0)
+    shuffled.unpersist(); broadcasted.unpersist()
+  }
+
+  test("d5: past the broadcast gate the call degrades to the bucketed " +
+    "plan — routed to bucketEdges exactly, and never invents a pair") {
+    import graft.operators.{DedupOps, SimilarityOps}
+    val exact = DedupOps.d5Pairs(spark, sf, Long.MaxValue).cache()
+    val gated = DedupOps.d5Pairs(spark, sf, 0L).cache()
+    val bucketed = SimilarityOps
+      .bucketEdges(spark, sf, DedupOps.D5_THRESH)
+      .select(col("i"), col("j"), col("cos"))
+    // the gate routes to the LSH-bucketed plan, bit-for-bit
+    assert(gated.exceptAll(bucketed).count() == 0 &&
+      bucketed.exceptAll(gated).count() == 0)
+    // recall <= 1 by design (bucket collisions only): a subset of the
+    // exact pair set, same rounded cosines — never an invented pair.
+    // (At this sf the 0.45-similar pairs never collide in a 6-bit
+    // bucket, so the subset is empty — the d8 family tests the
+    // non-empty bucketed regime at its 0.3 threshold.)
+    assert(gated.count() <= exact.count())
+    assert(gated.exceptAll(exact).count() == 0)
+    exact.unpersist(); gated.unpersist()
+  }
+
+  test("w8: global quartiles are present 0-3, near-balanced, and " +
+    "ordered by spend (bin i's max price <= bin i+1's min)") {
+    val r = q("w8_global_bin").cache()
+    val n = r.count()
+    assert(r.select(col("spend_quartile")).distinct().count() == 4)
+    val sizes = r.groupBy(col("spend_quartile")).agg(count(lit(1)).as("cnt"))
+    // exact quartile cut-points: each bin within ±2% of n/4 (ties on
+    // the cut value can nudge membership slightly)
+    assert(sizes.filter(abs(col("cnt") - n / 4.0) > n * 0.02).count() == 0)
+    val priced = r.join(Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")), Seq("o_orderkey"))
+    val bounds = priced.groupBy(col("spend_quartile"))
+      .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    val inverted = bounds.as("x").join(bounds.as("y"),
+      col("x.spend_quartile") < col("y.spend_quartile") &&
+        col("x.hi") > col("y.lo"))
+    assert(inverted.count() == 0)
     r.unpersist()
   }
 }

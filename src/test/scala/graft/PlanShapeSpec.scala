@@ -128,13 +128,16 @@ class PlanShapeSpec extends SparkSpec {
     "second side (j5) — asserted on the FINAL adaptive plan with the " +
     "broadcast path disabled (at real scale the table exceeds the " +
     "threshold and this SMJ shape is what runs)") {
+    // restore whatever the suite was running with, not a hardcoded
+    // default — a changed session config must survive this test
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val df = q("j5_self_join")
       df.collect() // AQE only materializes exchange reuse at runtime
       val p = plan(df)
       assert(p.contains("ReusedExchange"), p)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("global hash sample plans TakeOrderedAndProject — per-task " +
@@ -147,5 +150,27 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(q("g8_grouping_sets"))
     assert(p.contains("Expand"), p)
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("bloom probe is the native might_contain expression inside " +
+    "whole-stage codegen — not a codegen-opaque UDF (j7)") {
+    val df = q("j7_bloom_prejoin")
+    val exec = df.queryExecution.executedPlan
+    val p = exec.toString
+    assert(p.contains("might_contain"), p)
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF("), p)
+    // the Filter carrying the probe sits inside a WholeStageCodegen
+    // stage ("*(n)" prefix in the simple string)
+    assert(p.linesIterator.exists(l =>
+      l.contains("might_contain") && l.contains("*(")), p)
+  }
+
+  test("global quantile binning never global-sorts the fact table (w8) " +
+    "— cut-points come from one aggregation, bins from a broadcast " +
+    "range join") {
+    val p = plan(q("w8_global_bin"))
+    // a global SortExec prints as "Sort [...], true, 0"
+    assert("Sort \\[[^\\]]*\\], true".r.findFirstIn(p).isEmpty, p)
+    assert(!p.contains("Window"), p)
   }
 }
