@@ -162,8 +162,8 @@ object TextOps {
     * the standard benchmark-leakage audit run before any evaluation.
     *
     * Plan shape at 100 TB: shingle both sides with the kernel
-    * tokenizer, distinct the train side (shuffle on the shingle), one
-    * equi-join shingle-to-shingle, count per test doc. The join key is
+    * tokenizer, distinct each side (shuffle on the shingle), one SEMI
+    * join shingle-to-shingle, plain count per test doc. The join key is
     * the shingle string; at larger n-grams it would be the 60-bit hash,
     * same plan.
     */
@@ -181,10 +181,16 @@ object TextOps {
         })
         .toDF("doc_id", "sh")
     val train = shingleRows(0, 80).select(col("sh")).distinct()
-    val test = shingleRows(90, 100)
-    test.join(train, Seq("sh"))
-      .groupBy(test("doc_id"))
-      .agg(countDistinct(col("sh")).as("n_contaminated"))
+    // distinct the test side FIRST, then LeftSemi against train: the
+    // semi join carries no payload and never multiplies rows, and the
+    // final count is a plain partial+final agg — vs the naive
+    // join + countDistinct, which multiplies duplicate test shingles
+    // through the join and then pays a two-phase distinct aggregation
+    // to collapse them again
+    val test = shingleRows(90, 100).dropDuplicates("doc_id", "sh")
+    test.join(train, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
   }
 
   /** x9 — repetition score: fraction of a document's bigrams that are

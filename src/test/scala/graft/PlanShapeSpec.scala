@@ -155,8 +155,8 @@ class PlanShapeSpec extends SparkSpec {
   test("bloom probe is the native might_contain expression inside " +
     "whole-stage codegen — not a codegen-opaque UDF (j7)") {
     val df = q("j7_bloom_prejoin")
-    val exec = df.queryExecution.executedPlan
-    val p = exec.toString
+    df.collect() // AQE only shows codegen stage markers on the FINAL plan
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("might_contain"), p)
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF("), p)
     // the Filter carrying the probe sits inside a WholeStageCodegen
@@ -172,5 +172,13 @@ class PlanShapeSpec extends SparkSpec {
     // a global SortExec prints as "Sort [...], true, 0"
     assert("Sort \\[[^\\]]*\\], true".r.findFirstIn(p).isEmpty, p)
     assert(!p.contains("Window"), p)
+  }
+
+  test("contamination check joins LeftSemi and counts with a plain " +
+    "partial+final agg — no row multiplication, no distinct-agg " +
+    "Expand (x8)") {
+    val p = plan(q("x8_contamination"))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("Expand"), p)
   }
 }
