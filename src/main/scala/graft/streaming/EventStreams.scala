@@ -175,6 +175,25 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("content_fp")
 
+  /** Stream face of the sink surface (S2/S3 under a stream): every
+    * micro-batch appends through the given [[graft.sinks.DocumentSink]]
+    * — `MongoImportSink` makes this the streaming version of the
+    * reference's load step, dumping mongoimport-ready Extended JSON
+    * per batch. foreachBatch reuses the BATCH writer verbatim, so sink
+    * semantics (field-name validation, canonical encoding, partition-
+    * parallel files) are identical on both faces; the checkpoint gives
+    * at-least-once per batch and the batch-id-named part files keep a
+    * downstream mongoimport idempotent. */
+  def sinkTo(df: DataFrame, sink: graft.sinks.DocumentSink, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.write(batch, path, overwrite = false)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Watermarked stream-stream inner join: each left event pairs with
     * right events of the same user within the following hour. Both
     * sides carry watermarks and the join condition bounds event-time

@@ -247,4 +247,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(finals(1L) == (3L, 6.0))
     assert(finals(2L) == (2L, 9.0))
   }
+
+  test("foreachBatch streams micro-batches through the mongoimport " +
+    "sink — streaming and batch faces of S3 produce the same dump") {
+    val mem = MemoryStream[Event]
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    val out = tmp.resolve("dump").toString
+    mem.addData(rows: _*) // available-now: data staged before start
+    val q = sinkTo(mem.toDF(), graft.sinks.MongoImportSink, out,
+      tmp.resolve("ckpt").toString)
+    q.awaitTermination(120000)
+    val back = spark.read.json(out)
+    assert(back.count() == rows.length)
+    // the canonical wrappers survive the streaming path: int64 ids
+    // never travel as bare JSON numbers
+    assert(back.select(col("event_id.$numberLong")).collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("1", "2", "3", "4", "5"))
+    assert(spark.read.text(out)
+      .filter(col("value").contains(""""event_id":1""")).count() == 0)
+  }
 }
