@@ -237,7 +237,54 @@ object TextOps {
       .filter(col("rank") <= 3)
   }
 
+  /** x11 — BM25 ranked retrieval: top-10 documents for a literal
+    * keyword query, the lexical scorer every retrieval/eval pipeline
+    * runs next to its embedding ANN (s1-s3). k1 = 1.2, b = 0.75. The
+    * idf factor is the RAW rarity ratio (N − df + ½)/(df + ½), not its
+    * log, for the same reason as x10: pure IEEE arithmetic is
+    * bit-identical across engines while libm log is not — and for a
+    * FIXED query the induced ranking is identical (log is monotone).
+    *
+    * Plan shape at 100 TB: the `term isin query` filter lands BELOW
+    * the (doc, term) aggregation, so the corpus-sized term space never
+    * materializes for non-query terms — tf is a partial+final agg over
+    * query-term hits only. Per-doc length rides the same scan as a
+    * narrow projection (no self-join back to the corpus). df (≤|q|
+    * rows) and avgdl/N (1 row) broadcast. The final top-10 is
+    * TakeOrderedAndProject — per-task heaps, no global sort. */
+  private def x11(s: SparkSession, d: String): DataFrame = {
+    val qTerms = Seq("hash", "join", "merge")
+    // every constant is the SAME decimal literal the oracle SQL parses
+    // (k1 = 1.2, b = 0.75): k1+1 computed at runtime could round to a
+    // different double than parsing "2.2", and the gate hashes bits
+    val (k1, k1p1, oneMinusB, b) = (1.2, 2.2, 0.25, 0.75)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("dl"))
+    val hits = docs
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    hits.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (((col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * k1p1) /
+          (col("tf") + lit(k1) * (lit(oneMinusB) +
+            lit(b) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(roundFp(sum(col("term_score")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x11_bm25" -> (x11 _),
     "x10_tfidf" -> (x10 _),
     "x8_contamination" -> (x8 _),
     "x9_repetition" -> (x9 _),
@@ -253,6 +300,25 @@ object TextOps {
   private def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // identical parenthesization + decimal literals as the Spark
+    // expression — the gate hashes double BITS, so association order
+    // and constant parsing must agree, not just the math
+    "x11_bm25" -> """
+      WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
+                        unnest(string_split(text,' ')) AS term
+                 FROM documents),
+      hits AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+               WHERE term IN ('hash','join','merge') GROUP BY 1, 2, 3),
+      df AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+      stats AS (SELECT count(*) AS n,
+                  sum(len(string_split(text,' '))) / count(*) AS avgdl
+                FROM documents),
+      sc AS (SELECT doc_id,
+               ((n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+                 (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS term_score
+             FROM hits JOIN df USING (term), stats)
+      SELECT doc_id, floor(sum(term_score)*1000000 + 0.5)/1000000 AS score
+      FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
     "x10_tfidf" -> """
       WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
                  FROM documents),

@@ -181,4 +181,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
     assert(!p.contains("Expand"), p)
   }
+
+  test("BM25 top-10 plans TakeOrderedAndProject with the query-term " +
+    "filter applied before the tf aggregation (x11) — never a global " +
+    "sort, never a corpus-wide term agg") {
+    val p = plan(q("x11_bm25"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Sort \\[[^\\]]*\\], true".r.findFirstIn(p).isEmpty, p)
+    // the isin filter is its own operator under the tf aggregation:
+    // non-query terms never enter the agg
+    assert(p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("hash,join,merge")), p)
+  }
 }
