@@ -567,7 +567,44 @@ object DedupOps {
     out
   }
 
+  /** d9 — repeated-substring-span detection: which exact token spans
+    * occur in 2+ documents. This is the Spark shape of suffix-array
+    * exact-substring dedup (the pass that catches verbatim boilerplate
+    * and licensing blocks Jaccard-level dedup misses): every document
+    * emits its length-[[D9_WINDOW]] token windows at stride
+    * [[D9_STRIDE]], duplicate spans WITHIN a doc collapse first
+    * (distinct on (doc, span) — a doc repeating its own header is not
+    * cross-doc contamination), then one partial+final agg per span.
+    * A span repeated across k docs with an offset not divisible by the
+    * stride is still caught once both docs emit SOME aligned window
+    * inside it — stride trades recall granularity for a 1/stride
+    * cut of the emitted-window volume, the standard tradeoff.
+    *
+    * Scale: entirely built-in expressions (sequence/slice/array_join
+    * — whole-stage codegen'd, no kernel needed since the work is
+    * linear per doc, not quadratic). The shuffle key is the span
+    * text here because the oracle must reproduce it; at 100 TB the
+    * key is the span's 8-byte rolling hash and spans re-verify on
+    * the grouped sample, identical plan. */
+  private val D9_WINDOW = 8
+  private val D9_STRIDE = 4
+
+  private def d9(s: SparkSession, d: String): DataFrame = {
+    val (w, st) = (D9_WINDOW, D9_STRIDE)
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= w)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("l")) - (w - 1), lit(st)),
+          p => array_join(slice(col("l"), p, lit(w)), " "))).as("span"))
+      .distinct()
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d9_substring_spans" -> (d9 _),
     "d6_minhash_udaf" -> (d6 _),
     "d7_dedup_components" -> (d7 _),
     "d8_semantic_dedup" -> (d8 _),
@@ -592,6 +629,15 @@ object DedupOps {
   // the documented upgrade is iterative min-label semantics (bounded
   // rows per vertex), which the ENGINE side already uses.
   val oracles: Map[String, String] = Map(
+    // DuckDB list slice l[a:b] is 1-based inclusive-inclusive, so
+    // l[p:p+7] is exactly Spark's slice(l, p, 8)
+    "d9_substring_spans" -> """
+      WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+      spans AS (SELECT DISTINCT doc_id, array_to_string(l[p:p+7], ' ') AS span
+                FROM t, unnest(generate_series(1, len(l)-7, 4)) AS u(p)
+                WHERE len(l) >= 8)
+      SELECT span, count(*) AS n_docs, min(doc_id) AS first_doc
+      FROM spans GROUP BY span HAVING count(*) >= 2""",
     "d7_dedup_components" -> s"""
       WITH RECURSIVE t AS ($SHINGLES),
       m AS (SELECT doc_id, sh, list_transform(generate_series(0,7), k ->
