@@ -242,8 +242,11 @@ object TextOps {
     * runs next to its embedding ANN (s1-s3). k1 = 1.2, b = 0.75. The
     * idf factor is the RAW rarity ratio (N − df + ½)/(df + ½), not its
     * log, for the same reason as x10: pure IEEE arithmetic is
-    * bit-identical across engines while libm log is not — and for a
-    * FIXED query the induced ranking is identical (log is monotone).
+    * bit-identical across engines while libm log is not. Log is
+    * monotone per term; for multi-term queries the SUM of rescaled
+    * term scores can reorder in principle, so NewOpsSpec verifies
+    * top-k parity against true log-idf BM25 on the test corpus
+    * rather than asserting it axiomatically.
     *
     * Plan shape at 100 TB: the `term isin query` filter lands BELOW
     * the (doc, term) aggregation, so the corpus-sized term space never

@@ -535,4 +535,57 @@ class NewOpsSpec extends SparkSpec {
     assert(inverted.count() == 0)
     r.unpersist()
   }
+
+  test("x11: raw-ratio idf induces the same ranking as true log-idf " +
+    "BM25 (monotonicity claim verified on data), and every retrieved " +
+    "doc contains a query term") {
+    val qTerms = Set("hash", "join", "merge")
+    val top = q("x11_bm25").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.length == 10)
+    // scores strictly ordered (desc) modulo the doc_id tie-break
+    assert(top.sliding(2).forall { case Array((i, a), (j, b)) =>
+      a > b || (a == b && i < j) }, top.mkString(","))
+    // independent driver-side BM25 with TRUE log idf over the corpus:
+    // the top-10 SET must coincide (log is monotone in the raw ratio,
+    // so rank flips would mean the claim in the scaladoc is wrong)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum / n
+    val df = qTerms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    def bm25(tk: Seq[String]): Double = qTerms.toSeq.map { t =>
+      val tf = tk.count(_ == t).toDouble
+      if (tf == 0 || df(t) == 0) 0.0
+      else math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1) * // Lucene form
+        tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * tk.length / avgdl))
+    }.sum
+    val expected = docs.map { case (id, tk) => (id, bm25(tk)) }
+      .sortBy { case (id, sc) => (-sc, id) }.take(10).map(_._1).toSet
+    assert(top.map(_._1).toSet == expected,
+      s"engine=${top.map(_._1).toSet} logidf=$expected")
+    // relevance: every retrieved doc actually contains a query term
+    val hits = docs.toMap
+    assert(top.forall { case (id, _) => hits(id).exists(qTerms) })
+  }
+
+  test("d9: every reported span really is a verbatim token window of " +
+    "2+ distinct documents (independent substring recheck), and " +
+    "n_docs/first_doc are consistent") {
+    val spans = q("d9_substring_spans").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(spans.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), " " + r.getString(1) + " "))
+    for ((span, nDocs, firstDoc) <- spans) {
+      // token-boundary containment, independent of the window/stride
+      // machinery that produced the span
+      val holders = docs.filter(_._2.contains(" " + span + " ")).map(_._1)
+      assert(holders.length >= nDocs,
+        s"span '$span' claimed in $nDocs docs, found in ${holders.length}")
+      assert(holders.contains(firstDoc))
+      assert(nDocs >= 2)
+    }
+  }
 }
