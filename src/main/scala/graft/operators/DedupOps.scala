@@ -573,8 +573,9 @@ object DedupOps {
     * and licensing blocks Jaccard-level dedup misses): every document
     * emits its length-[[D9_WINDOW]] token windows at stride
     * [[D9_STRIDE]], duplicate spans WITHIN a doc collapse first
-    * (distinct on (doc, span) — a doc repeating its own header is not
-    * cross-doc contamination), then one partial+final agg per span.
+    * (array_distinct per row — a doc repeating its own header is not
+    * cross-doc contamination), then ONE partial+final agg per span is
+    * the only shuffle.
     * A span repeated across k docs with an offset not divisible by the
     * stride is still caught once both docs emit SOME aligned window
     * inside it — stride trades recall granularity for a 1/stride
@@ -594,10 +595,13 @@ object DedupOps {
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .filter(size(col("l")) >= w)
-      .select(col("doc_id"), explode(
+      // within-doc span dedup happens INSIDE the row (array_distinct
+      // in the same codegen stage as the windowing) — a corpus-wide
+      // distinct() here would be a second full shuffle of the span
+      // strings for something each row can decide alone
+      .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(col("l")) - (w - 1), lit(st)),
-          p => array_join(slice(col("l"), p, lit(w)), " "))).as("span"))
-      .distinct()
+          p => array_join(slice(col("l"), p, lit(w)), " ")))).as("span"))
       .groupBy(col("span"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
