@@ -73,17 +73,19 @@ object DedupOps {
   private[graft] def d2Pairs(s: SparkSession, d: String): DataFrame =
     pairMemo.getOrElseUpdate((s, d), computeD2Pairs(s, d, D2_BROADCAST_MAX_DOCS))
 
-  private[graft] def computeD2Pairs(s: SparkSession, d: String,
-      broadcastMaxDocs: Long): DataFrame = {
-    // Signature computation is a typed kernel: 8 seeded md5 minhashes
-    // over every shingle is pure dense hashing, which interpreted
-    // higher-order expressions evaluate ~10x slower (the declarative
-    // minhash combinator lives in graft.functions.Fns for small-k
-    // uses). The O(N) signature table is persisted — four plan
-    // branches reuse it (band x/y, set i/j); at cluster scale this is
-    // a checkpoint of signatures, never of the corpus.
+  /** The O(N) MinHash signature table (doc_id, sh, mh) — distinct
+    * bigram shingles + 8 seeded minhashes per doc. Signature
+    * computation is a typed kernel: 8 seeded md5 minhashes over every
+    * shingle is pure dense hashing, which interpreted higher-order
+    * expressions evaluate ~10x slower (the declarative minhash
+    * combinator lives in graft.functions.Fns for small-k uses).
+    * Returned PERSISTED — callers unpersist; at cluster scale this is
+    * a checkpoint of signatures, never of the corpus. Shared by d2
+    * (self-dedup band join) and d10 (directional incremental band
+    * join). */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
       // kernel stages declare their parallelism: the parquet scan may
       // yield very few partitions, which would serialize the hashing
@@ -114,15 +116,27 @@ object DedupOps {
       }
       .toDF("doc_id", "sh", "mh")
       .persist()
-    // band key kept as the two raw minhash longs — the equi-join
-    // shuffles 16 bytes per band instead of a concatenated string
-    val bands = docs.select(
+  }
+
+  /** 4 bands of 2 minhashes as (band, m1, m2) rows. The band key is
+    * kept as the two raw minhash longs — the equi-join shuffles
+    * 16 bytes per band instead of a concatenated string. */
+  private def bandKeys(sigs: DataFrame): DataFrame =
+    sigs.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(3)), b => struct(
         b.as("band"),
         element_at(col("mh"), b * 2 + 1).as("m1"),
         element_at(col("mh"), b * 2 + 2).as("m2")))).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.m1"), col("bk.m2"))
+
+  private[graft] def computeD2Pairs(s: SparkSession, d: String,
+      broadcastMaxDocs: Long): DataFrame = {
+    import s.implicits._
+    // the persisted signature table feeds four plan branches (band
+    // x/y, set i/j)
+    val docs = signatures(s, d)
+    val bands = bandKeys(docs)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.m1") === col("y.m1") &&
@@ -607,7 +621,71 @@ object DedupOps {
       .filter(col("n_docs") >= 2)
   }
 
+  /** d10 — incremental dedup: verdict each INCOMING document (the 20%
+    * hash-split, standing in for a new crawl batch) against the
+    * EXISTING reference corpus (the other 80%): 'exact' if its content
+    * fingerprint already exists there, 'near' if MinHash banding +
+    * exact-Jaccard verification (same kernel and threshold as d2)
+    * finds a reference near-dup, else 'keep'. This is the
+    * continual-ingest shape — dedup crawl N against crawls 1..N-1 —
+    * and its scale property is DIRECTIONALITY: incoming band keys
+    * probe reference band keys, so the candidate space is
+    * |incoming|×|reference| collisions only; no reference×reference
+    * pair is ever generated (that quadratic-in-the-corpus work is
+    * d2's self-dedup job, not the ingest path's). Exact duplicates
+    * short-circuit on the 8-byte fingerprint (LeftSemi, no payload);
+    * near verification is unconditionally the shuffle-join path —
+    * incremental dedup IS the large-corpus regime, nothing
+    * corpus-sized belongs on the driver. */
+  private def d10(s: SparkSession, d: String): DataFrame = {
+    val (out, sigs) = d10Plan(s, d)
+    // eager checkpoint so the signature cache can be released now
+    val res = out.localCheckpoint(true)
+    sigs.unpersist()
+    res
+  }
+
+  /** The lazy d10 plan plus its persisted signature table — split out
+    * so PlanShapeSpec can assert the PRE-checkpoint physical plan
+    * (after localCheckpoint the plan is just an RDD scan). */
+  private[graft] def d10Plan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    def pct = md5Long(col("doc_id")) % 100
+    val sigs = signatures(s, d)
+    val cand = bandKeys(sigs.filter(pct >= 80)).as("x")
+      .join(bandKeys(sigs.filter(pct < 80)).as("y"),
+        col("x.band") === col("y.band") && col("x.m1") === col("y.m1") &&
+          col("x.m2") === col("y.m2"))
+      .select(col("x.doc_id").as("inc"), col("y.doc_id").as("ref"))
+      .distinct()
+    val near = cand
+      .join(sigs.select(col("doc_id").as("inc"), col("sh").as("sh_i")), "inc")
+      .join(sigs.select(col("doc_id").as("ref"), col("sh").as("sh_j")), "ref")
+      .select(col("inc"), col("ref"), col("sh_i"), col("sh_j"))
+      .as[(Long, Long, Seq[String], Seq[String])]
+      .mapPartitions(_.flatMap { case (i, j, shi, shj) =>
+        scorePair(i, shi.toSet, j, shj.toSet)
+      })
+      .toDF("doc_id", "ref", "jac")
+      .select(col("doc_id")).distinct()
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"), md5Long(lower(trim(col("text")))).as("content_fp"))
+    val exact = fps.filter(pct >= 80)
+      .join(fps.filter(pct < 80).select(col("content_fp")).distinct(),
+        Seq("content_fp"), "left_semi")
+      .select(col("doc_id"))
+    val out = fps.filter(pct >= 80).select(col("doc_id"))
+      .join(exact.withColumn("ex", lit(1)), Seq("doc_id"), "left")
+      .join(near.withColumn("nr", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex").isNotNull, "exact")
+          .when(col("nr").isNotNull, "near")
+          .otherwise("keep").as("verdict"))
+    (out, sigs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_incremental_dedup" -> (d10 _),
     "d9_substring_spans" -> (d9 _),
     "d6_minhash_udaf" -> (d6 _),
     "d7_dedup_components" -> (d7 _),
@@ -633,6 +711,38 @@ object DedupOps {
   // the documented upgrade is iterative min-label semantics (bounded
   // rows per vertex), which the ENGINE side already uses.
   val oracles: Map[String, String] = Map(
+    "d10_incremental_dedup" -> s"""
+      WITH t AS ($SHINGLES),
+      s AS (SELECT doc_id,
+              ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS bkt,
+              sh FROM t),
+      m AS (SELECT doc_id, bkt, sh, list_transform(generate_series(0,7), k ->
+              list_min(list_transform(sh, x ->
+                ('0x' || substr(md5(k::VARCHAR || ':' || x),1,15))::BIGINT))) AS mh
+            FROM s),
+      b AS (SELECT doc_id, bkt, g.band AS band,
+              mh[2*g.band+1]::VARCHAR || '_' || mh[2*g.band+2]::VARCHAR AS bkey
+            FROM m, generate_series(0,3) g(band)),
+      c AS (SELECT DISTINCT x.doc_id AS inc, y.doc_id AS ref
+            FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey
+              AND x.bkt >= 80 AND y.bkt < 80),
+      nr AS (SELECT DISTINCT inc AS doc_id
+             FROM c JOIN m a ON c.inc = a.doc_id JOIN m bb ON c.ref = bb.doc_id
+             WHERE len(list_intersect(a.sh, bb.sh))::DOUBLE
+                   / len(list_distinct(a.sh || bb.sh)) >= 0.5),
+      fp AS (SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS bkt,
+               ('0x' || substr(md5(lower(trim(text))),1,15))::BIGINT AS content_fp
+             FROM documents),
+      ex AS (SELECT DISTINCT i.doc_id FROM fp i JOIN fp r
+             ON i.content_fp = r.content_fp AND i.bkt >= 80 AND r.bkt < 80)
+      SELECT f.doc_id,
+        CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+             WHEN nr.doc_id IS NOT NULL THEN 'near'
+             ELSE 'keep' END AS verdict
+      FROM fp f LEFT JOIN ex ON f.doc_id = ex.doc_id
+                LEFT JOIN nr ON f.doc_id = nr.doc_id
+      WHERE f.bkt >= 80""",
     // DuckDB list slice l[a:b] is 1-based inclusive-inclusive, so
     // l[p:p+7] is exactly Spark's slice(l, p, 8)
     "d9_substring_spans" -> """

@@ -569,6 +569,43 @@ class NewOpsSpec extends SparkSpec {
     assert(top.forall { case (id, _) => hits(id).exists(qTerms) })
   }
 
+  test("d10: planted fixture exercises all three verdicts — exact " +
+    "fingerprint hit, near-dup via directional banding, and keep; " +
+    "reference-side duplicates never appear in the output") {
+    import graft.functions.Fns.md5LongLocal
+    // md5LongLocal is a 60-bit value, so % stays non-negative — the
+    // same arithmetic the engine's split expression evaluates
+    def bucket(id: Long): Long = md5LongLocal(id.toString) % 100
+    val incoming = (0L until 400L).filter(bucket(_) >= 80)
+    val reference = (0L until 400L).filter(bucket(_) < 80)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val rows = Seq(
+      (incoming(0), base),                      // exact dup of reference(0)
+      (reference(0), base),
+      (incoming(1), base + " phi"),             // near dup of reference(1)
+      (reference(1), base + " chi"),
+      (incoming(2), "totally different words about completely other things " +
+        "nothing shared here at all not one bigram in common truly"),
+      (reference(2), "unrelated reference corpus filler document"),
+      (reference(3), "duplicate only inside the reference side"),
+      (reference(4), "duplicate only inside the reference side"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-d10").toString
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val verdicts = SparkEntry.queries("d10_incremental_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(verdicts(incoming(0)) == "exact", verdicts)
+    assert(verdicts(incoming(1)) == "near", verdicts)
+    assert(verdicts(incoming(2)) == "keep", verdicts)
+    // only incoming docs are verdicted; the reference-side dup pair
+    // (never a candidate in the directional join) is absent entirely
+    assert(verdicts.keySet == Set(incoming(0), incoming(1), incoming(2)))
+  }
+
   test("d9: every reported span really is a verbatim token window of " +
     "2+ distinct documents (independent substring recheck), and " +
     "n_docs/first_doc are consistent") {

@@ -193,4 +193,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.linesIterator.exists(l =>
       l.contains("Filter") && l.contains("hash,join,merge")), p)
   }
+
+  test("incremental dedup probes exact fingerprints with a LeftSemi " +
+    "and the directional band join never degenerates to a cartesian " +
+    "(d10)") {
+    // the registered query checkpoints its result (the plan would be
+    // an RDD scan) — assert on the pre-checkpoint plan
+    val (df, sigs) = graft.operators.DedupOps.d10Plan(spark, sf)
+    try {
+      val p = plan(df)
+      assert(p.contains("LeftSemi"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    } finally sigs.unpersist()
+  }
 }
