@@ -199,12 +199,9 @@ class PlanShapeSpec extends SparkSpec {
     "(d10)") {
     // the registered query checkpoints its result (the plan would be
     // an RDD scan) — assert on the pre-checkpoint plan
-    val (df, sigs) = graft.operators.DedupOps.d10Plan(spark, sf)
-    try {
-      val p = plan(df)
-      assert(p.contains("LeftSemi"), p)
-      assert(!p.contains("CartesianProduct"), p)
-      assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    } finally sigs.unpersist()
+    val p = plan(graft.operators.DedupOps.d10Plan(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 }
