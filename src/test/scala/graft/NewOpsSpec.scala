@@ -606,6 +606,23 @@ class NewOpsSpec extends SparkSpec {
     assert(verdicts.keySet == Set(incoming(0), incoming(1), incoming(2)))
   }
 
+  test("d10/d2 consistency law: the 'near' verdicts are EXACTLY the " +
+    "incoming endpoints of d2's corpus-wide pairs whose partner is in " +
+    "the reference split — directional banding loses no cross-split " +
+    "pair and invents none") {
+    import graft.functions.Fns.md5LongLocal
+    def isIncoming(id: Long): Boolean = md5LongLocal(id.toString) % 100 >= 80
+    val near = q("d10_incremental_dedup").collect()
+      .collect { case r if r.getString(1) == "near" => r.getLong(0) }.toSet
+    val pairs = graft.operators.DedupOps.d2Pairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.flatMap { case (i, j) =>
+      (if (isIncoming(i) && !isIncoming(j)) Seq(i) else Nil) ++
+        (if (isIncoming(j) && !isIncoming(i)) Seq(j) else Nil)
+    }.toSet
+    assert(near == expected, s"near=$near expected=$expected")
+  }
+
   test("d9: every reported span really is a verbatim token window of " +
     "2+ distinct documents (independent substring recheck), and " +
     "n_docs/first_doc are consistent") {
