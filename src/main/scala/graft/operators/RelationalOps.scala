@@ -304,6 +304,19 @@ object RelationalOps {
         .filter(col("o_totalprice") > 300000)
         .select(col("o_custkey").as("key")))
 
+  /** U9 — EXCEPT ALL, the multiset complement of U7: each customer's
+    * order rows minus one occurrence per big-ticket order — bag
+    * semantics preserve multiplicity (a customer with 5 orders, 2 of
+    * them big-ticket, keeps 3 rows). Spark plans this as an aggregate
+    * on (value, count-difference) + generate — one shuffle on the
+    * value, never a join; counts, not rows, cross the exchange. */
+  private def u9(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_custkey").as("key"))
+      .exceptAll(Tables.orders(s, d)
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("key")))
+
   // ---------------------------------------------------------------------
   // §2.8 Mutations as recompute (immutable tables)
   // ---------------------------------------------------------------------
@@ -437,6 +450,34 @@ object RelationalOps {
       .select(col("doc_id"), col("text"), col("version"))
   }
 
+  /** M7 — snapshot diff: added / removed / changed between two corpus
+    * versions, the audit every dataset release runs ("what changed
+    * since v1?"). Versions are synthesized deterministically from the
+    * documents table so the oracle can replay them (v1 drops
+    * doc_id%10==0, v2 drops doc_id%7==0 and uppercases doc_id%3==0).
+    * Plan: project each version to (key, 60-bit content fingerprint) —
+    * the comparison NEVER ships text — then one full-outer join on the
+    * key: one shuffle per side, 16 bytes per row. Unchanged rows are
+    * dropped post-join; at scale that predicate eliminates ~all rows
+    * right after the join, so the output stays tiny no matter the
+    * corpus size. */
+  private def m7(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Fns.md5Long
+    val docs = Tables.documents(s, d)
+    val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), md5Long(col("text")).as("fp1"))
+    val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), md5Long(
+        when(col("doc_id") % 3 === 0, upper(col("text")))
+          .otherwise(col("text"))).as("fp2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed").as("change"))
+      .filter(col("change").isNotNull)
+  }
+
   /** J7 — bloom-filter pre-join pruning: the 100 TB semi-join
     * technique for when the key set is too large to broadcast as an
     * exact hash relation but its BLOOM fits in a few MB. The sketch is
@@ -505,6 +546,7 @@ object RelationalOps {
     "u3_union_columns" -> (u3 _),
     "u4_union_concat" -> (u4 _),
     "u5_dedup_set" -> (u5 _),
+    "u9_except_all" -> (u9 _),
     "u6_intersect" -> (u6 _),
     "u7_except" -> (u7 _),
     "m1_conditional_update" -> (m1 _),
@@ -513,6 +555,7 @@ object RelationalOps {
     "m4_upsert_latest" -> (m4 _),
     "m5_scd2_intervals" -> (m5 _),
     "m6_cdc_apply" -> (m6 _),
+    "m7_snapshot_diff" -> (m7 _),
     "u8_posexplode" -> (u8 _),
     "j7_bloom_prejoin" -> (j7 _)
   )
@@ -585,6 +628,8 @@ object RelationalOps {
       "SELECT o_custkey AS key FROM orders INTERSECT SELECT CAST(c_custkey AS BIGINT) FROM customer WHERE c_acctbal > 0",
     "u7_except" ->
       "SELECT CAST(c_custkey AS BIGINT) AS key FROM customer WHERE c_acctbal > 0 EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000",
+    "u9_except_all" ->
+      "SELECT o_custkey AS key FROM orders EXCEPT ALL SELECT o_custkey FROM orders WHERE o_totalprice > 300000",
     "m1_conditional_update" ->
       "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'DELINQUENT' ELSE c_mktsegment END AS segment, c_acctbal AS bal FROM customer",
     "m2_positional_array_update" ->
@@ -611,6 +656,22 @@ object RelationalOps {
       SELECT doc_id, unnest(generate_series(1, len(l))) - 1 AS idx,
         unnest(l) AS tok
       FROM t""",
+    "m7_snapshot_diff" -> """
+      WITH v1 AS (SELECT doc_id,
+          ('0x' || substr(md5(text),1,15))::BIGINT AS fp1
+        FROM documents WHERE doc_id % 10 <> 0),
+      v2 AS (SELECT doc_id,
+          ('0x' || substr(md5(CASE WHEN doc_id % 3 = 0 THEN upper(text)
+                                   ELSE text END),1,15))::BIGINT AS fp2
+        FROM documents WHERE doc_id % 7 <> 0)
+      SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        CASE WHEN v1.doc_id IS NULL THEN 'added'
+             WHEN v2.doc_id IS NULL THEN 'removed'
+             WHEN fp1 <> fp2 THEN 'changed' END AS change
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      WHERE CASE WHEN v1.doc_id IS NULL THEN 'added'
+                 WHEN v2.doc_id IS NULL THEN 'removed'
+                 WHEN fp1 <> fp2 THEN 'changed' END IS NOT NULL""",
     "m6_cdc_apply" -> """
       WITH log AS (
         SELECT doc_id, text, 1 AS version, 'U' AS op FROM documents
