@@ -602,23 +602,41 @@ object DedupOps {
     * emits its length-[[D9_WINDOW]] token windows at stride
     * [[D9_STRIDE]], duplicate spans WITHIN a doc collapse first
     * (array_distinct per row — a doc repeating its own header is not
-    * cross-doc contamination), then ONE partial+final agg per span is
-    * the only shuffle.
+    * cross-doc contamination), then the cross-doc count happens in
+    * two passes so span TEXT never crosses a corpus-volume exchange:
+    *
+    *   1. aggregate on the span's 8-byte xxhash64 — the one
+    *      corpus-volume shuffle carries only the hash. Within-doc
+    *      dedup makes the per-hash count a doc count, and a hash
+    *      collision can only INFLATE it, so count ≥ 2 selects a
+    *      superset of the truly repeated spans;
+    *   2. re-emit the spans, keep only those whose hash lands in a
+    *      bloom of the pass-1 candidates (built distributed and
+    *      sized from the real candidate count — the j7 technique),
+    *      and re-count grouped by the span text itself. Text
+    *      shuffles at candidate volume only, and the exact regroup
+    *      makes bloom false positives and hash collisions harmless:
+    *      a span that is not truly repeated recounts to n_docs = 1
+    *      and drops in the final filter.
+    *
     * A span repeated across k docs with an offset not divisible by the
     * stride is still caught once both docs emit SOME aligned window
     * inside it — stride trades recall granularity for a 1/stride
     * cut of the emitted-window volume, the standard tradeoff.
     *
-    * Scale: entirely built-in expressions (sequence/slice/array_join
-    * — whole-stage codegen'd, no kernel needed since the work is
-    * linear per doc, not quadratic). The shuffle key is the span
-    * text here because the oracle must reproduce it; at 100 TB the
-    * key is the span's 8-byte rolling hash and spans re-verify on
-    * the grouped sample, identical plan. */
+    * Scale: entirely built-in expressions (sequence/slice/array_join/
+    * xxhash64/might_contain — whole-stage codegen'd). The documents
+    * scan runs twice; at 100 TB that is the right trade — a second
+    * columnar read of one column instead of every span string
+    * crossing an exchange. PlanShapeSpec locks both halves: the
+    * candidate aggregation's exchanges carry no string column, and
+    * every string-carrying exchange in the final plan sits above the
+    * bloom probe filter. */
   private val D9_WINDOW = 8
   private val D9_STRIDE = 4
 
-  private def d9(s: SparkSession, d: String): DataFrame = {
+  /** The per-doc-distinct span emission both d9 passes share. */
+  private def d9Spans(s: SparkSession, d: String): DataFrame = {
     val (w, st) = (D9_WINDOW, D9_STRIDE)
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("l"))
@@ -630,9 +648,37 @@ object DedupOps {
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(col("l")) - (w - 1), lit(st)),
           p => array_join(slice(col("l"), p, lit(w)), " ")))).as("span"))
+  }
+
+  /** Pass 1 of d9 — the hashes occurring 2+ times, i.e. the
+    * corpus-volume aggregation. Split out so PlanShapeSpec can assert
+    * its exchanges carry only the 8-byte hash, never span text. */
+  private[graft] def d9CandidateHashes(s: SparkSession, d: String): DataFrame =
+    d9Spans(s, d)
+      .select(xxhash64(col("span")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("h"))
+
+  private def d9(s: SparkSession, d: String): DataFrame = {
+    val spans = d9Spans(s, d)
+    def regroup(src: DataFrame) = src
       .groupBy(col("span"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
+    // candidate hashes materialize once (executor storage, small —
+    // only hashes seen twice) and feed both the sketch sizing count
+    // and the sketch build
+    val cand = d9CandidateHashes(s, d).localCheckpoint(true)
+    val nCand = cand.count()
+    if (nCand == 0) regroup(spans).filter(lit(false)) // no hash twice → no span twice
+    else {
+      val bf = cand
+        .agg(expr(s"bloom_filter_agg(h, ${nCand}L)").as("bf"))
+        .head().getAs[Array[Byte]](0)
+      regroup(spans.filter(
+        call_function("might_contain", lit(bf), xxhash64(col("span")))))
+    }
   }
 
   /** d10 — incremental dedup: verdict each INCOMING document (the 20%

@@ -215,10 +215,18 @@ object TextOps {
     * be oracle-hashed (swapping in log-idf is a one-line change and
     * does not alter the plan). Plan shape at 100 TB: tf is one
     * partial+final agg on (doc, term); df is an agg over tf whose
-    * result is VOCABULARY-sized, so it broadcasts back; N rides along
-    * as a 1-row broadcast cross join; the final per-doc top-k is one
-    * window on doc_id. Three aggs, no corpus-sized join ever
-    * shuffles twice. */
+    * result is VOCABULARY-sized — at web-corpus scale that is
+    * hundreds of millions of terms, far past any broadcast ceiling,
+    * so the tf⋈df join carries NO hint: AQE elects broadcast when
+    * the measured vocabulary actually fits and otherwise keeps the
+    * sort-merge join on the 8-ish-byte term key (both sides are
+    * already partitioned by term from their aggs, so the merge join
+    * reuses tf's exchange rather than re-shuffling the corpus). N
+    * rides along as a 1-row broadcast cross join; the final per-doc
+    * top-k is one window on doc_id. Three aggs, no corpus-sized
+    * join ever shuffles twice. PlanShapeSpec asserts the no-hint
+    * property by disabling auto-broadcast and requiring the term
+    * join to degrade to a merge join (a forced hint would survive). */
   private def x10(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
@@ -227,7 +235,7 @@ object TextOps {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
-    tf.join(broadcast(df), Seq("term"))
+    tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         ((col("tf") * col("n")).cast("double") / col("df")).as("weight"))

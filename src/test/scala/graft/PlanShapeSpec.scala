@@ -194,6 +194,50 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("Filter") && l.contains("hash,join,merge")), p)
   }
 
+  test("tf-idf term join carries no forced broadcast (x10) — with " +
+    "auto-broadcast disabled it degrades to a merge join, proving the " +
+    "vocabulary-sized df side is never hint-broadcast past the " +
+    "planner's size check (AQE elects broadcast only when it fits)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(q("x10_tfidf"))
+      assert(p.contains("SortMergeJoin"), p)
+      // the only broadcast left is the intended 1-row N cross join
+      assert(!p.contains("BroadcastHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("repeated-span detection never shuffles span text at corpus " +
+    "volume (d9) — the candidate aggregation's exchanges carry only " +
+    "the 8-byte hash, and every string-carrying exchange in the final " +
+    "plan sits above the bloom probe filter (candidate volume only)") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    def physical(df: DataFrame): SparkPlan =
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+    val candPlan = physical(
+      graft.operators.DedupOps.d9CandidateHashes(spark, sf))
+    val candEx = candPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(candEx.nonEmpty, candPlan.toString)
+    candEx.foreach(e =>
+      assert(!e.output.exists(_.dataType == StringType), candPlan.toString))
+    val fin = physical(q("d9_substring_spans"))
+    val strEx = fin.collect {
+      case e: ShuffleExchangeExec if e.output.exists(_.dataType == StringType) => e
+    }
+    assert(strEx.nonEmpty, fin.toString)
+    strEx.foreach(e =>
+      assert(e.collectFirst {
+        case f: FilterExec if f.condition.toString.contains("might_contain") => f
+      }.isDefined, fin.toString))
+  }
+
   test("incremental dedup probes exact fingerprints with a LeftSemi " +
     "and the directional band join never degenerates to a cartesian " +
     "(d10)") {
