@@ -31,11 +31,26 @@ import org.apache.spark.sql.types._
 object MongoExtendedJson {
 
   /** Rewrite a column so `to_json` emits canonical Extended JSON:
-    * integral types wrap as `$numberLong`/`$numberInt`, timestamps as
-    * `{"$date": {"$numberLong": epochMillis}}`, dates as their ISO
-    * string (relaxed form), containers recurse. Doubles/strings/
-    * booleans are valid Extended JSON as-is (relaxed doubles are
-    * accepted by mongoimport and keep the payload readable). */
+    * integral types wrap as `$numberLong`/`$numberInt`, timestamps AND
+    * dates as `{"$date": {"$numberLong": epochMillis}}` (the canonical
+    * form; a date-only `$date` string is NOT valid Extended JSON v2 —
+    * mongoimport's parser requires a full ISO date-time or the
+    * canonical millis wrapper, so dates travel as midnight-UTC
+    * millis = epochDays × 86400000), containers recurse.
+    * Doubles/strings/booleans are valid Extended JSON as-is (relaxed
+    * doubles are accepted by mongoimport and keep the payload
+    * readable). Timestamp millis come from `unix_millis` — integer
+    * floor division in the engine, exact for pre-1970 instants and
+    * far-future dates alike (a double division would round-trip
+    * through FP and truncate toward zero, off by 1 ms for negative
+    * sub-ms instants).
+    *
+    * String MAP keys are guarded at runtime: a key with a '$' prefix
+    * or a dot becomes a subdocument field name in the dump, which the
+    * server rejects at insert (or worse, collides with an
+    * Extended-JSON wrapper) — schema-level [[invalidFieldNames]]
+    * can't see data-dependent keys, so the guard rides the encode
+    * expression itself and fails the write job naming the key. */
   private[sinks] def extend(c: Column, dt: DataType): Column = dt match {
     case LongType =>
       nullSafe(c, struct(c.cast(StringType).as("$numberLong")))
@@ -43,12 +58,23 @@ object MongoExtendedJson {
       nullSafe(c, struct(c.cast(StringType).as("$numberInt")))
     case TimestampType =>
       nullSafe(c, struct(
-        struct((unix_micros(c) / 1000).cast(LongType).cast(StringType)
+        struct(unix_millis(c).cast(StringType)
           .as("$numberLong")).as("$date")))
     case DateType =>
-      nullSafe(c, struct(date_format(c, "yyyy-MM-dd").as("$date")))
+      nullSafe(c, struct(
+        struct((unix_date(c).cast(LongType) * 86400000L).cast(StringType)
+          .as("$numberLong")).as("$date")))
     case ArrayType(et, _) => transform(c, x => extend(x, et))
-    case MapType(_, vt, _) => transform_values(c, (_, v) => extend(v, vt))
+    case MapType(kt, vt, _) =>
+      val guarded = kt match {
+        case StringType => transform_keys(c, (k, _) =>
+          when(k.startsWith("$") || k.contains("."),
+            raise_error(concat(
+              lit("map key MongoDB rejects ('$'-prefix or dot): "), k)))
+            .otherwise(k))
+        case _ => c
+      }
+      transform_values(guarded, (_, v) => extend(v, vt))
     case st: StructType =>
       nullSafe(c, struct(st.fields.toSeq.map(f =>
         extend(c.getField(f.name), f.dataType).as(f.name)): _*))
@@ -65,7 +91,9 @@ object MongoExtendedJson {
 
   /** Mongo rejects '$'-prefixed and dotted field names at insert; a
     * Spark schema is the cheap place to catch them. Checks every
-    * nesting level (struct fields travel as subdocuments). */
+    * nesting level (struct fields travel as subdocuments). Runtime
+    * MAP keys are data, not schema — [[extend]] guards those per-row
+    * inside the encode expression. */
   def invalidFieldNames(schema: StructType, prefix: String = ""): Seq[String] = {
     schema.fields.toSeq.flatMap { f =>
       val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"

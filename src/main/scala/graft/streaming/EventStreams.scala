@@ -181,18 +181,30 @@ object EventStreams {
     * reference's load step, dumping mongoimport-ready Extended JSON
     * per batch. foreachBatch reuses the BATCH writer verbatim, so sink
     * semantics (field-name validation, canonical encoding, partition-
-    * parallel files) are identical on both faces; the checkpoint gives
-    * at-least-once per batch and the batch-id-named part files keep a
-    * downstream mongoimport idempotent. */
+    * parallel files) are identical on both faces. The checkpoint gives
+    * at-least-once per batch, so a failed/restarted micro-batch CAN
+    * replay — each batch therefore lands on its own batch-id-scoped
+    * subpath with overwrite, making the replay rewrite the same files
+    * instead of appending duplicates (a plain append of UUID-named
+    * part files would silently double the replayed batch's rows).
+    * Downstream mongoimport globs the part files across the batch
+    * dirs. */
   def sinkTo(df: DataFrame, sink: graft.sinks.DocumentSink, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink.write(batch, path, overwrite = false)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(sink, batch, path, batchId)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** One micro-batch's write: batch-scoped subpath + overwrite = a
+    * replayed batch id is idempotent (exposed for the spec to replay
+    * a batch directly). */
+  private[streaming] def writeBatch(sink: graft.sinks.DocumentSink,
+      batch: DataFrame, path: String, batchId: Long): Unit =
+    sink.write(batch, s"$path/batch=$batchId", overwrite = true)
 
   /** Watermarked stream-stream inner join: each left event pairs with
     * right events of the same user within the following hour. Both

@@ -36,6 +36,44 @@ class MongoSinkSpec extends SparkSpec {
       """"m":{"k":{"$numberLong":"7"}},"st":{"a":{"$numberLong":"1"}}}""", line)
   }
 
+  test("DateType encodes as canonical $date millis (epochDays × " +
+    "86400000) — a date-only string is not Extended JSON v2 and " +
+    "mongoimport rejects it — and pre-1970 sub-ms timestamps floor " +
+    "exactly (no double round-trip)") {
+    import spark.implicits._
+    val df = Seq(1).toDF("one").select(
+      lit(java.sql.Date.valueOf("2021-03-05")).as("dt"),
+      lit(java.sql.Date.valueOf("1969-12-31")).as("preDt"),
+      // 1969-12-31T23:59:59.999500Z = -500 µs; floorDiv → -1 ms
+      // (a double divide + cast truncates toward zero → 0, off by 1)
+      lit(java.time.Instant.ofEpochSecond(-1L, 999500000L)).as("preTs"))
+    val line = df.select(MongoExtendedJson.toExtendedJsonLine(df).as("v"))
+      .collect().head.getString(0)
+    // 2021-03-05 = epoch day 18691 → 1614902400000 ms
+    assert(line ==
+      """{"dt":{"$date":{"$numberLong":"1614902400000"}},""" +
+      """"preDt":{"$date":{"$numberLong":"-86400000"}},""" +
+      """"preTs":{"$date":{"$numberLong":"-1"}}}""", line)
+  }
+
+  test("runtime map keys with '$' or '.' fail the encode naming the " +
+    "key — they would become subdocument field names the server " +
+    "rejects, invisible to the schema-level check") {
+    import spark.implicits._
+    val df = Seq(1).toDF("one").select(
+      map(lit("$numberLong"), lit(1L)).as("m"))
+    assert(MongoExtendedJson.invalidFieldNames(df.schema).isEmpty)
+    val e = intercept[Exception] {
+      df.select(MongoExtendedJson.toExtendedJsonLine(df).as("v")).collect()
+    }
+    assert(e.getMessage.contains("$numberLong"), e.getMessage)
+    // clean keys still encode
+    val ok = Seq(1).toDF("one").select(map(lit("k"), lit(1L)).as("m"))
+    val line = ok.select(MongoExtendedJson.toExtendedJsonLine(ok).as("v"))
+      .collect().head.getString(0)
+    assert(line == """{"m":{"k":{"$numberLong":"1"}}}""", line)
+  }
+
   test("nulls stay nulls — a null long/struct must not become " +
     "{\"$numberLong\": null}, which mongoimport rejects") {
     import spark.implicits._

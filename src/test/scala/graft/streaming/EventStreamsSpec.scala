@@ -266,4 +266,19 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.text(out)
       .filter(col("value").contains(""""event_id":1""")).count() == 0)
   }
+
+  test("micro-batch replay is idempotent — re-delivering the same " +
+    "batch id overwrites its batch-scoped subpath instead of " +
+    "appending duplicates (at-least-once foreachBatch contract)") {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-replay").resolve("dump").toString
+    val batch = rows.toDF()
+    EventStreams.writeBatch(graft.sinks.MongoImportSink, batch, out, 0L)
+    // the failure/restart replay: same batch id, delivered again
+    EventStreams.writeBatch(graft.sinks.MongoImportSink, batch, out, 0L)
+    EventStreams.writeBatch(graft.sinks.MongoImportSink, batch, out, 1L)
+    assert(spark.read.json(out).count() == rows.length * 2)
+    assert(spark.read.json(s"$out/batch=0").count() == rows.length)
+  }
 }
