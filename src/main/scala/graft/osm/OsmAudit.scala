@@ -180,6 +180,88 @@ object OsmAudit {
           count(lit(1)).cast("double") / countDistinct(col("v"))), 4)
           .as("usage_per_uniq"))
 
+  /** A7 (structural half) — the per-element-type profile of the RAW
+    * XML (osm_structure_audit.py:49-63, `el_df`): instance count, the
+    * distinct descendant-element tag set, and the distinct
+    * attribute-name set, per element type. The parse is the
+    * reference's `ET.iterparse` re-expressed for Spark: one streaming
+    * StAX scan per FILE via `binaryFiles` (a 100 TB corpus is many
+    * extract files, so parallelism = file count and no file is ever
+    * materialized), each task pre-aggregating its file into one row
+    * per element type — the map-side combine — so the final
+    * declarative agg merges #files×#types rows, never per-element
+    * rows.
+    *
+    * Semantics note: the reference walks `el.iter()` at the START
+    * event, so its descendant sets depend on parser read-ahead (its
+    * own comment: iteration stopped at 105 subelements, and the
+    * notebook hand-patches way/relation into the osm row — main.ipynb
+    * cell 3). This computes the COMPLETE descendant set — the value
+    * the notebook was patching toward. */
+  def elementProfile(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (_, stream) => profileOneFile(stream.open()) }
+      .toDF("element_type", "n", "attributes", "sub_els")
+      .groupBy(col("element_type"))
+      .agg(sum(col("n")).as("count"),
+        sort_array(array_distinct(flatten(collect_list(col("sub_els")))))
+          .as("sub_els"),
+        sort_array(array_distinct(flatten(collect_list(col("attributes")))))
+          .as("attributes"))
+  }
+
+  /** One file's streaming profile: (element_type, count, attribute
+    * names, descendant tags) — constant memory in the file size
+    * (a tag-name stack plus per-TYPE sets, never the document). */
+  private def profileOneFile(in: java.io.InputStream)
+      : Iterator[(String, Long, Seq[String], Seq[String])] = {
+    import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+    import scala.collection.mutable
+    val f = XMLInputFactory.newInstance()
+    // profile parses untrusted XML: no DTDs, no external entities
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty("javax.xml.stream.isSupportingExternalEntities", false)
+    val r = f.createXMLStreamReader(in)
+    val counts = mutable.LinkedHashMap.empty[String, Long]
+    val attrs = mutable.Map.empty[String, mutable.SortedSet[String]]
+    val subs = mutable.Map.empty[String, mutable.SortedSet[String]]
+    val stack = mutable.ArrayBuffer.empty[String]
+    try {
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          val t = r.getLocalName
+          counts.update(t, counts.getOrElse(t, 0L) + 1L)
+          val as = attrs.getOrElseUpdate(t, mutable.SortedSet.empty[String])
+          (0 until r.getAttributeCount).foreach(i =>
+            as += r.getAttributeLocalName(i))
+          subs.getOrElseUpdate(t, mutable.SortedSet.empty[String])
+          // this element is a descendant of everything on the stack
+          // (el.iter() semantics: same-tag ancestors excluded)
+          stack.foreach(a => if (a != t) subs(a) += t)
+          stack += t
+        case XMLStreamConstants.END_ELEMENT =>
+          stack.remove(stack.length - 1)
+        case _ =>
+      }
+    } finally { r.close(); in.close() }
+    counts.map { case (t, n) =>
+      (t, n, attrs(t).toSeq, subs(t).toSeq)
+    }.toList.iterator
+  }
+
+  /** A7 (stats half) — `tag_df.describe(percentiles=.1...9)` of
+    * main.ipynb cell 8: count/mean/stddev/min/deciles/max for each
+    * numeric column of [[tagKeyProfile]]'s output. `summary` computes
+    * percentiles with the approx sketch — exact at audit scale, and
+    * at 100 TB the exact form would be three global sorts for a
+    * human-facing table where the sketch error is invisible. */
+  def tagProfileSummary(profile: DataFrame): DataFrame =
+    profile.select("tag_use_count", "uniq_count", "usage_per_uniq")
+      .summary("count", "mean", "stddev", "min",
+        "10%", "20%", "30%", "40%", "50%", "60%", "70%", "80%", "90%", "max")
+
   /** F12 — the shape-invariant validation (clean_and_write.py:358-379)
     * as a violations side-output: empty on a clean extract. */
   def violations(docs: DataFrame): DataFrame =

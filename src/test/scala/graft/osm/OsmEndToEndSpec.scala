@@ -221,4 +221,50 @@ class OsmEndToEndSpec extends SparkSpec {
     assert(prof("highway") == 1L)
     assert(prof("gnis:County_num") == 1L)
   }
+
+  test("elementProfile (A7 structural half) profiles the raw XML: " +
+    "per-element-type count, attribute-name set, and the COMPLETE " +
+    "descendant-tag set (the value the reference's notebook " +
+    "hand-patched around iterparse read-ahead)") {
+    val prof = OsmAudit
+      .elementProfile(spark, getClass.getResource("/mini.osm").getPath)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[String](2), r.getSeq[String](3))))
+      .toMap
+    assert(prof.keySet == Set(
+      "osm", "bounds", "node", "way", "relation", "tag", "nd", "member"))
+    val (osmN, osmSubs, osmAttrs) = prof("osm")
+    assert(osmN == 1L)
+    // complete: includes way/relation (main.ipynb cell 3's hand-patch)
+    assert(osmSubs == Seq(
+      "bounds", "member", "nd", "node", "relation", "tag", "way"))
+    assert(osmAttrs == Seq("generator", "version"))
+    assert(prof("node") == ((5L, Seq("tag"),
+      Seq("changeset", "id", "lat", "lon", "timestamp", "uid", "user", "version"))))
+    assert(prof("way") == ((2L, Seq("nd", "tag"),
+      Seq("changeset", "id", "timestamp", "uid", "user", "version"))))
+    assert(prof("relation")._2 == Seq("member", "tag"))
+    assert(prof("tag") == ((33L, Seq(), Seq("k", "v"))))
+    assert(prof("nd") == ((6L, Seq(), Seq("ref"))))
+    assert(prof("member") == ((2L, Seq(), Seq("ref", "role", "type"))))
+    assert(prof("bounds") == ((1L, Seq(),
+      Seq("maxlat", "maxlon", "minlat", "minlon"))))
+  }
+
+  test("tagProfileSummary (A7 stats half) reproduces the describe() " +
+    "table of main.ipynb cell 8: count/mean/stddev/min/deciles/max " +
+    "over the tag-key profile") {
+    val sm = OsmAudit.tagProfileSummary(OsmAudit.tagKeyProfile(docs))
+    assert(sm.columns.toSeq ==
+      Seq("summary", "tag_use_count", "uniq_count", "usage_per_uniq"))
+    val rows = sm.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("count", "mean", "stddev", "min",
+      "10%", "20%", "30%", "40%", "50%", "60%", "70%", "80%", "90%", "max"))
+    val nKeys = OsmAudit.tagKeyProfile(docs).count()
+    assert(rows("count").getString(1).toLong == nKeys)
+    assert(rows("min").getString(1).toDouble >= 1.0)
+    assert(rows("max").getString(1).toDouble >=
+      rows("50%").getString(1).toDouble)
+  }
 }
