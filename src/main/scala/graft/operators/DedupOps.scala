@@ -759,13 +759,48 @@ object DedupOps {
       |  generate_series(1, len(l)-1), i -> l[i] || ' ' || l[i+1])) AS sh
       |FROM (SELECT doc_id, source, string_split(text,' ') AS l FROM documents)""".stripMargin
 
-  // The d7/d8 oracles resolve components with a recursive `reach` CTE
-  // that materializes the transitive closure (~Σ|component|² rows).
-  // That is fine at the gate's sf (sf0.01: 500 docs / 500 vectors,
-  // near-dup clusters of 2-4) but would dominate gate runtime if the
-  // driver ever oracles at a much larger sf or a densifying threshold —
-  // the documented upgrade is iterative min-label semantics (bounded
-  // rows per vertex), which the ENGINE side already uses.
+  // The d7/d8 oracles resolve components with ITERATIVE min-label
+  // propagation (the same semantics the engine side runs), not a
+  // recursive transitive-closure CTE: closure materializes
+  // ~Σ|component|² rows, which explodes if the gate sf grows or a
+  // densifying threshold welds big clusters. Plain SQL recursion
+  // can't aggregate per round (and the driver's DuckDB predates
+  // USING KEY), so the rounds are UNROLLED: each round keeps |V| rows
+  // and takes the min over (own label, neighbors' labels, label of
+  // own label — the pointer-jump term that collapses label chains).
+  // Measured convergence incl. the stability round: diameter-299
+  // path = 11 rounds, 200k-vertex thin random graph = 23; gate
+  // near-dup clusters (size 2-4) stabilize by ~round 3, so
+  // MIN_LABEL_ROUNDS = 16 has a wide margin. Correctness never
+  // degrades silently: the final round must equal the previous one
+  // or the oracle raises error(), turning an (implausible)
+  // non-converged run into a loud gate failure instead of a wrong
+  // hash. CTEs are MATERIALIZED — DuckDB inlining would otherwise
+  // expand the 3-references-per-round chain exponentially.
+  private val MIN_LABEL_ROUNDS = 16
+
+  /** The unrolled hop+jump min-label rounds, l0 → l<rounds>; expects
+    * CTEs `<edges>(a,b)` (symmetric) and `l0(v,l)` in scope. */
+  private def minLabelRounds(rounds: Int, edges: String): String =
+    (1 to rounds).map { k =>
+      val p = s"l${k - 1}"
+      s"""l$k AS MATERIALIZED (
+         |  SELECT v, min(l) AS l FROM (
+         |    SELECT v, l FROM $p
+         |    UNION ALL SELECT $edges.b AS v, $p.l FROM $p JOIN $edges ON $p.v = $edges.a
+         |    UNION ALL SELECT a.v AS v, b.l AS l FROM $p a JOIN $p b ON a.l = b.v
+         |  ) GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+
+  /** Convergence guard + final labels: `conv` counts label changes in
+    * the last round; any change raises error() instead of hashing a
+    * wrong answer. */
+  private def minLabelFinal(rounds: Int): String =
+    s"""conv AS (SELECT count(*) AS changed
+       |  FROM l$rounds x JOIN l${rounds - 1} y ON x.v = y.v AND x.l <> y.l),
+       |fin AS (SELECT v, CASE WHEN (SELECT changed FROM conv) > 0
+       |  THEN error('min-label did not converge in $rounds rounds')
+       |  ELSE l END AS l FROM l$rounds)""".stripMargin
   val oracles: Map[String, String] = Map(
     "d10_incremental_dedup" -> s"""
       WITH t AS ($SHINGLES),
@@ -809,7 +844,7 @@ object DedupOps {
       SELECT span, count(*) AS n_docs, min(doc_id) AS first_doc
       FROM spans GROUP BY span HAVING count(*) >= 2""",
     "d7_dedup_components" -> s"""
-      WITH RECURSIVE t AS ($SHINGLES),
+      WITH t AS ($SHINGLES),
       m AS (SELECT doc_id, sh, list_transform(generate_series(0,7), k ->
               list_min(list_transform(sh, s ->
                 ('0x' || substr(md5(k::VARCHAR || ':' || s),1,15))::BIGINT))) AS mh
@@ -825,12 +860,11 @@ object DedupOps {
                 / len(list_distinct(a.sh || b2.sh)) AS jac
               FROM c JOIN m a ON c.i = a.doc_id JOIN m b2 ON c.j = b2.doc_id)
             WHERE jac >= 0.5),
-      e AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
-      reach(a, b) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
-      SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a""",
+      e AS MATERIALIZED (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+      l0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS l FROM documents),
+      ${minLabelRounds(MIN_LABEL_ROUNDS, "e")},
+      ${minLabelFinal(MIN_LABEL_ROUNDS)}
+      SELECT v AS doc_id, l AS comp FROM fin""",
     "d6_minhash_udaf" -> s"""
       WITH t AS ($SHINGLES),
       e AS (SELECT source, unnest(sh) AS s FROM t),
@@ -887,19 +921,17 @@ object DedupOps {
             FROM n a JOIN n b ON a.vec_id < b.vec_id)
       SELECT i, j, cos FROM p WHERE cos >= 0.45""",
     "d8_semantic_dedup" -> s"""
-      WITH RECURSIVE ${SimilarityOps.bucketSqlCtes},
+      WITH ${SimilarityOps.bucketSqlCtes},
       p0 AS (SELECT x.vec_id AS i, y.vec_id AS j,
               floor(list_sum(list_transform(generate_series(1,64),
                 k -> x.emb[k] * y.emb[k])) / (x.nrm * y.nrm)*1000000 + 0.5)/1000000
                 AS cos
             FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
       p AS (SELECT i, j FROM p0 WHERE cos >= 0.3 AND NOT isnan(cos)),
-      ed AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
-      reach(a, b) AS (
-        SELECT vec_id, vec_id FROM embeddings
-        UNION
-        SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a)
-      SELECT a AS vec_id, min(b) AS comp, min(b) <> a AS is_dup
-      FROM reach GROUP BY a"""
+      ed AS MATERIALIZED (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+      l0 AS MATERIALIZED (SELECT vec_id AS v, vec_id AS l FROM embeddings),
+      ${minLabelRounds(MIN_LABEL_ROUNDS, "ed")},
+      ${minLabelFinal(MIN_LABEL_ROUNDS)}
+      SELECT v AS vec_id, l AS comp, l <> v AS is_dup FROM fin"""
   )
 }
