@@ -68,18 +68,33 @@ object RangeOps {
     * cover — a filter, not a distinct (no second shuffle). This is the
     * standard spatial-join decomposition, 1-D. */
   private def r3(s: SparkSession, d: String): DataFrame = {
-    val C = 300000000L // 5 min in µs = interval length = grid cell width
+    val C = 300000000L // 5 min in µs: interval length AND grid cell width
+    r3Binned(s, d, intervalUs = C, cellUs = C)
+  }
+
+  /** The generic decomposition behind r3: interval length and cell
+    * width are independent — an interval covers `sequence(st div cell,
+    * en div cell)` cells whatever the ratio (NewOpsSpec drives a
+    * 4-cell span and a coarser-than-interval cell in lockstep with the
+    * naive join), and the claim filter stays exact because both
+    * intervals of an overlapping pair provably cover the cell of
+    * max(a_st, b_st). Cell width is the skew dial at scale: smaller
+    * cells bound each equi-join group's quadratic cost, at the price
+    * of emitting interval/cell more bin rows per side. */
+  private[graft] def r3Binned(s: SparkSession, d: String,
+      intervalUs: Long, cellUs: Long): DataFrame = {
     val e = Tables.events(s, d)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("st"))
-      .withColumn("en", col("st") + C)
+      .withColumn("en", col("st") + intervalUs)
     def binned(side: String) = e
-      .withColumn("cell", explode(sequence(expr(s"st div $C"), expr(s"en div $C"))))
+      .withColumn("cell",
+        explode(sequence(expr(s"st div $cellUs"), expr(s"en div $cellUs"))))
       .select(col("user_id"), col("cell"), col("event_id").as(s"${side}_id"),
         col("st").as(s"${side}_st"), col("en").as(s"${side}_en"))
     binned("a").join(binned("b"), Seq("user_id", "cell"))
       .filter(col("a_id") < col("b_id") &&
         col("a_st") <= col("b_en") && col("b_st") <= col("a_en") &&
-        col("cell") === expr(s"greatest(a_st, b_st) div $C"))
+        col("cell") === expr(s"greatest(a_st, b_st) div $cellUs"))
       .select(col("user_id"), col("a_id"), col("b_id"))
   }
 

@@ -335,6 +335,37 @@ class NewOpsSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("r3: the decomposition is exact for ANY interval/cell ratio — " +
+    "intervals spanning 4+ cells and intervals inside one coarse cell " +
+    "both match the naive join (no pair lost across cell boundaries, " +
+    "none double-claimed)") {
+    val C = 300000000L
+    def naive(intervalUs: Long) = {
+      val e = Tables.events(spark, sf)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("st"))
+        .withColumn("en", col("st") + intervalUs)
+      val a = e.select(col("user_id"), col("event_id").as("a_id"),
+        col("st").as("a_st"), col("en").as("a_en"))
+      val b = e.select(col("user_id").as("u2"), col("event_id").as("b_id"),
+        col("st").as("b_st"), col("en").as("b_en"))
+      a.join(b, col("user_id") === col("u2") && col("a_id") < col("b_id") &&
+          col("a_st") <= col("b_en") && col("b_st") <= col("a_en"))
+        .select(col("user_id"), col("a_id"), col("b_id"))
+    }
+    // fine grid: each interval covers 4-5 cells (and a non-dividing
+    // width, so spans straddle boundaries unevenly)
+    for (cell <- Seq(C / 4, 70000000L, 3 * C)) {
+      val got = graft.operators.RangeOps
+        .r3Binned(spark, sf, intervalUs = C, cellUs = cell).cache()
+      val want = naive(C)
+      assert(got.count() == got.distinct().count(), s"cell=$cell double-claim")
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0, s"cell=$cell mismatch")
+      assert(got.count() > 0)
+      got.unpersist()
+    }
+  }
+
   test("m6: CDC apply — deletes gone, updates win, inserts present, " +
     "untouched rows at v1") {
     val r = q("m6_cdc_apply").cache()
