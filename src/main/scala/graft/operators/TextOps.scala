@@ -218,10 +218,10 @@ object TextOps {
     * result is VOCABULARY-sized — at web-corpus scale that is
     * hundreds of millions of terms, far past any broadcast ceiling,
     * so the tf⋈df join carries NO hint: AQE elects broadcast when
-    * the measured vocabulary actually fits and otherwise keeps the
-    * sort-merge join on the 8-ish-byte term key (both sides are
-    * already partitioned by term from their aggs, so the merge join
-    * reuses tf's exchange rather than re-shuffling the corpus). N
+    * the measured vocabulary actually fits and otherwise plans a
+    * sort-merge join on the term key (tf re-shuffles on term — it
+    * was partitioned on (doc_id, term) by its agg — but tf rows are
+    * three narrow columns, never the document text). N
     * rides along as a 1-row broadcast cross join; the final per-doc
     * top-k is one window on doc_id. Three aggs, no corpus-sized
     * join ever shuffles twice. PlanShapeSpec asserts the no-hint
