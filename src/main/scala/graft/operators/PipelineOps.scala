@@ -56,8 +56,53 @@ object PipelineOps {
       .select(col("source"), col("split"), col("doc_id"), col("rn"))
   }
 
+  /** pk1's fixed context budget (tokens per training sequence) and
+    * shard count. Shards are the parallelism dial: each window
+    * partition sorts one shard, so a 100 TB run raises PACK_SHARDS to
+    * O(corpus/executor-memory) and every partition stays
+    * executor-sized; the assignment hash is deterministic, so packing
+    * is retry-stable and reproducible across runs. */
+  private val PACK_BUDGET = 2048L
+  private val PACK_SHARDS = 8L
+
+  /** pk1 — sequence packing: place every document into fixed
+    * [[PACK_BUDGET]]-token training sequences, the step between
+    * curation and tokenization in an LLM pretraining pipeline. This is
+    * concat-and-chunk packing (the GPT-pretraining form): documents
+    * are concatenated in deterministic shuffled order (md5 of doc_id —
+    * the corpus shuffle every run needs anyway) within a shard and the
+    * stream is cut every PACK_BUDGET tokens, so a document may
+    * straddle a boundary (flagged). The whole-doc greedy variant
+    * (next-fit: open a new pack rather than split) is inherently
+    * sequential state — it can't be a window function — and
+    * concat-and-chunk is both the more common production choice and
+    * the declarative one.
+    *
+    * Plan: token counts are narrow per-row arithmetic fused into the
+    * scan; ONE shuffle on shard; the per-shard window computes the
+    * exclusive running token sum; pack id/offset are integer division
+    * on that sum. Output carries only (shard, doc_id, n_tok, pack_id,
+    * pack_off, crosses_pack) — text never shuffles. */
+  private def pk1(s: SparkSession, d: String): DataFrame = {
+    val h = md5Long(col("doc_id"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(md5Long(col("doc_id")).asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("shard", (h % PACK_SHARDS).cast("long"))
+      .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("shard"), col("doc_id"), col("n_tok"),
+        expr(s"off div $PACK_BUDGET").as("pack_id"),
+        (col("off") % PACK_BUDGET).as("pack_off"),
+        (expr(s"(off + n_tok - 1) div $PACK_BUDGET") =!=
+          expr(s"off div $PACK_BUDGET")).as("crosses_pack"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipe1_curation" -> (pipe1 _)
+    "pipe1_curation" -> (pipe1 _),
+    "pk1_sequence_pack" -> (pk1 _)
   )
 
   private val H = "('0x' || substr(md5(%s::VARCHAR),1,15))::BIGINT"
@@ -77,6 +122,19 @@ object PipelineOps {
       r AS (SELECT source, split, doc_id, row_number() OVER (
               PARTITION BY source, split
               ORDER BY ${H.format("doc_id")}, doc_id) AS rn FROM sp)
-      SELECT source, split, doc_id, rn FROM r WHERE rn <= 40"""
+      SELECT source, split, doc_id, rn FROM r WHERE rn <= 40""",
+    "pk1_sequence_pack" -> s"""
+      WITH t AS (SELECT doc_id,
+               len(string_split(text, ' '))::BIGINT AS n_tok,
+               ${H.format("doc_id")} AS h FROM documents),
+      s AS (SELECT doc_id, n_tok, h, h % 8 AS shard FROM t),
+      c AS (SELECT shard, doc_id, n_tok,
+              coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+            FROM s)
+      SELECT shard, doc_id, n_tok,
+        off // 2048 AS pack_id, off % 2048 AS pack_off,
+        ((off + n_tok - 1) // 2048) <> (off // 2048) AS crosses_pack
+      FROM c"""
   )
 }

@@ -366,6 +366,34 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("pk1: sequence packing — offsets are the exclusive running " +
+    "token sums in deterministic shuffle order per shard, pack " +
+    "offsets stay inside the budget, and boundary flags are exact") {
+    val B = 2048L
+    val r = q("pk1_sequence_pack").cache()
+    assert(r.filter(col("pack_off") < 0 || col("pack_off") >= B).count() == 0)
+    assert(r.filter(col("shard") < 0 || col("shard") >= 8).count() == 0)
+    val rows = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      x.getLong(3), x.getLong(4), x.getBoolean(5)))
+    assert(rows.nonEmpty)
+    // replay the packing locally: per shard, exclusive prefix sum in
+    // (md5(doc_id), doc_id) order must reproduce every column
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      var off = 0L
+      rs.sortBy { case (_, id, _, _, _, _) =>
+        (graft.functions.Fns.md5LongLocal(id.toString), id)
+      }.foreach { case (_, id, nTok, packId, packOff, crosses) =>
+        assert(packId == off / B, s"doc $id pack_id")
+        assert(packOff == off % B, s"doc $id pack_off")
+        assert(crosses == ((off + nTok - 1) / B != off / B), s"doc $id flag")
+        off += nTok
+      }
+    }
+    // every document of the corpus is packed exactly once
+    assert(r.count() == Tables.documents(spark, sf).count())
+    r.unpersist()
+  }
+
   test("m6: CDC apply — deletes gone, updates win, inserts present, " +
     "untouched rows at v1") {
     val r = q("m6_cdc_apply").cache()

@@ -238,6 +238,20 @@ class PlanShapeSpec extends SparkSpec {
       }.isDefined, fin.toString))
   }
 
+  test("sequence packing shuffles once, on the shard key, and no " +
+    "exchange ever carries the document text (pk1)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val phys = q("pk1_sequence_pack").queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val ex = phys.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.length == 1, phys.toString)
+    assert(!ex.head.output.exists(_.dataType == StringType), phys.toString)
+  }
+
   test("incremental dedup probes exact fingerprints with a LeftSemi " +
     "and the directional band join never degenerates to a cartesian " +
     "(d10)") {
