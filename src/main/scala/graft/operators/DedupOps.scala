@@ -668,7 +668,11 @@ object DedupOps {
       .filter(col("n_docs") >= 2)
     // candidate hashes materialize once (executor storage, small —
     // only hashes seen twice) and feed both the sketch sizing count
-    // and the sketch build
+    // and the sketch build. Because pass 2 re-verifies EXACTLY, the
+    // bloom's fpp trades shuffle volume only, never correctness — so
+    // at extreme candidate counts the sketch size can be capped (fpp
+    // rises, a few more non-duplicates shuffle, the answer is
+    // unchanged)
     val cand = d9CandidateHashes(s, d).localCheckpoint(true)
     val nCand = cand.count()
     if (nCand == 0) regroup(spans).filter(lit(false)) // no hash twice → no span twice
