@@ -185,11 +185,150 @@ object SimilarityOps {
       .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos")), 3)
   }
 
+  // ---- s5: product quantization -----------------------------------
+
+  private val PQ_M = 8         // subspaces (64 dims = 8 × 8)
+  private val PQ_SUB = 8       // dims per subspace
+  private val PQ_KS = 16       // centroids per codebook
+  private val PQ_SHORTLIST = 10
+
+  /** floor-half-up to 9 places — the driver-side twin of
+    * [[graft.functions.Fns.roundFp]] (same IEEE ops as both engines). */
+  private def round9local(x: Double): Double =
+    math.floor(x * 1e9 + 0.5) / 1e9
+
+  /** The PQ "model": per-subspace codebooks plus the query-side ADC
+    * score tables, computed on the driver from a CONSTANT-size fetch
+    * (the 16 lowest-id corpus vectors as centroids + the 10 query
+    * vectors — 26 rows ≈ 7 KB at ANY corpus size). This is the PQ
+    * contract, not a shortcut: codebooks are model parameters, trained
+    * on a bounded sample and shipped to every task as literals; the
+    * corpus-sized work (encode, ADC scan) stays fully distributed.
+    * Centroid choice is deterministic (like s3's) so the DuckDB oracle
+    * replays it; a production k-means would swap in here with the
+    * same plan shape.
+    *
+    * Scores are the expanded form `|c|² − 2·x·c` — `|x|²` is constant
+    * per (vector, subspace), so dropping it preserves every argmin and
+    * every ADC ordering while halving the arithmetic. All sums run
+    * sequentially (k = 0..7) so driver, Spark and DuckDB produce
+    * bit-identical doubles before the portable round. */
+  private def pqModel(s: SparkSession, d: String)
+      : (Array[Array[Array[Double]]], Array[Array[Double]],
+         Map[Long, Seq[Seq[Double]]]) = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .filter(col("vec_id") < math.max(PQ_KS, 10).toLong)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val cents = Array.tabulate(PQ_M, PQ_KS) { (m, c) =>
+      vecs(c.toLong).slice(m * PQ_SUB, (m + 1) * PQ_SUB).toArray
+    }
+    val cn2 = Array.tabulate(PQ_M, PQ_KS) { (m, c) =>
+      var acc = 0.0
+      var k = 0
+      while (k < PQ_SUB) { acc += cents(m)(c)(k) * cents(m)(c)(k); k += 1 }
+      acc
+    }
+    val dt = (0L until 10L).map { qid =>
+      qid -> (0 until PQ_M).map { m =>
+        val qsub = vecs(qid).slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+        (0 until PQ_KS).map { c =>
+          var dot = 0.0
+          var k = 0
+          while (k < PQ_SUB) { dot += qsub(k) * cents(m)(c)(k); k += 1 }
+          round9local(cn2(m)(c) - 2.0 * dot)
+        }
+      }
+    }.toMap
+    (cents, cn2, dt)
+  }
+
+  /** PQ-encode the corpus: per subspace, the centroid minimizing the
+    * (rounded) score, ties to the smallest centroid id. A typed
+    * kernel, not an expression tree — the declarative form is 128
+    * unrolled dot products per row, which balloons the plan into a
+    * Janino-hostile megabyte (measured 2.3 s vs 0.3 s at sf0.001,
+    * nearly all compile time); the kernel runs the identical
+    * sequential FP ops (k = 0..7 accumulate, round 9, strict-less
+    * argmin == the oracle's row_number(d asc, cid asc)) at scan speed
+    * with the KB-size codebook in the task closure. Output is the
+    * narrow (vec_id, 8 small ints) code table — nothing else ever
+    * leaves the scan. */
+  private def pqEncode(s: SparkSession, corpus: DataFrame,
+      cents: Array[Array[Array[Double]]],
+      cn2: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    corpus.select(col("vec_id"), col("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, emb) =>
+        val v = emb.toArray
+        val code = Array.tabulate(PQ_M) { m =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < PQ_KS) {
+            val cent = cents(m)(c)
+            var dot = 0.0
+            var k = 0
+            while (k < PQ_SUB) { dot += v(m * PQ_SUB + k) * cent(k); k += 1 }
+            val d = round9local(cn2(m)(c) - 2.0 * dot)
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+        (id, code.toSeq)
+      })
+      .toDF("nid", "code")
+  }
+
+  /** s5 — product-quantization ANN: encode every corpus vector as an
+    * 8-byte code (32× smaller than 64 float32 dims — at 100 TB of
+    * embeddings the code table is ~3 TB, a scannable index), scan
+    * codes with asymmetric-distance lookups against the broadcast
+    * score tables, shortlist top-10 per query, then re-rank the
+    * shortlist EXACTLY against full-precision vectors.
+    *
+    * Scale shape: the ADC scan shuffles only (qid, nid, adc) — 24
+    * narrow bytes per candidate row, never a vector and never a code;
+    * full-precision embeddings are touched again only for the ~100
+    * shortlisted ids (a broadcast semi-probe of the corpus scan — at
+    * cluster scale a vec_id-partitioned layout prunes that second
+    * read to the matching files). Reported cosines are therefore
+    * exact; only WHICH ids make the shortlist is approximate. */
+  private def s5(s: SparkSession, d: String): DataFrame = {
+    val (cents, cn2, dt) = pqModel(s, d)
+    val (q, corpus) = queriesAndCorpus(s, d)
+    val dtLit = typedlit(dt)
+    val adc = pqEncode(s, corpus, cents, cn2)
+      .join(broadcast(q.select(col("vec_id").as("qid"))),
+        col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        roundFp(aggregate(
+          zip_with(col("code"), element_at(dtLit, col("qid")),
+            (c, row) => get(row, c)),
+          lit(0.0), (acc, x) => acc + x), 6).as("adc"))
+    val short = adc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adc").asc, col("nid").asc)))
+      .filter(col("rn") <= PQ_SHORTLIST)
+      .select(col("qid"), col("nid"))
+    val scored = corpus.select(col("vec_id").as("nid"), col("emb"), col("nrm"))
+      .join(broadcast(short), "nid")
+      .join(broadcast(q.select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"))), "qid")
+      .select(col("qid"), col("nid"), cosPrecomp.as("cos"))
+    topNeighbors(scored, 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> (s1 _),
     "s2_ann_lsh" -> (s2 _),
     "s3_ann_ivf" -> (s3 _),
-    "s4_knn_join" -> (s4 _)
+    "s4_knn_join" -> (s4 _),
+    "s5_ann_pq" -> (s5 _)
   )
 
   /** DuckDB mirror of the plane constants + dot/sign logic. */
@@ -243,6 +382,50 @@ object SimilarityOps {
                  k -> q.emb[k] * c.emb[k])) / (q.nrm * c.nrm)*1000000 + 0.5)/1000000 AS cos
              FROM b q JOIN b c ON q.bucket = c.bucket
                AND c.vec_id <> q.vec_id),
+      r AS (SELECT qid, nid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+            FROM sc)
+      SELECT qid, nid, cos, rank FROM r WHERE rank <= 3""",
+    // PQ mirror: codebooks from the 16 lowest-id vectors, encode =
+    // argmin of the same expanded score (|c|² − 2·x·c, round 9), ADC =
+    // m-ordered sum of the 8 table lookups (list(d ORDER BY m) pins the
+    // FP addition order to the engine's left-to-right fold), exact
+    // cosine re-rank on the top-10 shortlist.
+    "s5_ann_pq" -> s"""
+      WITH e AS ($EMB_SQL),
+      cb AS (SELECT m.m AS m, c.vec_id AS cid,
+               list_transform(generate_series(1,8), k -> c.emb[m.m*8+k]) AS cent,
+               list_sum(list_transform(generate_series(1,8),
+                 k -> c.emb[m.m*8+k] * c.emb[m.m*8+k])) AS cn2
+             FROM generate_series(0,7) m(m), e c WHERE c.vec_id < 16),
+      enc0 AS (SELECT e.vec_id, cb.m, cb.cid,
+                 floor((cb.cn2 - 2*list_sum(list_transform(generate_series(1,8),
+                   k -> e.emb[cb.m*8+k] * cb.cent[k])))*1000000000 + 0.5)
+                   /1000000000 AS d
+               FROM e, cb),
+      enc AS (SELECT vec_id, m, cid AS code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY d, cid) AS rn FROM enc0) WHERE rn = 1),
+      dt AS (SELECT q.vec_id AS qid, cb.m, cb.cid,
+               floor((cb.cn2 - 2*list_sum(list_transform(generate_series(1,8),
+                 k -> q.emb[cb.m*8+k] * cb.cent[k])))*1000000000 + 0.5)
+                 /1000000000 AS d
+             FROM e q, cb WHERE q.vec_id < 10),
+      adc AS (SELECT dt.qid, enc.vec_id AS nid,
+                floor(list_sum(list(dt.d ORDER BY dt.m))*1000000 + 0.5)
+                  /1000000 AS adc
+              FROM enc JOIN dt ON enc.m = dt.m AND enc.code = dt.cid
+              WHERE enc.vec_id <> dt.qid
+              GROUP BY dt.qid, enc.vec_id),
+      short AS (SELECT qid, nid FROM (
+                  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                    ORDER BY adc, nid) AS rn FROM adc) WHERE rn <= 10),
+      sc AS (SELECT s.qid, s.nid,
+               floor(list_sum(list_transform(generate_series(1,64),
+                 k -> q.emb[k] * c.emb[k])) / (q.nrm * c.nrm)*1000000 + 0.5)
+                 /1000000 AS cos
+             FROM short s JOIN e q ON q.vec_id = s.qid
+               JOIN e c ON c.vec_id = s.nid),
       r AS (SELECT qid, nid, cos,
               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
             FROM sc)

@@ -56,6 +56,56 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("s5: per-query neighbor lists are ranked 1..3, no self-neighbor") {
+    val rows = q("s5_ann_pq").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 3))
+      assert(!rs.exists(_.getAs[Long]("nid") == qid))
+    }
+  }
+
+  test("s5: reported cosines are EXACT — the PQ shortlist is approximate " +
+    "but the re-rank touches full-precision vectors, so every cosine it " +
+    "emits must reproduce from the raw embeddings bit-for-bit") {
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def exactCos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var k = 0
+      while (k < a.length) {
+        dot += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k); k += 1
+      }
+      val prod = math.sqrt(na) * math.sqrt(nb)
+      if (prod == 0.0) Double.NaN
+      else math.floor(dot / prod * 1e6 + 0.5) / 1e6
+    }
+    q("s5_ann_pq").collect().foreach { r =>
+      val want = exactCos(embs(r.getAs[Long]("qid")), embs(r.getAs[Long]("nid")))
+      val got = r.getAs[Double]("cos")
+      assert(got == want || (got.isNaN && want.isNaN),
+        s"qid=${r.get(0)} nid=${r.get(1)}: engine $got vs exact $want")
+    }
+  }
+
+  test("s5: the ADC shortlist finds real structure — PQ recall@3 vs the " +
+    "exact scan beats the random-shortlist expectation by 4x+ (a random " +
+    "10-of-499 shortlist would overlap s1's top-3 ~6% of the time; the " +
+    "fixture measures 11/30 = 37%, the floor guards the property with " +
+    "margin — near-random embeddings are PQ's worst case, structured " +
+    "real-corpus embeddings quantize far better)") {
+    val pq = q("s5_ann_pq").select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = q("s1_ann_brute").filter(col("rank") <= 3)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq & brute).size.toDouble / brute.size
+    assert(recall >= 0.25, s"recall@3 = $recall (${(pq & brute).size}/${brute.size})")
+  }
+
   test("s3 probes one cell: neighbors are a subset of s1's full scan space") {
     // IVF with nprobe=1 can lose recall but never invents a neighbor:
     // every (qid, nid) it returns must score identically in the exact

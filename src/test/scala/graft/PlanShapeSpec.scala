@@ -208,6 +208,29 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("PQ ANN shuffles only narrow ADC rows (s5) — no cartesian, no " +
+    "sort-merge join, and no exchange in the plan ever carries an " +
+    "embedding array (vectors are re-read only for the broadcast " +
+    "shortlist probe, never shuffled)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val df = q("s5_ann_pq")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    def physical(d: DataFrame): SparkPlan =
+      d.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+    val ex = physical(df).collect { case e: ShuffleExchangeExec => e }
+    ex.foreach(e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        physical(df).toString))
+  }
+
   test("repeated-span detection never shuffles span text at corpus " +
     "volume (d9) — the candidate aggregation's exchanges carry only " +
     "the 8-byte hash, and every string-carrying exchange in the final " +
