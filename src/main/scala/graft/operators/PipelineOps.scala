@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Fns.md5Long
+import graft.functions.Fns.{md5Long, toks}
 
 /** Composed end-to-end curation pipeline — the proof that the
   * operator families are COMPOSABLE, not just individually correct.
@@ -100,9 +100,49 @@ object PipelineOps {
           expr(s"off div $PACK_BUDGET")).as("crosses_pack"))
   }
 
+  /** ck1's window geometry: 64-token chunks every 48 tokens, i.e. a
+    * 16-token overlap so no sentence straddling a cut is lost to both
+    * chunks — the standard RAG-indexing / fixed-context pretraining
+    * chunker shape. */
+  private val CHUNK_TOKENS = 64
+  private val CHUNK_STRIDE = 48
+
+  /** ck1 — sliding-window document chunking: cut every document into
+    * [[CHUNK_TOKENS]]-token windows advancing by [[CHUNK_STRIDE]]
+    * (chunks at token offsets 0, 48, 96, … while the offset is inside
+    * the document; the final chunk is short, never empty). The
+    * embedding/RAG-side complement of pk1's packing: pk1 concatenates
+    * documents UP to a budget, ck1 splits documents DOWN to one.
+    *
+    * Output is the chunk manifest — (doc_id, chunk_idx, start_tok,
+    * n_tok) plus the chunk-content fingerprint (md5Long of the
+    * re-joined token slice), which pins the slice semantics cross-
+    * engine without shipping a single chunk body. Plan shape at
+    * 100 TB: scan → per-row sequence/explode/slice → project; ZERO
+    * exchanges (plan-asserted), so it runs at parquet-scan speed and
+    * the only scale knob is input split size. The fingerprint is
+    * computed BEFORE any downstream shuffle would see the row, so a
+    * consumer deduping or joining chunks keys on 8 bytes, never text. */
+  private def ck1(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)),
+          lit(CHUNK_STRIDE))).as("start_tok"))
+      .select(col("doc_id"),
+        expr(s"start_tok div $CHUNK_STRIDE").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        slice(col("t"), col("start_tok") + 1, lit(CHUNK_TOKENS)).as("ch"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("ch")).cast("long").as("n_tok"),
+        md5Long(array_join(col("ch"), " ")).as("chunk_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe1_curation" -> (pipe1 _),
-    "pk1_sequence_pack" -> (pk1 _)
+    "pk1_sequence_pack" -> (pk1 _),
+    "ck1_chunk_overlap" -> (ck1 _)
   )
 
   private val H = "('0x' || substr(md5(%s::VARCHAR),1,15))::BIGINT"
@@ -135,6 +175,16 @@ object PipelineOps {
       SELECT shard, doc_id, n_tok,
         off // 2048 AS pack_id, off % 2048 AS pack_off,
         ((off + n_tok - 1) // 2048) <> (off // 2048) AS crosses_pack
+      FROM c""",
+    "ck1_chunk_overlap" -> """
+      WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+      s AS (SELECT doc_id, l,
+              unnest(generate_series(0, greatest(len(l)-1, 0), 48))
+                AS start_tok FROM t),
+      c AS (SELECT doc_id, start_tok // 48 AS chunk_idx, start_tok,
+              l[start_tok+1 : start_tok+64] AS ch FROM s)
+      SELECT doc_id, chunk_idx, start_tok, len(ch)::BIGINT AS n_tok,
+        ('0x' || substr(md5(array_to_string(ch, ' ')),1,15))::BIGINT AS chunk_fp
       FROM c"""
   )
 }

@@ -294,7 +294,63 @@ object TextOps {
       .limit(10)
   }
 
+  /** x12's rarity threshold: a bigram occurrence is "rare" when its
+    * corpus conditional probability p(w2|w1) = B(w1,w2)/U(w1) is below
+    * 1/RARE_K. The test is the INTEGER comparison B·K < U — exact and
+    * bit-identical in any engine, unlike a float log-prob whose
+    * accumulation order differs across engines. */
+  private val RARE_K = 50L
+
+  /** x12 — corpus-trained bigram-LM rarity score: train a bigram model
+    * ON the corpus itself (count every bigram and its prefix marginal),
+    * then score each document by the fraction of its bigram occurrences
+    * whose conditional probability p(w2|w1) < 1/[[RARE_K]]. This is the
+    * KenLM-style perplexity quality gate every pretraining pipeline
+    * runs (CCNet's "filter by LM score" step) re-expressed so the gate
+    * can hash it: a rare-occurrence RATIO (one exact integer comparison
+    * per bigram type + one division per doc) instead of a summed float
+    * log-prob, which is not engine-portable (libm log + order-dependent
+    * accumulation; same reasoning as x10/x11's raw-ratio idf).
+    *
+    * Plan shape at 100 TB: tokenize once (kernel, same justification
+    * as x7); ONE shuffle collapses occurrences to per-doc tf on
+    * (doc_id, w1, bg) — and that exchange is REUSED by both consumers
+    * (the model-count branch and the scoring join; same canonical
+    * subtree, plan-asserted). Model counts B are a second agg over the
+    * collapsed rows (vocabulary-bounded, not corpus-bounded); the
+    * prefix marginal U is an agg over B (unigram-vocab rows). The
+    * B⋈U join and the tf⋈model scoring join both carry NO broadcast
+    * hint — at web scale the bigram vocabulary is billions of rows,
+    * far past any broadcast ceiling, so AQE must be free to elect
+    * sort-merge (the x10 lesson). Document text never shuffles:
+    * every exchanged row is (ids, two short tokens, a count). */
+  private def x12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        bigramsWithPrefixLocal(text).map { case (w1, b) => (id, w1, b) }
+      })
+      .toDF("doc_id", "w1", "bg")
+      .groupBy(col("doc_id"), col("w1"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+    val bCnt = tf.groupBy(col("w1"), col("bg")).agg(sum(col("tf")).as("b"))
+    val uCnt = bCnt.groupBy(col("w1")).agg(sum(col("b")).as("u"))
+    val model = bCnt.join(uCnt, Seq("w1"))
+      .select(col("bg"), (col("b") * RARE_K < col("u")).as("rare"))
+    tf.select(col("doc_id"), col("bg"), col("tf"))
+      .join(model, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(when(col("rare"), col("tf")).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ratio",
+        roundFp(col("n_rare").cast("double") / col("n_bigrams"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x12_bigram_lm" -> (x12 _),
     "x11_bm25" -> (x11 _),
     "x10_tfidf" -> (x10 _),
     "x8_contamination" -> (x8 _),
@@ -314,6 +370,19 @@ object TextOps {
     // identical parenthesization + decimal literals as the Spark
     // expression — the gate hashes double BITS, so association order
     // and constant parsing must agree, not just the math
+    "x12_bigram_lm" -> """
+      WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+      ix AS (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i FROM t),
+      bg AS (SELECT doc_id, l[i] AS w1, l[i] || ' ' || l[i+1] AS bg FROM ix),
+      b AS (SELECT w1, bg, count(*) AS b FROM bg GROUP BY 1, 2),
+      u AS (SELECT w1, sum(b) AS u FROM b GROUP BY 1),
+      st AS (SELECT b.bg, (b.b * 50 < u.u) AS rare FROM b JOIN u USING (w1))
+      SELECT bg.doc_id, count(*) AS n_bigrams,
+        count(*) FILTER (WHERE st.rare) AS n_rare,
+        floor((count(*) FILTER (WHERE st.rare))::DOUBLE / count(*)
+          * 1000000 + 0.5)/1000000 AS rare_ratio
+      FROM bg JOIN st USING (bg)
+      GROUP BY bg.doc_id""",
     "x11_bm25" -> """
       WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
                         unnest(string_split(text,' ')) AS term

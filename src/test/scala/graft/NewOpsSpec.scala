@@ -444,6 +444,49 @@ class NewOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("ck1: chunk manifest covers every document exactly — " +
+    "ceil-count of windows per doc, stride-aligned offsets, full " +
+    "chunks everywhere the document allows, short tail only") {
+    val (chunk, stride) = (64L, 48L)
+    val r = q("ck1_chunk_overlap").cache()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    // per-doc chunk count is floor((n-1)/stride)+1 — every token offset
+    // 0..n-1 is inside at least one window, none past the end
+    val counts = r.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("got"), max(col("start_tok")).as("max_start"))
+    val joined = counts.join(docs, Seq("doc_id")).cache()
+    assert(joined.filter(col("got") =!=
+      expr(s"(n - 1) div $stride") + 1).count() == 0)
+    assert(joined.filter(col("max_start") >= col("n")).count() == 0)
+    assert(joined.count() == docs.count())
+    // offsets are stride-aligned and indexed consecutively
+    assert(r.filter(col("start_tok") % stride =!= 0).count() == 0)
+    assert(r.filter(col("chunk_idx") * stride =!= col("start_tok")).count() == 0)
+    // every chunk holds exactly min(chunk, n - start) tokens — full
+    // windows everywhere, a short (never empty) final window only
+    val sized = r.join(docs, Seq("doc_id"))
+    assert(sized.filter(col("n_tok") =!=
+      least(lit(chunk), col("n") - col("start_tok"))).count() == 0)
+    assert(r.filter(col("n_tok") < 1).count() == 0)
+    joined.unpersist(); r.unpersist()
+  }
+
+  test("x12: every doc with >=2 tokens is scored, its bigram total is " +
+    "exactly tokens-1, and the rare fraction is a true ratio") {
+    val r = q("x12_bigram_lm").cache()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    assert(r.count() == docs.filter(col("n") >= 2).count())
+    assert(r.join(docs, Seq("doc_id"))
+      .filter(col("n_bigrams") =!= col("n") - 1).count() == 0)
+    assert(r.filter(col("n_rare") < 0 ||
+      col("n_rare") > col("n_bigrams")).count() == 0)
+    assert(r.filter(col("rare_ratio") < 0.0 ||
+      col("rare_ratio") > 1.0).count() == 0)
+    r.unpersist()
+  }
+
   test("m6: CDC apply — deletes gone, updates win, inserts present, " +
     "untouched rows at v1") {
     val r = q("m6_cdc_apply").cache()

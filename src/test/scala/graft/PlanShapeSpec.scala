@@ -275,6 +275,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!ex.head.output.exists(_.dataType == StringType), phys.toString)
   }
 
+  test("document chunking is a pure narrow pipeline — ZERO exchanges, " +
+    "so it runs at parquet-scan speed at any corpus size (ck1)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val phys = q("ck1_chunk_overlap").queryExecution.executedPlan
+    assert(phys.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      phys.toString)
+  }
+
+  test("bigram-LM scoring reuses the per-doc tf exchange for both the " +
+    "model branch and the scoring join, and carries no broadcast hint " +
+    "on the vocabulary-sized joins (x12) — asserted on the FINAL " +
+    "adaptive plan with the broadcast path disabled, the shape that " +
+    "runs once the bigram vocabulary exceeds any threshold") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = q("x12_bigram_lm")
+      df.collect() // AQE materializes exchange reuse only at runtime
+      val p = plan(df)
+      assert(p.contains("ReusedExchange"), p)
+      // a forced broadcast hint would survive threshold = -1; a
+      // SortMergeJoin here proves the joins degrade gracefully
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("incremental dedup probes exact fingerprints with a LeftSemi " +
     "and the directional band join never degenerates to a cartesian " +
     "(d10)") {
