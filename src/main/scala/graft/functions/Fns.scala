@@ -145,16 +145,6 @@ object Fns {
     (0 until t.length - 1).iterator.map(i => t(i) + " " + t(i + 1))
   }
 
-  /** Non-distinct bigrams paired with their prefix token — `(w1,
-    * "w1 w2")` per occurrence. The bigram-LM input unit: the prefix is
-    * the conditioning context, so the pair feeds both the bigram count
-    * and the prefix-marginal count in one pass. Same tokenizer as
-    * [[bigramsLocal]], kernel-tier for the same reason (SCALE.md). */
-  def bigramsWithPrefixLocal(text: String): Iterator[(String, String)] = {
-    val t = text.split(" ", -1)
-    (0 until t.length - 1).iterator.map(i => (t(i), t(i) + " " + t(i + 1)))
-  }
-
   /** Distinct word n-gram shingles (n=2) of a token array, as strings.
     * The standard MinHash input unit: local-word-order-sensitive but
     * robust to global reordering.

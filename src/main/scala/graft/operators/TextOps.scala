@@ -314,16 +314,20 @@ object TextOps {
     *
     * Plan shape at 100 TB: tokenize once (kernel, same justification
     * as x7); ONE shuffle collapses occurrences to per-doc tf on
-    * (doc_id, w1, bg) — and that exchange is REUSED by both consumers
+    * (doc_id, bg) — and that exchange is REUSED by both consumers
     * (the model-count branch and the scoring join; same canonical
-    * subtree, plan-asserted). Model counts B are a second agg over the
-    * collapsed rows (vocabulary-bounded, not corpus-bounded); the
+    * subtree, plan-asserted). The conditioning prefix w1 is NOT
+    * carried through the corpus-scale exchange: bg = "w1 w2"
+    * determines it, so it is re-derived (`substring_index`) on the
+    * vocabulary-bounded model relation only — the big shuffle carries
+    * one short string, not two. Model counts B are a second agg over
+    * the collapsed rows (vocabulary-bounded, not corpus-bounded); the
     * prefix marginal U is an agg over B (unigram-vocab rows). The
     * B⋈U join and the tf⋈model scoring join both carry NO broadcast
     * hint — at web scale the bigram vocabulary is billions of rows,
     * far past any broadcast ceiling, so AQE must be free to elect
     * sort-merge (the x10 lesson). Document text never shuffles:
-    * every exchanged row is (ids, two short tokens, a count). */
+    * every exchanged row is (ids, one short bigram, a count). */
   private def x12(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tf = Tables.documents(s, d)
@@ -331,17 +335,17 @@ object TextOps {
       .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        bigramsWithPrefixLocal(text).map { case (w1, b) => (id, w1, b) }
+        bigramsLocal(text).map(b => (id, b))
       })
-      .toDF("doc_id", "w1", "bg")
-      .groupBy(col("doc_id"), col("w1"), col("bg"))
+      .toDF("doc_id", "bg")
+      .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("tf"))
-    val bCnt = tf.groupBy(col("w1"), col("bg")).agg(sum(col("tf")).as("b"))
+    val bCnt = tf.groupBy(col("bg")).agg(sum(col("tf")).as("b"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
     val uCnt = bCnt.groupBy(col("w1")).agg(sum(col("b")).as("u"))
     val model = bCnt.join(uCnt, Seq("w1"))
       .select(col("bg"), (col("b") * RARE_K < col("u")).as("rare"))
-    tf.select(col("doc_id"), col("bg"), col("tf"))
-      .join(model, Seq("bg"))
+    tf.join(model, Seq("bg"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_bigrams"),
         sum(when(col("rare"), col("tf")).otherwise(0L)).as("n_rare"))
