@@ -139,8 +139,58 @@ object PipelineOps {
         md5Long(array_join(col("ch"), " ")).as("chunk_fp"))
   }
 
+  /** pipe2 — the full pretraining data path, composed end-to-end:
+    * quality gate (pipe1's token-count rule) → exact dedup (d1's
+    * fingerprint rule) → sliding-window chunking (ck1's 64/48 rule)
+    * → pack CHUNKS into [[PACK_BUDGET]]-token sequences (pk1's
+    * concat-and-chunk rule, keyed on (doc_id, chunk_idx)). Every stage
+    * reuses a standalone operator's already-verified semantics; the
+    * whole path is ONE declarative plan and the oracle replays the
+    * identical chain in SQL.
+    *
+    * Shuffle audit at 100 TB — exactly two exchanges: (1) the dedup
+    * window on the 8-byte content fingerprint. This one necessarily
+    * carries text — unlike pipe1, the text is still NEEDED downstream
+    * (chunking), so column pruning cannot drop it before the exchange;
+    * any one-pass dedup-then-process pipeline pays exactly this
+    * exchange, and it is the LAST time text moves. (2) the pack window
+    * on the shard key, by which point rows are the narrow chunk
+    * manifest (ids + token count) — plan-asserted string-free.
+    * Chunking itself adds no exchange (ck1's zero-shuffle property). */
+  private def pipe2(s: SparkSession, d: String): DataFrame = {
+    val gated = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")).between(5, 1000))
+    val deduped = gated
+      .withColumn("content_fp", md5Long(lower(trim(col("text")))))
+      .withColumn("krn", row_number().over(
+        Window.partitionBy(col("content_fp")).orderBy(col("doc_id").asc)))
+      .filter(col("krn") === 1)
+    val chunks = deduped
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)),
+          lit(CHUNK_STRIDE))).as("start_tok"))
+      .select(col("doc_id"),
+        expr(s"start_tok div $CHUNK_STRIDE").as("chunk_idx"),
+        size(slice(col("t"), col("start_tok") + 1, lit(CHUNK_TOKENS)))
+          .cast("long").as("n_tok"))
+    val h = md5Long(concat(col("doc_id").cast("string"), lit(":"),
+      col("chunk_idx").cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(h.asc, col("doc_id").asc, col("chunk_idx").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("shard", (h % PACK_SHARDS).cast("long"))
+      .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("shard"), col("doc_id"), col("chunk_idx"), col("n_tok"),
+        expr(s"off div $PACK_BUDGET").as("pack_id"),
+        (col("off") % PACK_BUDGET).as("pack_off"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe1_curation" -> (pipe1 _),
+    "pipe2_chunk_pack" -> (pipe2 _),
     "pk1_sequence_pack" -> (pk1 _),
     "ck1_chunk_overlap" -> (ck1 _)
   )
@@ -176,6 +226,28 @@ object PipelineOps {
         off // 2048 AS pack_id, off % 2048 AS pack_off,
         ((off + n_tok - 1) // 2048) <> (off // 2048) AS crosses_pack
       FROM c""",
+    "pipe2_chunk_pack" -> s"""
+      WITH g AS (SELECT doc_id, text FROM documents
+                 WHERE len(string_split(text,' ')) BETWEEN 5 AND 1000),
+      dd AS (SELECT doc_id, text, row_number() OVER (
+               PARTITION BY ('0x' || substr(md5(lower(trim(text))),1,15))::BIGINT
+               ORDER BY doc_id) AS krn FROM g),
+      t AS (SELECT doc_id, string_split(text,' ') AS l FROM dd WHERE krn = 1),
+      sx AS (SELECT doc_id, l,
+               unnest(generate_series(0, greatest(len(l)-1, 0), 48))
+                 AS start_tok FROM t),
+      c AS (SELECT doc_id, start_tok // 48 AS chunk_idx,
+              len(l[start_tok+1 : start_tok+64])::BIGINT AS n_tok FROM sx),
+      k AS (SELECT doc_id, chunk_idx, n_tok,
+              ${H.format("doc_id::VARCHAR || ':' || chunk_idx::VARCHAR")} AS h FROM c),
+      o AS (SELECT doc_id, chunk_idx, n_tok, h % 8 AS shard,
+              coalesce(sum(n_tok) OVER (PARTITION BY h % 8
+                ORDER BY h, doc_id, chunk_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+            FROM k)
+      SELECT shard, doc_id, chunk_idx, n_tok,
+        off // 2048 AS pack_id, off % 2048 AS pack_off
+      FROM o""",
     "ck1_chunk_overlap" -> """
       WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
       s AS (SELECT doc_id, l,

@@ -472,6 +472,41 @@ class NewOpsSpec extends SparkSpec {
     joined.unpersist(); r.unpersist()
   }
 
+  test("pipe2: composed pretraining path — its chunks are EXACTLY " +
+    "ck1's manifest over the gated+deduped doc set, and per-shard " +
+    "pack offsets replay as the exclusive running token sum") {
+    val r = q("pipe2_chunk_pack").cache()
+    // composition law: derive the surviving doc set independently
+    // (gate rule + min-doc_id-per-fingerprint, d1's semantics)
+    val keep = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")).between(5, 1000))
+      .withColumn("fp", graft.functions.Fns.md5Long(lower(trim(col("text")))))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val expected = q("ck1_chunk_overlap")
+      .join(keep, Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tok"))
+    val got = r.select(col("doc_id"), col("chunk_idx"), col("n_tok"))
+    assert(got.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(got).count() == 0)
+    // pack replay law (pk1's, keyed on (doc_id, chunk_idx))
+    val B = 2048L
+    val rows = r.collect().map(x => (x.getLong(0), x.getLong(1),
+      x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      var off = 0L
+      rs.sortBy { case (_, id, ci, _, _, _) =>
+        (graft.functions.Fns.md5LongLocal(s"$id:$ci"), id, ci)
+      }.foreach { case (_, id, ci, nTok, packId, packOff) =>
+        assert(packId == off / B, s"chunk $id:$ci pack_id")
+        assert(packOff == off % B, s"chunk $id:$ci pack_off")
+        off += nTok
+      }
+    }
+    r.unpersist()
+  }
+
   test("x12: every doc with >=2 tokens is scored, its bigram total is " +
     "exactly tokens-1, and the rare fraction is a true ratio") {
     val r = q("x12_bigram_lm").cache()

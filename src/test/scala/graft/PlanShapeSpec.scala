@@ -283,6 +283,22 @@ class PlanShapeSpec extends SparkSpec {
       phys.toString)
   }
 
+  test("the composed pretraining path shuffles exactly twice — the " +
+    "dedup fingerprint exchange (the LAST time text moves) and the " +
+    "pack shard exchange, which is string-free (pipe2)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val phys = q("pipe2_chunk_pack").queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val ex = phys.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.length == 2, phys.toString)
+    // collect is pre-order: head is the pack exchange nearest the root
+    assert(!ex.head.output.exists(_.dataType == StringType), phys.toString)
+  }
+
   test("bigram-LM scoring reuses the per-doc tf exchange for both the " +
     "model branch and the scoring join, and carries no broadcast hint " +
     "on the vocabulary-sized joins (x12) — asserted on the FINAL " +
