@@ -123,9 +123,13 @@ object PipelineOps {
     * the only scale knob is input split size. The fingerprint is
     * computed BEFORE any downstream shuffle would see the row, so a
     * consumer deduping or joining chunks keys on 8 bytes, never text. */
-  private def ck1(s: SparkSession, d: String): DataFrame = {
+  /** The ck1 transform, input-agnostic: stateless narrow expressions
+    * over a `(doc_id, text)` relation, so the SAME function runs on a
+    * batch table or a readStream micro-batch unchanged (no state, no
+    * watermark needed — parity spec'd in `EventStreamsSpec`). */
+  def chunkManifest(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), t.as("t"))
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)),
@@ -138,6 +142,9 @@ object PipelineOps {
         size(col("ch")).cast("long").as("n_tok"),
         md5Long(array_join(col("ch"), " ")).as("chunk_fp"))
   }
+
+  private def ck1(s: SparkSession, d: String): DataFrame =
+    chunkManifest(Tables.documents(s, d).select(col("doc_id"), col("text")))
 
   /** pipe2 — the full pretraining data path, composed end-to-end:
     * quality gate (pipe1's token-count rule) → exact dedup (d1's

@@ -522,6 +522,36 @@ class NewOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("x12: rare verdicts lockstep with a full driver-side bigram-" +
+    "model recomputation — counts, marginals and the B*K < U test") {
+    val texts = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val u = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    texts.foreach { case (_, t) =>
+      val tok = t.split(" ", -1)
+      (0 until tok.length - 1).foreach { i =>
+        b(tok(i) + " " + tok(i + 1)) += 1; u(tok(i)) += 1
+      }
+    }
+    val expected = texts.flatMap { case (id, t) =>
+      val tok = t.split(" ", -1)
+      if (tok.length < 2) None
+      else {
+        val n = tok.length - 1
+        val nr = (0 until n)
+          .count(i => b(tok(i) + " " + tok(i + 1)) * 50L < u(tok(i)))
+        Some(id -> ((n.toLong, nr.toLong)))
+      }
+    }.toMap
+    val got = q("x12_bigram_lm").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_rare")))).toMap
+    assert(got == expected)
+    // the threshold is non-vacuous on this corpus: both verdicts occur
+    assert(got.values.exists(_._2 > 0) && got.values.exists(v => v._2 < v._1))
+  }
+
   test("m6: CDC apply — deletes gone, updates win, inserts present, " +
     "untouched rows at v1") {
     val r = q("m6_cdc_apply").cache()

@@ -211,6 +211,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 5L))
   }
 
+  test("chunk manifest is streamable UNCHANGED — the same stateless " +
+    "transform over micro-batches equals the batch manifest (ck1 " +
+    "parity); no state, no watermark, append mode") {
+    val docs = Seq(
+      Doc(1, ts(0), (1 to 130).map(i => s"t$i").mkString(" ")), // 3 chunks
+      Doc(2, ts(1), "short doc"),                               // 1 chunk
+      Doc(3, ts(2), (1 to 64).map(i => s"u$i").mkString(" ")))  // exact fit
+    val mem = MemoryStream[Doc]
+    val q = graft.operators.PipelineOps.chunkManifest(mem.toDF())
+      .writeStream.format("memory").queryName("ck_stream")
+      .outputMode("append").start()
+    mem.addData(docs(0), docs(1))
+    q.processAllAvailable()
+    mem.addData(docs(2)) // a later micro-batch chunks independently
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ck_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val batch = graft.operators.PipelineOps
+      .chunkManifest(docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(streamed == batch)
+    assert(streamed.count(_._1 == 1L) == 3) // 130 tokens / stride 48
+  }
+
   test("watermarked stream-stream join pairs events within the hour bound") {
     val l = MemoryStream[Event]
     val r = MemoryStream[Event]
