@@ -35,15 +35,25 @@ object PipelineOps {
     * At 100 TB: two real shuffles of skinny rows, everything else
     * pipelined — the plan a hand-built ingest DAG converges to anyway,
     * except here AQE still re-plans each exchange at runtime. */
-  private def pipe1(s: SparkSession, d: String): DataFrame = {
-    val gated = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("text"))
+  /** The shared front of both composed pipelines: keep docs with
+    * 5..1000 whitespace tokens (narrow, fused into the scan), then
+    * exact-dedup on d1's content fingerprint keeping the minimum
+    * doc_id (the one shuffle on the 8-byte hash). `cols` is what
+    * survives past the gate — the dedup window only adds/removes its
+    * own bookkeeping columns. */
+  private def gatedDeduped(s: SparkSession, d: String,
+      cols: String*): DataFrame =
+    Tables.documents(s, d)
+      .select(cols.map(col): _*)
       .filter(size(split(col("text"), " ")).between(5, 1000))
-    val deduped = gated
       .withColumn("content_fp", md5Long(lower(trim(col("text")))))
       .withColumn("krn", row_number().over(
         Window.partitionBy(col("content_fp")).orderBy(col("doc_id").asc)))
       .filter(col("krn") === 1)
+      .select(cols.map(col): _*)
+
+  private def pipe1(s: SparkSession, d: String): DataFrame = {
+    val deduped = gatedDeduped(s, d, "doc_id", "source", "text")
     val h = md5Long(col("doc_id"))
     deduped
       .withColumn("split",
@@ -107,12 +117,13 @@ object PipelineOps {
   private val CHUNK_TOKENS = 64
   private val CHUNK_STRIDE = 48
 
-  /** ck1 — sliding-window document chunking: cut every document into
-    * [[CHUNK_TOKENS]]-token windows advancing by [[CHUNK_STRIDE]]
-    * (chunks at token offsets 0, 48, 96, … while the offset is inside
-    * the document; the final chunk is short, never empty). The
-    * embedding/RAG-side complement of pk1's packing: pk1 concatenates
-    * documents UP to a budget, ck1 splits documents DOWN to one.
+  /** ck1's transform — sliding-window document chunking: cut every
+    * document into [[CHUNK_TOKENS]]-token windows advancing by
+    * [[CHUNK_STRIDE]] (chunks at token offsets 0, 48, 96, … while the
+    * offset is inside the document; the final chunk is short, never
+    * empty). The embedding/RAG-side complement of pk1's packing: pk1
+    * concatenates documents UP to a budget, ck1 splits documents DOWN
+    * to one.
     *
     * Output is the chunk manifest — (doc_id, chunk_idx, start_tok,
     * n_tok) plus the chunk-content fingerprint (md5Long of the
@@ -122,10 +133,11 @@ object PipelineOps {
     * exchanges (plan-asserted), so it runs at parquet-scan speed and
     * the only scale knob is input split size. The fingerprint is
     * computed BEFORE any downstream shuffle would see the row, so a
-    * consumer deduping or joining chunks keys on 8 bytes, never text. */
-  /** The ck1 transform, input-agnostic: stateless narrow expressions
-    * over a `(doc_id, text)` relation, so the SAME function runs on a
-    * batch table or a readStream micro-batch unchanged (no state, no
+    * consumer deduping or joining chunks keys on 8 bytes, never text.
+    *
+    * Input-agnostic by design: stateless narrow expressions over a
+    * `(doc_id, text)` relation, so the SAME function runs on a batch
+    * table or a readStream micro-batch unchanged (no state, no
     * watermark needed — parity spec'd in `EventStreamsSpec`). */
   def chunkManifest(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
@@ -163,25 +175,18 @@ object PipelineOps {
     * exchange, and it is the LAST time text moves. (2) the pack window
     * on the shard key, by which point rows are the narrow chunk
     * manifest (ids + token count) — plan-asserted string-free.
-    * Chunking itself adds no exchange (ck1's zero-shuffle property). */
+    * Chunking itself adds no exchange (ck1's zero-shuffle property).
+    *
+    * Stage reuse is LITERAL, not copy-paste: the gate+dedup front is
+    * [[gatedDeduped]] (shared with pipe1) and the chunker is
+    * [[chunkManifest]] (ck1 itself) — Catalyst prunes the manifest
+    * columns pipe2 doesn't carry (start_tok, chunk_fp), so the
+    * composition law "pipe2's chunks ≡ ck1's manifest" holds by
+    * construction, and a future change to either rule cannot desync
+    * the composed path from the standalone operator. */
   private def pipe2(s: SparkSession, d: String): DataFrame = {
-    val gated = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .filter(size(split(col("text"), " ")).between(5, 1000))
-    val deduped = gated
-      .withColumn("content_fp", md5Long(lower(trim(col("text")))))
-      .withColumn("krn", row_number().over(
-        Window.partitionBy(col("content_fp")).orderBy(col("doc_id").asc)))
-      .filter(col("krn") === 1)
-    val chunks = deduped
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)),
-          lit(CHUNK_STRIDE))).as("start_tok"))
-      .select(col("doc_id"),
-        expr(s"start_tok div $CHUNK_STRIDE").as("chunk_idx"),
-        size(slice(col("t"), col("start_tok") + 1, lit(CHUNK_TOKENS)))
-          .cast("long").as("n_tok"))
+    val chunks = chunkManifest(gatedDeduped(s, d, "doc_id", "text"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tok"))
     val h = md5Long(concat(col("doc_id").cast("string"), lit(":"),
       col("chunk_idx").cast("string")))
     val w = Window.partitionBy(col("shard"))

@@ -312,27 +312,38 @@ object TextOps {
     * log-prob, which is not engine-portable (libm log + order-dependent
     * accumulation; same reasoning as x10/x11's raw-ratio idf).
     *
-    * Plan shape at 100 TB: tokenize once (kernel, same justification
-    * as x7); ONE shuffle collapses occurrences to per-doc tf on
-    * (doc_id, bg) — and that exchange is REUSED by both consumers
-    * (the model-count branch and the scoring join; same canonical
-    * subtree, plan-asserted). The conditioning prefix w1 is NOT
-    * carried through the corpus-scale exchange: bg = "w1 w2"
-    * determines it, so it is re-derived (`substring_index`) on the
-    * vocabulary-bounded model relation only — the big shuffle carries
-    * one short string, not two. Model counts B are a second agg over
-    * the collapsed rows (vocabulary-bounded, not corpus-bounded); the
-    * prefix marginal U is an agg over B (unigram-vocab rows). The
-    * B⋈U join and the tf⋈model scoring join both carry NO broadcast
-    * hint — at web scale the bigram vocabulary is billions of rows,
-    * far past any broadcast ceiling, so AQE must be free to elect
-    * sort-merge (the x10 lesson). Document text never shuffles:
-    * every exchanged row is (ids, one short bigram, a count). */
+    * Plan shape at 100 TB: the kernel tokenizes directly on the scan
+    * splits — deliberately NO kernel-parallelism repartition here
+    * (unlike x7/x8, whose claims don't forbid it): a repartition of
+    * (doc_id, text) would be a full-corpus text exchange, the single
+    * most expensive operation in the job at 100 TB, and the map-side
+    * partial aggregation right after the kernel already parallelizes
+    * on whatever splits the scan provides (measured bench-neutral at
+    * sf0.1 even though the test file is ONE split). ONE shuffle
+    * collapses occurrences to per-doc tf on (doc_id, bg), and tf is
+    * MATERIALIZED once (`localCheckpoint` — the d2 signature-memo
+    * pattern) because it has two consumers, the model branch and the
+    * scoring join, and Spark's exchange reuse cannot unify them: each
+    * join key infers a different `isnotnull` pushdown (bg vs its
+    * substring_index prefix), making the subtrees non-canonical —
+    * observed as THREE full scan+tokenize+agg executions before the
+    * checkpoint (plan-asserted zero kernels in the final plan now).
+    * The conditioning prefix w1 is NOT carried through the
+    * corpus-scale exchange: bg = "w1 w2" determines it, so it is
+    * re-derived (`substring_index`) on the vocabulary-bounded model
+    * relation only — the big shuffle carries one short string, not
+    * two. Model counts B are one agg over the materialized tf
+    * (vocabulary-bounded, not corpus-bounded); the prefix marginal U
+    * rides a window over B on w1 — no self-join of the model. The
+    * tf⋈model scoring join carries NO broadcast hint — at web scale
+    * the bigram vocabulary is billions of rows, far past any
+    * broadcast ceiling, so AQE must be free to elect sort-merge (the
+    * x10 lesson). Document text never shuffles: every exchanged row
+    * is (ids, one short bigram, a count). */
   private def x12(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         bigramsLocal(text).map(b => (id, b))
@@ -340,10 +351,11 @@ object TextOps {
       .toDF("doc_id", "bg")
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("tf"))
-    val bCnt = tf.groupBy(col("bg")).agg(sum(col("tf")).as("b"))
+      .localCheckpoint()
+    val model = tf.groupBy(col("bg")).agg(sum(col("tf")).as("b"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-    val uCnt = bCnt.groupBy(col("w1")).agg(sum(col("b")).as("u"))
-    val model = bCnt.join(uCnt, Seq("w1"))
+      .withColumn("u", sum(col("b")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
       .select(col("bg"), (col("b") * RARE_K < col("u")).as("rare"))
     tf.join(model, Seq("bg"))
       .groupBy(col("doc_id"))
