@@ -184,14 +184,21 @@ class PlanShapeSpec extends SparkSpec {
 
   test("BM25 top-10 plans TakeOrderedAndProject with the query-term " +
     "filter applied before the tf aggregation (x11) — never a global " +
-    "sort, never a corpus-wide term agg") {
+    "sort, never a corpus-wide term agg, and the corpus explode runs " +
+    "exactly once (hits materialized for its two consumers)") {
     val p = plan(q("x11_bm25"))
     assert(p.contains("TakeOrderedAndProject"), p)
     assert("Sort \\[[^\\]]*\\], true".r.findFirstIn(p).isEmpty, p)
-    // the isin filter is its own operator under the tf aggregation:
+    // the hits subtree was materialized once at construction — a
+    // dropped checkpoint re-plans the corpus explode per consumer
+    assert(!p.contains("Generate"), p)
+    // the isin filter is its own operator under the tf aggregation
+    // (asserted on the pre-checkpoint relation — the registered
+    // query's final plan no longer contains this subtree):
     // non-query terms never enter the agg
-    assert(p.linesIterator.exists(l =>
-      l.contains("Filter") && l.contains("hash,join,merge")), p)
+    val hp = plan(graft.operators.TextOps.x11HitsRaw(spark, sf))
+    assert(hp.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("hash,join,merge")), hp)
   }
 
   test("tf-idf term join carries no forced broadcast (x10) — with " +
@@ -205,6 +212,9 @@ class PlanShapeSpec extends SparkSpec {
       assert(p.contains("SortMergeJoin"), p)
       // the only broadcast left is the intended 1-row N cross join
       assert(!p.contains("BroadcastHashJoin"), p)
+      // tf was materialized once at construction — a dropped
+      // checkpoint re-plans the corpus explode+agg per consumer
+      assert(!p.contains("Generate"), p)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
