@@ -1,0 +1,68 @@
+package graft
+
+/** Corpus-scan ratchet over EVERY registered query.
+  *
+  * Why this exists: Spark's ReuseExchange only unifies canonically
+  * identical subtrees, and per-consumer filter inference (each join
+  * key pushes its own `isnotnull` into the subtree) silently breaks
+  * that identity — a relation consumed twice then re-plans its whole
+  * scan+transform lineage per consumer. A plan audit this round caught
+  * the corpus tokenize+aggregate executing 3× in x12 and 2× in
+  * x10/x11 that way. At 100 TB a duplicated corpus subtree is the
+  * single most expensive silent regression an edit can introduce, so
+  * this spec pins every query to its adjudicated FileScan / kernel
+  * budget from that audit.
+  *
+  * The budgets are MAXIMA (a ratchet): multi-table joins and set ops
+  * legitimately scan 2 tables; m6 constructs three synthetic change
+  * sets from the base (4 scans, fixture shape); s3/s5 are multi-pass
+  * ANN by design (codebook/centroid pass + assignment + query +
+  * documented re-rank re-read); x8 shingles two splits (2 scans,
+  * 2 kernels). Queries whose corpus relation is materialized
+  * (localCheckpoint — d2/d5/d10/x10/x11/x12) plan 0 scans: the scan
+  * ran once, at construction. A NEW query must be added to the budget
+  * map — forcing its scan count to be adjudicated, not defaulted.
+  */
+class ScanCountSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** (maxFileScans, maxKernels) per query, from the adjudicated audit. */
+  private val budget: Map[String, (Int, Int)] = {
+    val twoScans = Seq("j1_lookup_group_array", "j2_inner_join",
+      "j3_semi_join", "j4_join_mismatch_filter", "j5_self_join",
+      "j6_anti_join", "j7_bloom_prejoin", "m4_upsert_latest",
+      "m7_snapshot_diff", "r3_interval_overlap", "s1_ann_brute",
+      "s2_ann_lsh", "s4_knn_join", "u3_union_columns", "u4_union_concat",
+      "u6_intersect", "u7_except", "u9_except_all", "w8_global_bin")
+      .map(_ -> ((2, 0)))
+    val kernel = Seq("d4_ngram_jaccard", "d6_minhash_udaf",
+      "mm1_media_features", "mm2_frame_sample", "mm3_audio_chunk",
+      "x7_top_ngrams").map(_ -> ((1, 1)))
+    (twoScans ++ kernel ++ Seq(
+      "d5_embedding_neardup" -> ((0, 1)), // corpus side memoized
+      "m6_cdc_apply" -> ((4, 0)),
+      "s3_ann_ivf" -> ((4, 0)),
+      "s5_ann_pq" -> ((4, 1)),
+      "x8_contamination" -> ((2, 2)))).toMap
+      .withDefaultValue((1, 0))
+  }
+
+  test("no query plans more corpus scans or kernels than its " +
+    "adjudicated budget — a duplicated subtree (the ReuseExchange-" +
+    "defeat class of bug) fails here by name") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, sf).queryExecution.executedPlan.toString
+        spark.catalog.clearCache()
+        val scans = "FileScan".r.findAllIn(p).length
+        val kernels = "MapPartitions".r.findAllIn(p).length
+        val (maxS, maxK) = budget(name)
+        if (scans > maxS || kernels > maxK)
+          Some(s"$name: FileScan=$scans (max $maxS), " +
+            s"MapPartitions=$kernels (max $maxK)")
+        else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
