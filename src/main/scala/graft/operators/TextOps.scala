@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 import graft.functions.Fns._
 
@@ -224,11 +225,16 @@ object TextOps {
     * three narrow columns, never the document text). N
     * rides along as a 1-row broadcast cross join; the final per-doc
     * top-k is one window on doc_id. Three aggs, no corpus-sized
-    * join ever shuffles twice — and tf is MATERIALIZED once
-    * (`localCheckpoint`): its two consumers (the df branch and the
-    * scoring join) defeat ReuseExchange in practice, which a plan
-    * audit caught as the corpus explode+agg executing TWICE (the
-    * x12 lesson; plan-asserted no Generate in the final plan now).
+    * join ever shuffles twice — and tf is CACHED
+    * (`persist(MEMORY_AND_DISK)`): its two consumers (the df branch
+    * and the scoring join) defeat ReuseExchange in practice, which a
+    * plan audit caught as the corpus explode+agg executing TWICE
+    * (the x12 lesson; ScanCountSpec pins the plan to one scan).
+    * persist, NOT localCheckpoint: tf is a CORPUS-scale relation, and
+    * the repo invariant is to checkpoint signatures, never the corpus
+    * (DedupOps) — the cache spills to executor disk, keeps lineage so
+    * a lost executor recomputes instead of failing the job, and is
+    * lazy, so building the query plans without running it.
     * PlanShapeSpec asserts the no-hint
     * property by disabling auto-broadcast and requiring the term
     * join to degrade to a merge join (a forced hint would survive). */
@@ -238,7 +244,7 @@ object TextOps {
     val tf = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     tf.join(df, Seq("term"))
@@ -265,42 +271,36 @@ object TextOps {
     * Plan shape at 100 TB: the `term isin query` filter lands BELOW
     * the (doc, term) aggregation, so the corpus-sized term space never
     * materializes for non-query terms — tf is a partial+final agg over
-    * query-term hits only, MATERIALIZED once (`localCheckpoint`,
-    * trivially small: ≤ one row per (matching doc, query term)) so
-    * its two consumers (the df agg and the scoring join) cannot
-    * re-run the corpus tokenize+explode — a plan audit caught that
-    * subtree executing twice (the x12 lesson). The corpus-stats agg
-    * is the one remaining second scan, inherent to needing avgdl over
-    * ALL docs, hits or not. Per-doc length rides the scan as a
-    * narrow projection (no self-join back to the corpus). df (≤|q|
-    * rows) and avgdl/N (1 row) broadcast. The final top-10 is
-    * TakeOrderedAndProject — per-task heaps, no global sort. */
-  private val QTERMS = Seq("hash", "join", "merge")
-
-  private def x11Docs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .select(col("doc_id"), col("t"), size(col("t")).as("dl"))
-
-  /** x11's hits relation BEFORE materialization — exposed for the plan
-    * spec, which must see the query-term filter sitting under the tf
-    * aggregation (the registered query checkpoints hits, so that
-    * subtree no longer appears in its final plan). */
-  private[graft] def x11HitsRaw(s: SparkSession, d: String): DataFrame =
-    x11Docs(s, d)
-      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
-      .filter(col("term").isin(QTERMS: _*))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-
+    * query-term hits only, CACHED once (`persist(MEMORY_AND_DISK)`;
+    * bounded by ≤|q| rows per MATCHING doc, so corpus-order in the
+    * worst case of ubiquitous query terms — which is exactly why this
+    * is a spillable, lineage-backed cache and not an unrecoverable
+    * checkpoint) so its two consumers (the df agg and the scoring
+    * join) cannot re-run the corpus tokenize+explode — a plan audit
+    * caught that subtree executing twice (the x12 lesson). The
+    * corpus-stats agg is the one remaining second scan, inherent to
+    * needing avgdl over ALL docs, hits or not. Per-doc length rides
+    * the scan as a narrow projection (no self-join back to the
+    * corpus). df (≤|q| rows) and avgdl/N (1 row) broadcast. The final
+    * top-10 is TakeOrderedAndProject — per-task heaps, no global
+    * sort. */
   private def x11(s: SparkSession, d: String): DataFrame = {
+    val qTerms = Seq("hash", "join", "merge")
     // every constant is the SAME decimal literal the oracle SQL parses
     // (k1 = 1.2, b = 0.75): k1+1 computed at runtime could round to a
     // different double than parsing "2.2", and the gate hashes bits
     val (k1, k1p1, oneMinusB, b) = (1.2, 2.2, 0.25, 0.75)
-    val hits = x11HitsRaw(s, d).localCheckpoint()
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("dl"))
+    val hits = docs
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val df = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = x11Docs(s, d).agg(count(lit(1)).as("n"),
+    val stats = docs.agg(count(lit(1)).as("n"),
       (sum(col("dl")) / count(lit(1))).as("avgdl"))
     hits.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -343,13 +343,17 @@ object TextOps {
     * on whatever splits the scan provides (measured bench-neutral at
     * sf0.1 even though the test file is ONE split). ONE shuffle
     * collapses occurrences to per-doc tf on (doc_id, bg), and tf is
-    * MATERIALIZED once (`localCheckpoint` — the d2 signature-memo
-    * pattern) because it has two consumers, the model branch and the
-    * scoring join, and Spark's exchange reuse cannot unify them: each
-    * join key infers a different `isnotnull` pushdown (bg vs its
-    * substring_index prefix), making the subtrees non-canonical —
-    * observed as THREE full scan+tokenize+agg executions before the
-    * checkpoint (plan-asserted zero kernels in the final plan now).
+    * CACHED once (`persist(MEMORY_AND_DISK)`) because it has two
+    * consumers, the model branch and the scoring join, and Spark's
+    * exchange reuse cannot unify them: each join key infers a
+    * different `isnotnull` pushdown (bg vs its substring_index
+    * prefix), making the subtrees non-canonical — observed as THREE
+    * full scan+tokenize+agg executions before the fix (ScanCountSpec
+    * pins the plan to zero extra scans now). persist, NOT
+    * localCheckpoint: tf is CORPUS-scale, and the repo invariant is
+    * to checkpoint signatures, never the corpus (DedupOps) — the
+    * cache spills to executor disk and keeps lineage, so a lost
+    * executor recomputes its blocks instead of failing the job.
     * The conditioning prefix w1 is NOT carried through the
     * corpus-scale exchange: bg = "w1 w2" determines it, so it is
     * re-derived (`substring_index`) on the vocabulary-bounded model
@@ -373,7 +377,7 @@ object TextOps {
       .toDF("doc_id", "bg")
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val model = tf.groupBy(col("bg")).agg(sum(col("tf")).as("b"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .withColumn("u", sum(col("b")).over(

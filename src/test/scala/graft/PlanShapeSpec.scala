@@ -15,6 +15,18 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** The physical plan TREE, unwrapped from AQE. Collecting nodes on
+    * the tree (rather than grepping the string) treats
+    * InMemoryTableScan as the leaf it is: a persisted relation's
+    * definition re-prints in the string per consumer, but only
+    * operators actually in the tree execute per consumer. */
+  private def physical(df: DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sf)
 
@@ -184,21 +196,24 @@ class PlanShapeSpec extends SparkSpec {
 
   test("BM25 top-10 plans TakeOrderedAndProject with the query-term " +
     "filter applied before the tf aggregation (x11) — never a global " +
-    "sort, never a corpus-wide term agg, and the corpus explode runs " +
-    "exactly once (hits materialized for its two consumers)") {
-    val p = plan(q("x11_bm25"))
+    "sort, never a corpus-wide term agg, and the corpus explode sits " +
+    "behind ONE shared cache, not once per consumer") {
+    val df = q("x11_bm25")
+    val p = plan(df)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert("Sort \\[[^\\]]*\\], true".r.findFirstIn(p).isEmpty, p)
-    // the hits subtree was materialized once at construction — a
-    // dropped checkpoint re-plans the corpus explode per consumer
-    assert(!p.contains("Generate"), p)
     // the isin filter is its own operator under the tf aggregation
-    // (asserted on the pre-checkpoint relation — the registered
-    // query's final plan no longer contains this subtree):
+    // (the persisted hits definition prints inside InMemoryRelation):
     // non-query terms never enter the agg
-    val hp = plan(graft.operators.TextOps.x11HitsRaw(spark, sf))
-    assert(hp.linesIterator.exists(l =>
-      l.contains("Filter") && l.contains("hash,join,merge")), hp)
+    assert(p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("hash,join,merge")), p)
+    // the explode exists only inside the cached hits definition — the
+    // operator TREE (where InMemoryTableScan is a leaf) has none, so
+    // no consumer can re-run the corpus tokenize (a dropped persist
+    // puts GenerateExec back in the tree and fails here)
+    assert(physical(df).collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, p)
   }
 
   test("tf-idf term join carries no forced broadcast (x10) — with " +
@@ -208,13 +223,17 @@ class PlanShapeSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val p = plan(q("x10_tfidf"))
+      val df = q("x10_tfidf")
+      val p = plan(df)
       assert(p.contains("SortMergeJoin"), p)
       // the only broadcast left is the intended 1-row N cross join
       assert(!p.contains("BroadcastHashJoin"), p)
-      // tf was materialized once at construction — a dropped
-      // checkpoint re-plans the corpus explode+agg per consumer
-      assert(!p.contains("Generate"), p)
+      // the corpus explode lives only inside tf's cached definition —
+      // no GenerateExec in the operator tree means no consumer can
+      // re-run it (a dropped persist fails here)
+      assert(physical(df).collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.isEmpty, p)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
@@ -317,22 +336,22 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("bigram-LM scoring tokenizes the corpus EXACTLY once — the " +
-    "materialized tf feeds both the model branch and the scoring " +
-    "join, so no kernel appears in the final plan (exchange reuse " +
-    "cannot unify the consumers: each join key infers a different " +
-    "isnotnull pushdown) — and the scoring join carries no broadcast " +
-    "hint, degrading to sort-merge with the broadcast path disabled " +
-    "(x12)") {
+    "cached tf feeds both the model branch and the scoring join, so " +
+    "no kernel sits in the operator tree (exchange reuse cannot " +
+    "unify the consumers: each join key infers a different isnotnull " +
+    "pushdown) — and the scoring join carries no broadcast hint, " +
+    "degrading to sort-merge with the broadcast path disabled (x12)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val df = q("x12_bigram_lm")
-      df.collect() // AQE finalizes join selection only at runtime
       val p = plan(df)
-      // the corpus tokenize ran once, at tf's materialization — a
-      // dropped checkpoint would re-plan the kernel under every
-      // consumer and MapPartitions would reappear here
-      assert(!p.contains("MapPartitions"), p)
+      // the tokenize kernel lives only inside tf's cached definition —
+      // no MapPartitionsExec in the operator tree means no consumer
+      // can re-run it (a dropped persist fails here)
+      assert(physical(df).collect {
+        case m: org.apache.spark.sql.execution.MapPartitionsExec => m
+      }.isEmpty, p)
       // a forced broadcast hint would survive threshold = -1; a
       // SortMergeJoin here proves the joins degrade gracefully
       assert(p.contains("SortMergeJoin"), p)
