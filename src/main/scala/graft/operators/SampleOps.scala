@@ -98,7 +98,62 @@ object SampleOps {
       .limit(100)
       .select(col("doc_id"), col("source"))
 
+  /** sm6 — temperature-mixture upsampling: the "epochs per source"
+    * operator of a pretraining data recipe. Target mixture share of
+    * source s is proportional to q_s * n_s^tau (a config quality
+    * weight times the temperature-flattened size); its repeat factor
+    * is rep_s = share_s * N / n_s — sources above their target are
+    * kept fractionally (downsample), rare high-quality sources are
+    * repeated for multiple epochs (upsample). Fractional parts are
+    * realized by the usual hash gate: every doc emits floor(rep)
+    * copies, plus one more iff md5(doc_id) mod 1e6 clears the
+    * ppm-quantized fraction — so the mix is exact in expectation and
+    * a pure function of the data (retry-stable, oracle-replayable).
+    *
+    * Shape at scale: the per-source count is a ~|sources|-row
+    * aggregate; rep factors join back as a BROADCAST (a mixture
+    * config is always tiny); the copy expansion happens inside the
+    * partition via explode over a 1..copies sequence, so the only
+    * wide exchanges are two skinny aggs. rep is rounded to 6 decimals
+    * BEFORE the gate derives from it, pinning the engine and the
+    * oracle to the same ppm threshold regardless of float summation
+    * order. Output here is the (source, epoch) census; the production
+    * form writes the exploded corpus instead of aggregating it. */
+  private def sm6(s: SparkSession, d: String): DataFrame = {
+    val tau = 0.5
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val quality = when(col("source").isin("src0", "src1", "src2"), 6.0)
+      .when(col("source").isin("src3", "src4", "src5", "src6", "src7",
+        "src8", "src9"), 2.0)
+      .otherwise(1.0)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val weighted = counts.withColumn("w", quality * pow(col("ns"), tau))
+    // corpus totals as unpartitioned window sums over the
+    // |sources|-row rate relation: one pass, one scan — a separate
+    // agg+crossJoin would re-plan the counts subtree per consumer
+    // (the ReuseExchange-defeat shape ScanCountSpec pins)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val reps = weighted
+      .withColumn("rep",
+        round(col("w") / sum(col("w")).over(all) *
+          sum(col("ns")).over(all) / col("ns"), 6))
+      .withColumn("whole", floor(col("rep")).cast("long"))
+      .withColumn("frac_ppm",
+        round((col("rep") - floor(col("rep"))) * 1000000).cast("long"))
+      .select(col("source"), col("whole"), col("frac_ppm"))
+    docs.join(broadcast(reps), Seq("source"))
+      .withColumn("copies", col("whole") +
+        when(md5Long(col("doc_id")) % 1000000 < col("frac_ppm"), 1L)
+          .otherwise(0L))
+      .filter(col("copies") >= 1)
+      .select(col("source"),
+        explode(sequence(lit(1L), col("copies"))).as("epoch"))
+      .groupBy(col("source"), col("epoch"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sm6_temperature_mix" -> (sm6 _),
     "sm1_stratified_sample" -> (sm1 _),
     "sm2_split_assign" -> (sm2 _),
     "sm3_mixture_weights" -> (sm3 _),
@@ -136,6 +191,28 @@ object SampleOps {
       WHERE rn <= 15""",
     "sm5_global_sample" -> s"""
       SELECT doc_id, source FROM documents
-      ORDER BY ${H.format("doc_id")}, doc_id LIMIT 100"""
+      ORDER BY ${H.format("doc_id")}, doc_id LIMIT 100""",
+    "sm6_temperature_mix" -> s"""
+      WITH n AS (SELECT source, count(*) AS ns FROM documents
+                 GROUP BY source),
+      w AS (SELECT source, ns,
+              CASE WHEN source IN ('src0','src1','src2') THEN 6.0
+                   WHEN source IN ('src3','src4','src5','src6','src7',
+                                   'src8','src9') THEN 2.0
+                   ELSE 1.0 END * pow(ns, 0.5) AS w FROM n),
+      tot AS (SELECT sum(ns) AS bign, sum(w) AS sumw FROM w),
+      r AS (SELECT source, ns,
+              round(w / sumw * bign / ns, 6) AS rep FROM w, tot),
+      g AS (SELECT source, CAST(floor(rep) AS BIGINT) AS whole,
+              CAST(round((rep - floor(rep)) * 1000000) AS BIGINT)
+                AS frac_ppm FROM r),
+      c AS (SELECT d.source, g.whole +
+              CASE WHEN ${H.format("d.doc_id")} % 1000000 < g.frac_ppm
+                   THEN 1 ELSE 0 END AS copies
+            FROM documents d JOIN g USING (source)),
+      e AS (SELECT source, unnest(generate_series(1, copies)) AS epoch
+            FROM c WHERE copies >= 1)
+      SELECT source, epoch, count(*) AS cnt FROM e
+      GROUP BY source, epoch"""
   )
 }

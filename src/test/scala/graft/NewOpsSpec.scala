@@ -130,6 +130,57 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("sm6: whole epochs are exact corpus copies, the fractional " +
+    "tail is a gated subset, epochs are contiguous") {
+    val ns = Tables.documents(spark, sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySource = q("sm6_temperature_mix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(bySource.keySet == ns.keySet) // every source survives
+    for ((src, rows) <- bySource) {
+      val byEpoch = rows.sortBy(_._2)
+      // epochs are 1..max with no holes
+      assert(byEpoch.map(_._2).toSeq == (1L to byEpoch.length).toSeq, src)
+      // every epoch before the last is the WHOLE corpus slice; the
+      // last is the hash-gated fractional tail (a subset, never more)
+      byEpoch.init.foreach { case (_, e, cnt) =>
+        assert(cnt == ns(src), s"$src epoch $e")
+      }
+      assert(byEpoch.last._3 <= ns(src), src)
+      // counts never increase with epoch
+      assert(byEpoch.map(_._3).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true
+      }, src)
+    }
+  }
+
+  test("sm6: per-source kept mass tracks q*sqrt(n) mixture targets") {
+    val ns = Tables.documents(spark, sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def quality(s: String) = s match {
+      case "src0" | "src1" | "src2" => 6.0
+      case "src3" | "src4" | "src5" | "src6" | "src7" | "src8" |
+           "src9" => 2.0
+      case _ => 1.0
+    }
+    val sumw = ns.map { case (s, n) => quality(s) * math.sqrt(n.toDouble) }.sum
+    val bigN = ns.values.sum.toDouble
+    val kept = q("sm6_temperature_mix")
+      .groupBy(col("source")).agg(sum(col("cnt")).as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, n) <- ns) {
+      val rep = quality(src) * math.sqrt(n.toDouble) / sumw * bigN / n
+      val expect = rep * n
+      // fractional part realizes as Binomial(n, frac): allow ~4 sigma
+      val slack = 4.0 * math.sqrt(n.toDouble) * 0.5 + 1
+      assert(math.abs(kept(src) - expect) <= slack,
+        s"$src kept=${kept(src)} expect=$expect")
+    }
+  }
+
   test("sm1: hash sampling is deterministic (two runs, identical rows)") {
     val a = q("sm1_stratified_sample").collect().map(_.toString).sorted
     val b = q("sm1_stratified_sample").collect().map(_.toString).sorted

@@ -61,6 +61,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("temperature-mix rate join is a broadcast; corpus is never " +
+    "shuffled on source (sm6)") {
+    val p = plan(q("sm6_temperature_mix"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("LSH ANN joins buckets with a broadcast equi-join (s2)") {
     val p = plan(q("s2_ann_lsh"))
     assert(p.contains("BroadcastHashJoin"), p)

@@ -46,7 +46,10 @@ class ScanCountSpec extends SparkSpec {
       "j6_anti_join", "j7_bloom_prejoin", "m4_upsert_latest",
       "m7_snapshot_diff", "r3_interval_overlap", "s1_ann_brute",
       "s2_ann_lsh", "s4_knn_join", "u3_union_columns", "u4_union_concat",
-      "u6_intersect", "u7_except", "u9_except_all", "w8_global_bin")
+      "u6_intersect", "u7_except", "u9_except_all", "w8_global_bin",
+      // sm6's mixture-rate branch re-reads the 2-column pruned
+      // (doc_id, source) projection rather than caching the corpus
+      "sm6_temperature_mix")
       .map(_ -> ((2, 0)))
     val kernel = Seq("d4_ngram_jaccard", "d6_minhash_udaf",
       "mm1_media_features", "mm2_frame_sample", "mm3_audio_chunk",
