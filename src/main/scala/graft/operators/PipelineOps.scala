@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Fns.{md5Long, toks}
+import graft.functions.Fns.{md5Long, roundFp, toks}
 
 /** Composed end-to-end curation pipeline — the proof that the
   * operator families are COMPOSABLE, not just individually correct.
@@ -200,7 +200,65 @@ object PipelineOps {
         (col("off") % PACK_BUDGET).as("pack_off"))
   }
 
+  /** pipe3 — the corpus data card: the per-source report a mixture
+    * design (sm3/sm6) reads before choosing weights — doc/token/char
+    * volume, language spread and dominant-language share,
+    * x2-consistent mean quality, and the corpus-wide exact-duplicate
+    * rate (d1's fingerprint).
+    *
+    * One scan end-to-end: per-doc signals are scored inside the scan
+    * stage, the duplicate flag rides a window over the text
+    * fingerprint (the only corpus-wide exchange, and it carries only
+    * the fingerprint plus a handful of numeric columns — never the
+    * text), and the card cascades partial (source, lang) → final
+    * (source) aggregation, collapsing the corpus to |sources|×|langs|
+    * rows at the first exchange — the two-level shape a
+    * 1000-executor run wants. Per-doc quality is quantized to exact
+    * ppm LONGS before summing, so every mean in the card is integer
+    * sums divided once — no float-summation-order dependence, which
+    * is what lets the DuckDB oracle match bit-for-bit. */
+  private def pipe3(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val perDoc = Tables.documents(s, d).select(
+      col("source"), col("lang"), col("n_chars"),
+      size(t).as("ws_tokens"),
+      md5(col("text")).as("fp"),
+      roundFp(least(col("n_chars") / 500.0, lit(1.0)), 6).as("len_score"),
+      roundFp(TextOps.countIn(t, TextOps.EN).cast("double") / size(t), 6)
+        .as("stop_ratio"),
+      roundFp(aggregate(t, lit(0L), (acc, x) => acc + length(x))
+        .cast("double") / size(t), 6).as("mean_tok_len"))
+      .withColumn("quality_ppm",
+        floor((col("len_score") * 0.5 + col("stop_ratio") * 0.3
+          + least(col("mean_tok_len") / 8.0, lit(1.0)) * 0.2) * 1000000
+          + 0.5).cast("long"))
+    val flagged = perDoc.withColumn("is_dup",
+      when(count(lit(1)).over(Window.partitionBy(col("fp"))) > 1, 1L)
+        .otherwise(0L))
+    val partial = flagged.groupBy(col("source"), col("lang")).agg(
+      count(lit(1)).as("n"),
+      sum(col("ws_tokens")).as("tok"),
+      sum(col("n_chars")).as("chars"),
+      sum(col("quality_ppm")).as("q_ppm"),
+      sum(col("is_dup")).as("dups"))
+    partial.groupBy(col("source")).agg(
+      sum(col("n")).as("n_docs"),
+      count(lit(1)).as("n_langs"),
+      roundFp(max(col("n")).cast("double") / sum(col("n")), 6)
+        .as("top_lang_share"),
+      sum(col("tok")).as("total_tokens"),
+      roundFp(sum(col("tok")).cast("double") / sum(col("n")), 4)
+        .as("mean_tokens"),
+      roundFp(sum(col("chars")).cast("double") / sum(col("n")), 4)
+        .as("mean_chars"),
+      roundFp(sum(col("q_ppm")).cast("double") / sum(col("n")) / 1000000.0, 4)
+        .as("mean_quality"),
+      roundFp(sum(col("dups")).cast("double") / sum(col("n")), 6)
+        .as("dup_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe3_data_card" -> (pipe3 _),
     "pipe1_curation" -> (pipe1 _),
     "pipe2_chunk_pack" -> (pipe2 _),
     "pk1_sequence_pack" -> (pk1 _),
@@ -269,6 +327,43 @@ object PipelineOps {
               l[start_tok+1 : start_tok+64] AS ch FROM s)
       SELECT doc_id, chunk_idx, start_tok, len(ch)::BIGINT AS n_tok,
         ('0x' || substr(md5(array_to_string(ch, ' ')),1,15))::BIGINT AS chunk_fp
-      FROM c"""
+      FROM c""",
+    "pipe3_data_card" -> s"""
+      WITH t AS (SELECT source, lang, n_chars, string_split(text,' ') AS l,
+                   md5(text) AS fp FROM documents),
+      b AS (SELECT source, lang, n_chars, len(l) AS ws_tokens, fp,
+              floor(least(n_chars/500.0, 1.0)*1000000 + 0.5)/1000000
+                AS len_score,
+              floor(len(list_filter(l, x ->
+                  list_contains(${TextOps.inList(TextOps.EN)}, x)))::DOUBLE
+                / len(l)*1000000 + 0.5)/1000000 AS stop_ratio,
+              floor(list_aggregate(list_transform(l, x -> length(x)),
+                  'sum')::DOUBLE / len(l)*1000000 + 0.5)/1000000
+                AS mean_tok_len
+            FROM t),
+      q AS (SELECT source, lang, n_chars, ws_tokens, fp,
+              CAST(floor((len_score*0.5 + stop_ratio*0.3
+                + least(mean_tok_len/8.0, 1.0)*0.2)*1000000 + 0.5)
+                AS BIGINT) AS quality_ppm
+            FROM b),
+      f AS (SELECT *, CASE WHEN count(*) OVER (PARTITION BY fp) > 1
+                           THEN 1 ELSE 0 END AS is_dup FROM q),
+      p AS (SELECT source, lang, count(*) AS n,
+              CAST(sum(ws_tokens) AS BIGINT) AS tok,
+              CAST(sum(n_chars) AS BIGINT) AS chars,
+              CAST(sum(quality_ppm) AS BIGINT) AS q_ppm,
+              CAST(sum(is_dup) AS BIGINT) AS dups
+            FROM f GROUP BY source, lang)
+      SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        count(*) AS n_langs,
+        floor(max(n)::DOUBLE/sum(n)*1000000 + 0.5)/1000000
+          AS top_lang_share,
+        CAST(sum(tok) AS BIGINT) AS total_tokens,
+        floor(sum(tok)::DOUBLE/sum(n)*10000 + 0.5)/10000 AS mean_tokens,
+        floor(sum(chars)::DOUBLE/sum(n)*10000 + 0.5)/10000 AS mean_chars,
+        floor(sum(q_ppm)::DOUBLE/sum(n)/1000000.0*10000 + 0.5)/10000
+          AS mean_quality,
+        floor(sum(dups)::DOUBLE/sum(n)*1000000 + 0.5)/1000000 AS dup_rate
+      FROM p GROUP BY source"""
   )
 }

@@ -17,12 +17,12 @@ import graft.functions.Fns._
   */
 object TextOps {
 
-  private val EN = Seq("the", "data", "table", "value", "row", "key")
+  private[operators] val EN = Seq("the", "data", "table", "value", "row", "key")
   private val DE = Seq("der", "die", "das", "und", "nicht")
   private val FR = Seq("le", "la", "les", "et", "est")
   private val ES = Seq("el", "los", "las", "y", "es")
 
-  private def countIn(tokens: org.apache.spark.sql.Column, ws: Seq[String]) =
+  private[operators] def countIn(tokens: org.apache.spark.sql.Column, ws: Seq[String]) =
     size(filter(tokens, t => t.isInCollection(ws)))
 
   /** x1 — language ID via stopword-hit scoring: count tokens in each
@@ -406,7 +406,7 @@ object TextOps {
     "x7_top_ngrams" -> (x7 _)
   )
 
-  private def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString("[", ",", "]")
+  private[operators] def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
     // identical parenthesization + decimal literals as the Spark

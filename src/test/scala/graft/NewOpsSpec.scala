@@ -130,6 +130,29 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("pipe3: data card reconciles with the corpus, x3's tokens, " +
+    "and d1's duplicate census") {
+    val card = q("pipe3_data_card").collect()
+    val docs = Tables.documents(spark, sf)
+    assert(card.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val x3Tokens = q("x3_token_count")
+      .agg(sum(col("ws_tokens"))).head().getLong(0)
+    assert(card.map(_.getAs[Long]("total_tokens")).sum == x3Tokens)
+    // docs whose whole-text fingerprint repeats, straight off the corpus
+    val dupDocs = docs.select(md5(col("text")).as("fp"))
+      .groupBy(col("fp")).count().filter(col("count") > 1)
+      .agg(coalesce(sum(col("count")), lit(0L))).head().getLong(0)
+    val cardDups = card.map(r =>
+      math.round(r.getAs[Double]("dup_rate") * r.getAs[Long]("n_docs"))).sum
+    assert(cardDups == dupDocs, s"card=$cardDups corpus=$dupDocs")
+    for (r <- card) {
+      val nLangs = r.getAs[Long]("n_langs")
+      assert(r.getAs[Double]("top_lang_share") >= 1.0 / nLangs - 1e-6)
+      val mq = r.getAs[Double]("mean_quality")
+      assert(mq > 0.0 && mq <= 1.0, s"quality $mq")
+    }
+  }
+
   test("sm6: whole epochs are exact corpus copies, the fractional " +
     "tail is a gated subset, epochs are contiguous") {
     val ns = Tables.documents(spark, sf)
