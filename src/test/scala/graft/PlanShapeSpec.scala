@@ -342,6 +342,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!ex.head.output.exists(_.dataType == StringType), phys.toString)
   }
 
+  test("data card never shuffles document text: dup window + two-level " +
+    "agg cascade, every exchange text-free (pipe3)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val phys = q("pipe3_data_card").queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val ex = phys.collect { case e: ShuffleExchangeExec => e }
+    // fp window + (source, lang) partial agg + (source) final agg
+    assert(ex.length <= 3, phys.toString)
+    assert(ex.nonEmpty, phys.toString)
+    assert(!ex.exists(_.output.exists(_.name == "text")), phys.toString)
+  }
+
   test("bigram-LM scoring tokenizes the corpus EXACTLY once — the " +
     "cached tf feeds both the model branch and the scoring join, so " +
     "no kernel sits in the operator tree (exchange reuse cannot " +
