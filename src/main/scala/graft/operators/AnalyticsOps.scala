@@ -94,7 +94,68 @@ object AnalyticsOps {
       .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
         sum(col("l_quantity")).as("sum_qty"))
 
+  /** Misra–Gries summary capacity. The MG bound (and it survives
+    * summary union): any key with global frequency > N/(cap+1) is
+    * retained by at least one partition-local summary, so candidate
+    * recall of the true top-k is DETERMINISTIC — a property sketches
+    * like count-min only give probabilistically. 256 is generous for
+    * the test vocabulary (it exceeds it, so recall is trivially
+    * total); a 100 TB zipfian key space sizes cap ≈ k / head-share,
+    * still constant memory per task. */
+  private val MG_CAP = 256
+
+  /** Partition-local Misra–Gries over a key stream: bounded-memory
+    * candidate generation, the imperative decrement-all state machine
+    * SQL aggregation cannot express (the documented kernel
+    * justification — everything downstream of it is declarative). */
+  private[graft] def misraGries(it: Iterator[String],
+      cap: Int = MG_CAP): Iterator[String] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    for (tok <- it) {
+      counts.get(tok) match {
+        case Some(v) => counts(tok) = v + 1
+        case None if counts.size < cap => counts(tok) = 1L
+        case None =>
+          val dead = List.newBuilder[String]
+          for ((k, v) <- counts)
+            if (v == 1L) dead += k else counts(k) = v - 1
+          dead.result().foreach(counts.remove)
+      }
+    }
+    counts.keysIterator
+  }
+
+  /** g9 — heavy hitters at summary cost, exact result: pass 1 runs
+    * [[misraGries]] per partition over the token stream and ships
+    * ONLY each partition's ≤[[MG_CAP]] candidate keys; pass 2 counts
+    * candidates exactly behind a broadcast semi-join and takes the
+    * top-10 (TakeOrderedAndProject). The wide exchanges carry
+    * |partitions|×cap candidate rows, then |candidates| agg keys —
+    * never the full key space. That is the 100 TB difference from
+    * x7's plain groupBy: over an unbounded vocabulary (URLs,
+    * shingles, n-grams) the full-vocab shuffle dominates; here the
+    * summary is constant-size per task and the exact pass aggregates
+    * a bounded candidate set. Result is exact, not approximate: the
+    * MG bound guarantees every sufficiently-frequent key is a
+    * candidate, and the second pass replaces estimates with true
+    * counts — so the DuckDB oracle hash-matches. */
+  private def g9(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val candidates = Tables.documents(s, d)
+      .select(col("text")).as[String]
+      .mapPartitions(it => misraGries(it.flatMap(_.split(" "))))
+      .toDF("tok").distinct()
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(candidates), Seq("tok"), "leftsemi")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g9_heavy_hitters" -> (g9 _),
     "g6_salted_agg" -> (g6 _),
     "g8_grouping_sets" -> (g8 _),
     "g1_rollup" -> (g1 _),
@@ -132,9 +193,14 @@ object AnalyticsOps {
       SELECT l_returnflag, l_linestatus,
         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
         count(*) AS cnt, sum(l_quantity) AS sum_qty
-      FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+      FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+    "g9_heavy_hitters" -> """
+      SELECT tok, count(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 10"""
     // g5_approx_distinct, g7_approx_quantiles: intentionally no oracle
     // (per-engine sketches); accuracy is spec-bounded against the exact
-    // forms instead
+    // forms instead. g9 DOES have one: Misra-Gries only generates
+    // candidates; the exact second pass makes the result oracle-equal.
   )
 }

@@ -130,6 +130,36 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("g9: summary-cost heavy hitters equal the exact full-groupBy " +
+    "top-10 (candidate recall is total, second pass is exact)") {
+    val got = q("g9_heavy_hitters").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exact)
+  }
+
+  test("g9: the Misra-Gries bound holds in the adversarial order — a " +
+    "key with frequency above N/(cap+1) survives decrement-alls") {
+    // A×100 then 200 distinct singletons, cap 4: N=300, bound=60<100.
+    // The heavy key arrives FIRST, so every later decrement-all hits it.
+    val heavyFirst = Iterator.fill(100)("A") ++
+      (1 to 200).iterator.map("s" + _)
+    assert(operators.AnalyticsOps.misraGries(heavyFirst, cap = 4)
+      .contains("A"))
+    // interleaved worst case: singletons between every heavy arrival
+    val interleaved = (1 to 100).iterator.flatMap(i =>
+      Iterator("A", "t" + i, "u" + i)) ++ (1 to 100).iterator.map("v" + _)
+    assert(operators.AnalyticsOps.misraGries(interleaved, cap = 4)
+      .contains("A"))
+    // and a key BELOW the bound can be evicted: all singletons, cap 1
+    val allSingle = (1 to 50).iterator.map("w" + _)
+    assert(operators.AnalyticsOps.misraGries(allSingle, cap = 1).size <= 1)
+  }
+
   test("pipe3: data card reconciles with the corpus, x3's tokens, " +
     "and d1's duplicate census") {
     val card = q("pipe3_data_card").collect()
