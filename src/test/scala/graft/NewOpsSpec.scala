@@ -160,6 +160,33 @@ class NewOpsSpec extends SparkSpec {
     assert(operators.AnalyticsOps.misraGries(allSingle, cap = 1).size <= 1)
   }
 
+  test("g9: MG recall bound holds on random streams in random order — " +
+    "every key with freq > N/(cap+1) survives") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val streamGen = for {
+      cap <- Gen.chooseNum(2, 16)
+      nHeavy <- Gen.chooseNum(1, 3)
+      heavyFreq <- Gen.chooseNum(50, 200)
+      nNoise <- Gen.chooseNum(0, 300)
+      seed <- Gen.chooseNum(0L, Long.MaxValue)
+    } yield (cap, nHeavy, heavyFreq, nNoise, seed)
+    val prop = Prop.forAll(streamGen) {
+      case (cap, nHeavy, heavyFreq, nNoise, seed) =>
+        val heavy = (1 to nHeavy).map("H" + _)
+        val stream = new scala.util.Random(seed).shuffle(
+          heavy.flatMap(h => Seq.fill(heavyFreq)(h)) ++
+            (1 to nNoise).map("n" + _))
+        val n = stream.length
+        val survivors = operators.AnalyticsOps
+          .misraGries(stream.iterator, cap).toSet
+        // only heavy keys ABOVE the bound are guaranteed
+        heavy.forall(h => heavyFreq <= n / (cap + 1) || survivors(h))
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(r.passed, r.toString)
+  }
+
   test("pipe3: data card reconciles with the corpus, x3's tokens, " +
     "and d1's duplicate census") {
     val card = q("pipe3_data_card").collect()
