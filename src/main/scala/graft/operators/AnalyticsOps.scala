@@ -102,7 +102,7 @@ object AnalyticsOps {
     * the test vocabulary (it exceeds it, so recall is trivially
     * total); a 100 TB zipfian key space sizes cap ≈ k / head-share,
     * still constant memory per task. */
-  private val MG_CAP = 256
+  private[graft] val MG_CAP = 256
 
   /** Partition-local Misra–Gries over a key stream: bounded-memory
     * candidate generation, the imperative decrement-all state machine
@@ -143,7 +143,11 @@ object AnalyticsOps {
     import s.implicits._
     val candidates = Tables.documents(s, d)
       .select(col("text")).as[String]
-      .mapPartitions(it => misraGries(it.flatMap(_.split(" "))))
+      // split with limit -1 keeps trailing empty tokens, matching the
+      // exact pass's SQL split / the oracle's string_split exactly —
+      // one tokenization rule for both passes, or a key reachable only
+      // via trailing separators could be counted but never proposed
+      .mapPartitions(it => misraGries(it.flatMap(_.split(" ", -1))))
       .toDF("tok").distinct()
     Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("tok"))

@@ -289,8 +289,8 @@ object PipelineOps {
                ${H.format("doc_id")} AS h FROM documents),
       s AS (SELECT doc_id, n_tok, h, h % 8 AS shard FROM t),
       c AS (SELECT shard, doc_id, n_tok,
-              coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+              CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
             FROM s)
       SELECT shard, doc_id, n_tok,
         off // 2048 AS pack_id, off % 2048 AS pack_off,
@@ -311,9 +311,9 @@ object PipelineOps {
       k AS (SELECT doc_id, chunk_idx, n_tok,
               ${H.format("doc_id::VARCHAR || ':' || chunk_idx::VARCHAR")} AS h FROM c),
       o AS (SELECT doc_id, chunk_idx, n_tok, h % 8 AS shard,
-              coalesce(sum(n_tok) OVER (PARTITION BY h % 8
+              CAST(coalesce(sum(n_tok) OVER (PARTITION BY h % 8
                 ORDER BY h, doc_id, chunk_idx
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
             FROM k)
       SELECT shard, doc_id, chunk_idx, n_tok,
         off // 2048 AS pack_id, off % 2048 AS pack_off

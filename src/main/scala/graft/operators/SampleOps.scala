@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Fns.md5Long
+import graft.functions.Fns.{md5Long, roundFp}
 
 /** Deterministic sampling / splitting for dataset curation — the
   * operators a training-data pipeline runs on every corpus refresh.
@@ -114,10 +114,13 @@ object SampleOps {
     * aggregate; rep factors join back as a BROADCAST (a mixture
     * config is always tiny); the copy expansion happens inside the
     * partition via explode over a 1..copies sequence, so the only
-    * wide exchanges are two skinny aggs. rep is rounded to 6 decimals
-    * BEFORE the gate derives from it, pinning the engine and the
-    * oracle to the same ppm threshold regardless of float summation
-    * order. Output here is the (source, epoch) census; the production
+    * wide exchanges are two skinny aggs. rep is quantized to 6
+    * decimals with roundFp (floor(x*1e6+0.5)/1e6 — the repo-wide
+    * portable rounding; bare round() is banker's/HALF_UP-divergent
+    * between engines within an ulp of a .5 boundary) BEFORE the gate
+    * derives from it, pinning the engine and the oracle to the same
+    * ppm threshold regardless of float summation order. Output here
+    * is the (source, epoch) census; the production
     * form writes the exploded corpus instead of aggregating it. */
   private def sm6(s: SparkSession, d: String): DataFrame = {
     val tau = 0.5
@@ -135,11 +138,12 @@ object SampleOps {
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
     val reps = weighted
       .withColumn("rep",
-        round(col("w") / sum(col("w")).over(all) *
+        roundFp(col("w") / sum(col("w")).over(all) *
           sum(col("ns")).over(all) / col("ns"), 6))
       .withColumn("whole", floor(col("rep")).cast("long"))
       .withColumn("frac_ppm",
-        round((col("rep") - floor(col("rep"))) * 1000000).cast("long"))
+        floor((col("rep") - floor(col("rep"))) * 1000000 + 0.5)
+          .cast("long"))
       .select(col("source"), col("whole"), col("frac_ppm"))
     docs.join(broadcast(reps), Seq("source"))
       .withColumn("copies", col("whole") +
@@ -202,9 +206,10 @@ object SampleOps {
                    ELSE 1.0 END * pow(ns, 0.5) AS w FROM n),
       tot AS (SELECT sum(ns) AS bign, sum(w) AS sumw FROM w),
       r AS (SELECT source, ns,
-              round(w / sumw * bign / ns, 6) AS rep FROM w, tot),
+              floor(w / sumw * bign / ns * 1000000 + 0.5) / 1000000
+                AS rep FROM w, tot),
       g AS (SELECT source, CAST(floor(rep) AS BIGINT) AS whole,
-              CAST(round((rep - floor(rep)) * 1000000) AS BIGINT)
+              CAST(floor((rep - floor(rep)) * 1000000 + 0.5) AS BIGINT)
                 AS frac_ppm FROM r),
       c AS (SELECT d.source, g.whole +
               CASE WHEN ${H.format("d.doc_id")} % 1000000 < g.frac_ppm

@@ -142,6 +142,23 @@ class NewOpsSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("g9: the exactness precondition holds on the fixture — the 10th-" +
+    "ranked key's true count exceeds N/(cap+1), so MG recall of the " +
+    "top-10 is guaranteed, not lucky") {
+    // g9 is exact ONLY while every top-k key clears the MG retention
+    // bound; an undersized cap degrades it to approximate silently.
+    // Pin the precondition so a corpus/cap change fails loudly here
+    // instead of shipping a wrong "exact" result.
+    val n = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("k"))
+      .agg(sum(col("k"))).collect()(0).getLong(0)
+    val minTopK = q("g9_heavy_hitters").collect().map(_.getLong(1)).min
+    val bound = n.toDouble / (operators.AnalyticsOps.MG_CAP + 1)
+    assert(minTopK > bound,
+      s"MG precondition violated: min top-10 count $minTopK <= N/(cap+1) " +
+        s"= $bound — raise MG_CAP or g9's result may be inexact")
+  }
+
   test("g9: the Misra-Gries bound holds in the adversarial order — a " +
     "key with frequency above N/(cap+1) survives decrement-alls") {
     // A×100 then 200 distinct singletons, cap 4: N=300, bound=60<100.

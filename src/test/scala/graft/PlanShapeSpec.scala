@@ -354,7 +354,17 @@ class PlanShapeSpec extends SparkSpec {
     // fp window + (source, lang) partial agg + (source) final agg
     assert(ex.length <= 3, phys.toString)
     assert(ex.nonEmpty, phys.toString)
-    assert(!ex.exists(_.output.exists(_.name == "text")), phys.toString)
+    // whitelist by TYPE, not name: the only strings any exchange may
+    // carry are the bounded card dimensions (source, lang) and the
+    // 32-char hex md5 fingerprint — a renamed or derived text column
+    // is caught here where a name == "text" check would miss it
+    import org.apache.spark.sql.types.StringType
+    val allowedStrings = Set("source", "lang", "fp")
+    val rogue = ex.flatMap(_.output.filter(a =>
+      a.dataType == StringType && !allowedStrings(a.name)))
+    assert(rogue.isEmpty,
+      s"unexpected string columns cross an exchange: " +
+        s"${rogue.map(_.name).mkString(",")}\n" + phys.toString)
   }
 
   test("bigram-LM scoring tokenizes the corpus EXACTLY once — the " +

@@ -67,6 +67,20 @@ def main():
             n_noracle += 1
             continue
         try:
+            # The driver's compare goes through arrow/pandas, where DuckDB
+            # HUGEINT (e.g. sum(BIGINT)) and DECIMAL degrade to float64 and
+            # break the hash even though fetchall()'s Python ints compare
+            # equal here. Flag them so the class is caught locally.
+            rel = con.sql(oracles[name])
+            wide = [c for c, t in zip(rel.columns, rel.types)
+                    if str(t) in ("HUGEINT", "UHUGEINT")
+                    or str(t).startswith("DECIMAL")]
+            if wide:
+                print(f"  [FAIL-type] {name}: oracle columns {wide} are "
+                      f"HUGEINT/DECIMAL — CAST them (driver hashes via "
+                      f"pandas where these become float64)")
+                n_fail += 1
+                continue
             q = con.execute(oracles[name])
             ocols = [d[0] for d in q.description]
             orows = q.fetchall()
