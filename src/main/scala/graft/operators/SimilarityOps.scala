@@ -323,12 +323,117 @@ object SimilarityOps {
     topNeighbors(scored, 3)
   }
 
+  // ---- km1: distributed Lloyd's k-means ---------------------------
+
+  private val KM_K = 4
+  private val KM_ITERS = 2
+
+  /** Squared-distance argmin assignment of every vector to its nearest
+    * centroid — the train/serve primitive s3 (IVF cells) and s5 (PQ
+    * codebooks) both defer to. Centroids are a driver-held model
+    * (k·dims doubles — KBs at any corpus size) shipped as LITERALS, so
+    * the assignment is join-free, exchange-free, scan-speed codegen:
+    * per row one native dot for |x|² plus one per centroid, using the
+    * expanded form |c|² − 2·x·c + |x|² (|c|² precomputed per centroid
+    * on the driver with the same sequential fold the oracle's
+    * `list_sum` runs). Distances are rounded to 9 places (portable
+    * floor form) BEFORE the argmin so sub-ulp accumulation differences
+    * can't flip a cell across engines; ties go to the smallest
+    * centroid id via the when-chain's first-match order (== the
+    * oracle's `row_number(d, cid)`). At production k (thousands of
+    * cells) the statically-unrolled k-term plan gives way to a
+    * pqEncode-style typed kernel with the codebook in the task closure
+    * — identical scan shape, no join either way. */
+  private[graft] def kmAssign(e: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val xx = dotNative(col("emb"), col("emb"))
+    val ds = cents.map { case (_, cs) =>
+      val arr = cs.toArray
+      var cn2 = 0.0
+      var k = 0
+      while (k < arr.length) { cn2 += arr(k) * arr(k); k += 1 }
+      roundFp(lit(cn2) - lit(2.0) * dotNative(col("emb"), typedlit(cs)) + xx, 9)
+    }
+    val m = least(ds: _*)
+    val pairs = cents.map(_._1).zip(ds)
+    val cell = pairs.tail
+      .foldLeft(when(pairs.head._2 === m, lit(pairs.head._1))) {
+        case (acc, (cid, dc)) => acc.when(dc === m, lit(cid))
+      }
+      .otherwise(lit(pairs.last._1)) // unreachable (m is one of ds); keeps the column non-null
+    e.select(col("vec_id"), col("emb"), cell.as("cell"), m.as("dist9"))
+  }
+
+  /** Train KM_ITERS Lloyd rounds from the deterministic init (the K
+    * lowest-id vectors — the same replayable choice s3/s5 make) and
+    * return (projected corpus, init centroids, trained centroids).
+    *
+    * The update step is where a naive k-means dies at 100 TB and where
+    * this one doesn't:
+    *   - centroid averages are computed from EXACT integer partials —
+    *     each coordinate is quantized to floor(x·1000 + 0.5) as a long
+    *     before summing, so the per-cell sums are associative and
+    *     order-independent (long addition), immune to the FP
+    *     summation-order divergence that plagues cross-engine (and
+    *     cross-run, under AQE re-partitioning) double sums. The final
+    *     centroid floor-rounds sq/(1000·n) to 6 places — bit-identical
+    *     in any engine.
+    *   - the per-(cell, dim) aggregation partial-aggregates map-side,
+    *     so the one exchange carries ≤ partitions·k·dims narrow rows
+    *     regardless of corpus size; vectors never shuffle.
+    *   - the corpus projection is materialized once (localCheckpoint)
+    *     and reused by every iteration — Lloyd is inherently
+    *     multi-pass, but each pass is a memory-local rescan, not a
+    *     parquet re-read. The per-iteration collect is the bounded
+    *     k·dims model fetch (256 rows here), not data.
+    * An empty cell keeps its previous centroid (standard Lloyd
+    * degeneracy handling); the fixture corpus never triggers it
+    * (spec-asserted), which keeps the oracle expressible. */
+  private[graft] def kmTrain(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])]) = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .localCheckpoint()
+    val init: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < KM_K)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+    val trained = (1 to KM_ITERS).foldLeft(init) { case (cents, _) =>
+      val upd = kmAssign(e, cents)
+        .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(floor(col("x") * 1000 + lit(0.5)).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"),
+          roundFp(col("sq") / (lit(1000.0) * col("n")), 6).as("c"))
+        .collect()
+      val byCell = upd.groupBy(_.getInt(0)).map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      cents.map { case (cid, old) => (cid, byCell.getOrElse(cid, old)) }
+    }
+    (e, init, trained)
+  }
+
+  /** km1 — the k-means clustering query: 2 trained Lloyd rounds, then
+    * the final cell assignment (vec_id, cell, dist2). This is the
+    * trainer that feeds s3's IVF cells and s5's PQ codebooks in
+    * production; its output doubles as a coarse semantic partitioning
+    * of the corpus (cluster-then-dedup / cluster-balanced sampling
+    * both start here). */
+  private def km1(s: SparkSession, d: String): DataFrame = {
+    val (e, _, trained) = kmTrain(s, d)
+    kmAssign(e, trained)
+      .select(col("vec_id"), col("cell"),
+        roundFp(col("dist9"), 6).as("dist2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> (s1 _),
     "s2_ann_lsh" -> (s2 _),
     "s3_ann_ivf" -> (s3 _),
     "s4_knn_join" -> (s4 _),
-    "s5_ann_pq" -> (s5 _)
+    "s5_ann_pq" -> (s5 _),
+    "km1_kmeans" -> (km1 _)
   )
 
   /** DuckDB mirror of the plane constants + dot/sign logic. */
@@ -349,7 +454,54 @@ object SimilarityOps {
       |      THEN CAST(pow(2, pl.p) AS BIGINT) ELSE 0 END)::BIGINT AS bucket
       |FROM e, pl GROUP BY e.vec_id, e.emb, e.nrm""".stripMargin
 
+  /** One oracle Lloyd round: assignment of every vector to its
+    * nearest centroid in `cents` (same expanded distance, round-9,
+    * (dd, cid) argmin as the engine) as CTE `a$i`. */
+  private def kmAssignSql(i: Int, cents: String): String = s"""
+      a${i}x AS (SELECT e.vec_id, e.emb, c.cid,
+               floor((c.cn2
+                 - 2*list_sum(list_transform(generate_series(1,64),
+                     k -> e.emb[k]*c.cemb[k]))
+                 + list_sum(list_transform(generate_series(1,64),
+                     k -> e.emb[k]*e.emb[k])))*1000000000 + 0.5)
+                 /1000000000 AS dd
+             FROM e, $cents c),
+      a$i AS (SELECT vec_id, emb, cid AS cell, dd FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dd, cid) AS rn FROM a${i}x) WHERE rn = 1)"""
+
+  /** One oracle centroid update from assignment `a$i`: exact
+    * integer-quantized per-(cell, dim) sums, floor-6 average, cn2 via
+    * the same sequential list_sum fold the engine's driver loop runs. */
+  private def kmUpdateSql(i: Int): String = s"""
+      u$i AS (SELECT cell, dm.dim,
+               floor(sum(CAST(floor(emb[dm.dim]*1000 + 0.5) AS BIGINT))
+                 / (1000.0*count(*)) * 1000000 + 0.5)/1000000 AS c
+             FROM a$i, generate_series(1,64) dm(dim) GROUP BY cell, dm.dim),
+      c$i AS (SELECT cid, cemb,
+               list_sum(list_transform(cemb, v -> v*v)) AS cn2 FROM (
+               SELECT cell AS cid, list(c ORDER BY dim) AS cemb
+               FROM u$i GROUP BY cell))"""
+
   val oracles: Map[String, String] = Map(
+    // 2 Lloyd rounds from the 4 lowest-id vectors, then the final
+    // assignment — every arithmetic step mirrors the engine's exactly
+    // (expanded distance, round-9 argmin, quantized-long averaging).
+    "km1_kmeans" -> s"""
+      WITH e AS (SELECT vec_id,
+               list_transform(embedding, x -> x::DOUBLE) AS emb
+             FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, emb AS cemb,
+               list_sum(list_transform(generate_series(1,64),
+                 k -> emb[k]*emb[k])) AS cn2
+             FROM e WHERE vec_id < $KM_K),
+      ${kmAssignSql(1, "c0")},
+      ${kmUpdateSql(1)},
+      ${kmAssignSql(2, "c1")},
+      ${kmUpdateSql(2)},
+      ${kmAssignSql(3, "c2")}
+      SELECT vec_id, CAST(cell AS INT) AS cell,
+        floor(dd*1000000 + 0.5)/1000000 AS dist2 FROM a3""",
     "s1_ann_brute" -> s"""
       WITH e AS ($EMB_SQL),
       sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid,

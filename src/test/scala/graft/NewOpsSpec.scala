@@ -142,6 +142,42 @@ class NewOpsSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("km1: Lloyd training improves — total assignment cost under the " +
+    "trained centroids is <= the cost under the init centroids") {
+    // The monotone-improvement law is what makes the 2-round trainer a
+    // trainer and not an arbitrary relabeling; it holds for exact
+    // Lloyd and must survive the portable round-9/quantized-average
+    // plumbing.
+    val (e, init, trained) = operators.SimilarityOps.kmTrain(spark, sf)
+    def cost(cents: Seq[(Int, Seq[Double])]): Double =
+      operators.SimilarityOps.kmAssign(e, cents)
+        .agg(sum(col("dist9"))).head().getDouble(0)
+    assert(cost(trained) <= cost(init))
+  }
+
+  test("km1: no cell is empty on the fixture, every vector is assigned " +
+    "exactly once, and dist2 is non-negative") {
+    val r = q("km1_kmeans").cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(r.count() == n)
+    assert(r.select(col("vec_id")).distinct().count() == n)
+    // the empty-cell keep-old fallback must stay dead code on the
+    // fixture — the oracle can't express it, so if a cell empties the
+    // gate comparison is no longer validating what it claims to
+    assert(r.select(col("cell")).distinct().count() == 4)
+    assert(r.filter(col("dist2") < 0).count() == 0)
+    r.unpersist()
+  }
+
+  test("km1: the final assignment plan is join-free and exchange-free — " +
+    "centroids ride as literals, so classification is scan-speed") {
+    val phys = q("km1_kmeans").queryExecution.executedPlan
+    val s = phys.toString
+    assert(!s.contains("ShuffleExchange"), s)
+    assert(!s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
   test("g9: the exactness precondition holds on the fixture — the 10th-" +
     "ranked key's true count exceeds N/(cap+1), so MG recall of the " +
     "top-10 is guaranteed, not lucky") {
