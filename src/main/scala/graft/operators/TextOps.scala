@@ -391,7 +391,53 @@ object TextOps {
         roundFp(col("n_rare").cast("double") / col("n_bigrams"), 6))
   }
 
+  /** x13 — cross-source shingle-overlap matrix: for every pair of
+    * sources, the sizes of their distinct-bigram-shingle sets, the
+    * intersection, and the Jaccard similarity — the corpus-level
+    * decontamination/provenance report (x8 answers "is THIS doc
+    * leaked"; x13 answers "how much do these corpora share"), the
+    * first thing a mixture designer reads before weighting sources.
+    *
+    * The set element is the 60-bit md5 of the shingle, not the
+    * shingle text: every exchange then carries (source, 8-byte hash)
+    * — at 100 TB the shingle-set relation is the corpus-volume
+    * object, and text-keyed shuffles would dwarf the data read (the
+    * d9 lesson). A collision merges two shingles identically on both
+    * sides of the comparison, so the report's semantics are hash-set
+    * overlap with error ~n²/2⁶¹ — negligible, and the SAME design
+    * runs the gate and the cluster. Plan: one corpus scan →
+    * per-source distinct (shuffle on (source, h)) cached once
+    * (persist, the x10/x12 invariant — three consumers would
+    * otherwise re-plan the scan); the intersection is a
+    * self-equi-join on h (per-hash fanout bounded by |sources|, the
+    * bounded catalog dimension pipe3 also relies on); set sizes come
+    * back as a broadcast of |sources| rows. The matrix is
+    * |sources|²/2 rows — driver-readable by construction. */
+  private def x13(s: SparkSession, d: String): DataFrame = {
+    val sets = Tables.documents(s, d)
+      .select(col("source"),
+        explode(bigramShingles(toks(col("text")))).as("sh"))
+      .select(col("source"), md5Long(col("sh")).as("h"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sets.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sets.select(col("source").as("src_a"), col("h"))
+      .join(sets.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("inter"),
+        roundFp(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6)
+          .as("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x13_source_overlap" -> (x13 _),
     "x12_bigram_lm" -> (x12 _),
     "x11_bm25" -> (x11 _),
     "x10_tfidf" -> (x10 _),
@@ -409,6 +455,23 @@ object TextOps {
   private[operators] def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // same md5-prefix hash as the engine's md5Long; jaccard division
+    // parenthesized identically (inter / (n_a + n_b - inter))
+    "x13_source_overlap" -> """
+      WITH t AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+      u AS (SELECT source, unnest(list_transform(generate_series(1, len(l)-1),
+               i -> l[i] || ' ' || l[i+1])) AS sh FROM t),
+      sh AS (SELECT DISTINCT source,
+               ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM u),
+      n AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      x AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+            GROUP BY a.source, b.source)
+      SELECT x.src_a, x.src_b, na.n AS n_a, nb.n AS n_b, x.inter,
+        floor(x.inter / (na.n + nb.n - x.inter) * 1000000 + 0.5)/1000000
+          AS jaccard
+      FROM x JOIN n na ON na.source = x.src_a
+             JOIN n nb ON nb.source = x.src_b""",
     // identical parenthesization + decimal literals as the Spark
     // expression — the gate hashes double BITS, so association order
     // and constant parsing must agree, not just the math

@@ -142,6 +142,25 @@ class NewOpsSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("x13: the overlap matrix covers every unordered source pair " +
+    "exactly once, and each row satisfies the set-algebra invariants") {
+    val rows = q("x13_source_overlap").collect()
+    val sources = Tables.documents(spark, sf)
+      .select(col("source")).distinct().count()
+    // C(n,2) rows — every pair reported once, src_a < src_b
+    assert(rows.length == sources * (sources - 1) / 2)
+    rows.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val inter = r.getAs[Long]("inter")
+      val j = r.getAs[Double]("jaccard")
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      assert(inter <= math.min(na, nb))
+      assert(j >= 0.0 && j <= 1.0)
+      // jaccard is derived from the three counts, not independent
+      assert(math.abs(j - inter.toDouble / (na + nb - inter)) < 1e-6)
+    }
+  }
+
   test("km1: Lloyd training improves — total assignment cost under the " +
     "trained centroids is <= the cost under the init centroids") {
     // The monotone-improvement law is what makes the 2-round trainer a
