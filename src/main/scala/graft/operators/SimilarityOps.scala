@@ -389,27 +389,42 @@ object SimilarityOps {
     * An empty cell keeps its previous centroid (standard Lloyd
     * degeneracy handling); the fixture corpus never triggers it
     * (spec-asserted), which keeps the oracle expressible. */
-  private[graft] def kmTrain(s: SparkSession, d: String)
-      : (DataFrame, Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])]) = {
+  /** The projected corpus (materialized once) and the deterministic
+    * init centroids (the K lowest-id vectors). */
+  private[graft] def kmInit(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Int, Seq[Double])]) = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .localCheckpoint()
     val init: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < KM_K)
       .orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
-    val trained = (1 to KM_ITERS).foldLeft(init) { case (cents, _) =>
-      val upd = kmAssign(e, cents)
-        .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(sum(floor(col("x") * 1000 + lit(0.5)).cast("long")).as("sq"),
-          count(lit(1)).as("n"))
-        .select(col("cell"), col("dim"),
-          roundFp(col("sq") / (lit(1000.0) * col("n")), 6).as("c"))
-        .collect()
-      val byCell = upd.groupBy(_.getInt(0)).map { case (cell, rows) =>
-        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-      }
-      cents.map { case (cid, old) => (cid, byCell.getOrElse(cid, old)) }
+    (e, init)
+  }
+
+  /** One Lloyd update: assign under `cents`, then the quantized-exact
+    * per-(cell, dim) average. An empty cell keeps its old centroid. */
+  private[graft] def kmUpdate(e: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] = {
+    val upd = kmAssign(e, cents)
+      .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(floor(col("x") * 1000 + lit(0.5)).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("dim"),
+        roundFp(col("sq") / (lit(1000.0) * col("n")), 6).as("c"))
+      .collect()
+    val byCell = upd.groupBy(_.getInt(0)).map { case (cell, rows) =>
+      cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+    }
+    cents.map { case (cid, old) => (cid, byCell.getOrElse(cid, old)) }
+  }
+
+  private[graft] def kmTrain(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])]) = {
+    val (e, init) = kmInit(s, d)
+    val trained = (1 to KM_ITERS).foldLeft(init) { (cents, _) =>
+      kmUpdate(e, cents)
     }
     (e, init, trained)
   }

@@ -161,17 +161,26 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
-  test("km1: Lloyd training improves — total assignment cost under the " +
-    "trained centroids is <= the cost under the init centroids") {
+  test("km1: Lloyd training improves ROUND BY ROUND, and kmTrain is " +
+    "exactly the fold of the exposed per-round update") {
     // The monotone-improvement law is what makes the 2-round trainer a
     // trainer and not an arbitrary relabeling; it holds for exact
     // Lloyd and must survive the portable round-9/quantized-average
     // plumbing.
-    val (e, init, trained) = operators.SimilarityOps.kmTrain(spark, sf)
+    val (e, init) = operators.SimilarityOps.kmInit(spark, sf)
+    val r1 = operators.SimilarityOps.kmUpdate(e, init)
+    val r2 = operators.SimilarityOps.kmUpdate(e, r1)
     def cost(cents: Seq[(Int, Seq[Double])]): Double =
       operators.SimilarityOps.kmAssign(e, cents)
         .agg(sum(col("dist9"))).head().getDouble(0)
-    assert(cost(trained) <= cost(init))
+    val (c0, c1, c2) = (cost(init), cost(r1), cost(r2))
+    assert(c1 <= c0, s"round 1 worsened: $c0 -> $c1")
+    // near convergence the 6-dp centroid / 9-dp distance quantization
+    // can perturb the exact-Lloyd minimizer by a rounding-sized step
+    assert(c2 <= c1 + 1e-3, s"round 2 worsened: $c1 -> $c2")
+    assert(c2 <= c0, s"training worsened overall: $c0 -> $c2")
+    val (_, _, trained) = operators.SimilarityOps.kmTrain(spark, sf)
+    assert(trained == r2)
   }
 
   test("km1: no cell is empty on the fixture, every vector is assigned " +

@@ -367,6 +367,42 @@ class PlanShapeSpec extends SparkSpec {
         s"${rogue.map(_.name).mkString(",")}\n" + phys.toString)
   }
 
+  test("x13's intersection never plans a cartesian, and no exchange " +
+    "carries a string wider than the source label — shingle text stays " +
+    "inside the scan stage, only (source, 8-byte hash) shuffles") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    // recurse into the persisted relation's cached plan — the shared
+    // shingle-set subtree hides its distinct exchange behind an
+    // InMemoryTableScan leaf, and that exchange is exactly the one the
+    // no-text-shuffle claim is about
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = {
+      val unwrapped = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      unwrapped.collect { case e: ShuffleExchangeExec => e } ++
+        unwrapped.collect { case im: InMemoryTableScanExec => im }
+          .flatMap(im => exchanges(im.relation.cachedPlan))
+    }
+    val phys = physical(q("x13_source_overlap"))
+    val s = phys.toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    val ex = exchanges(phys)
+    assert(ex.nonEmpty, s)
+    // the only string any exchange may carry is the bounded source
+    // label (src_a/src_b after the self-join renames)
+    val allowed = Set("source", "src_a", "src_b")
+    val rogue = ex.flatMap(_.output.filter(a =>
+      a.dataType == StringType && !allowed(a.name)))
+    assert(rogue.isEmpty,
+      s"string columns cross an exchange: ${rogue.map(_.name).mkString(",")}\n$s")
+  }
+
   test("bigram-LM scoring tokenizes the corpus EXACTLY once — the " +
     "cached tf feeds both the model branch and the scoring join, so " +
     "no kernel sits in the operator tree (exchange reuse cannot " +
