@@ -514,6 +514,50 @@ object RelationalOps {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
   }
 
+  /** Salt fan-out for j8 — small and fixed: the dim side replicates
+    * R×, so R trades skew-spread against dim-shuffle volume. 8 splits
+    * a hot key across 8 tasks while keeping the replicated dim tiny
+    * relative to any fact partition. */
+  private val J8_SALTS = 8
+
+  /** j8 — skew-resilient SALTED equi-join (the join-side twin of g6's
+    * salted aggregation). A plain hash join sends every row of a hot
+    * key to ONE task — one supplier holding 30% of a 100 TB lineitem
+    * is a straggler (or an OOM) no amount of extra executors fixes,
+    * because the parallelism limit is the key cardinality, not the
+    * cluster. Salting restores parallelism deterministically: the fact
+    * side gets `salt = hash(rowid) % R` so each join key spreads over
+    * R shuffle partitions, and the dim side replicates each row R
+    * times (explode over 0..R-1) so every (key, salt) cell still finds
+    * its match. The join result is EXACTLY the unsalted join (law in
+    * NewOpsSpec; the oracle is the plain join), and the post-join
+    * per-nation rollup partial-aggregates map-side as usual.
+    *
+    * vs AQE skew-join: AQE splits an oversized partition at runtime,
+    * but only for sort-merge joins it can re-plan, and only splitting
+    * the skewed SIDE's partitions — salting is the static form that
+    * also survives a single key too large for one task's sort spill,
+    * works under shuffled-hash joins, and pre-spreads the MAP-side
+    * write (no 30%-of-the-corpus shuffle file on one mapper). At local
+    * fixture scale AQE elects broadcast for the tiny replicated dim —
+    * correct and harmless; the salted shape it falls back to under a
+    * non-broadcastable dim is plan-asserted in PlanShapeSpec with
+    * broadcast disabled. Quantities are integral-valued doubles, so
+    * the rollup sum is order-exact with no rounding step. */
+  private def j8(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_quantity"),
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+          lit(J8_SALTS.toLong)).as("fsalt"))
+    val dim = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"),
+        explode(sequence(lit(0L), lit(J8_SALTS - 1L))).as("dsalt"))
+    fact.join(dim,
+        col("l_suppkey") === col("s_suppkey") && col("fsalt") === col("dsalt"))
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+  }
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -557,7 +601,8 @@ object RelationalOps {
     "m6_cdc_apply" -> (m6 _),
     "m7_snapshot_diff" -> (m7 _),
     "u8_posexplode" -> (u8 _),
-    "j7_bloom_prejoin" -> (j7 _)
+    "j7_bloom_prejoin" -> (j7 _),
+    "j8_salted_join" -> (j8 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -688,6 +733,13 @@ object RelationalOps {
     "j7_bloom_prejoin" -> """
       SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
       WHERE l_orderkey IN
-        (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)"""
+        (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)""",
+    // the salt is an engine-internal spreading device; the observable
+    // result is the plain join + rollup
+    "j8_salted_join" -> """
+      SELECT s_nationkey AS nationkey, count(*) AS cnt,
+        sum(l_quantity) AS sum_qty
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey"""
   )
 }

@@ -12,6 +12,19 @@ class NewOpsSpec extends SparkSpec {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("j8: the salted join is observationally the plain join — salt " +
+    "spreads rows across tasks without inventing or dropping matches") {
+    val salted = q("j8_salted_join").collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(salted == plain)
+  }
+
   test("w5: every event lands in exactly width/slide = 2 windows") {
     val total = q("w5_sliding_window")
       .agg(sum(col("cnt"))).head().getLong(0)

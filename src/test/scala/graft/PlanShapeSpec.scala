@@ -244,6 +244,24 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("j8's join keys carry the salt — with broadcast disabled the " +
+    "sort-merge join hashes on (suppkey, salt), so a hot supplier " +
+    "spreads over J8_SALTS shuffle partitions instead of one task") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = q("j8_salted_join")
+      val smj = physical(df).collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, plan(df))
+      val keyNames = smj.head.leftKeys.flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+      }).toSet
+      assert(keyNames.contains("fsalt") && keyNames.contains("l_suppkey"),
+        s"join keys $keyNames\n" + plan(df))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("PQ ANN shuffles only narrow ADC rows (s5) — no cartesian, no " +
     "sort-merge join, and no exchange in the plan ever carries an " +
     "embedding array (vectors are re-read only for the broadcast " +

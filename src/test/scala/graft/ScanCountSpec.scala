@@ -43,7 +43,8 @@ class ScanCountSpec extends SparkSpec {
   private val budget: Map[String, (Int, Int)] = {
     val twoScans = Seq("j1_lookup_group_array", "j2_inner_join",
       "j3_semi_join", "j4_join_mismatch_filter", "j5_self_join",
-      "j6_anti_join", "j7_bloom_prejoin", "m4_upsert_latest",
+      "j6_anti_join", "j7_bloom_prejoin", "j8_salted_join",
+      "m4_upsert_latest",
       "m7_snapshot_diff", "r3_interval_overlap", "s1_ann_brute",
       "s2_ann_lsh", "s4_knn_join", "u3_union_columns", "u4_union_concat",
       "u6_intersect", "u7_except", "u9_except_all", "w8_global_bin",
