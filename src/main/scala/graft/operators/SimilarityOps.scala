@@ -442,13 +442,100 @@ object SimilarityOps {
         roundFp(col("dist9"), 6).as("dist2"))
   }
 
+  // ---- lr1: distributed logistic-regression trainer ----------------
+
+  private val LR_ITERS = 2
+  // empirically inside the monotone-descent region on the fixture
+  // (16.0 overshoots by round 3 — see NewOpsSpec's descent law)
+  private val LR_RATE = 4.0
+  private val LR_DIMS = 64
+
+  /** Hard-sigmoid surrogate clamp(0.25·z + 0.5, 0, 1). The TRUE
+    * sigmoid needs exp(), and libm exp is not correctly-rounded — the
+    * same engine-portability wall x10/x12 document for log — so the
+    * trainer optimizes the Huberized-logistic convex loss whose link
+    * is this piecewise-LINEAR sigmoid: pure IEEE multiply/add/clamp,
+    * bit-identical in any engine. Its derivative in z (0.25 on the
+    * linear region, 0 when saturated) makes ℓ'(z) = p − y
+    * nondecreasing in z, so the loss is convex and batch GD descends
+    * (spec-asserted round by round). */
+  private def lrP(z: Column): Column =
+    least(greatest(lit(0.25) * z + lit(0.5), lit(0.0)), lit(1.0))
+
+  /** Training corpus: 64-dim double features + the binary target
+    * (label < 5), projected once and reused by every GD pass. */
+  private[graft] def lrCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"),
+        when(col("label") < 5, lit(1.0)).otherwise(lit(0.0)).as("y"))
+      .localCheckpoint()
+
+  /** w(0) = bias, w(d) = coefficient of emb[d] (d = 1..LR_DIMS). */
+  private[graft] val lrInit: Seq[Double] = Seq.fill(LR_DIMS + 1)(0.0)
+
+  /** One full-batch gradient-descent step. Where a naive trainer dies
+    * at 100 TB and this one doesn't:
+    *   - the model (65 doubles) ships to the executors as LITERALS
+    *     inside one codegen'd projection — scoring is join-free and
+    *     exchange-free, the same serve shape as kmAssign;
+    *   - per-row gradient contributions (res·x_d) are quantized to
+    *     longs (floor(g·1e6 + 0.5)) BEFORE summing, so the per-dim
+    *     sums are associative, order-independent long additions —
+    *     immune to FP summation-order divergence across engines, runs,
+    *     and AQE re-partitionings. |res·x| is O(1), so the long sum
+    *     holds exactly past 10^12 rows;
+    *   - the (dim, partial) aggregation partial-aggregates map-side:
+    *     the one exchange carries ≤ partitions·(dims+1) narrow rows
+    *     regardless of corpus size, and the driver round-trip is the
+    *     65-row gradient, not data.
+    * The weight update runs on the driver with the oracle's exact
+    * IEEE expression: w' = floor6(w − rate·(Σq/(1e6·n))). */
+  private[graft] def lrUpdate(e: DataFrame, w: Seq[Double]): Seq[Double] = {
+    val z = lit(w.head) + dotNative(col("emb"), typedlit(w.tail))
+    val g = e
+      .select((lrP(z) - col("y")).as("res"),
+        posexplode(concat(array(lit(1.0)), col("emb"))).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(sum(floor(col("res") * col("x") * lit(1000000.0) + lit(0.5))
+        .cast("long")).as("sq"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    w.indices.map { d =>
+      val (sq, n) = g(d)
+      math.floor((w(d) - LR_RATE * (sq / (1000000.0 * n))) * 1e6 + 0.5) / 1e6
+    }
+  }
+
+  private[graft] def lrTrain(s: SparkSession, d: String)
+      : (DataFrame, Seq[Double]) = {
+    val e = lrCorpus(s, d)
+    (e, (1 to LR_ITERS).foldLeft(lrInit)((w, _) => lrUpdate(e, w)))
+  }
+
+  /** lr1 — the trained-classifier scoring query: LR_ITERS full-batch
+    * GD rounds (quality-classifier training — the fastText/logreg
+    * stage every production curation pipeline runs), then one serve
+    * pass scoring the corpus under the final weights. p is pinned at
+    * 6 dp BEFORE thresholding so the decision is taken on the same
+    * double in both engines. */
+  private def lr1(s: SparkSession, d: String): DataFrame = {
+    val (e, w) = lrTrain(s, d)
+    val p6 = roundFp(
+      lrP(lit(w.head) + dotNative(col("emb"), typedlit(w.tail))), 6)
+    e.select(col("vec_id"), p6.as("p"),
+      when(p6 >= lit(0.5), lit(1)).otherwise(lit(0)).as("yhat"),
+      col("y").cast("int").as("y"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> (s1 _),
     "s2_ann_lsh" -> (s2 _),
     "s3_ann_ivf" -> (s3 _),
     "s4_knn_join" -> (s4 _),
     "s5_ann_pq" -> (s5 _),
-    "km1_kmeans" -> (km1 _)
+    "km1_kmeans" -> (km1 _),
+    "lr1_logreg" -> (lr1 _)
   )
 
   /** DuckDB mirror of the plane constants + dot/sign logic. */
@@ -498,7 +585,54 @@ object SimilarityOps {
                SELECT cell AS cid, list(c ORDER BY dim) AS cemb
                FROM u$i GROUP BY cell))"""
 
+  /** Oracle hard-sigmoid scoring under weight table w$prev: the bias
+    * row (dim 0) plus the dim-ordered coefficient list, dotted with
+    * the same sequential list_sum fold dotNative runs. */
+  private def lrAssignSql(i: Int, prev: Int): String = s"""
+      bl$prev AS (SELECT w AS b FROM w$prev WHERE dim = 0),
+      wl$prev AS (SELECT list(w ORDER BY dim) AS wl FROM w$prev WHERE dim >= 1),
+      p$i AS (SELECT e.vec_id, e.emb, e.y,
+               least(greatest(0.25*(bl$prev.b
+                 + list_sum(list_transform(generate_series(1,$LR_DIMS),
+                     k -> e.emb[k]*wl$prev.wl[k]))) + 0.5, 0.0), 1.0) AS p
+             FROM e, bl$prev, wl$prev)"""
+
+  /** Oracle GD step from scoring p$i: exact integer-quantized per-dim
+    * gradient sums (dim 0 = bias, x ≡ 1), then the engine's exact
+    * update expression floor6(w − rate·(Σq/(1e6·n))). */
+  private def lrUpdateSql(i: Int, prev: Int): String = s"""
+      g$i AS (SELECT dm.dim,
+               sum(CAST(floor(((p.p - p.y) * (CASE WHEN dm.dim = 0
+                     THEN CAST(1.0 AS DOUBLE) ELSE p.emb[dm.dim] END))
+                   * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+               count(*) AS n
+             FROM p$i p, generate_series(0,$LR_DIMS) dm(dim) GROUP BY dm.dim),
+      w$i AS (SELECT g.dim,
+               floor((w.w - $LR_RATE*(g.sq/(1000000.0*g.n)))*1000000 + 0.5)
+                 /1000000 AS w
+             FROM g$i g JOIN w$prev w ON g.dim = w.dim)"""
+
   val oracles: Map[String, String] = Map(
+    // 2 GD rounds of the hard-sigmoid logistic trainer from the
+    // all-zero model, then the final corpus scoring — every
+    // arithmetic step mirrors the engine's exactly (sequential-fold
+    // dot, clamp link, quantized-long gradient sums, floor-6 update).
+    "lr1_logreg" -> s"""
+      WITH e AS (SELECT vec_id,
+               list_transform(embedding, x -> x::DOUBLE) AS emb,
+               CAST(CASE WHEN label < 5 THEN 1 ELSE 0 END AS DOUBLE) AS y
+             FROM embeddings),
+      w0 AS (SELECT dim, CAST(0.0 AS DOUBLE) AS w
+             FROM generate_series(0,$LR_DIMS) t(dim)),
+      ${lrAssignSql(1, 0)},
+      ${lrUpdateSql(1, 0)},
+      ${lrAssignSql(2, 1)},
+      ${lrUpdateSql(2, 1)},
+      ${lrAssignSql(3, 2)}
+      SELECT vec_id, floor(p*1000000 + 0.5)/1000000 AS p,
+        CASE WHEN floor(p*1000000 + 0.5)/1000000 >= 0.5 THEN 1 ELSE 0 END AS yhat,
+        CAST(y AS INT) AS y
+      FROM p3""",
     // 2 Lloyd rounds from the 4 lowest-id vectors, then the final
     // assignment — every arithmetic step mirrors the engine's exactly
     // (expanded distance, round-9 argmin, quantized-long averaging).

@@ -25,6 +25,40 @@ class NewOpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("lr1: batch GD descends ROUND BY ROUND on the convex " +
+    "hard-sigmoid loss (squared error as the observable), and lrTrain " +
+    "is exactly the fold of the exposed per-round update") {
+    val (e, _) = operators.SimilarityOps.lrTrain(spark, sf)
+    def se(w: Seq[Double]): Double = {
+      val z = lit(w.head) +
+        graft.functions.Fns.dotNative(col("emb"), typedlit(w.tail))
+      val p = least(greatest(lit(0.25) * z + lit(0.5), lit(0.0)), lit(1.0))
+      e.select(((p - col("y")) * (p - col("y"))).as("q"))
+        .agg(sum(col("q"))).head().getDouble(0)
+    }
+    val w0 = operators.SimilarityOps.lrInit
+    val w1 = operators.SimilarityOps.lrUpdate(e, w0)
+    val w2 = operators.SimilarityOps.lrUpdate(e, w1)
+    val (c0, c1, c2) = (se(w0), se(w1), se(w2))
+    assert(c1 < c0, s"round 1 worsened: $c0 -> $c1")
+    assert(c2 < c1, s"round 2 worsened: $c1 -> $c2")
+    val (_, trained) = operators.SimilarityOps.lrTrain(spark, sf)
+    assert(trained == w2)
+  }
+
+  test("lr1: scores are probabilities, the decision is the 0.5 " +
+    "threshold on the PINNED 6-dp score, and the trained classifier " +
+    "beats coin-flipping on its training set") {
+    val r = q("lr1_logreg").cache()
+    assert(r.filter(col("p") < 0 || col("p") > 1).count() == 0)
+    assert(r.filter(
+      (col("p") >= 0.5) =!= (col("yhat") === 1)).count() == 0)
+    val acc = r.select((col("yhat") === col("y")).cast("int").as("c"))
+      .agg(avg(col("c"))).head().getDouble(0)
+    assert(acc > 0.5, s"training-set accuracy $acc")
+    r.unpersist()
+  }
+
   test("w5: every event lands in exactly width/slide = 2 windows") {
     val total = q("w5_sliding_window")
       .agg(sum(col("cnt"))).head().getLong(0)
