@@ -436,7 +436,46 @@ object TextOps {
           .as("jaccard"))
   }
 
+  /** x14 — per-document character-distribution statistics: distinct
+    * character count, Simpson concentration Σp², and the modal-char
+    * share. Boilerplate, padding, and generated gibberish concentrate
+    * probability mass on few characters, so Simpson (with top_ratio
+    * as the blunt form) is the standard cheap filter signal where
+    * character ENTROPY −Σp·log p would be used if libm log were
+    * engine-portable — Simpson is the same concentration ordering
+    * computed with pure integer sums and ONE division (Σc², max c,
+    * and len are exact longs; p² = c²/len² defers the division to a
+    * single exact step, so the result is bit-identical anywhere).
+    *
+    * Shape at scale: the char explode multiplies row count by doc
+    * length, but the (doc_id, ch) pre-aggregation partial-aggregates
+    * map-side to ≤|alphabet| rows per doc per partition BEFORE the
+    * exchange, so both shuffles carry narrow (doc_id, ch, cnt) /
+    * (doc_id, partials) rows, never text. The extreme-scale variant —
+    * a typed kernel building the per-doc histogram in one pass, no
+    * explode — buys a constant factor; the declarative form keeps
+    * whole-stage codegen and the oracle. */
+  private def x14(s: SparkSession, d: String): DataFrame = {
+    val chars = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+    chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_uniq"),
+        sum(col("cnt") * col("cnt")).as("sq"),
+        max(col("cnt")).as("mx"),
+        sum(col("cnt")).as("len"))
+      .select(col("doc_id"), col("n_uniq"),
+        roundFp(col("sq").cast("double") /
+          (col("len").cast("double") * col("len").cast("double")), 6)
+          .as("simpson"),
+        roundFp(col("mx").cast("double") / col("len").cast("double"), 6)
+          .as("top_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x14_char_stats" -> (x14 _),
     "x13_source_overlap" -> (x13 _),
     "x12_bigram_lm" -> (x12 _),
     "x11_bm25" -> (x11 _),
@@ -455,6 +494,21 @@ object TextOps {
   private[operators] def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // char explode via string_split(text,'') ≡ the engine's
+    // sequence+substring; Σc² rides DuckDB's HUGEINT but is cast to
+    // DOUBLE before the single division, mirroring the engine
+    "x14_char_stats" -> """
+      WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+             FROM documents),
+      h AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY doc_id, ch),
+      a AS (SELECT doc_id, count(*) AS n_uniq, sum(cnt*cnt) AS sq,
+              max(cnt) AS mx, sum(cnt) AS len FROM h GROUP BY doc_id)
+      SELECT doc_id, n_uniq,
+        floor((CAST(sq AS DOUBLE)/(CAST(len AS DOUBLE)*CAST(len AS DOUBLE)))
+          *1000000 + 0.5)/1000000 AS simpson,
+        floor((CAST(mx AS DOUBLE)/CAST(len AS DOUBLE))*1000000 + 0.5)/1000000
+          AS top_ratio
+      FROM a""",
     // same md5-prefix hash as the engine's md5Long; jaccard division
     // parenthesized identically (inter / (n_a + n_b - inter))
     "x13_source_overlap" -> """

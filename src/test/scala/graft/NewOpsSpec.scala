@@ -59,6 +59,28 @@ class NewOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("x14: Simpson concentration is sandwiched 1/n_uniq <= simpson " +
+    "<= top_ratio (Cauchy-Schwarz below, modal mass above), and one " +
+    "doc recomputed exactly in Scala matches the engine bit-for-bit") {
+    val r = q("x14_char_stats").cache()
+    assert(r.count() == Tables.documents(spark, sf).count())
+    // 6-dp half-up rounding perturbs each side by < 1e-6
+    assert(r.filter(col("simpson") > col("top_ratio") + 2e-6).count() == 0)
+    assert(r.filter(col("simpson") * col("n_uniq") < 1.0 - 2e-6).count() == 0)
+    assert(r.filter(col("top_ratio") <= 0 || col("top_ratio") > 1).count() == 0)
+    val text = Tables.documents(spark, sf).filter(col("doc_id") === 7)
+      .head().getAs[String]("text")
+    val cnts = text.groupBy(identity).map(_._2.length.toLong).toSeq
+    def f6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val len = cnts.sum.toDouble
+    val row = r.filter(col("doc_id") === 7).head()
+    assert(row.getAs[Long]("n_uniq") == cnts.size.toLong)
+    assert(row.getAs[Double]("simpson") ==
+      f6(cnts.map(c => c * c).sum.toDouble / (len * len)))
+    assert(row.getAs[Double]("top_ratio") == f6(cnts.max.toDouble / len))
+    r.unpersist()
+  }
+
   test("w5: every event lands in exactly width/slide = 2 windows") {
     val total = q("w5_sliding_window")
       .agg(sum(col("cnt"))).head().getLong(0)
