@@ -156,7 +156,65 @@ object SampleOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  private val SM7_SAMPLES = 100L
+  private val SM7_BUCKETS = 1024L
+
+  /** sm7 — systematic LENGTH-WEIGHTED sampling: lay a grid of
+    * SM7_SAMPLES equally-spaced points over the cumulative-character
+    * axis and keep every document a grid point lands in. Selection
+    * probability is proportional to length (the token-budget-correct
+    * way to subsample a corpus for costing/eval), any document longer
+    * than the step is ALWAYS kept, and the whole decision is integer
+    * arithmetic on an exact prefix sum — reproducible, retry-stable,
+    * and replayable by the oracle, the same reasons the rest of this
+    * module refuses RNG.
+    *
+    * The interesting part at 100 TB is the GLOBAL prefix sum. A
+    * window over a global ORDER BY collapses to one task, so this
+    * runs the classic two-level scan instead:
+    *   1. bucket docs by contiguous id range (width ≈ N/SM7_BUCKETS);
+    *   2. per-bucket totals (one narrow partial-aggregated shuffle),
+    *      then the EXCLUSIVE scan over the ≤SM7_BUCKETS bucket totals
+    *      — a tiny single-partition window (same bounded-dimension
+    *      pattern as w8's percentile row) broadcast back;
+    *   3. within-bucket inclusive window + broadcast offset = exact
+    *      global cumsum; rows shuffle once, keyed by bucket, and
+    *      nothing wide ever crosses an exchange.
+    * Deeper corpora recurse the same construction (scan of scans);
+    * one level covers 10^9 docs per 10^6-wide bucket, and the fixture
+    * widths degrade gracefully (width 1 at small N). */
+  private def sm7(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").as("w"))
+    val width = math.max(1L, docs.count() / SM7_BUCKETS)
+    val b = docs.withColumn("bucket", expr(s"doc_id div $width"))
+    val totals = b.groupBy(col("bucket")).agg(sum(col("w")).as("bw"))
+    // one pass over the tiny totals table yields BOTH broadcast
+    // dimensions: the exclusive bucket offset and the grand total
+    // (full-frame sum in the same single-partition window), so the
+    // bucket-totals branch has exactly one consumer
+    val offs = totals
+      .withColumn("off",
+        coalesce(sum(col("bw")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tot", sum(col("bw")).over(Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("bucket"), col("off"),
+        expr(s"tot div $SM7_SAMPLES").as("step"))
+    b.join(broadcast(offs), Seq("bucket"))
+      .withColumn("cum", col("off") +
+        sum(col("w")).over(Window.partitionBy(col("bucket"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_hits",
+        expr("(cum div step) - ((cum - w) div step)"))
+      .filter(col("n_hits") >= 1)
+      .select(col("doc_id"), col("w"), col("cum"), col("n_hits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sm7_systematic_sample" -> (sm7 _),
     "sm6_temperature_mix" -> (sm6 _),
     "sm1_stratified_sample" -> (sm1 _),
     "sm2_split_assign" -> (sm2 _),
@@ -169,6 +227,19 @@ object SampleOps {
     "('0x' || substr(md5(%s::VARCHAR),1,15))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    // the oracle states the SEMANTICS (one flat window cumsum); the
+    // engine's two-level scan must reproduce it exactly — integer
+    // arithmetic end to end, HUGEINT window sums pinned to BIGINT
+    "sm7_systematic_sample" -> """
+      WITH d AS (SELECT doc_id, n_chars AS w FROM documents),
+      p AS (SELECT doc_id, w,
+              CAST(sum(w) OVER (ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d),
+      s AS (SELECT CAST(sum(w) AS BIGINT) // 100 AS step FROM d)
+      SELECT doc_id, w, cum,
+        (cum // s.step) - ((cum - w) // s.step) AS n_hits
+      FROM p, s
+      WHERE (cum // s.step) - ((cum - w) // s.step) >= 1""",
     "sm1_stratified_sample" -> s"""
       SELECT event_id, event_type, user_id FROM events
       WHERE ${H.format("event_id")} % 1000 <

@@ -491,15 +491,20 @@ object SimilarityOps {
     *     65-row gradient, not data.
     * The weight update runs on the driver with the oracle's exact
     * IEEE expression: w' = floor6(w − rate·(Σq/(1e6·n))). */
-  private[graft] def lrUpdate(e: DataFrame, w: Seq[Double]): Seq[Double] = {
+  /** The distributed gradient plan one GD step aggregates — exposed
+    * so PlanShapeSpec can pin that its exchange carries only the
+    * narrow (dim, partial-sum, count) rows, never vectors. */
+  private[graft] def lrGrad(e: DataFrame, w: Seq[Double]): DataFrame = {
     val z = lit(w.head) + dotNative(col("emb"), typedlit(w.tail))
-    val g = e
-      .select((lrP(z) - col("y")).as("res"),
+    e.select((lrP(z) - col("y")).as("res"),
         posexplode(concat(array(lit(1.0)), col("emb"))).as(Seq("dim", "x")))
       .groupBy(col("dim"))
       .agg(sum(floor(col("res") * col("x") * lit(1000000.0) + lit(0.5))
         .cast("long")).as("sq"), count(lit(1)).as("n"))
-      .collect()
+  }
+
+  private[graft] def lrUpdate(e: DataFrame, w: Seq[Double]): Seq[Double] = {
+    val g = lrGrad(e, w).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     w.indices.map { d =>
       val (sq, n) = g(d)

@@ -81,6 +81,29 @@ class NewOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("sm7: the two-level distributed prefix sum IS the flat prefix " +
+    "sum — full Scala recomputation matches row for row, grid-point " +
+    "count is exact, and every doc longer than the step is kept") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val wTot = docs.map(_._2).sum
+    val step = wTot / 100
+    var cum = 0L
+    val expected = docs.flatMap { case (id, w) =>
+      cum += w
+      val hits = cum / step - (cum - w) / step
+      if (hits >= 1) Some((id, (w, cum, hits))) else None
+    }.toMap
+    val got = q("sm7_systematic_sample").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+    assert(got.values.map(_._3).sum == wTot / step)
+    val longDocs = docs.filter(_._2 >= step).map(_._1).toSet
+    assert(longDocs.subsetOf(got.keySet))
+  }
+
   test("w5: every event lands in exactly width/slide = 2 windows") {
     val total = q("w5_sliding_window")
       .agg(sum(col("cnt"))).head().getLong(0)

@@ -262,6 +262,28 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("lr1's serve pass is exchange-free (model-as-literals scoring " +
+    "is a pure projection) and the training gradient's one exchange " +
+    "carries only narrow (dim, partial) rows — vectors never shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val serve = q("lr1_logreg")
+    assert(physical(serve).collect {
+      case e: ShuffleExchangeExec => e }.isEmpty, plan(serve))
+    val (e, w) = operators.SimilarityOps.lrTrain(spark, sf)
+    // inspect pre-execution (post-AQE the exchange hides inside a
+    // ShuffleQueryStage leaf, which tree collect does not enter)
+    val grad = operators.SimilarityOps.lrGrad(e, w)
+    val ex = physical(grad).collect { case x: ShuffleExchangeExec => x }
+    assert(ex.nonEmpty, plan(grad))
+    ex.foreach { x =>
+      assert(!x.output.exists(a => a.dataType.isInstanceOf[ArrayType] ||
+        a.dataType == StringType),
+        s"wide column crosses the gradient exchange: ${x.output}\n" +
+          plan(grad))
+    }
+  }
+
   test("PQ ANN shuffles only narrow ADC rows (s5) — no cartesian, no " +
     "sort-merge join, and no exchange in the plan ever carries an " +
     "embedding array (vectors are re-read only for the broadcast " +

@@ -50,7 +50,10 @@ class ScanCountSpec extends SparkSpec {
       "u6_intersect", "u7_except", "u9_except_all", "w8_global_bin",
       // sm6's mixture-rate branch re-reads the 2-column pruned
       // (doc_id, source) projection rather than caching the corpus
-      "sm6_temperature_mix")
+      "sm6_temperature_mix",
+      // sm7's bucket-totals branch re-reads the 2-column pruned
+      // (doc_id, n_chars) projection for the offset/step dimensions
+      "sm7_systematic_sample")
       .map(_ -> ((2, 0)))
     val kernel = Seq("d4_ngram_jaccard", "d6_minhash_udaf",
       "mm1_media_features", "mm2_frame_sample", "mm3_audio_chunk",
