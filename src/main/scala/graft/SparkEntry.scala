@@ -43,6 +43,7 @@ object SparkEntry {
       operators.AnalyticsOps.queries ++
       operators.RangeOps.queries ++
       operators.GeoOps.queries ++
+      operators.GraphOps.queries ++
       operators.SampleOps.queries ++
       operators.PipelineOps.queries ++
       Map(
@@ -65,6 +66,7 @@ object SparkEntry {
       operators.AnalyticsOps.oracles ++
       operators.RangeOps.oracles ++
       operators.GeoOps.oracles ++
+      operators.GraphOps.oracles ++
       operators.SampleOps.oracles ++
       operators.PipelineOps.oracles ++
       Map("mm1_media_features" -> """

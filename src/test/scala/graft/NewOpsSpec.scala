@@ -104,6 +104,30 @@ class NewOpsSpec extends SparkSpec {
     assert(longDocs.subsetOf(got.keySet))
   }
 
+  test("gr1: integer PageRank recomputed exactly in Scala from the " +
+    "edge list matches row for row, and every rank carries at least " +
+    "the teleport floor") {
+    val e = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey").as("c"))
+      .join(Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_suppkey").as("sup")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("c"), col("sup")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dc = e.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val ds = e.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val inS = e.groupBy(_._2).map { case (sup, es) =>
+      sup -> es.map { case (c, _) => 1000000L / dc(c) }.sum }
+    val rS = inS.map { case (sup, in) => sup -> (150000L + 85L * in / 100L) }
+    val inC = e.groupBy(_._1).map { case (c, es) =>
+      c -> es.map { case (_, sup) => rS(sup) / ds(sup) }.sum }
+    val expected = inC.map { case (c, in) => c -> (150000L + 85L * in / 100L) }
+    val got = q("gr1_pagerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+    assert(got.values.forall(_ >= 150000L))
+  }
+
   test("w5: every event lands in exactly width/slide = 2 windows") {
     val total = q("w5_sliding_window")
       .agg(sum(col("cnt"))).head().getLong(0)
