@@ -46,6 +46,7 @@ object SparkEntry {
       operators.GraphOps.queries ++
       operators.SampleOps.queries ++
       operators.PipelineOps.queries ++
+      operators.RetrievalOps.queries ++
       Map(
         "mm1_media_features" ->
           ((s: SparkSession, d: String) => multimodal.MediaPipeline.features(s, d)),
@@ -69,6 +70,7 @@ object SparkEntry {
       operators.GraphOps.oracles ++
       operators.SampleOps.oracles ++
       operators.PipelineOps.oracles ++
+      operators.RetrievalOps.oracles ++
       Map("mm1_media_features" -> """
         WITH b AS (SELECT doc_id, md5(text) AS h,
           CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpg'

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables
+import graft.functions.Fns.{roundFp, toks}
+
+/** Retrieval and vocabulary operators — the eval-set / tokenizer side
+  * of a training-data pipeline: batch BM25 retrieval (contamination
+  * screens and RAG indexing run THOUSANDS of queries, not one),
+  * vocabulary-coverage analysis (the signal a tokenizer design reads),
+  * and a count-based Naive-Bayes trainer (the classical lang-ID /
+  * quality-filter model, trained as pure aggregation).
+  *
+  * All three follow the repo's portability rule: every cross-engine
+  * number is either an exact integer (counts, `div` ratios in ppm) or
+  * a float quantized through roundFp, so the DuckDB oracle matches
+  * bit-for-bit.
+  */
+object RetrievalOps {
+
+  /** The fixed query set for qr1 — an eval-suite stand-in. The SQL
+    * VALUES literal is generated from this one constant so the engine
+    * and the oracle can never disagree on the query set. */
+  private val QUERIES: Seq[(Long, String)] = Seq(
+    1L -> "hash table", 2L -> "join merge", 3L -> "sort key",
+    4L -> "stream window", 5L -> "fast query")
+
+  private val QTERMS: Seq[(Long, String)] =
+    QUERIES.flatMap { case (id, q) => q.split(" ").map(id -> _) }
+
+  private val TERMSET: Seq[String] = QTERMS.map(_._2).distinct.sorted
+
+  /** qr1 — batch BM25 retrieval: top-3 documents per query for the
+    * whole [[QUERIES]] set in ONE pass over the corpus. x11 is the
+    * single-query form; the batch form is what decontamination
+    * actually runs (an eval suite is |Q| ≈ 10³–10⁵ queries), and the
+    * point of the shape is that cost is one corpus scan + work
+    * proportional to hits on the UNION of query terms — not |Q|
+    * corpus scans.
+    *
+    * Plan at 100 TB: the union-of-terms filter is a literal `isin`
+    * pushed below the (doc, term) aggregation, so non-query terms
+    * never aggregate; hits is cached (the x10/x11/x12 single-subtree
+    * invariant); df comes back as ≤|terms| rows broadcast; the
+    * query-fanout join broadcasts the |Q·terms| query table (the one
+    * join a retrieval batch genuinely wants broadcast — its size is
+    * the eval suite, not the corpus); the per-query top-3 is a
+    * row_number window partitioned by query_id, so the final sort is
+    * per-query, never global. BM25 constants match x11 (k1=1.2,
+    * b=0.75) down to the literal parse. */
+  private def qr1(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("dl"))
+    val hits = docs
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(TERMSET: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val q = QTERMS.toDF("query_id", "term")
+    hits.join(broadcast(df), Seq("term"))
+      .join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        (((col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(roundFp(sum(col("term_score")), 6).as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= 3)
+  }
+
+  /** voc1's vocabulary size. Deliberately below the corpus's distinct
+    * term count so OOV rates are non-trivial at gate sf; a production
+    * run sets it to the tokenizer's vocab budget. */
+  private val VOCAB_SIZE = 16
+
+  /** voc1 — vocabulary coverage / OOV rate: take the top
+    * [[VOCAB_SIZE]] terms by corpus frequency (count desc, term asc —
+    * the deterministic tie-break) as the vocabulary, then report each
+    * document's out-of-vocabulary token fraction in exact ppm
+    * (integer `div`, no float anywhere). This is the tokenizer-design
+    * loop's first question — "what does a V-token vocab leave
+    * uncovered, and WHERE" — and the per-doc form feeds directly into
+    * curation (high-OOV docs are the gibberish/boilerplate tail).
+    *
+    * Plan at 100 TB: pass 1 aggregates term counts (one shuffle of
+    * (term, partial-count) — partial agg makes the exchange
+    * vocabulary-sized) and TakeOrderedAndProject keeps V rows; the
+    * vocab broadcast is CORRECT here, unlike x10's removed hint —
+    * its size is the fixed V, independent of corpus scale. Pass 2
+    * explodes tokens, probes the broadcast, and partial-aggregates
+    * per doc, so the only exchange carries (doc_id, two longs). */
+  private def voc1(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+    val vocab = docs.select(explode(col("t")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc)
+      .limit(VOCAB_SIZE)
+      .select(col("term"), lit(1L).as("in_v"))
+    docs.select(col("doc_id"), explode(col("t")).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("oov"))
+      .select(col("doc_id"), col("n_tok"), col("oov"),
+        expr("(1000000 * oov) div n_tok").as("oov_ppm"))
+  }
+
+  /** cls1 — multinomial Naive-Bayes trainer over (lang → token)
+    * counts: per language, the doc-count prior and the top-5 terms by
+    * conditional token probability, every probability an exact ppm
+    * long (`(10⁶·count) div total` — floor division, deterministic in
+    * any engine). Count-based NB is THE classical distributed-
+    * friendly text classifier: training is literally one groupBy, so
+    * it scales as a single partial-aggregated exchange of
+    * (lang, term, count) — vocabulary-sized, not corpus-sized — and
+    * model quality questions become count questions the rest of the
+    * engine already answers. Top-5-per-class is the model summary a
+    * data card embeds (the full conditional table is the same plan
+    * minus the rank filter).
+    *
+    * The per-lang total rides a window over the |langs|×|vocab|
+    * aggregate (already tiny), and the prior pass is a |langs|-row
+    * aggregate with a global-window total — no corpus-sized exchange
+    * anywhere past the first groupBy. */
+  private def cls1(s: SparkSession, d: String): DataFrame = {
+    val lt = Tables.documents(s, d)
+      .select(col("lang"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum(col("c")).over(
+        Window.partitionBy(col("lang"))))
+    val prior = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      .withColumn("tot_d", sum(col("nd")).over(Window.partitionBy()))
+      .select(col("lang"), expr("(1000000 * nd) div tot_d").as("prior_ppm"))
+    lt.withColumn("cond_ppm", expr("(1000000 * c) div tot"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("cond_ppm").desc, col("term").asc)))
+      .filter(col("rnk") <= 5)
+      .join(broadcast(prior), Seq("lang"))
+      .select(col("lang"), col("prior_ppm"), col("term"),
+        col("cond_ppm"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qr1_batch_bm25" -> (qr1 _),
+    "voc1_oov_rate" -> (voc1 _),
+    "cls1_nb_model" -> (cls1 _)
+  )
+
+  private val qValues = QTERMS
+    .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+  private val qIn = TERMSET.map("'" + _ + "'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "qr1_batch_bm25" -> s"""
+      WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+                 FROM (VALUES $qValues) v(query_id, term)),
+      t AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
+                   unnest(string_split(text,' ')) AS term
+            FROM documents),
+      hits AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+               WHERE term IN ($qIn) GROUP BY 1, 2, 3),
+      df AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+      stats AS (SELECT count(*) AS n,
+                  sum(len(string_split(text,' '))) / count(*) AS avgdl
+                FROM documents),
+      sc AS (SELECT q.query_id, hits.doc_id,
+               ((n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+                 (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS term_score
+             FROM hits JOIN df USING (term) JOIN q USING (term), stats),
+      agg AS (SELECT query_id, doc_id,
+                floor(sum(term_score)*1000000 + 0.5)/1000000 AS score
+              FROM sc GROUP BY 1, 2),
+      r AS (SELECT query_id, doc_id, score, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+            FROM agg)
+      SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 3""",
+    "voc1_oov_rate" -> s"""
+      WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                 FROM documents),
+      v AS (SELECT term FROM (
+              SELECT term, count(*) AS c FROM t GROUP BY 1
+              ORDER BY c DESC, term LIMIT $VOCAB_SIZE)),
+      j AS (SELECT doc_id, CASE WHEN term IN (SELECT term FROM v)
+                                THEN 0 ELSE 1 END AS ov FROM t)
+      SELECT doc_id, count(*)::BIGINT AS n_tok,
+        CAST(sum(ov) AS BIGINT) AS oov,
+        (1000000 * CAST(sum(ov) AS BIGINT)) // count(*) AS oov_ppm
+      FROM j GROUP BY doc_id""",
+    "cls1_nb_model" -> """
+      WITH t AS (SELECT lang, unnest(string_split(text,' ')) AS term
+                 FROM documents),
+      lt AS (SELECT lang, term, count(*) AS c FROM t GROUP BY 1, 2),
+      wt AS (SELECT lang, term, c,
+               CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS tot
+             FROM lt),
+      cp AS (SELECT lang, term, (1000000 * c) // tot AS cond_ppm FROM wt),
+      r AS (SELECT lang, term, cond_ppm, row_number() OVER (
+              PARTITION BY lang ORDER BY cond_ppm DESC, term) AS rnk
+            FROM cp),
+      p AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+      pp AS (SELECT lang,
+               (1000000 * nd) // CAST(sum(nd) OVER () AS BIGINT)
+                 AS prior_ppm FROM p)
+      SELECT r.lang, prior_ppm, term, cond_ppm, rnk
+      FROM r JOIN pp ON r.lang = pp.lang WHERE rnk <= 5"""
+  )
+}

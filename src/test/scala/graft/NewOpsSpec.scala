@@ -1187,4 +1187,95 @@ class NewOpsSpec extends SparkSpec {
       assert(nDocs >= 2)
     }
   }
+
+  test("qr1: batch BM25 returns, per query, EXACTLY the brute-force " +
+    "top-3 of an independent driver-side scorer (same formula, same " +
+    "tie-break), with contiguous ranks and non-increasing scores") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val queries = Map(1L -> "hash table", 2L -> "join merge",
+      3L -> "sort key", 4L -> "stream window", 5L -> "fast query")
+    val termSet = queries.values.flatMap(_.split(" ")).toSet
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum / n
+    val dfm = termSet.map { t =>
+      t -> docs.count(_._2.contains(t)).toDouble
+    }.toMap
+    def score(qts: Seq[String], toks: Array[String]): Double =
+      qts.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else ((n - dfm(t) + 0.5) / (dfm(t) + 0.5)) * (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * toks.length / avgdl))
+      }.sum
+    val expected = queries.toSeq.flatMap { case (qid, qs) =>
+      docs.toSeq.map { case (id, t) => (id, score(qs.split(" ").toSeq, t)) }
+        .filter(_._2 > 0)
+        .sortBy { case (id, sc) => (-sc, id) }
+        .take(3).zipWithIndex
+        .map { case ((id, sc), i) => ((qid, id), (i + 1, sc)) }
+    }.toMap
+    val got = q("qr1_batch_bm25").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(3), r.getDouble(2)))).toMap
+    assert(got.keySet == expected.keySet,
+      s"doc sets differ: got ${got.keySet} expected ${expected.keySet}")
+    for ((k, (rnk, sc)) <- expected) {
+      assert(got(k)._1 == rnk, s"$k rank ${got(k)._1} != $rnk")
+      assert(math.abs(got(k)._2 - sc) < 1e-6,
+        s"$k score ${got(k)._2} != $sc")
+    }
+  }
+
+  test("voc1: OOV accounting is exact — an all-integer driver " +
+    "recompute (top-V vocab, count desc / term asc tie-break) matches " +
+    "every row, and oov <= n_tok always") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val vocab = docs.flatMap(_._2).groupBy(identity)
+      .map { case (t, xs) => (t, xs.length) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(16).map(_._1).toSet
+    val expected = docs.map { case (id, toks) =>
+      val oov = toks.count(!vocab.contains(_)).toLong
+      (id, (toks.length.toLong, oov, 1000000L * oov / toks.length))
+    }.toMap
+    val got = q("voc1_oov_rate").collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    assert(got.values.forall { case (ntok, oov, ppm) =>
+      oov <= ntok && ppm >= 0 && ppm <= 1000000 })
+  }
+
+  test("cls1: the NB model is the exact integer-ppm summary of the " +
+    "corpus counts — priors sum to ~1e6 (floor loss < |langs|), each " +
+    "lang carries ranks 1..5 with non-increasing cond_ppm, and a " +
+    "driver recompute matches bit-for-bit") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val nd = rows.groupBy(_._1).map { case (l, xs) => (l, xs.length.toLong) }
+    val totD = nd.values.sum
+    val expected = rows.groupBy(_._1).flatMap { case (lang, xs) =>
+      val counts = xs.flatMap(_._2).groupBy(identity)
+        .map { case (t, ys) => (t, ys.length.toLong) }
+      val tot = counts.values.sum
+      counts.toSeq
+        .map { case (t, c) => (t, 1000000L * c / tot) }
+        .sortBy { case (t, p) => (-p, t) }.take(5).zipWithIndex
+        .map { case ((t, p), i) =>
+          ((lang, t), (1000000L * nd(lang) / totD, p, i + 1)) }
+    }
+    val got = q("cls1_nb_model").collect()
+      .map(r => ((r.getString(0), r.getString(2)),
+        (r.getLong(1), r.getLong(3), r.getInt(4)))).toMap
+    assert(got == expected)
+    val priors = got.toSeq.map { case ((l, _), (p, _, _)) => (l, p) }
+      .distinct
+    val s = priors.map(_._2).sum
+    assert(s <= 1000000L && s > 1000000L - priors.length,
+      s"prior sum $s")
+  }
 }

@@ -53,7 +53,16 @@ class ScanCountSpec extends SparkSpec {
       "sm6_temperature_mix",
       // sm7's bucket-totals branch re-reads the 2-column pruned
       // (doc_id, n_chars) projection for the offset/step dimensions
-      "sm7_systematic_sample")
+      "sm7_systematic_sample",
+      // voc1's vocab pass and probe pass each re-read the pruned
+      // (doc_id, text) projection — the vocab pass reduces to V rows
+      // so caching the exploded corpus between the passes costs more
+      // than the second scan
+      "voc1_oov_rate",
+      // cls1's token-count pass and doc-prior pass re-read pruned
+      // projections ((lang, text) and (lang)); both aggregate to
+      // vocabulary-/|langs|-sized outputs immediately
+      "cls1_nb_model")
       .map(_ -> ((2, 0)))
     val kernel = Seq("d4_ngram_jaccard", "d6_minhash_udaf",
       "mm1_media_features", "mm2_frame_sample", "mm3_audio_chunk",
