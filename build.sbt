@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runs default to LoggedOutput, which prefixes every child
+// stdout line with "[info] " — that broke the driver's JSON-line parse
+// of Bench output (BENCH_r* "parsed": null, six rounds). StdoutOutput
+// passes the child's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
