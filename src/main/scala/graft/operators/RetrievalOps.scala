@@ -158,10 +158,114 @@ object RetrievalOps {
         col("cond_ppm"), col("rnk"))
   }
 
+  /** cls2's model vocabulary per class — the top-MV terms by class
+    * count. Restricting the model to a FIXED per-class vocabulary is
+    * what keeps the serve join broadcastable by construction: the
+    * model is ≤ |langs|·MV rows at any corpus size (fastText-style
+    * restricted-vocab classification), unlike a full conditional
+    * table whose row count is the open vocabulary. */
+  private val CLS_MV = 8
+
+  /** cls2 — Naive-Bayes SERVE: score every document under the cls1-
+    * style count model and report the per-language confusion matrix
+    * (true_lang, pred_lang, n_docs). cls1 trains; this is the other
+    * half of the classifier loop — the language-ID / quality-filter
+    * inference pass a curation pipeline runs over the whole corpus.
+    *
+    * Log-likelihoods are the portability wall here: libm log is not
+    * correctly-rounded, so Σ log p would diverge across engines (the
+    * x10/x12 story). The scorer instead quantizes each probability to
+    * its INTEGER log2 — ilog2(ppm + 1) = length(bin(ppm + 1)) − 1,
+    * exact string-of-bits arithmetic that is bit-identical in any
+    * engine — and scores by Σ tf·ilog2(cond) + ilog2(prior). That is
+    * a coarse (1-bit-resolution) NB, but coarseness is a model-
+    * quality knob; determinism is a correctness requirement, and the
+    * argmax tie-break (score desc, lang asc) is pinned on both sides.
+    *
+    * Plan at 100 TB: the model build aggregates (lang, term) counts —
+    * one partial-aggregated vocabulary-sized exchange — and keeps MV
+    * rows per class; serve explodes tokens once and probes the
+    * broadcast model (≤ |langs|·MV rows by construction, the voc1
+    * argument), so the only corpus-sized exchange carries
+    * (doc_id, lang, m_lang, long). The per-doc argmax windows over
+    * ≤ |langs| rows per doc. Docs hitting NO model term are
+    * unclassifiable under the restricted vocab and are excluded —
+    * deterministically, on both engines. */
+  private def cls2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+    val model = Tables.documents(s, d)
+      .select(col("lang"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum(col("c")).over(byLang))
+      .withColumn("rnk", row_number().over(
+        byLang.orderBy(col("c").desc, col("term").asc)))
+      .filter(col("rnk") <= CLS_MV)
+      .select(col("lang").as("m_lang"), col("term"),
+        (length(bin(expr("(1000000 * c) div tot") + lit(1L))) - lit(1))
+          .cast("long").as("w"))
+    val prior = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      .withColumn("tot_d", sum(col("nd")).over(Window.partitionBy()))
+      .select(col("lang").as("m_lang"),
+        (length(bin(expr("(1000000 * nd) div tot_d") + lit(1L))) - lit(1))
+          .cast("long").as("pw"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("term"))
+      .join(broadcast(model), Seq("term"))
+      .groupBy(col("doc_id"), col("lang"), col("m_lang"))
+      .agg(sum(col("w")).as("hw"))
+      .join(broadcast(prior), Seq("m_lang"))
+      .withColumn("score", col("hw") + col("pw"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("m_lang").asc)))
+      .filter(col("r") === 1)
+      .groupBy(col("lang"), col("m_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang").as("true_lang"), col("m_lang").as("pred_lang"),
+        col("n_docs"))
+  }
+
+  /** bpe1's report size — the top adjacent pairs by corpus count. */
+  private val BPE_TOP = 20
+
+  /** bpe1 — the first BPE merge decision: count every ADJACENT
+    * CHARACTER PAIR inside whitespace words across the corpus and
+    * return the top [[BPE_TOP]] pairs (count desc, pair asc — the
+    * deterministic merge order). Byte-pair-encoding training is
+    * exactly this loop — count pairs, merge the argmax, repeat — so
+    * this is the tokenizer-training primitive voc1's coverage
+    * analysis evaluates; production iterates the SAME plan with the
+    * merged symbol table applied between rounds.
+    *
+    * Plan at 100 TB: one corpus scan; the word explode and the
+    * pair transform both stay inside whole-stage codegen (no kernel —
+    * `transform(sequence(1, len−1), i -> substring(w, i, 2))`), and
+    * the one exchange carries (2-char pair, partial count): the pair
+    * key space is bounded by the charset², so the aggregation state
+    * is tiny regardless of corpus size, and the top-k is
+    * TakeOrderedAndProject, never a global sort. Words shorter than
+    * 2 chars are filtered BEFORE the transform (also keeps
+    * `sequence(1, 0)`'s descending-step surprise out of the plan). */
+  private def bpe1(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(BPE_TOP)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qr1_batch_bm25" -> (qr1 _),
     "voc1_oov_rate" -> (voc1 _),
-    "cls1_nb_model" -> (cls1 _)
+    "cls1_nb_model" -> (cls1 _),
+    "cls2_nb_confusion" -> (cls2 _),
+    "bpe1_pair_merge" -> (bpe1 _)
   )
 
   private val qValues = QTERMS
@@ -220,6 +324,50 @@ object RetrievalOps {
                (1000000 * nd) // CAST(sum(nd) OVER () AS BIGINT)
                  AS prior_ppm FROM p)
       SELECT r.lang, prior_ppm, term, cond_ppm, rnk
-      FROM r JOIN pp ON r.lang = pp.lang WHERE rnk <= 5"""
+      FROM r JOIN pp ON r.lang = pp.lang WHERE rnk <= 5""",
+    // ilog2(x) = length(bin(x)) - 1 — exact in both engines; every
+    // sum is pinned back to BIGINT before bin/arithmetic (DuckDB
+    // integer sums ride HUGEINT)
+    "cls2_nb_confusion" -> s"""
+      WITH t AS (SELECT lang, unnest(string_split(text,' ')) AS term
+                 FROM documents),
+      lt AS (SELECT lang, term, count(*) AS c FROM t GROUP BY 1, 2),
+      wt AS (SELECT lang, term, c,
+               CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS tot
+             FROM lt),
+      rk AS (SELECT lang, term, c, tot, row_number() OVER (
+               PARTITION BY lang ORDER BY c DESC, term) AS rnk FROM wt),
+      model AS (SELECT lang AS m_lang, term,
+                  CAST(length(bin(CAST((1000000 * c) // tot + 1 AS BIGINT)))
+                    - 1 AS BIGINT) AS w
+                FROM rk WHERE rnk <= $CLS_MV),
+      p AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+      pp AS (SELECT lang AS m_lang,
+               CAST(length(bin(CAST((1000000 * nd) //
+                 CAST(sum(nd) OVER () AS BIGINT) + 1 AS BIGINT)))
+                 - 1 AS BIGINT) AS pw
+             FROM p),
+      tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS term
+              FROM documents),
+      sc AS (SELECT doc_id, tok.lang, m_lang,
+               CAST(sum(w) AS BIGINT) AS hw
+             FROM tok JOIN model USING (term) GROUP BY 1, 2, 3),
+      fin AS (SELECT doc_id, lang, sc.m_lang, hw + pw AS score
+              FROM sc JOIN pp ON sc.m_lang = pp.m_lang),
+      win AS (SELECT doc_id, lang, m_lang, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, m_lang) AS r
+              FROM fin)
+      SELECT lang AS true_lang, m_lang AS pred_lang,
+        count(*)::BIGINT AS n_docs
+      FROM win WHERE r = 1 GROUP BY 1, 2""",
+    "bpe1_pair_merge" -> s"""
+      WITH wds AS (SELECT unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+      f AS (SELECT w FROM wds WHERE length(w) >= 2),
+      ix AS (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+             FROM f),
+      pr AS (SELECT substring(w, CAST(i AS INT), 2) AS pair FROM ix)
+      SELECT pair, count(*)::BIGINT AS cnt FROM pr
+      GROUP BY pair ORDER BY cnt DESC, pair LIMIT $BPE_TOP"""
   )
 }

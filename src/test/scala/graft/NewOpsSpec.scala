@@ -1278,4 +1278,61 @@ class NewOpsSpec extends SparkSpec {
     assert(s <= 1000000L && s > 1000000L - priors.length,
       s"prior sum $s")
   }
+
+  test("bpe1: the pair-merge counts equal an exact local recount of " +
+    "adjacent in-word character pairs under the pinned " +
+    "(count desc, pair asc) merge order") {
+    val texts = Tables.documents(spark, sf).select(col("text"))
+      .collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- texts; w <- t.split(" ", -1) if w.length >= 2;
+         p <- w.sliding(2))
+      counts(p) = counts.getOrElse(p, 0L) + 1L
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    val got = q("bpe1_pair_merge").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("cls2: the confusion matrix equals a local replay of the " +
+    "quantized-log NB serve — same restricted model, same ilog2, same " +
+    "argmax tie-break — and covers exactly the docs with a model hit") {
+    // ilog2(x + 1) == length(bin(x + 1)) - 1, the engine's exact form
+    def ilog2p1(ppm: Long): Long =
+      63L - java.lang.Long.numberOfLeadingZeros(ppm + 1L)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).toSeq))
+    val byLang = docs.groupBy(_._2)
+    val model: Map[String, Map[String, Long]] = byLang.map {
+      case (lang, ds) =>
+        val counts = ds.flatMap(_._3).groupBy(identity)
+          .map { case (t, xs) => (t, xs.length.toLong) }
+        val tot = counts.values.sum
+        lang -> counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(8)
+          .map { case (t, c) => t -> ilog2p1(1000000L * c / tot) }.toMap
+    }
+    val totD = docs.length.toLong
+    val pw: Map[String, Long] = byLang.map { case (lang, ds) =>
+      lang -> ilog2p1(1000000L * ds.length / totD)
+    }
+    val matrix = scala.collection.mutable.Map.empty[(String, String), Long]
+    var classified = 0L
+    for ((_, lang, toks) <- docs) {
+      val scores = model.toSeq.flatMap { case (mLang, mw) =>
+        val hits = toks.flatMap(mw.get)
+        if (hits.isEmpty) None else Some(mLang -> (hits.sum + pw(mLang)))
+      }
+      if (scores.nonEmpty) {
+        val pred = scores.minBy { case (l, sc) => (-sc, l) }._1
+        matrix((lang, pred)) = matrix.getOrElse((lang, pred), 0L) + 1
+        classified += 1
+      }
+    }
+    val got = q("cls2_nb_confusion").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == matrix.toMap)
+    assert(got.values.sum == classified)
+  }
 }

@@ -477,4 +477,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("cls2 serves via broadcast model/prior probes — the corpus " +
+    "never sort-merges against the fixed-size model") {
+    val p = plan(q("cls2_nb_confusion"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bpe1's top-k is TakeOrderedAndProject over the bounded pair " +
+    "aggregate, never a global sort, and plans no join at all") {
+    val p = plan(q("bpe1_pair_merge"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"), p)
+  }
 }

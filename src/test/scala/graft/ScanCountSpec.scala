@@ -70,6 +70,12 @@ class ScanCountSpec extends SparkSpec {
     (twoScans ++ kernel ++ Seq(
       "d5_embedding_neardup" -> ((0, 1)), // corpus side memoized
       "m6_cdc_apply" -> ((4, 0)),
+      // cls2 serves the cls1-style model: model pass (lang, text),
+      // prior pass (lang), scoring pass (doc_id, lang, text) — each
+      // aggregates immediately, so three pruned re-reads beat caching
+      // the corpus-sized exploded token relation (the voc1/cls1
+      // adjudication)
+      "cls2_nb_confusion" -> ((3, 0)),
       "s3_ann_ivf" -> ((4, 0)),
       "s5_ann_pq" -> ((4, 1)),
       "x8_contamination" -> ((2, 2)),
