@@ -10,11 +10,11 @@ import org.apache.spark.sql.SparkSession
   *     driver box); on a real cluster this is AQE-coalesced anyway.
   *   - AQE on (Spark 4 default) → runtime skew-join splitting and
   *     partition coalescing, the knobs that matter at 100 TB.
-  *   - `parquet.nanosAsLong`: the driver's `events.parquet` carries
-  *     TIMESTAMP(NANOS), which vanilla Spark refuses; we read the
-  *     physical int64 and convert to a proper timestamp in
-  *     [[Tables.events]] (truncating ns → µs exactly like DuckDB does,
-  *     so oracle comparisons agree).
+  *   - `parquet.nanosAsLong` + UTC session TZ: the driver's
+  *     `events.parquet` layout has varied (TIMESTAMP(NANOS), then
+  *     timestamp[us] without UTC adjustment); [[Tables.normalizeEventTs]]
+  *     is schema-gated and canonicalizes any of them to a UTC TIMESTAMP
+  *     that agrees with DuckDB's `epoch_us` semantics.
   */
 object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

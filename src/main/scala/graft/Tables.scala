@@ -13,24 +13,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   import org.apache.spark.sql.functions._
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeEventTs(df) else df
   }
 
-  /** `events.parquet` stores TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` Spark surfaces the
-    * physical int64. Truncate ns → µs (exactly DuckDB's conversion) so
-    * event-time semantics and oracle hashes agree. No-op if a future
-    * driver regenerates the data at µs precision.
+  /** Normalize the driver-generated `events.ts` column to a session-TZ
+    * TIMESTAMP regardless of how the driver wrote it. Observed layouts:
+    *   - TIMESTAMP(NANOS): with `spark.sql.legacy.parquet.nanosAsLong`
+    *     Spark surfaces the physical int64 → truncate ns → µs (exactly
+    *     DuckDB's conversion) so oracle hashes agree.
+    *   - timestamp[us] without UTC adjustment: Spark reads
+    *     TIMESTAMP_NTZ → cast to TIMESTAMP. The session time zone is
+    *     pinned to UTC ([[GraftSession]]), so the cast is
+    *     value-preserving and matches DuckDB's `epoch_us` semantics.
+    *   - TIMESTAMP: already the canonical form, no-op.
+    * Schema-gated, so the same helper serves the batch reader and the
+    * streaming parity specs — the two paths cannot diverge.
     */
-  private def normalizeEventTs(df: DataFrame): DataFrame =
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts",
-        timestamp_micros(expr("ts div 1000")))
-      case None => df
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
     }
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.types.{TimestampType, BinaryType, ArrayType, FloatType}
+
+/** Loud contract on the driver-generated testdata the engine assumes.
+  *
+  * The driver regenerates `/root/testdata` between rounds and has
+  * already changed `events.ts` physical layout twice (TIMESTAMP(NANOS)
+  * as int64, then timestamp[us] NTZ). [[Tables.normalizeEventTs]] is
+  * schema-gated over the known layouts; if a future regeneration
+  * introduces a layout it doesn't recognize, this spec fails BY NAME in
+  * seconds instead of silently dropping the temporal queries (r3, w4,
+  * w1–w8) from the correctness gate.
+  */
+class TestDataContractSpec extends SparkSpec {
+
+  private val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+    .map(s => s"/root/testdata/$s")
+    .filter(d => new java.io.File(d).exists())
+
+  test("events.ts normalizes to TIMESTAMP at every scale factor " +
+    "(unrecognized driver layout would break r3/w4/w* — fix " +
+    "Tables.normalizeEventTs)") {
+    assert(sfs.nonEmpty, "no testdata directories found")
+    sfs.foreach { dir =>
+      val dt = Tables.events(spark, dir).schema("ts").dataType
+      assert(dt == TimestampType,
+        s"$dir/events.parquet: ts normalized to $dt, expected " +
+          "TimestampType — extend Tables.normalizeEventTs for the new layout")
+    }
+  }
+
+  test("documents/embeddings carry the columns the LLM-pipeline " +
+    "operators key on") {
+    sfs.foreach { dir =>
+      val docs = Tables.documents(spark, dir).schema
+      Seq("doc_id", "text", "source", "lang").foreach(c =>
+        assert(docs.fieldNames.contains(c), s"$dir documents missing $c"))
+      val emb = Tables.embeddings(spark, dir).schema
+      assert(emb.fieldNames.contains("embedding"), s"$dir embeddings col")
+      assert(emb("embedding").dataType == ArrayType(FloatType, containsNull = true)
+        || emb("embedding").dataType == ArrayType(FloatType, containsNull = false),
+        s"$dir embeddings.embedding is ${emb("embedding").dataType}")
+    }
+  }
+}

@@ -99,10 +99,9 @@ class EventStreamsSpec extends SparkSpec {
     val stream = spark.readStream
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
       .parquet(staged.toString)
-    // same ns->us normalization as Tables.events
-    val normalized = stream.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    // same schema-gated ts normalization as the batch reader, so the
+    // streaming and batch paths cannot diverge on the driver's layout
+    val normalized = graft.Tables.normalizeEventTs(stream)
     val q = tumblingCounts(normalized)
       .writeStream.format("memory").queryName("file_stream")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
