@@ -744,7 +744,81 @@ object DedupOps {
     out
   }
 
+  /** d11's segment width (tokens per "line"). The synthetic documents
+    * carry no newlines, so the line unit of CCNet-style dedup is a
+    * fixed-width token segment — the distributed shape is identical. */
+  private val D11_SEG = 10
+
+  /** d11 — boilerplate-line removal, the REWRITE pass of line-level
+    * dedup (CCNet / RefinedWeb run exactly this over every crawl):
+    * segment each document into contiguous [[D11_SEG]]-token "lines",
+    * find lines occurring in MORE THAN ONE distinct document
+    * (headers, nav bars, license blocks), delete those lines from
+    * every document, and report each doc's rewritten state (segment
+    * counts + length + fingerprint of the cleaned text). d9 detects
+    * repeated spans; d11 is the companion that actually rewrites the
+    * corpus.
+    *
+    * Scale design — the document TEXT never crosses an exchange on
+    * the common path:
+    *   1. one corpus scan emits (doc_id, idx, h) where h is the
+    *      60-bit md5 of the segment — segments hash IN the scan task
+    *      and only the 8-byte key shuffles. The narrow triple is
+    *      persisted (ints only — the "signatures, never the corpus"
+    *      invariant) because both the global count and the per-doc
+    *      bad-index list consume it;
+    *   2. the global "how many distinct docs contain this line" count
+    *      is distinct + partial/final agg on h;
+    *   3. bad segment INDEXES (not text) flow back per doc as a
+    *      collect_list over an int pair — an exchange of ints;
+    *   4. the rewrite joins docs ⋈ bad-index-lists with NO hint: the
+    *      bad-list side holds only docs that contain boilerplate, so
+    *      AQE broadcasts it when it fits (at this sf it always does —
+    *      the text side then never shuffles at all) and degrades to a
+    *      doc_id shuffle only when boilerplate is genuinely
+    *      corpus-wide. The deletion itself is in-row array surgery
+    *      (filter/transform/slice over the token array) at scan
+    *      speed, no explode, no window.
+    *
+    * Hash collisions cannot split the engines: the oracle uses the
+    * SAME 60-bit md5 key, so both sides make identical (astronomically
+    * rare) mistakes — the d2/sm* portability convention. */
+  private def d11(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val segs = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(t) + ${D11_SEG - 1}) div $D11_SEG - 1),
+           |  i -> array_join(slice(t, i * $D11_SEG + 1, $D11_SEG), ' '))""".stripMargin))
+        .as(Seq("idx", "seg")))
+      .select(col("doc_id"), col("idx"), md5Long(col("seg")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bad = segs.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"))
+    val badIdx = segs.join(bad, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("idx")).as("bad_idx"))
+    Tables.documents(s, d)
+      .join(badIdx, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), toks(col("text")).as("t"),
+        expr("coalesce(bad_idx, CAST(array() AS ARRAY<INT>))").as("bad"))
+      .select(col("doc_id"),
+        expr(s"(size(t) + ${D11_SEG - 1}) div $D11_SEG").cast("long").as("n_segs"),
+        size(col("bad")).cast("long").as("n_dropped"),
+        expr(
+          s"""array_join(transform(
+             |  filter(sequence(0, (size(t) + ${D11_SEG - 1}) div $D11_SEG - 1),
+             |         i -> NOT array_contains(bad, i)),
+             |  i -> array_join(slice(t, i * $D11_SEG + 1, $D11_SEG), ' ')), ' ')""".stripMargin)
+          .as("clean"))
+      .select(col("doc_id"), col("n_segs"), col("n_dropped"),
+        length(col("clean")).cast("long").as("clean_len"),
+        substring(md5(col("clean")), 1, 16).as("clean_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_line_dedup" -> (d11 _),
     "d10_incremental_dedup" -> (d10 _),
     "d9_substring_spans" -> (d9 _),
     "d6_minhash_udaf" -> (d6 _),
@@ -806,6 +880,35 @@ object DedupOps {
        |  THEN error('min-label did not converge in $rounds rounds')
        |  ELSE l END AS l FROM l$rounds)""".stripMargin
   val oracles: Map[String, String] = Map(
+    // same 60-bit md5 segment key as the engine, so hash-collision
+    // decisions (however unlikely) are identical on both sides
+    "d11_line_dedup" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      seg AS (SELECT doc_id, u.i AS idx,
+                ('0x' || substr(md5(array_to_string(
+                   l[(u.i*$D11_SEG+1):(u.i*$D11_SEG+$D11_SEG)], ' ')),1,15))::BIGINT AS h
+              FROM t, unnest(generate_series(0,
+                (len(l) + ${D11_SEG - 1}) // $D11_SEG - 1)) AS u(i)),
+      bad AS (SELECT h FROM (
+                SELECT h, count(DISTINCT doc_id) AS nd FROM seg GROUP BY 1)
+              WHERE nd > 1),
+      bi AS (SELECT doc_id, list(idx) AS bad_idx FROM seg
+             WHERE h IN (SELECT h FROM bad) GROUP BY 1),
+      r AS (SELECT t.doc_id,
+              (len(l) + ${D11_SEG - 1}) // $D11_SEG AS n_segs,
+              coalesce(len(bad_idx), 0) AS n_dropped,
+              coalesce(array_to_string(list_transform(
+                list_filter(generate_series(0,
+                    (len(l) + ${D11_SEG - 1}) // $D11_SEG - 1),
+                  i -> bad_idx IS NULL OR NOT list_contains(bad_idx, i)),
+                i -> array_to_string(
+                  l[(i*$D11_SEG+1):(i*$D11_SEG+$D11_SEG)], ' ')), ' '), '') AS clean
+            FROM t LEFT JOIN bi ON t.doc_id = bi.doc_id)
+      SELECT doc_id, CAST(n_segs AS BIGINT) AS n_segs,
+        CAST(n_dropped AS BIGINT) AS n_dropped,
+        CAST(length(clean) AS BIGINT) AS clean_len,
+        substr(md5(clean), 1, 16) AS clean_fp
+      FROM r""",
     "d10_incremental_dedup" -> s"""
       WITH t AS ($SHINGLES),
       s AS (SELECT doc_id,

@@ -260,7 +260,63 @@ object RetrievalOps {
       .limit(BPE_TOP)
   }
 
+  /** tok1's merge table — the SERVE-time vocabulary. These are bpe1's
+    * actual top pairs on this corpus in rank order (count desc, pair
+    * asc — bpe1's deterministic merge order), frozen as a literal the
+    * way a trained tokenizer ships its merges file; the same constant
+    * generates the oracle's replace chain so the two engines cannot
+    * disagree on the vocabulary. */
+  private val MERGES: Seq[(Char, Char)] = Seq(
+    ('e', 'r'), ('i', 'n'), ('o', 'w'), ('o', 'r'),
+    ('s', 't'), ('m', 'e'), ('t', 'o'), ('a', 't'))
+
+  /** The symbol-merge chain applied to one word, as a SQL expression
+    * over variable `w`: explode the word to space-separated symbols
+    * (leading sentinel space so every symbol has both boundaries),
+    * then apply each merge as a boundary-anchored string replace.
+    * Both engines' `replace` is left-to-right non-overlapping, so the
+    * merged segmentations are identical. `esc` is each dialect's
+    * spelling of the char-explode regexp_replace. */
+  private def mergeChain(esc: String): String =
+    MERGES.foldLeft(s"concat(' ', $esc)") { case (acc, (a, b)) =>
+      s"replace($acc, ' $a $b ', ' $a$b ')"
+    }
+
+  /** tok1 — BPE tokenizer APPLY, the serve side of bpe1's training
+    * side: re-segment every document with the frozen [[MERGES]] table
+    * and report per-doc token economics (whitespace words, raw chars =
+    * the token count BEFORE any merge, BPE tokens after the merges,
+    * and the compression ratio — the "how many tokens will this cost
+    * under MY tokenizer" estimator x3 approximates with a regex).
+    *
+    * Plan at 100 TB: there is no plan — one corpus scan, zero
+    * exchanges, zero explodes. The whole merge chain is
+    * `transform`/`aggregate` array algebra over codegen'd string
+    * builtins (regexp_replace/replace/split), so tokenization runs at
+    * scan speed per partition, which is exactly how a real tokenizer
+    * pass is deployed (it's embarrassingly parallel; anything that
+    * shuffles to tokenize is wrong). */
+  /** tok1's per-word token count as a SQL expression over variable
+    * `w` — exposed so the spec can replay it on fixture words. */
+  private[graft] val tok1PerWord: String =
+    "size(split(trim(" + mergeChain("regexp_replace(w, '(.)', '$1 ')") + "), ' '))"
+
+  private def tok1(s: SparkSession, d: String): DataFrame = {
+    val perWord = tok1PerWord
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("ws_tokens"),
+        col("n_chars"),
+        expr(s"aggregate(transform(t, w -> $perWord), 0L, (acc, x) -> acc + x)")
+          .as("bpe_tokens"))
+      .withColumn("compression",
+        roundFp(col("n_chars").cast("double") / col("bpe_tokens"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tok1_bpe_apply" -> (tok1 _),
     "qr1_batch_bm25" -> (qr1 _),
     "voc1_oov_rate" -> (voc1 _),
     "cls1_nb_model" -> (cls1 _),
@@ -273,6 +329,24 @@ object RetrievalOps {
   private val qIn = TERMSET.map("'" + _ + "'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // the replace chain is generated from the SAME MERGES constant as
+    // the engine's expression — the vocabularies cannot drift
+    "tok1_bpe_apply" -> s"""
+      WITH b AS (SELECT doc_id, string_split(text, ' ') AS t,
+                   length(replace(text, ' ', '')) AS n_chars
+                 FROM documents),
+      c AS (SELECT doc_id,
+              CAST(len(t) AS BIGINT) AS ws_tokens,
+              CAST(n_chars AS BIGINT) AS n_chars,
+              CAST(list_sum(list_transform(t, w ->
+                len(string_split(trim(${mergeChain(
+                  """regexp_replace(w, '(.)', '\1 ', 'g')""")}), ' ')))) AS BIGINT)
+                AS bpe_tokens
+            FROM b)
+      SELECT doc_id, ws_tokens, n_chars, bpe_tokens,
+        floor((CAST(n_chars AS DOUBLE) / bpe_tokens) * 1000000 + 0.5)
+          / 1000000 AS compression
+      FROM c""",
     "qr1_batch_bm25" -> s"""
       WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
                  FROM (VALUES $qValues) v(query_id, term)),

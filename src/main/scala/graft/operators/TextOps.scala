@@ -474,7 +474,47 @@ object TextOps {
           .as("top_ratio"))
   }
 
+  /** x15's ranked-vocabulary cut. A web-scale vocabulary is hundreds
+    * of millions of terms; the decay statistic only needs the head. */
+  private val X15_TOP = 1024
+
+  /** x15 — Zipf decay profile of the corpus vocabulary: bucket the
+    * top-[[X15_TOP]] terms by the INTEGER log2 of their frequency
+    * rank (bucket k holds ranks 2^k .. 2^(k+1)-1) and report each
+    * bucket's term count and exact frequency mass. Under Zipf's law
+    * every bucket carries roughly constant mass, so the per-bucket
+    * freq_sum trajectory IS the decay diagnostic a tokenizer/
+    * curation pass reads (flat ≈ Zipfian; front-loaded ≈ boilerplate
+    * domination; flat-then-cliff ≈ truncated vocabulary).
+    *
+    * Everything is exact integer arithmetic: floor(log2 rank) is
+    * `length(bin(rank)) - 1` (the cls2 trick — both engines print
+    * minimal-width binary), so the oracle matches bit-for-bit with no
+    * libm log anywhere.
+    *
+    * Plan at 100 TB: term frequencies are one partial+final agg on
+    * the term key; the head cut is orderBy+limit = TakeOrderedAndProject
+    * (per-task heaps, driver merges [[X15_TOP]] rows — never a global
+    * sort of the vocabulary); the rank window then runs on a
+    * [[X15_TOP]]-row relation, single-partition BY CONSTRUCTION
+    * (bounded by the literal K, not by the data — the cls2 broadcast
+    * argument), and the final bucket agg is ~log2(K) rows. */
+  private def x15(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc).limit(X15_TOP)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("c").desc, col("term").asc)))
+      .select((length(bin(col("rnk"))) - 1).cast("long").as("k"), col("c"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("freq_sum"),
+        max(col("c")).as("max_f"), min(col("c")).as("min_f"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x15_zipf" -> (x15 _),
     "x14_char_stats" -> (x14 _),
     "x13_source_overlap" -> (x13 _),
     "x12_bigram_lm" -> (x12 _),
@@ -494,6 +534,20 @@ object TextOps {
   private[operators] def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // integer log2 via bin() string length — both engines print
+    // minimal-width binary, so the bucketing is exact on both sides
+    "x15_zipf" -> s"""
+      WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      f AS (SELECT term, count(*) AS c FROM t GROUP BY 1
+            ORDER BY c DESC, term LIMIT $X15_TOP),
+      r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rnk
+            FROM f)
+      SELECT CAST(length(bin(rnk)) - 1 AS BIGINT) AS k,
+        count(*) AS n_terms,
+        CAST(sum(c) AS BIGINT) AS freq_sum,
+        CAST(max(c) AS BIGINT) AS max_f, CAST(min(c) AS BIGINT) AS min_f
+      FROM r GROUP BY 1""",
     // char explode via string_split(text,'') ≡ the engine's
     // sequence+substring; Σc² rides DuckDB's HUGEINT but is cast to
     // DOUBLE before the single division, mirroring the engine

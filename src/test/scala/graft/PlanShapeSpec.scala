@@ -491,4 +491,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("Join"), p)
   }
+
+  test("d11: document text never crosses a shuffle — every shuffle " +
+    "exchange carries only ids/hashes/ints, and the rewrite join " +
+    "broadcasts the bad-index lists") {
+    val df = q("d11_line_dedup")
+    df.count() // let AQE finalize the join selection
+    val shuffles = physical(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    shuffles.foreach { e =>
+      val strCols = e.output.filter(
+        _.dataType == org.apache.spark.sql.types.StringType)
+      assert(strCols.isEmpty,
+        s"shuffle carries string columns ${strCols.map(_.name)}")
+    }
+    assert(plan(df).contains("BroadcastHashJoin"), plan(df))
+  }
+
+  test("tok1 tokenizes at scan speed: one file scan, zero exchanges, " +
+    "zero explodes — the whole merge chain is in-row") {
+    val df = q("tok1_bpe_apply")
+    val p = physical(df)
+    assert(p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, plan(df))
+    assert(p.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, plan(df))
+    assert(p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.size == 1, plan(df))
+  }
+
+  test("x15's vocabulary head cut is TakeOrderedAndProject — the " +
+    "vocabulary is never globally sorted") {
+    val p = plan(q("x15_zipf"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
