@@ -315,7 +315,46 @@ object RetrievalOps {
         roundFp(col("n_chars").cast("double") / col("bpe_tokens"), 6))
   }
 
+  /** rrf1 — hybrid retrieval fusion: reciprocal-rank-fuse the lexical
+    * BM25 ranking (x11, the registered query VERBATIM) with the dense
+    * cosine ranking for query vector 0 (s1, ditto) — the standard
+    * two-tower RAG retrieval stack, where neither scorer's scale is
+    * comparable so ranks, not scores, fuse: RRF(d) = Σ 1/(60+rank_d).
+    * The reciprocal is computed as the exact integer `1000000 div
+    * (60+rank)` ppm, so fusion is bit-stable cross-engine with no
+    * float division anywhere; the oracle embeds the constituents' own
+    * oracle SQL as CTEs, so the three rankings cannot drift apart.
+    *
+    * Plan at 100 TB: the constituent retrievals do all the heavy
+    * lifting under their established plans (x11: query-term-filtered
+    * tf agg + TakeOrderedAndProject; s1: broadcast queries over one
+    * corpus scan); fusion itself runs on two ≤k-row ranked lists —
+    * union + one k-row groupBy, no join at all, cost independent of
+    * corpus size BY CONSTRUCTION. */
+  private def rrf1(s: SparkSession, d: String): DataFrame = {
+    val lex = TextOps.queries("x11_bm25")(s, d)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).as("lex_rank"),
+        lit(0).as("vec_rank"))
+    val vec = SimilarityOps.queries("s1_ann_brute")(s, d)
+      .filter(col("qid") === 0)
+      .select(col("nid").as("doc_id"), lit(0).as("lex_rank"),
+        col("rank").as("vec_rank"))
+    lex.union(vec)
+      .groupBy(col("doc_id"))
+      .agg(max(col("lex_rank")).cast("long").as("lex_rank"),
+        max(col("vec_rank")).cast("long").as("vec_rank"))
+      .withColumn("rrf_ppm",
+        when(col("lex_rank") > 0, expr("1000000 div (60 + lex_rank)"))
+          .otherwise(lit(0L)) +
+        when(col("vec_rank") > 0, expr("1000000 div (60 + vec_rank)"))
+          .otherwise(lit(0L)))
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("rrf_ppm").desc, col("doc_id").asc)).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rrf1_hybrid_fuse" -> (rrf1 _),
     "tok1_bpe_apply" -> (tok1 _),
     "qr1_batch_bm25" -> (qr1 _),
     "voc1_oov_rate" -> (voc1 _),
@@ -329,6 +368,36 @@ object RetrievalOps {
   private val qIn = TERMSET.map("'" + _ + "'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // the constituent rankings are the x11/s1 oracle SQL embedded
+    // verbatim as CTEs — fusion can never drift from its parts
+    "rrf1_hybrid_fuse" -> s"""
+      WITH lexq AS (${TextOps.oracles("x11_bm25")}),
+      vecq AS (${SimilarityOps.oracles("s1_ann_brute")}),
+      parts AS (
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+            AS lex_rank,
+          CAST(0 AS BIGINT) AS vec_rank
+        FROM lexq
+        UNION ALL
+        SELECT nid AS doc_id, CAST(0 AS BIGINT) AS lex_rank,
+          CAST(rank AS BIGINT) AS vec_rank
+        FROM vecq WHERE qid = 0),
+      fused AS (
+        SELECT doc_id, CAST(max(lex_rank) AS BIGINT) AS lex_rank,
+          CAST(max(vec_rank) AS BIGINT) AS vec_rank
+        FROM parts GROUP BY doc_id),
+      scored AS (
+        SELECT doc_id, lex_rank, vec_rank,
+          CAST((CASE WHEN lex_rank > 0 THEN 1000000 // (60 + lex_rank)
+                     ELSE 0 END) +
+               (CASE WHEN vec_rank > 0 THEN 1000000 // (60 + vec_rank)
+                     ELSE 0 END) AS BIGINT) AS rrf_ppm
+        FROM fused)
+      SELECT doc_id, lex_rank, vec_rank, rrf_ppm,
+        CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS BIGINT)
+          AS fused_rank
+      FROM scored""",
     // the replace chain is generated from the SAME MERGES constant as
     // the engine's expression — the vocabularies cannot drift
     "tok1_bpe_apply" -> s"""

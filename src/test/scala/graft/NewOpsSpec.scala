@@ -1426,6 +1426,31 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("rrf1: the fusion is EXACTLY the RRF fold of the registered " +
+    "x11 and s1 rankings, replayed in plain Scala") {
+    val lex = q("x11_bm25").collect()
+      .sortBy(r => (-r.getDouble(1), r.getLong(0)))
+      .zipWithIndex.map { case (r, i) => r.getLong(0) -> (i + 1L) }.toMap
+    val vec = q("s1_ann_brute").collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => r.getLong(1) -> r.getInt(3).toLong).toMap
+    val expected = (lex.keySet ++ vec.keySet).toSeq.map { id =>
+      val rrf = lex.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        vec.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L)
+      (id, lex.getOrElse(id, 0L), vec.getOrElse(id, 0L), rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }
+      .zipWithIndex.map { case ((id, l, v, rrf), i) => id -> ((l, v, rrf, i + 1L)) }
+      .toMap
+    val got = q("rrf1_hybrid_fuse").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    // both retrievers contributed and at least one doc overlaps only
+    // one list (the fusion is not a trivial rename of either input)
+    assert(expected.values.exists(v => v._1 > 0 && v._2 == 0) ||
+      expected.values.exists(v => v._1 == 0 && v._2 > 0))
+  }
+
   test("x15: bucket k holds ranks 2^k..2^(k+1)-1 — counts bounded, " +
     "rank-1 bucket is a singleton, frequency envelope is monotone") {
     val rows = q("x15_zipf").collect()

@@ -77,6 +77,10 @@ class ScanCountSpec extends SparkSpec {
       // adjudication)
       "cls2_nb_confusion" -> ((3, 0)),
       "s3_ann_ivf" -> ((4, 0)),
+      // rrf1 composes the registered x11 (1 scan + cached hits) and
+      // s1 (2 embedding scans) verbatim; fusion adds NO scan of its
+      // own — the budget is exactly the constituents' sum
+      "rrf1_hybrid_fuse" -> ((3, 0)),
       "s5_ann_pq" -> ((4, 1)),
       "x8_contamination" -> ((2, 2)),
       // two-pass by design: MG candidate kernel, then the exact
