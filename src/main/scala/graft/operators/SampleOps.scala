@@ -213,7 +213,67 @@ object SampleOps {
       .select(col("doc_id"), col("w"), col("cum"), col("n_hits"))
   }
 
+  /** dsir1's report size — the selected-set cut. */
+  private val DSIR_TOP = 100
+
+  /** dsir1 — importance-weighted domain selection (the DSIR recipe:
+    * Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score every document by how much more
+    * likely its unigrams are under the TARGET domain (source `src0`)
+    * than under the general corpus, and keep the top scorers — the
+    * standard trick for tilting a web-scale corpus toward a
+    * high-quality domain without training a classifier.
+    *
+    * score(doc) = Σ_term tf · (ilog2(ppm_target+1) − ilog2(ppm_all+1))
+    *
+    * with ppm the exact integer per-mille-of-a-million unigram rate
+    * in each LM and ilog2 the integer log2 (`length(bin(x))-1`, the
+    * cls2 trick) — all-integer arithmetic end to end, so scores are
+    * bit-identical cross-engine with no libm log.
+    *
+    * Plan at 100 TB: the per-(doc, term) tf relation is built ONCE
+    * and cached (the x10/x12 single-subtree invariant) because three
+    * consumers read it: the target LM (filter source + agg to vocab
+    * size), the corpus LM (agg to vocab size), and the scoring join.
+    * Both LMs collapse to vocabulary-sized (term, ppm) tables joined
+    * back on the term key with NO hint — AQE broadcasts them when
+    * they fit, degrades to a term-keyed merge join when a web-scale
+    * vocabulary doesn't (the x10 adjudication). The final cut is
+    * TakeOrderedAndProject. Totals ride 1-row broadcast cross joins. */
+  private def dsir1(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import graft.functions.Fns.toks
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def lm(counts: DataFrame): DataFrame = {
+      val tot = counts.agg(sum(col("c")).as("tot"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("term"),
+          expr("(1000000 * c) div tot").as("ppm"))
+    }
+    val target = lm(tf.filter(col("source") === "src0")
+      .groupBy(col("term")).agg(sum(col("tf")).as("c")))
+      .select(col("term"),
+        (length(bin(col("ppm") + 1)) - 1).as("l2t"))
+    val corpus = lm(tf.groupBy(col("term")).agg(sum(col("tf")).as("c")))
+      .select(col("term"), (length(bin(col("ppm") + 1)) - 1).as("l2c"))
+    tf.join(target, Seq("term"), "left_outer")
+      .join(corpus, Seq("term"))
+      .select(col("doc_id"), col("source"),
+        (col("tf") * (coalesce(col("l2t"), lit(0)) - col("l2c")))
+          .as("contrib"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("contrib")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(DSIR_TOP)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir1_importance" -> (dsir1 _),
     "sm7_systematic_sample" -> (sm7 _),
     "sm6_temperature_mix" -> (sm6 _),
     "sm1_stratified_sample" -> (sm1 _),
@@ -227,6 +287,29 @@ object SampleOps {
     "('0x' || substr(md5(%s::VARCHAR),1,15))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    // all-integer DSIR: ppm rates via floor division, integer log2
+    // via bin() length (both engines print minimal-width binary)
+    "dsir1_importance" -> s"""
+      WITH tf AS (SELECT doc_id, source, term, count(*) AS tf FROM
+              (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+               FROM documents)
+            GROUP BY 1, 2, 3),
+      tt AS (SELECT CAST(sum(tf) AS BIGINT) AS tot FROM tf
+             WHERE source = 'src0'),
+      tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf
+             WHERE source = 'src0' GROUP BY 1),
+      tl AS (SELECT term, length(bin((1000000 * c) // tot + 1)) - 1 AS l2t
+             FROM tc, tt),
+      at2 AS (SELECT CAST(sum(tf) AS BIGINT) AS tot FROM tf),
+      ac AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+      al AS (SELECT term, length(bin((1000000 * c) // tot + 1)) - 1 AS l2c
+             FROM ac, at2),
+      sc AS (SELECT doc_id, source,
+               tf * (coalesce(l2t, 0) - l2c) AS contrib
+             FROM tf LEFT JOIN tl USING (term) JOIN al USING (term))
+      SELECT doc_id, source, CAST(sum(contrib) AS BIGINT) AS score
+      FROM sc GROUP BY 1, 2
+      ORDER BY score DESC, doc_id LIMIT $DSIR_TOP""",
     // the oracle states the SEMANTICS (one flat window cumsum); the
     // engine's two-level scan must reproduce it exactly — integer
     // arithmetic end to end, HUGEINT window sums pinned to BIGINT

@@ -533,7 +533,46 @@ object SimilarityOps {
       col("y").cast("int").as("y"))
   }
 
+  /** emb1 — per-dimension embedding statistics: count, mean, std,
+    * min, max for each of the 64 dimensions — the normalization /
+    * whitening pre-pass every ANN index build runs (a dimension with
+    * 10× the variance of the rest dominates L2; a shifted mean breaks
+    * inner-product shortcuts; this report is what decides centering
+    * and scaling before s2/s3/s5 index).
+    *
+    * Exactness: values quantize to integer thousandths BEFORE any
+    * sum (the km1 trick), so Σq and Σq² are exact longs and the
+    * mean/variance are single IEEE expressions over exact integers —
+    * order-independent, bit-identical in the oracle. (Long headroom:
+    * q ≈ 3·10³ ⇒ q² ≈ 10⁷ per row; ~10¹¹ rows before Σq² nears 2⁶³ —
+    * past that the same plan runs on DECIMAL(38) accumulators.)
+    *
+    * Plan at 100 TB: posexplode to (dim, q) pairs, ONE partial+final
+    * agg on the 64-value dim key — map-side combine collapses each
+    * task to ≤64 rows, so the exchange is |tasks|×64 rows of longs
+    * regardless of corpus size. */
+  private def emb1(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("x"),
+        expr("CAST(floor(x * 1000 + 0.5) AS BIGINT)").as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sqq"),
+        roundFp(min(col("x")), 6).as("min_x"),
+        roundFp(max(col("x")), 6).as("max_x"))
+      .select(col("dim"), col("n"),
+        roundFp(col("sq").cast("double") / (col("n") * 1000.0), 6).as("mean"),
+        roundFp(sqrt(greatest(
+          col("sqq").cast("double") / (col("n").cast("double") * 1000000.0) -
+            (col("sq").cast("double") / (col("n") * 1000.0)) *
+            (col("sq").cast("double") / (col("n") * 1000.0)),
+          lit(0.0))), 6).as("std"),
+        col("min_x"), col("max_x"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb1_dim_stats" -> (emb1 _),
     "s1_ann_brute" -> (s1 _),
     "s2_ann_lsh" -> (s2 _),
     "s3_ann_ivf" -> (s3 _),
@@ -656,6 +695,29 @@ object SimilarityOps {
       ${kmAssignSql(3, "c2")}
       SELECT vec_id, CAST(cell AS INT) AS cell,
         floor(dd*1000000 + 0.5)/1000000 AS dist2 FROM a3""",
+    // quantize-then-sum (the km1 trick) makes Σq/Σq² exact longs; the
+    // mean/std expressions mirror the engine's float op order exactly
+    "emb1_dim_stats" -> """
+      WITH p AS (SELECT dm.dim AS dim,
+               embedding[dm.dim]::DOUBLE AS x,
+               CAST(floor(embedding[dm.dim]::DOUBLE * 1000 + 0.5) AS BIGINT) AS q
+             FROM embeddings, generate_series(1, 64) dm(dim)),
+      a AS (SELECT dim, count(*) AS n,
+              CAST(sum(q) AS BIGINT) AS sq,
+              CAST(sum(q * q) AS BIGINT) AS sqq,
+              floor(min(x)*1000000 + 0.5)/1000000 AS min_x,
+              floor(max(x)*1000000 + 0.5)/1000000 AS max_x
+            FROM p GROUP BY dim)
+      SELECT CAST(dim AS BIGINT) AS dim, n,
+        floor((CAST(sq AS DOUBLE) / (n * 1000.0))*1000000 + 0.5)/1000000
+          AS mean,
+        floor(sqrt(greatest(
+          CAST(sqq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) -
+            (CAST(sq AS DOUBLE) / (n * 1000.0)) *
+            (CAST(sq AS DOUBLE) / (n * 1000.0)), 0.0))*1000000 + 0.5)/1000000
+          AS std,
+        min_x, max_x
+      FROM a""",
     "s1_ann_brute" -> s"""
       WITH e AS ($EMB_SQL),
       sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid,

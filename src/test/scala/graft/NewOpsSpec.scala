@@ -1426,6 +1426,56 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("emb1: per-dimension stats replayed exactly in plain Scala — " +
+    "quantized sums make mean/std order-independent") {
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = (1 to 64).map { dim =>
+      val xs = embs.map(_(dim - 1))
+      val qs = xs.map(x => math.floor(x * 1000 + 0.5).toLong)
+      val (n, sq, sqq) = (xs.length.toLong, qs.sum, qs.map(q => q * q).sum)
+      val mean = sq.toDouble / (n * 1000.0)
+      val std = math.sqrt(math.max(
+        sqq.toDouble / (n.toDouble * 1000000.0) - mean * mean, 0.0))
+      dim.toLong -> ((n, r6(mean), r6(std), r6(xs.min), r6(xs.max)))
+    }.toMap
+    val got = q("emb1_dim_stats").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got === expected)
+  }
+
+  test("dsir1: the all-integer importance scores equal a full plain-" +
+    "Scala DSIR replay (both LMs, log2 ratio, top-100 cut)") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def tfOf(t: String) = t.split(" ", -1).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    val perDoc = docs.map { case (id, src, t) => (id, src, tfOf(t)) }
+    def lm(counts: Map[String, Long]): Map[String, Int] = {
+      val tot = counts.values.sum
+      counts.map { case (w, c) =>
+        w -> (63 - java.lang.Long.numberOfLeadingZeros(1000000L * c / tot + 1))
+      }
+    }
+    def merge(ms: Seq[Map[String, Long]]) =
+      ms.flatten.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    val l2t = lm(merge(perDoc.filter(_._2 == "src0").map(_._3).toSeq))
+    val l2c = lm(merge(perDoc.map(_._3).toSeq))
+    val expected = perDoc.map { case (id, src, tf) =>
+      val score = tf.map { case (w, n) =>
+        n * (l2t.getOrElse(w, 0) - l2c(w)) }.sum
+      (id, src, score)
+    }.sortBy { case (id, _, sc) => (-sc, id) }.take(100).toSeq
+    val got = q("dsir1_importance").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.exists(_._2 == "src0"), "target-domain docs score high")
+  }
+
   test("rrf1: the fusion is EXACTLY the RRF fold of the registered " +
     "x11 and s1 rankings, replayed in plain Scala") {
     val lex = q("x11_bm25").collect()
