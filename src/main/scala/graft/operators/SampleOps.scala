@@ -232,14 +232,18 @@ object SampleOps {
     * bit-identical cross-engine with no libm log.
     *
     * Plan at 100 TB: the per-(doc, term) tf relation is built ONCE
-    * and cached (the x10/x12 single-subtree invariant) because three
-    * consumers read it: the target LM (filter source + agg to vocab
-    * size), the corpus LM (agg to vocab size), and the scoring join.
-    * Both LMs collapse to vocabulary-sized (term, ppm) tables joined
-    * back on the term key with NO hint — AQE broadcasts them when
-    * they fit, degrades to a term-keyed merge join when a web-scale
-    * vocabulary doesn't (the x10 adjudication). The final cut is
-    * TakeOrderedAndProject. Totals ride 1-row broadcast cross joins. */
+    * and cached (the x10/x12 single-subtree invariant) for its two
+    * consumers: the LM branch and the scoring join. BOTH unigram LMs
+    * ride ONE vocabulary-keyed aggregation — the target count is a
+    * conditional sum on the same (term) key, so there is no second
+    * vocab agg and no second scoring join; a term absent from the
+    * target domain gets ppm 0 ⇒ ilog2(0+1) = 0, exactly the
+    * smoothing the two-table formulation would need a null-coalesce
+    * for. The combined (term, llr) table joins back on the term key
+    * with NO hint — AQE broadcasts it when it fits, degrades to a
+    * term-keyed merge join when a web-scale vocabulary doesn't (the
+    * x10 adjudication). The final cut is TakeOrderedAndProject.
+    * Totals ride a 1-row broadcast cross join. */
   private def dsir1(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     import graft.functions.Fns.toks
@@ -249,23 +253,20 @@ object SampleOps {
       .groupBy(col("doc_id"), col("source"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def lm(counts: DataFrame): DataFrame = {
-      val tot = counts.agg(sum(col("c")).as("tot"))
-      counts.crossJoin(broadcast(tot))
-        .select(col("term"),
-          expr("(1000000 * c) div tot").as("ppm"))
-    }
-    val target = lm(tf.filter(col("source") === "src0")
-      .groupBy(col("term")).agg(sum(col("tf")).as("c")))
+    val lms = tf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("c_all"),
+        sum(when(col("source") === "src0", col("tf")).otherwise(0L))
+          .as("c_t"))
+    val tot = lms.agg(sum(col("c_all")).as("tot_all"),
+      sum(col("c_t")).as("tot_t"))
+    val llr = lms.crossJoin(broadcast(tot))
       .select(col("term"),
-        (length(bin(col("ppm") + 1)) - 1).as("l2t"))
-    val corpus = lm(tf.groupBy(col("term")).agg(sum(col("tf")).as("c")))
-      .select(col("term"), (length(bin(col("ppm") + 1)) - 1).as("l2c"))
-    tf.join(target, Seq("term"), "left_outer")
-      .join(corpus, Seq("term"))
+        ((length(bin(expr("(1000000 * c_t) div tot_t") + 1)) - 1) -
+          (length(bin(expr("(1000000 * c_all) div tot_all") + 1)) - 1))
+          .as("llr"))
+    tf.join(llr, Seq("term"))
       .select(col("doc_id"), col("source"),
-        (col("tf") * (coalesce(col("l2t"), lit(0)) - col("l2c")))
-          .as("contrib"))
+        (col("tf") * col("llr")).as("contrib"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("contrib")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
