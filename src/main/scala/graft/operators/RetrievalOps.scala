@@ -301,19 +301,23 @@ object RetrievalOps {
   private[graft] val tok1PerWord: String =
     "size(split(trim(" + mergeChain("regexp_replace(w, '(.)', '$1 ')") + "), ' '))"
 
-  private def tok1(s: SparkSession, d: String): DataFrame = {
-    val perWord = tok1PerWord
-    Tables.documents(s, d)
+  /** The tok1 transform over any (doc_id, text) relation — stateless
+    * and per-row, so it runs UNCHANGED as a streaming projection
+    * (spec-proven MemoryStream parity, the ck1 pattern). */
+  private[graft] def tok1Transform(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), toks(col("text")).as("t"),
         length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"))
       .select(col("doc_id"),
         size(col("t")).cast("long").as("ws_tokens"),
         col("n_chars"),
-        expr(s"aggregate(transform(t, w -> $perWord), 0L, (acc, x) -> acc + x)")
+        expr(s"aggregate(transform(t, w -> $tok1PerWord), 0L, (acc, x) -> acc + x)")
           .as("bpe_tokens"))
       .withColumn("compression",
         roundFp(col("n_chars").cast("double") / col("bpe_tokens"), 6))
-  }
+
+  private def tok1(s: SparkSession, d: String): DataFrame =
+    tok1Transform(Tables.documents(s, d))
 
   /** rrf1 — hybrid retrieval fusion: reciprocal-rank-fuse the lexical
     * BM25 ranking (x11, the registered query VERBATIM) with the dense

@@ -238,6 +238,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.count(_._1 == 1L) == 3) // 130 tokens / stride 48
   }
 
+  test("BPE tokenization is streamable UNCHANGED — tok1's per-row " +
+    "merge chain over micro-batches equals the batch economics " +
+    "(tok1 parity); stateless, append mode") {
+    val docs = Seq(
+      Doc(1, ts(0), "the window order"),
+      Doc(2, ts(1), "fast stream merge in"),
+      Doc(3, ts(2), "x"))
+    val mem = MemoryStream[Doc]
+    val q = graft.operators.RetrievalOps.tok1Transform(mem.toDF())
+      .writeStream.format("memory").queryName("tok_stream")
+      .outputMode("append").start()
+    mem.addData(docs(0), docs(1))
+    q.processAllAvailable()
+    mem.addData(docs(2)) // later micro-batch tokenizes independently
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val streamed = spark.table("tok_stream").collect().map(key).toSet
+    val batch = graft.operators.RetrievalOps
+      .tok1Transform(docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    // spot-check the merge chain through the streaming path:
+    // "the window order" → 3 + 4 + 3 = 10 BPE tokens over 14 chars
+    assert(streamed.exists { case (id, ws, ch, bpe, _) =>
+      id == 1L && ws == 3L && ch == 14L && bpe == 10L })
+  }
+
   test("watermarked stream-stream join pairs events within the hour bound") {
     val l = MemoryStream[Event]
     val r = MemoryStream[Event]
