@@ -41,6 +41,21 @@ class TestDataContractSpec extends SparkSpec {
       assert(emb("embedding").dataType == ArrayType(FloatType, containsNull = true)
         || emb("embedding").dataType == ArrayType(FloatType, containsNull = false),
         s"$dir embeddings.embedding is ${emb("embedding").dataType}")
+      // lr1's labels and the ANN family's ids (a regenerated
+      // embeddings table without them would fail analysis deep
+      // inside s*/km1/lr1 instead of here by name)
+      Seq("vec_id", "label").foreach(c =>
+        assert(emb.fieldNames.contains(c), s"$dir embeddings missing $c"))
+    }
+  }
+
+  test("events carries the full column set the temporal/streaming " +
+    "surface keys on (w*, r3, x5, sm1, EventStreams)") {
+    sfs.foreach { dir =>
+      val ev = Tables.events(spark, dir).schema
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        .foreach(c => assert(ev.fieldNames.contains(c),
+          s"$dir events missing $c"))
     }
   }
 }
