@@ -817,7 +817,42 @@ object DedupOps {
         substring(md5(col("clean")), 1, 16).as("clean_fp"))
   }
 
+  /** er1 — blocked fuzzy matching (entity resolution), the record-
+    * level sibling of the document dedup family and the scalable
+    * generalization of the reference's street-type canonicalization
+    * (audit.py's fuzzy street cleaning works one pair at a time; ER
+    * over a 100 TB catalog needs the blocked self-join form): part
+    * names compare by exact Levenshtein distance WITHIN blocks keyed
+    * on structured attributes (the name's head noun + p_size), and
+    * the result is the match-distance histogram per entity type —
+    * the profile a linkage-threshold decision reads.
+    *
+    * Scale design: blocking is what makes ER tractable — the
+    * quadratic is confined per block (the d4 adjudication: bounded
+    * blocks, never corpus×corpus), both sides shuffle once on the
+    * block key, and a skewed block takes the g6/j8 salting treatment
+    * unchanged. Levenshtein runs codegen'd (built-in expression);
+    * the output is |nouns|×|distances| rows regardless of corpus
+    * size. Edit distance is the one string metric both engines
+    * define identically (unit-cost insert/delete/substitute), so the
+    * histogram is oracle-exact. */
+  private def er1(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        element_at(split(col("p_name"), " "), 2).as("noun"))
+    val left = p.select(col("noun"), col("p_size"),
+      col("p_partkey").as("ka"), col("p_name").as("na"))
+    val right = p.select(col("noun"), col("p_size"),
+      col("p_partkey").as("kb"), col("p_name").as("nb"))
+    left.join(right, Seq("noun", "p_size"))
+      .filter(col("ka") < col("kb"))
+      .select(col("noun"), levenshtein(col("na"), col("nb")).as("dist"))
+      .groupBy(col("noun"), col("dist"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er1_fuzzy_block" -> (er1 _),
     "d11_line_dedup" -> (d11 _),
     "d10_incremental_dedup" -> (d10 _),
     "d9_substring_spans" -> (d9 _),
@@ -880,6 +915,17 @@ object DedupOps {
        |  THEN error('min-label did not converge in $rounds rounds')
        |  ELSE l END AS l FROM l$rounds)""".stripMargin
   val oracles: Map[String, String] = Map(
+    // unit-cost Levenshtein is defined identically in both engines
+    "er1_fuzzy_block" -> """
+      WITH p AS (SELECT p_partkey, p_name, p_size,
+                   string_split(p_name, ' ')[2] AS noun
+                 FROM part),
+      pairs AS (SELECT a.noun, levenshtein(a.p_name, b.p_name) AS dist
+                FROM p a JOIN p b
+                  ON a.noun = b.noun AND a.p_size = b.p_size
+                  AND a.p_partkey < b.p_partkey)
+      SELECT noun, CAST(dist AS INT) AS dist, count(*) AS n_pairs
+      FROM pairs GROUP BY 1, 2""",
     // same 60-bit md5 segment key as the engine, so hash-collision
     // decisions (however unlikely) are identical on both sides
     "d11_line_dedup" -> s"""

@@ -1426,6 +1426,37 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("er1: the blocked fuzzy-match histogram equals a plain-Scala " +
+    "replay (blocking, Levenshtein, pair order) on the full fixture") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_name"), col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val expected = parts.groupBy { case (_, n, sz) => (n.split(" ")(1), sz) }
+      .toSeq.flatMap { case ((noun, _), xs) =>
+        val sorted = xs.sortBy(_._1)
+        for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+          yield (noun, lev(sorted(i)._2, sorted(j)._2))
+      }
+      .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val got = q("er1_fuzzy_block").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty && got.keys.exists(_._2 > 0))
+  }
+
   test("emb1: per-dimension stats replayed exactly in plain Scala — " +
     "quantized sums make mean/std order-independent") {
     val embs = Tables.embeddings(spark, sf)
