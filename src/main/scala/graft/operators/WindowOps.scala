@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -135,7 +135,65 @@ object WindowOps {
       .select(col("o_orderkey"), col("bin").as("spend_quartile"))
   }
 
+  /** fn1's per-step conversion deadline: 24 hours in microseconds
+    * (sized so the funnel completes at every test sf — event spacing
+    * stretches as sf shrinks; production picks its own deadline). */
+  private val FN1_WINDOW_US = 86400000000L
+
+  /** fn1 — conversion-funnel analysis (view → click → purchase), the
+    * sequential-pattern op the plain window family doesn't cover:
+    * a user converts step k when the step-k event occurs strictly
+    * AFTER their step-(k−1) anchor and within [[FN1_WINDOW_US]] of
+    * it; the anchor is the EARLIEST qualifying event (the standard
+    * earliest-completion funnel, deterministic with no tie-breaks
+    * needed because anchors are min() aggregates). Output: users
+    * reaching each step plus the exact summed step-to-step lag.
+    *
+    * Scale shape: each step is a type-filtered scan of THREE narrow
+    * pruned columns reduced per user, then an equi-join on user_id
+    * against the previous step's (user, anchor) table — per-step
+    * state is one (user, long) row, the same "state never wider than
+    * a key + a long" discipline as gr1's rank vector; the funnel
+    * depth multiplies scans of a pruned projection, not exchanges of
+    * anything corpus-wide. Each step's state table is persisted —
+    * it has TWO consumers (the next step's join and the report
+    * union), and without the cache each consumer re-plans the whole
+    * upstream funnel (the x12 ReuseExchange-defeat class: the scan
+    * ratchet measured 6 events scans instead of 3); the state is
+    * user-count-sized (user, long) rows, so this is a model-sized
+    * cache, never a corpus checkpoint. All event-time arithmetic is
+    * integer microseconds (unix_micros/epoch_us — the w4/r2
+    * convention). */
+  private def fn1(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+    def step(prev: DataFrame, evType: String, anchor: String,
+        next: String): DataFrame =
+      ev.filter(col("event_type") === evType)
+        .join(prev, Seq("user_id"))
+        .filter(col("tu") > col(anchor) &&
+          col("tu") <= col(anchor) + FN1_WINDOW_US)
+        .groupBy(col("user_id"))
+        .agg(min(col("tu")).as(next), min(col(anchor)).as(anchor))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tu")).as("t1"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s2 = step(s1, "click", "t1", "t2")
+    val s3 = step(s2, "purchase", "t2", "t3")
+    def report(df: DataFrame, name: String, lag: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_users"),
+        coalesce(sum(lag), lit(0L)).as("sum_lag_us"))
+        .select(lit(name).as("step"), col("n_users"), col("sum_lag_us"))
+    report(s1, "1_view", lit(0L))
+      .union(report(s2, "2_click", col("t2") - col("t1")))
+      .union(report(s3, "3_purchase", col("t3") - col("t2")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn1_funnel" -> (fn1 _),
     "w8_global_bin" -> (w8 _),
     "w1_tumbling_window" -> (w1 _),
     "w2_rank_per_group" -> (w2 _),
@@ -147,6 +205,32 @@ object WindowOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // earliest-completion funnel: every anchor is a min() aggregate,
+    // all event-time arithmetic in integer µs (epoch_us, the w4/r2
+    // convention) — no ordering ambiguity anywhere
+    "fn1_funnel" -> s"""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu
+                 FROM events),
+      s1 AS (SELECT user_id, min(tu) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(tu) AS t2, min(t1) AS t1
+             FROM e JOIN s1 USING (user_id)
+             WHERE event_type = 'click'
+               AND tu > t1 AND tu <= t1 + $FN1_WINDOW_US
+             GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(tu) AS t3, min(t2) AS t2
+             FROM e JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase'
+               AND tu > t2 AND tu <= t2 + $FN1_WINDOW_US
+             GROUP BY 1)
+      SELECT '1_view' AS step, count(*) AS n_users,
+        CAST(0 AS BIGINT) AS sum_lag_us FROM s1
+      UNION ALL
+      SELECT '2_click', count(*),
+        CAST(coalesce(sum(t2 - t1), 0) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT '3_purchase', count(*),
+        CAST(coalesce(sum(t3 - t2), 0) AS BIGINT) FROM s3""",
     // quantile_cont == Spark's exact `percentile` (same linear
     // interpolation: lower + (higher-lower)*frac, identical IEEE ops);
     // both engines round the cut-points with the portable floor form

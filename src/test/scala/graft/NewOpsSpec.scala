@@ -1426,6 +1426,36 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("fn1: the earliest-completion funnel equals a plain-Scala " +
+    "replay, and the funnel is monotone (each step loses users)") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val HOUR = 86400000000L
+    val byUser = ev.groupBy(_._1)
+    def anchors(prev: Map[Long, Long], evType: String): Map[Long, Long] =
+      prev.flatMap { case (u, t0) =>
+        byUser.getOrElse(u, Array.empty)
+          .filter { case (_, ty, tu) => ty == evType && tu > t0 && tu <= t0 + HOUR }
+          .map(_._3).minOption.map(u -> _)
+      }
+    val s1 = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val s2 = anchors(s1, "click")
+    val s3 = anchors(s2, "purchase")
+    val expected = Map(
+      "1_view" -> ((s1.size.toLong, 0L)),
+      "2_click" -> ((s2.size.toLong, s2.map { case (u, t) => t - s1(u) }.sum)),
+      "3_purchase" -> ((s3.size.toLong, s3.map { case (u, t) => t - s2(u) }.sum)))
+    val got = q("fn1_funnel").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    assert(got("1_view")._1 >= got("2_click")._1 &&
+      got("2_click")._1 >= got("3_purchase")._1)
+    assert(got("3_purchase")._1 > 0, "fixture data completes the funnel")
+  }
+
   test("er1: the blocked fuzzy-match histogram equals a plain-Scala " +
     "replay (blocking, Levenshtein, pair order) on the full fixture") {
     def lev(a: String, b: String): Int = {

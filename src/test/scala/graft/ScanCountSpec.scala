@@ -77,6 +77,11 @@ class ScanCountSpec extends SparkSpec {
       // the corpus-sized exploded token relation (the voc1/cls1
       // adjudication)
       "cls2_nb_confusion" -> ((3, 0)),
+      // one type-filtered read of the 3-column pruned events
+      // projection per funnel step — each reduces to (user, long)
+      // immediately, so three pruned scans beat caching the corpus
+      // (the cls2/voc1 adjudication)
+      "fn1_funnel" -> ((3, 0)),
       "s3_ann_ivf" -> ((4, 0)),
       // rrf1 composes the registered x11 (1 scan + cached hits) and
       // s1 (2 embedding scans) verbatim; fusion adds NO scan of its
