@@ -560,7 +560,33 @@ object RelationalOps {
 
   // ---------------------------------------------------------------------
 
+  /** u10 — unpivot/melt, the inverse of g3's pivot and the missing
+    * half of the reshape pair: lineitem's four numeric measures fold
+    * into (measure, value) rows via `stack`, then aggregate per
+    * measure. Values quantize to integer cents BEFORE the sum (the
+    * emb1/pipe3 rule: never order-dependent float accumulation), so
+    * the per-measure totals are exact longs.
+    *
+    * Scale shape: `stack` is an in-row expansion at scan speed (a
+    * Generate, not a join and not a kernel) — the melt of a 100 TB
+    * fact table is the same single scan with 4× row fan-out feeding
+    * one partial+final agg on a 4-value key. */
+  private def u10(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(expr(
+        """stack(4,
+          |  'l_quantity', l_quantity,
+          |  'l_extendedprice', l_extendedprice,
+          |  'l_discount', l_discount,
+          |  'l_tax', l_tax) AS (measure, v)""".stripMargin))
+      .select(col("measure"),
+        expr("CAST(floor(v * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u10_unpivot" -> (u10 _),
     "p1_project" -> (p1 _),
     "p2_eq_match" -> (p2 _),
     "p3_exists" -> (p3 _),
@@ -606,6 +632,23 @@ object RelationalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // melt via UNION ALL ≡ the engine's stack(); cent-quantized longs
+    // make the per-measure totals order-independent and exact
+    "u10_unpivot" -> """
+      WITH m AS (
+        SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', l_tax FROM lineitem),
+      c AS (SELECT measure,
+              CAST(floor(v * 100 + 0.5) AS BIGINT) AS cents FROM m)
+      SELECT measure, count(*) AS n,
+        CAST(sum(cents) AS BIGINT) AS sum_cents,
+        min(cents) AS min_cents, max(cents) AS max_cents
+      FROM c GROUP BY 1""",
     "p1_project" ->
       "SELECT o_orderkey, o_totalprice AS price, upper(o_orderpriority) AS prio FROM orders",
     "p2_eq_match" ->

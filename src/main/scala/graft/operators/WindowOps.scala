@@ -192,7 +192,41 @@ object WindowOps {
       .union(report(s3, "3_purchase", col("t3") - col("t2")))
   }
 
+  /** w9's decay half-life: 3 days in microseconds (the events table
+    * spans ~30 days, so scores decay through ~10 halvings). */
+  private val W9_HALF_LIFE_US = 259200000000L
+
+  /** w9 — recency-decayed engagement scoring: each user's score is
+    * Σ value·2^(−age/halflife), the freshness weighting every
+    * recommendation/curation recency signal uses. Exactness: the
+    * decay is EXACT INTEGER HALVING — value quantizes to cents, age
+    * quantizes to whole half-lives k = age div halflife, and the
+    * contribution is `cents div 2^k` (powers of two are exact in
+    * IEEE, the cast-to-long power is exact to 2^62, and k caps
+    * there) — so the sum is order-independent long arithmetic, no
+    * float exp/log anywhere (the cls2/gr1 portability family).
+    *
+    * Scale shape: the "now" anchor (global max ts) is one 1-row agg
+    * broadcast back as a cross join; scoring is a narrow in-row
+    * projection at scan speed; the per-user total is one
+    * partial+final agg on user_id. */
+  private def w9(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val now = ev.agg(max(col("tu")).as("t_now"))
+    ev.crossJoin(broadcast(now))
+      .select(col("user_id"),
+        expr(s"least((t_now - tu) div $W9_HALF_LIFE_US, 62L)").as("k"),
+        col("cents"))
+      .select(col("user_id"),
+        expr("cents div CAST(pow(2, k) AS BIGINT)").as("contrib"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("contrib")).as("decayed_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w9_decay_score" -> (w9 _),
     "fn1_funnel" -> (fn1 _),
     "w8_global_bin" -> (w8 _),
     "w1_tumbling_window" -> (w1 _),
@@ -205,6 +239,21 @@ object WindowOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact integer halving decay: cents div 2^k, k in whole
+    // half-lives — powers of two are IEEE-exact, so both engines'
+    // pow-then-cast is the same long divisor
+    "w9_decay_score" -> s"""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS tu,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                 FROM events),
+      n AS (SELECT max(tu) AS t_now FROM e),
+      c AS (SELECT user_id,
+              cents // CAST(pow(2, least((t_now - tu) // $W9_HALF_LIFE_US,
+                62)) AS BIGINT) AS contrib
+            FROM e, n)
+      SELECT user_id, count(*) AS n_events,
+        CAST(sum(contrib) AS BIGINT) AS decayed_cents
+      FROM c GROUP BY 1""",
     // earliest-completion funnel: every anchor is a min() aggregate,
     // all event-time arithmetic in integer µs (epoch_us, the w4/r2
     // convention) — no ordering ambiguity anywhere

@@ -1426,6 +1426,43 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("u10: the melt totals reconcile with direct per-column " +
+    "aggregates (same cent quantization, no row lost in the stack)") {
+    val li = Tables.lineitem(spark, sf)
+    val direct = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map { c =>
+        val r = li.select(
+          expr(s"CAST(floor($c * 100 + 0.5) AS BIGINT)").as("cents"))
+          .agg(count(lit(1)), sum(col("cents")), min(col("cents")),
+            max(col("cents"))).collect()(0)
+        c -> ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }.toMap
+    val got = q("u10_unpivot").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === direct)
+  }
+
+  test("w9: integer-halving decay replayed in plain Scala — " +
+    "contributions never exceed face value, deeper ages halve") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val HL = 259200000000L
+    val tNow = ev.map(_._2).max
+    val expected = ev.groupBy(_._1).map { case (u, xs) =>
+      val contribs = xs.map { case (_, tu, v) =>
+        val cents = math.floor(v * 100 + 0.5).toLong
+        val k = math.min((tNow - tu) / HL, 62L)
+        cents / (1L << k.toInt)
+      }
+      u -> ((xs.length.toLong, contribs.sum))
+    }
+    val got = q("w9_decay_score").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+  }
+
   test("fn1: the earliest-completion funnel equals a plain-Scala " +
     "replay, and the funnel is monotone (each step loses users)") {
     val ev = Tables.events(spark, sf)

@@ -49,6 +49,9 @@ class ScanCountSpec extends SparkSpec {
       "m7_snapshot_diff", "r3_interval_overlap", "s1_ann_brute",
       "s2_ann_lsh", "s4_knn_join", "u3_union_columns", "u4_union_concat",
       "u6_intersect", "u7_except", "u9_except_all", "w8_global_bin",
+      // w9's 1-row "now" anchor agg re-reads the 3-column pruned
+      // events projection rather than caching the corpus
+      "w9_decay_score",
       // sm6's mixture-rate branch re-reads the 2-column pruned
       // (doc_id, source) projection rather than caching the corpus
       "sm6_temperature_mix",
