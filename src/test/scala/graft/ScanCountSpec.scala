@@ -45,7 +45,6 @@ class ScanCountSpec extends SparkSpec {
       "j3_semi_join", "j4_join_mismatch_filter", "j5_self_join",
       "j6_anti_join", "j7_bloom_prejoin", "j8_salted_join",
       "m4_upsert_latest",
-      "er1_fuzzy_block",
       "m7_snapshot_diff", "r3_interval_overlap", "s1_ann_brute",
       "s2_ann_lsh", "s4_knn_join", "u3_union_columns", "u4_union_concat",
       "u6_intersect", "u7_except", "u9_except_all", "w8_global_bin",
