@@ -571,7 +571,41 @@ object SimilarityOps {
           lit(0.0))), 6).as("std"),
         col("min_x"), col("max_x"))
 
+  /** s6 — the ANN evaluation harness as a first-class query:
+    * recall@3 of every approximate variant (s2 LSH, s3 IVF, s5 PQ)
+    * against s1's exact ground truth — the report every ANN
+    * deployment runs before trusting an index, produced from the
+    * REGISTERED queries verbatim (the rrf1 composition rule: the
+    * evaluated rankings are exactly the served rankings, and the
+    * oracle embeds the constituents' oracle SQL so they cannot
+    * drift). Recall is exact integer ppm: 1000000·hits div possible.
+    *
+    * Scale shape: the constituents run under their established
+    * plans; the ground-truth set (|Q|·3 rows) is persisted for its
+    * three consumers and each comparison is a ≤k·|Q|-row LeftSemi +
+    * count — evaluation cost is rankings-sized, corpus-independent
+    * BY CONSTRUCTION. */
+  private def s6(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val exact = s1(s, d).filter(col("rank") <= 3)
+      .select(col("qid"), col("nid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def row(name: String, approx: DataFrame): DataFrame = {
+      val hits = approx.filter(col("rank") <= 3)
+        .select(col("qid"), col("nid"))
+        .join(exact, Seq("qid", "nid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      hits.crossJoin(broadcast(exact.agg(count(lit(1)).as("possible"))))
+        .select(lit(name).as("variant"), col("hits"), col("possible"),
+          expr("(1000000 * hits) div possible").as("recall_ppm"))
+    }
+    row("s2_ann_lsh", s2(s, d))
+      .union(row("s3_ann_ivf", s3(s, d)))
+      .union(row("s5_ann_pq", s5(s, d)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s6_ann_recall" -> (s6 _),
     "emb1_dim_stats" -> (emb1 _),
     "s1_ann_brute" -> (s1 _),
     "s2_ann_lsh" -> (s2 _),
@@ -656,7 +690,7 @@ object SimilarityOps {
                  /1000000 AS w
              FROM g$i g JOIN w$prev w ON g.dim = w.dim)"""
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     // 2 GD rounds of the hard-sigmoid logistic trainer from the
     // all-zero model, then the final corpus scoring — every
     // arithmetic step mirrors the engine's exactly (sequential-fold
@@ -819,4 +853,28 @@ object SimilarityOps {
             FROM sc)
       SELECT qid, nid, cos, rank FROM r WHERE rank <= 3"""
   )
+
+  /** The constituent rankings embedded verbatim as CTEs (the rrf1
+    * rule), so the recall report can never drift from what s1/s2/s3/s5
+    * actually serve. */
+  val oracles: Map[String, String] = baseOracles +
+    ("s6_ann_recall" -> s"""
+      WITH ex0 AS (${baseOracles("s1_ann_brute")}),
+      v2 AS (${baseOracles("s2_ann_lsh")}),
+      v3 AS (${baseOracles("s3_ann_ivf")}),
+      v5 AS (${baseOracles("s5_ann_pq")}),
+      ex AS (SELECT qid, nid FROM ex0 WHERE rank <= 3),
+      p AS (SELECT count(*) AS possible FROM ex)
+      SELECT 's2_ann_lsh' AS variant, hits, possible,
+        (1000000 * hits) // possible AS recall_ppm FROM
+        (SELECT count(*) AS hits FROM v2 JOIN ex USING (qid, nid)
+         WHERE rank <= 3), p
+      UNION ALL
+      SELECT 's3_ann_ivf', hits, possible, (1000000 * hits) // possible FROM
+        (SELECT count(*) AS hits FROM v3 JOIN ex USING (qid, nid)
+         WHERE rank <= 3), p
+      UNION ALL
+      SELECT 's5_ann_pq', hits, possible, (1000000 * hits) // possible FROM
+        (SELECT count(*) AS hits FROM v5 JOIN ex USING (qid, nid)
+         WHERE rank <= 3), p""")
 }

@@ -1426,6 +1426,26 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("s6: recall report replays exactly from the registered " +
+    "rankings, and the exact baseline scores recall 1 against itself") {
+    val exact = q("s1_ann_brute").collect()
+      .filter(_.getInt(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(name: String): (Long, Long) = {
+      val approx = q(name).collect()
+        .filter(_.getInt(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+      (approx.count(exact).toLong, exact.size.toLong)
+    }
+    val expected = Seq("s2_ann_lsh", "s3_ann_ivf", "s5_ann_pq").map { n =>
+      val (h, p) = recallOf(n)
+      n -> ((h, p, 1000000L * h / p))
+    }.toMap
+    val got = q("s6_ann_recall").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    assert(got.values.forall { case (h, p, ppm) => h <= p && ppm <= 1000000L })
+  }
+
   test("u10: the melt totals reconcile with direct per-column " +
     "aggregates (same cent quantization, no row lost in the stack)") {
     val li = Tables.lineitem(spark, sf)
