@@ -257,7 +257,38 @@ object PipelineOps {
         .as("dup_rate"))
   }
 
+  /** pipe4 — the domain-tilt curation path, composing this round's
+    * operators end to end from their REGISTERED forms (the rrf1/s6
+    * composition rule — the pipeline runs exactly what each operator
+    * serves, and the oracle embeds each constituent's oracle SQL):
+    * DSIR importance selection picks the target-tilted top docs
+    * (dsir1) → the line-dedup rewrite reports their deboilerplated
+    * state (d11) → the BPE tokenizer prices them (tok1) → one
+    * per-source report of the tilted, cleaned, tokenized selection:
+    * docs kept, boilerplate lines dropped, clean chars, BPE tokens.
+    *
+    * Scale shape: the selection is TakeOrderedAndProject-bounded
+    * (100 rows) and BROADCASTS into the per-doc d11/tok1 relations —
+    * the join cost is selection-sized; the constituents keep their
+    * own plans; the report agg is |sources| rows. All integers. */
+  private def pipe4(s: SparkSession, d: String): DataFrame = {
+    val sel = SampleOps.queries("dsir1_importance")(s, d)
+      .select(col("doc_id"), col("source"))
+    val cln = DedupOps.queries("d11_line_dedup")(s, d)
+      .select(col("doc_id"), col("n_dropped"), col("clean_len"))
+    val tok = RetrievalOps.queries("tok1_bpe_apply")(s, d)
+      .select(col("doc_id"), col("bpe_tokens"))
+    cln.join(broadcast(sel), Seq("doc_id"))
+      .join(tok, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_dropped")).as("lines_dropped"),
+        sum(col("clean_len")).as("clean_chars"),
+        sum(col("bpe_tokens")).as("bpe_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe4_domain_tilt" -> (pipe4 _),
     "pipe3_data_card" -> (pipe3 _),
     "pipe1_curation" -> (pipe1 _),
     "pipe2_chunk_pack" -> (pipe2 _),
@@ -268,6 +299,18 @@ object PipelineOps {
   private val H = "('0x' || substr(md5(%s::VARCHAR),1,15))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    // each constituent's oracle SQL embedded verbatim — the composed
+    // report cannot drift from what dsir1/d11/tok1 individually serve
+    "pipe4_domain_tilt" -> s"""
+      WITH sel0 AS (${SampleOps.oracles("dsir1_importance")}),
+      cln AS (${DedupOps.oracles("d11_line_dedup")}),
+      tok AS (${RetrievalOps.oracles("tok1_bpe_apply")})
+      SELECT sel0.source, count(*) AS n_docs,
+        CAST(sum(cln.n_dropped) AS BIGINT) AS lines_dropped,
+        CAST(sum(cln.clean_len) AS BIGINT) AS clean_chars,
+        CAST(sum(tok.bpe_tokens) AS BIGINT) AS bpe_tokens
+      FROM cln JOIN sel0 USING (doc_id) JOIN tok USING (doc_id)
+      GROUP BY 1""",
     "pipe1_curation" -> s"""
       WITH g AS (SELECT doc_id, source, text FROM documents
                  WHERE len(string_split(text, ' ')) BETWEEN 5 AND 1000),

@@ -1426,6 +1426,26 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("pipe4: the domain-tilt report is EXACTLY the join of the " +
+    "registered dsir1/d11/tok1 outputs, re-aggregated in plain Scala") {
+    val sel = q("dsir1_importance").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cln = q("d11_line_dedup").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val tok = q("tok1_bpe_apply").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val expected = sel.toSeq.map { case (id, src) =>
+      (src, cln(id)._1, cln(id)._2, tok(id))
+    }.groupBy(_._1).map { case (src, xs) =>
+      src -> ((xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).sum,
+        xs.map(_._4).sum))
+    }
+    val got = q("pipe4_domain_tilt").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+  }
+
   test("s6: recall report replays exactly from the registered " +
     "rankings, and the exact baseline scores recall 1 against itself") {
     val exact = q("s1_ann_brute").collect()

@@ -85,6 +85,10 @@ class ScanCountSpec extends SparkSpec {
       // (the cls2/voc1 adjudication)
       "fn1_funnel" -> ((3, 0)),
       "s3_ann_ivf" -> ((4, 0)),
+      // pipe4 composes registered dsir1 (cached tf → 0-1 scans),
+      // d11 (1 rewrite scan + cached segs) and tok1 (1 scan); the
+      // measured tree is 2 FileScans — the constituents' sum
+      "pipe4_domain_tilt" -> ((2, 0)),
       // rrf1 composes the registered x11 (1 scan + cached hits) and
       // s1 (2 embedding scans) verbatim; fusion adds NO scan of its
       // own — the budget is exactly the constituents' sum
