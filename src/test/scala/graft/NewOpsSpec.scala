@@ -1395,9 +1395,8 @@ class NewOpsSpec extends SparkSpec {
   test("tok1: the merge chain replays the trained merges on fixture " +
     "words exactly (greedy left-to-right, rank order)") {
     import spark.implicits._
-    // hand-derived: "order" = o r d e r → er first (rank 1) → o r d er
-    //   → or → [or, d, er] = 3... wait — ' o r ' applies AFTER er;
-    // spelled out in the expected map below, derived by hand.
+    // each expected count hand-derived by applying the merges in rank
+    // order (the per-word comments show the derivations)
     val expected = Map(
       "the" -> 3,    // t h e: no merge applies
       "in" -> 1,     // i n → in
@@ -1414,15 +1413,17 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
-  test("tok1: token economics bound — chars >= bpe_tokens >= ws_tokens, " +
-    "compression >= 1, on every doc") {
+  test("tok1: token economics bound — ws <= bpe <= chars + ws on " +
+    "every doc (the +ws slack covers empty split tokens, which count " +
+    "1 BPE token but 0 chars — robust to regenerated whitespace)") {
     val rows = q("tok1_bpe_apply").collect()
     assert(rows.length === 500)
     rows.foreach { r =>
       val (ws, chars, bpe) = (r.getLong(1), r.getLong(2), r.getLong(3))
-      assert(bpe <= chars, s"doc ${r.getLong(0)}: merging cannot add tokens")
+      // per word w: 1 <= tokens(w) <= max(len(w), 1), so summed:
+      assert(bpe <= chars + ws, s"doc ${r.getLong(0)}: merging cannot add tokens")
       assert(bpe >= ws, s"doc ${r.getLong(0)}: every word is >= 1 token")
-      assert(r.getDouble(4) >= 1.0)
+      assert(r.getDouble(4) > 0.0)
     }
   }
 
@@ -1455,6 +1456,11 @@ class NewOpsSpec extends SparkSpec {
         .filter(_.getInt(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
       (approx.count(exact).toLong, exact.size.toLong)
     }
+    // the titled self-recall invariant: the ground truth against
+    // itself is a perfect 1.0 (catches a wrong rank cutoff in the
+    // exact-set construction)
+    val (selfHits, selfPossible) = recallOf("s1_ann_brute")
+    assert(selfHits === selfPossible && selfPossible > 0)
     val expected = Seq("s2_ann_lsh", "s3_ann_ivf", "s5_ann_pq").map { n =>
       val (h, p) = recallOf(n)
       n -> ((h, p, 1000000L * h / p))
@@ -1509,12 +1515,12 @@ class NewOpsSpec extends SparkSpec {
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("tu"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    val HOUR = 86400000000L
+    val WINDOW_US = 86400000000L  // == WindowOps.FN1_WINDOW_US (24 h)
     val byUser = ev.groupBy(_._1)
     def anchors(prev: Map[Long, Long], evType: String): Map[Long, Long] =
       prev.flatMap { case (u, t0) =>
         byUser.getOrElse(u, Array.empty)
-          .filter { case (_, ty, tu) => ty == evType && tu > t0 && tu <= t0 + HOUR }
+          .filter { case (_, ty, tu) => ty == evType && tu > t0 && tu <= t0 + WINDOW_US }
           .map(_._3).minOption.map(u -> _)
       }
     val s1 = ev.filter(_._2 == "view").groupBy(_._1)

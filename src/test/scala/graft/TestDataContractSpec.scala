@@ -46,6 +46,16 @@ class TestDataContractSpec extends SparkSpec {
       // inside s*/km1/lr1 instead of here by name)
       Seq("vec_id", "label").foreach(c =>
         assert(emb.fieldNames.contains(c), s"$dir embeddings missing $c"))
+      // the 64-dimension contract that SimilarityOps.DIMS and the
+      // emb1/s*/km1 oracles (generate_series(1,64)) hard-code — a
+      // regenerated dimension would otherwise surface as an opaque
+      // hash mismatch instead of failing here by name
+      val dims = Tables.embeddings(spark, dir)
+        .select(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("embedding")).as("n"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      assert(dims == Set(64),
+        s"$dir embeddings dims $dims, engine+oracles assume exactly 64")
     }
   }
 
