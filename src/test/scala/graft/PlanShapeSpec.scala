@@ -529,4 +529,27 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(q("x15_zipf"))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("dsir1's vocabulary-sized LLR join carries NO broadcast hint — " +
+    "it degrades to a term-keyed merge join when broadcast is off " +
+    "(a forced hint would survive the threshold)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val p = plan(q("dsir1_importance"))
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("er1's distinct-name pair join is a keyed equi-join — never a " +
+    "cartesian or nested loop") {
+    val p = plan(q("er1_fuzzy_block"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
