@@ -266,7 +266,7 @@ object RetrievalOps {
     * way a trained tokenizer ships its merges file; the same constant
     * generates the oracle's replace chain so the two engines cannot
     * disagree on the vocabulary. */
-  private val MERGES: Seq[(Char, Char)] = Seq(
+  private[graft] val tok1Merges: Seq[(Char, Char)] = Seq(
     ('e', 'r'), ('i', 'n'), ('o', 'w'), ('o', 'r'),
     ('s', 't'), ('m', 'e'), ('t', 'o'), ('a', 't'))
 
@@ -278,12 +278,12 @@ object RetrievalOps {
     * merged segmentations are identical. `esc` is each dialect's
     * spelling of the char-explode regexp_replace. */
   private def mergeChain(esc: String): String =
-    MERGES.foldLeft(s"concat(' ', $esc)") { case (acc, (a, b)) =>
+    tok1Merges.foldLeft(s"concat(' ', $esc)") { case (acc, (a, b)) =>
       s"replace($acc, ' $a $b ', ' $a$b ')"
     }
 
   /** tok1 — BPE tokenizer APPLY, the serve side of bpe1's training
-    * side: re-segment every document with the frozen [[MERGES]] table
+    * side: re-segment every document with the frozen [[tok1Merges]] table
     * and report per-doc token economics (whitespace words, raw chars =
     * the token count BEFORE any merge, BPE tokens after the merges,
     * and the compression ratio — the "how many tokens will this cost

@@ -1413,6 +1413,17 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("tok1's frozen merge table stays consistent with bpe1's live " +
+    "training output — every shipped merge is a current top-20 pair " +
+    "(a regenerated corpus that shifts the pair statistics fails " +
+    "here by name, prompting a MERGES refresh)") {
+    val top = q("bpe1_pair_merge").collect().map(_.getString(0)).toSet
+    val shipped = graft.operators.RetrievalOps.tok1Merges
+      .map { case (a, b) => s"$a$b" }
+    shipped.foreach(m => assert(top.contains(m),
+      s"merge '$m' no longer in bpe1's top-20 $top — refresh MERGES"))
+  }
+
   test("tok1: token economics bound — ws <= bpe <= chars + ws on " +
     "every doc (the +ws slack covers empty split tokens, which count " +
     "1 BPE token but 0 chars — robust to regenerated whitespace)") {
