@@ -571,8 +571,12 @@ object RelationalOps {
     * Generate, not a join and not a kernel) — the melt of a 100 TB
     * fact table is the same single scan with 4× row fan-out feeding
     * one partial+final agg on a 4-value key. */
-  private def u10(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  /** u10's stateless half — the melt itself (stack + cent
+    * quantization), exposed so the streaming parity spec can prove it
+    * runs UNCHANGED over micro-batches (the ck1/tok1 pattern); the
+    * final per-measure agg is the only stateful piece. */
+  private[graft] def meltCents(lineitem: DataFrame): DataFrame =
+    lineitem
       .select(expr(
         """stack(4,
           |  'l_quantity', l_quantity,
@@ -581,6 +585,9 @@ object RelationalOps {
           |  'l_tax', l_tax) AS (measure, v)""".stripMargin))
       .select(col("measure"),
         expr("CAST(floor(v * 100 + 0.5) AS BIGINT)").as("cents"))
+
+  private def u10(s: SparkSession, d: String): DataFrame =
+    meltCents(Tables.lineitem(s, d))
       .groupBy(col("measure"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
         min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))

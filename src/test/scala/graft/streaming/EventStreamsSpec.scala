@@ -267,6 +267,28 @@ class EventStreamsSpec extends SparkSpec {
       id == 1L && ws == 3L && ch == 14L && bpe == 10L })
   }
 
+  test("the unpivot melt is streamable UNCHANGED — u10's stack + cent " +
+    "quantization over micro-batches equals the batch melt; only the " +
+    "per-measure agg is stateful") {
+    val rows = Seq(Li(3.0, 1234.56, 0.05, 0.02), Li(7.0, 99.99, 0.0, 0.08))
+    val mem = MemoryStream[Li]
+    val q = graft.operators.RelationalOps.meltCents(mem.toDF())
+      .writeStream.format("memory").queryName("melt_stream")
+      .outputMode("append").start()
+    mem.addData(rows(0))
+    q.processAllAvailable()
+    mem.addData(rows(1)) // later micro-batch melts independently
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("melt_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val batch = graft.operators.RelationalOps
+      .meltCents(rows.toDF())
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.contains(("l_extendedprice", 123456L)))
+  }
+
   test("watermarked stream-stream join pairs events within the hour bound") {
     val l = MemoryStream[Event]
     val r = MemoryStream[Event]
@@ -338,3 +360,7 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.json(s"$out/batch=0").count() == rows.length)
   }
 }
+
+/** Top-level so Spark can encode it without an outer-scope capture. */
+case class Li(l_quantity: Double, l_extendedprice: Double,
+  l_discount: Double, l_tax: Double)
