@@ -287,7 +287,42 @@ object PipelineOps {
         sum(col("bpe_tokens")).as("bpe_tokens"))
   }
 
+  /** cur1 — curriculum phase assignment, the data-ORDERING stage of a
+    * training recipe (easy→hard pacing): every document is placed in
+    * a global quality quartile computed from the REGISTERED x2 score
+    * (composition rule again), and the report is the per-phase census
+    * a curriculum schedule reads. The binning is w8's scale-correct
+    * GLOBAL-quantile shape verbatim: one exact-percentile aggregate →
+    * 4-row broadcast band dimension → scan-speed band join — no
+    * global sort, no window over the corpus; cut-points are rounded
+    * (portable floor form) on both engines before binning so a
+    * sub-ulp interpolation difference can't flip a boundary doc.
+    * The scored relation is persisted (doc-count × 2 narrow columns)
+    * for its two consumers (the percentile agg and the band join). */
+  private def cur1(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val scored = TextOps.queries("x2_quality_score")(s, d)
+      .select(col("doc_id"), col("quality"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cuts = scored
+      .agg(expr("percentile(quality, array(0.25, 0.5, 0.75))").as("c"))
+      .select(transform(col("c"), x => roundFp(x, 6)).as("c"))
+      .select(
+        concat(array(lit(Double.NegativeInfinity)), col("c")).as("los"),
+        concat(col("c"), array(lit(Double.PositiveInfinity))).as("his"))
+    val bands = cuts
+      .select(col("his"), posexplode(col("los")).as(Seq("phase", "lo")))
+      .select(col("phase"), col("lo"),
+        element_at(col("his"), col("phase") + 1).as("hi"))
+    scored.join(broadcast(bands),
+        col("quality") >= col("lo") && col("quality") < col("hi"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality")).as("q_lo"), max(col("quality")).as("q_hi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur1_curriculum" -> (cur1 _),
     "pipe4_domain_tilt" -> (pipe4 _),
     "pipe3_data_card" -> (pipe3 _),
     "pipe1_curation" -> (pipe1 _),
@@ -299,6 +334,22 @@ object PipelineOps {
   private val H = "('0x' || substr(md5(%s::VARCHAR),1,15))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    // x2's oracle embedded verbatim; quantile_cont == Spark's exact
+    // percentile (the w8 precedent), cut-points floor-rounded on both
+    // sides before binning
+    "cur1_curriculum" -> s"""
+      WITH xq AS (${TextOps.oracles("x2_quality_score")}),
+      c AS (SELECT quantile_cont(quality, [0.25, 0.5, 0.75]) AS c FROM xq),
+      cuts AS (SELECT list_transform(c, x ->
+                 floor(x*1000000 + 0.5)/1000000) AS c FROM c),
+      bands AS (SELECT i AS phase,
+          CASE WHEN i = 0 THEN '-infinity'::DOUBLE ELSE c[i] END AS lo,
+          CASE WHEN i = 3 THEN 'infinity'::DOUBLE ELSE c[i+1] END AS hi
+        FROM cuts, generate_series(0, 3) t(i))
+      SELECT CAST(phase AS INT) AS phase, count(*) AS n_docs,
+        min(quality) AS q_lo, max(quality) AS q_hi
+      FROM xq JOIN bands ON quality >= lo AND quality < hi
+      GROUP BY 1""",
     // each constituent's oracle SQL embedded verbatim — the composed
     // report cannot drift from what dsir1/d11/tok1 individually serve
     "pipe4_domain_tilt" -> s"""

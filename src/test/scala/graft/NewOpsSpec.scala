@@ -1438,6 +1438,25 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("cur1: phases partition the corpus, quality ranges are " +
+    "disjoint and ordered, and quartiles are roughly balanced") {
+    val rows = q("cur1_curriculum").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    assert(rows.map(_._2).sum === 500L, "every doc lands in exactly one phase")
+    rows.foreach { case (p, n, lo, hi) =>
+      assert(lo <= hi, s"phase $p")
+      assert(n >= 25L, s"phase $p holds ${n} docs — quartiles should be " +
+        "roughly balanced (>= 5% each)")
+    }
+    rows.sliding(2).foreach {
+      case Array((_, _, _, hi1), (_, _, lo2, _)) =>
+        assert(hi1 < lo2, "band binning keeps phase quality ranges disjoint")
+      case _ =>
+    }
+  }
+
   test("pipe4: the domain-tilt report is EXACTLY the join of the " +
     "registered dsir1/d11/tok1 outputs, re-aggregated in plain Scala") {
     val sel = q("dsir1_importance").collect()
