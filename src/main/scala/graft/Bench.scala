@@ -10,6 +10,13 @@ package graft
   * against the single-node baseline means.
   */
 object Bench {
+  /** The stdout-record key for a query: its unique prefix before the
+    * first '_' (d9_substring_spans -> d9). private[graft] so
+    * BenchContractSpec pins the SAME function bijective against
+    * SparkEntry.queries — a rename that collides two timings fails at
+    * test time, not mid-bench. */
+  private[graft] def shortKey(name: String): String = name.takeWhile(_ != '_')
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
@@ -43,7 +50,7 @@ object Bench {
     // before the first '_' (d9_substring_spans -> d9; uniqueness is
     // asserted) and park the full-name map in BENCH_FULL.json next to
     // the repo for human/judge reading.
-    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    val shortKeys = results.map(r => shortKey(r._1))
     require(shortKeys.distinct.size == results.size,
       "query short-key collision: " +
         shortKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.mkString(","))

@@ -747,7 +747,10 @@ object DedupOps {
   /** d11's segment width (tokens per "line"). The synthetic documents
     * carry no newlines, so the line unit of CCNet-style dedup is a
     * fixed-width token segment — the distributed shape is identical. */
-  private val D11_SEG = 10
+  // private[graft] so the replay specs reference THIS constant — a
+  // width change then retests the same contract instead of silently
+  // comparing against a stale hard-coded 10
+  private[graft] val D11_SEG = 10
 
   /** d11 — boilerplate-line removal, the REWRITE pass of line-level
     * dedup (CCNet / RefinedWeb run exactly this over every crawl):

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 import graft.functions.Fns._
 
@@ -381,11 +382,15 @@ object SimilarityOps {
     *   - the per-(cell, dim) aggregation partial-aggregates map-side,
     *     so the one exchange carries ≤ partitions·k·dims narrow rows
     *     regardless of corpus size; vectors never shuffle.
-    *   - the corpus projection is materialized once (localCheckpoint)
-    *     and reused by every iteration — Lloyd is inherently
-    *     multi-pass, but each pass is a memory-local rescan, not a
-    *     parquet re-read. The per-iteration collect is the bounded
-    *     k·dims model fetch (256 rows here), not data.
+    *   - the corpus projection is materialized once
+    *     (persist(MEMORY_AND_DISK) — NEVER localCheckpoint: lineage
+    *     truncation on a corpus-scale relation makes executor loss an
+    *     unrecoverable job failure at 100 TB; the repo invariant is
+    *     "checkpoint signatures, never the corpus") and reused by
+    *     every iteration — Lloyd is inherently multi-pass, but each
+    *     pass is a memory-local rescan, not a parquet re-read. The
+    *     per-iteration collect is the bounded k·dims model fetch
+    *     (256 rows here), not data.
     * An empty cell keeps its previous centroid (standard Lloyd
     * degeneracy handling); the fixture corpus never triggers it
     * (spec-asserted), which keeps the oracle expressible. */
@@ -395,7 +400,7 @@ object SimilarityOps {
       : (DataFrame, Seq[(Int, Seq[Double])]) = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val init: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < KM_K)
       .orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
@@ -463,13 +468,17 @@ object SimilarityOps {
     least(greatest(lit(0.25) * z + lit(0.5), lit(0.0)), lit(1.0))
 
   /** Training corpus: 64-dim double features + the binary target
-    * (label < 5), projected once and reused by every GD pass. */
+    * (label < 5), projected once and reused by every GD pass.
+    * persist(MEMORY_AND_DISK), not localCheckpoint — corpus-scale
+    * relations keep their lineage so a lost executor recomputes its
+    * partitions instead of killing the job (repo invariant:
+    * "checkpoint signatures, never the corpus"). */
   private[graft] def lrCorpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"),
         when(col("label") < 5, lit(1.0)).otherwise(lit(0.0)).as("y"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** w(0) = bias, w(d) = coefficient of emb[d] (d = 1..LR_DIMS). */
   private[graft] val lrInit: Seq[Double] = Seq.fill(LR_DIMS + 1)(0.0)
@@ -586,7 +595,6 @@ object SimilarityOps {
     * count — evaluation cost is rankings-sized, corpus-independent
     * BY CONSTRUCTION. */
   private def s6(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val exact = s1(s, d).filter(col("rank") <= 3)
       .select(col("qid"), col("nid"))
       .persist(StorageLevel.MEMORY_AND_DISK)

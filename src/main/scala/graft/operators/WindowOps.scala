@@ -138,7 +138,9 @@ object WindowOps {
   /** fn1's per-step conversion deadline: 24 hours in microseconds
     * (sized so the funnel completes at every test sf — event spacing
     * stretches as sf shrinks; production picks its own deadline). */
-  private val FN1_WINDOW_US = 86400000000L
+  // private[graft] so the replay spec references THIS constant — a
+  // deadline change retests the same contract, not a stale literal
+  private[graft] val FN1_WINDOW_US = 86400000000L
 
   /** fn1 — conversion-funnel analysis (view → click → purchase), the
     * sequential-pattern op the plain window family doesn't cover:

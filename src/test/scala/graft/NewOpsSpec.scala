@@ -1340,11 +1340,12 @@ class NewOpsSpec extends SparkSpec {
     "text-keyed recomputation, and the rewrite accounting balances") {
     // independent plan: group segment TEXT directly (no hashing, no
     // persist, no index plumbing) — per-doc drop counts must agree
+    val SEG = graft.operators.DedupOps.D11_SEG
     val segTexts = Tables.documents(spark, sf)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, (size(t) + 9) div 10 - 1),
-          |  i -> array_join(slice(t, i * 10 + 1, 10), ' '))""".stripMargin))
+        s"""transform(sequence(0, (size(t) + ${SEG - 1}) div $SEG - 1),
+           |  i -> array_join(slice(t, i * $SEG + 1, $SEG), ' '))""".stripMargin))
         .as("seg"))
     val badSegs = segTexts.distinct()
       .groupBy(col("seg")).agg(countDistinct(col("doc_id")).as("nd"))
@@ -1374,7 +1375,8 @@ class NewOpsSpec extends SparkSpec {
       .select(col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getString(1))
     def segsOf(text: String): Seq[String] =
-      text.split(" ", -1).grouped(10).map(_.mkString(" ")).toSeq
+      text.split(" ", -1).grouped(graft.operators.DedupOps.D11_SEG)
+        .map(_.mkString(" ")).toSeq
     val docCount = docs.flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
       .groupBy(_._1).map { case (seg, xs) => seg -> xs.length }
     val expected = docs.map { case (id, t) =>
@@ -1434,7 +1436,10 @@ class NewOpsSpec extends SparkSpec {
       // per word w: 1 <= tokens(w) <= max(len(w), 1), so summed:
       assert(bpe <= chars + ws, s"doc ${r.getLong(0)}: merging cannot add tokens")
       assert(bpe >= ws, s"doc ${r.getLong(0)}: every word is >= 1 token")
-      assert(r.getDouble(4) > 0.0)
+      // an all-whitespace doc has n_chars=0 and bpe>=1, so compression
+      // is legitimately 0.0 — only positive-content docs must compress
+      if (chars > 0) assert(r.getDouble(4) > 0.0)
+      else assert(r.getDouble(4) == 0.0)
     }
   }
 
@@ -1545,7 +1550,7 @@ class NewOpsSpec extends SparkSpec {
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("tu"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    val WINDOW_US = 86400000000L  // == WindowOps.FN1_WINDOW_US (24 h)
+    val WINDOW_US = graft.operators.WindowOps.FN1_WINDOW_US
     val byUser = ev.groupBy(_._1)
     def anchors(prev: Map[Long, Long], evType: String): Map[Long, Long] =
       prev.flatMap { case (u, t0) =>

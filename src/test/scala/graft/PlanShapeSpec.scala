@@ -533,7 +533,9 @@ class PlanShapeSpec extends SparkSpec {
   test("dsir1's vocabulary-sized LLR join carries NO broadcast hint — " +
     "it degrades to a term-keyed merge join when broadcast is off " +
     "(a forced hint would survive the threshold)") {
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
@@ -541,8 +543,13 @@ class PlanShapeSpec extends SparkSpec {
       assert(p.contains("SortMergeJoin"), p)
       assert(!p.contains("CartesianProduct"), p)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      // restore BOTH keys symmetrically — unset only what was unset,
+      // so a session-level override set by another suite survives
+      prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prevAqe.fold(
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
     }
   }
 

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source-level invariants the plan-shape specs can't see.
+  *
+  * The one pinned here is the r6 storage rule: **checkpoint
+  * signatures, never the corpus**. `localCheckpoint` truncates
+  * lineage and stores the data in executor-local storage only — on a
+  * real cluster a lost executor then makes the relation
+  * unrecoverable, which is fine for a model-sized or signature-sized
+  * intermediate (cheap to rebuild by rerunning the query) but fatal
+  * for a corpus-scale relation at 100 TB. Corpus-scale projections
+  * must use `persist(StorageLevel.MEMORY_AND_DISK)` so lineage
+  * survives and a lost partition recomputes.
+  *
+  * DedupOps is the single allowlisted caller: its checkpoint sites
+  * are the memoized MinHash SIGNATURE table and the d7/d9/d10
+  * label/candidate sets — signature-scale by construction (the point
+  * of the r9 hashed-shingle payload). Any new `localCheckpoint` in
+  * another file fails here BY NAME so the next trainer can't
+  * reintroduce the kmInit/lrCorpus regression this spec retired.
+  */
+class SourceInvariantSpec extends AnyFunSuite {
+
+  private def scalaSources(dir: java.io.File): Seq[java.io.File] = {
+    val kids = Option(dir.listFiles()).getOrElse(Array.empty)
+    kids.filter(_.isFile).filter(_.getName.endsWith(".scala")).toSeq ++
+      kids.filter(_.isDirectory).flatMap(scalaSources)
+  }
+
+  test("localCheckpoint appears only in DedupOps (signature-scale " +
+    "relations) — corpus-scale projections must persist(MEMORY_AND_DISK)") {
+    val root = new java.io.File("src/main/scala/graft")
+    assert(root.isDirectory, s"source root not found at ${root.getAbsolutePath}")
+    val offenders = scalaSources(root).filter { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      // strip line comments and scaladoc so prose mentions don't trip it
+      val code = try src.getLines()
+        .map(l => l.replaceAll("//.*$", ""))
+        .filterNot(l => l.trim.startsWith("*") || l.trim.startsWith("/**"))
+        .mkString("\n")
+      finally src.close()
+      code.contains(".localCheckpoint(")
+    }.map(_.getName).toSet
+    assert(offenders.subsetOf(Set("DedupOps.scala")),
+      s"localCheckpoint outside the allowlist: ${offenders - "DedupOps.scala"} — " +
+        "corpus-scale relations must keep lineage; use " +
+        "persist(StorageLevel.MEMORY_AND_DISK) instead")
+  }
+
+  test("Bench's short-key mapping stays bijective with " +
+    "SparkEntry.queries — a rename that collides two prefixes would " +
+    "mis-attribute a timing in BENCH_r*.json; fail here, not mid-bench") {
+    val names = SparkEntry.queries.keys.toSeq
+    val byShort = names.groupBy(Bench.shortKey)
+    val collisions = byShort.collect { case (k, vs) if vs.size > 1 => k -> vs }
+    assert(collisions.isEmpty,
+      s"short-key collisions: ${collisions.mkString("; ")}")
+    assert(byShort.size == names.size)
+    // and every oracle key names a registered query (a typo'd oracle
+    // entry would silently become a dangling record in the gate)
+    val dangling = SparkEntry.oracleSql.keySet -- names.toSet
+    assert(dangling.isEmpty, s"oracleSql keys without a query: $dangling")
+  }
+}

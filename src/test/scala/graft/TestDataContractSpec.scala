@@ -59,6 +59,22 @@ class TestDataContractSpec extends SparkSpec {
     }
   }
 
+  test("part.p_name always carries the 2nd word er1 blocks on " +
+    "(a 1-word p_name would give a NULL noun: the engine's sameName " +
+    "branch would emit a dist-0 group the null-rejecting oracle " +
+    "equi-join drops — fail here by name instead)") {
+    import org.apache.spark.sql.functions.{col, split, element_at, length}
+    sfs.foreach { dir =>
+      val short = Tables.part(spark, dir)
+        .filter(element_at(split(col("p_name"), " "), 2).isNull
+          || length(element_at(split(col("p_name"), " "), 2)) === 0)
+        .count()
+      assert(short == 0L,
+        s"$dir: $short part rows lack a 2nd p_name word — er1's " +
+          "blocking noun is NULL there; revisit er1's sameName branch")
+    }
+  }
+
   test("events carries the full column set the temporal/streaming " +
     "surface keys on (w*, r3, x5, sm1, EventStreams)") {
     sfs.foreach { dir =>
