@@ -73,8 +73,10 @@ object DedupOps {
   private[graft] def d2Pairs(s: SparkSession, d: String): DataFrame =
     pairMemo.getOrElseUpdate((s, d), computeD2Pairs(s, d, D2_BROADCAST_MAX_DOCS))
 
-  /** The O(N) MinHash signature table (doc_id, sh, mh) — distinct
-    * bigram shingles + 8 seeded minhashes per doc. Signature
+  /** The O(N) MinHash signature table (doc_id, sh, mh) — the distinct
+    * bigram shingle set as 8-byte md5-long KEYS (never the strings;
+    * ~10× smaller checkpoint payload, see [[buildSignatures]]) + 8
+    * seeded minhashes per doc. Signature
     * computation is a typed kernel: 8 seeded md5 minhashes over every
     * shingle is pure dense hashing, which interpreted higher-order
     * expressions evaluate ~10x slower (the declarative minhash
@@ -125,7 +127,15 @@ object DedupOps {
               }
               min
             }
-            Some((id, sh, mh))
+            // the STORED shingle set is the 8-byte md5-long key, not
+            // the string: banding only needs mh, and verification
+            // Jaccard is over DISTINCT elements, so hashed keys
+            // suffice under the repo's d2/sm* collision convention
+            // (60-bit keys; a collision merges two shingles on both
+            // engine and oracle identically). This cuts the
+            // checkpointed payload ~10× and the verify-path shuffle
+            // with it — the strings never leave this kernel.
+            Some((id, sh.map(md5LongLocal).distinct, mh))
           }
         }
       }
@@ -170,7 +180,7 @@ object DedupOps {
         // small corpus: broadcast the doc→shingle-set map; candidate
         // pairs score against task-local memory, zero extra shuffles
         val setsMap = s.sparkContext.broadcast(
-          docs.select(col("doc_id"), col("sh")).as[(Long, Seq[String])]
+          docs.select(col("doc_id"), col("sh")).as[(Long, Seq[Long])]
             .collect().map { case (id, sh) => id -> sh.toSet }.toMap)
         cand.as[(Long, Long)]
           .mapPartitions(_.flatMap { case (i, j) =>
@@ -190,7 +200,7 @@ object DedupOps {
           .join(sigs.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
           .join(sigs.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
           .select(col("i"), col("j"), col("sh_i"), col("sh_j"))
-          .as[(Long, Long, Seq[String], Seq[String])]
+          .as[(Long, Long, Seq[Long], Seq[Long])]
           .mapPartitions(_.flatMap { case (i, j, shi, shj) =>
             scorePair(i, shi.toSet, j, shj.toSet)
           })
@@ -206,8 +216,8 @@ object DedupOps {
   /** d2's exact-Jaccard scoring kernel — one definition shared by the
     * broadcast and shuffle verification paths so the gate can never
     * drift the semantics. */
-  private def scorePair(i: Long, sa: Set[String], j: Long,
-      sb: Set[String]): Option[(Long, Long, Double)] = {
+  private def scorePair(i: Long, sa: Set[Long], j: Long,
+      sb: Set[Long]): Option[(Long, Long, Double)] = {
     val inter = if (sa.size <= sb.size) sa.count(sb) else sb.count(sa)
     val jac = inter.toDouble / (sa.size + sb.size - inter).toDouble
     if (geqSql(jac, 0.5)) Some((i, j, round6(jac))) else None
@@ -722,7 +732,7 @@ object DedupOps {
       .join(sigs.select(col("doc_id").as("inc"), col("sh").as("sh_i")), "inc")
       .join(sigs.select(col("doc_id").as("ref"), col("sh").as("sh_j")), "ref")
       .select(col("inc"), col("ref"), col("sh_i"), col("sh_j"))
-      .as[(Long, Long, Seq[String], Seq[String])]
+      .as[(Long, Long, Seq[Long], Seq[Long])]
       .mapPartitions(_.flatMap { case (i, j, shi, shj) =>
         scorePair(i, shi.toSet, j, shj.toSet)
       })
@@ -982,9 +992,12 @@ object DedupOps {
       s AS (SELECT doc_id,
               ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS bkt,
               sh FROM t),
-      m AS (SELECT doc_id, bkt, sh, list_transform(generate_series(0,7), k ->
-              list_min(list_transform(sh, x ->
-                ('0x' || substr(md5(k::VARCHAR || ':' || x),1,15))::BIGINT))) AS mh
+      m AS (SELECT doc_id, bkt,
+              list_distinct(list_transform(sh, x ->
+                ('0x' || substr(md5(x),1,15))::BIGINT)) AS shh,
+              list_transform(generate_series(0,7), k ->
+                list_min(list_transform(sh, x ->
+                  ('0x' || substr(md5(k::VARCHAR || ':' || x),1,15))::BIGINT))) AS mh
             FROM s),
       b AS (SELECT doc_id, bkt, g.band AS band,
               mh[2*g.band+1]::VARCHAR || '_' || mh[2*g.band+2]::VARCHAR AS bkey
@@ -994,8 +1007,8 @@ object DedupOps {
               AND x.bkt >= 80 AND y.bkt < 80),
       nr AS (SELECT DISTINCT inc AS doc_id
              FROM c JOIN m a ON c.inc = a.doc_id JOIN m bb ON c.ref = bb.doc_id
-             WHERE len(list_intersect(a.sh, bb.sh))::DOUBLE
-                   / len(list_distinct(a.sh || bb.sh)) >= 0.5),
+             WHERE len(list_intersect(a.shh, bb.shh))::DOUBLE
+                   / len(list_distinct(a.shh || bb.shh)) >= 0.5),
       fp AS (SELECT doc_id,
                ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS bkt,
                ('0x' || substr(md5(lower(trim(text))),1,15))::BIGINT AS content_fp
@@ -1020,9 +1033,12 @@ object DedupOps {
       FROM spans GROUP BY span HAVING count(*) >= 2""",
     "d7_dedup_components" -> s"""
       WITH t AS ($SHINGLES),
-      m AS (SELECT doc_id, sh, list_transform(generate_series(0,7), k ->
-              list_min(list_transform(sh, s ->
-                ('0x' || substr(md5(k::VARCHAR || ':' || s),1,15))::BIGINT))) AS mh
+      m AS (SELECT doc_id,
+              list_distinct(list_transform(sh, s ->
+                ('0x' || substr(md5(s),1,15))::BIGINT)) AS shh,
+              list_transform(generate_series(0,7), k ->
+                list_min(list_transform(sh, s ->
+                  ('0x' || substr(md5(k::VARCHAR || ':' || s),1,15))::BIGINT))) AS mh
             FROM t),
       bb AS (SELECT doc_id, g.band AS band,
               mh[2*g.band+1]::VARCHAR || '_' || mh[2*g.band+2]::VARCHAR AS bkey
@@ -1031,8 +1047,8 @@ object DedupOps {
             FROM bb x JOIN bb y ON x.band = y.band AND x.bkey = y.bkey
               AND x.doc_id < y.doc_id),
       p AS (SELECT i, j FROM (
-              SELECT i, j, len(list_intersect(a.sh, b2.sh))::DOUBLE
-                / len(list_distinct(a.sh || b2.sh)) AS jac
+              SELECT i, j, len(list_intersect(a.shh, b2.shh))::DOUBLE
+                / len(list_distinct(a.shh || b2.shh)) AS jac
               FROM c JOIN m a ON c.i = a.doc_id JOIN m b2 ON c.j = b2.doc_id)
             WHERE jac >= 0.5),
       e AS MATERIALIZED (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
@@ -1053,9 +1069,12 @@ object DedupOps {
       FROM documents GROUP BY 1""",
     "d2_minhash_lsh" -> s"""
       WITH t AS ($SHINGLES),
-      m AS (SELECT doc_id, sh, list_transform(generate_series(0,7), k ->
-              list_min(list_transform(sh, s ->
-                ('0x' || substr(md5(k::VARCHAR || ':' || s),1,15))::BIGINT))) AS mh
+      m AS (SELECT doc_id,
+              list_distinct(list_transform(sh, s ->
+                ('0x' || substr(md5(s),1,15))::BIGINT)) AS shh,
+              list_transform(generate_series(0,7), k ->
+                list_min(list_transform(sh, s ->
+                  ('0x' || substr(md5(k::VARCHAR || ':' || s),1,15))::BIGINT))) AS mh
             FROM t),
       b AS (SELECT doc_id, g.band AS band,
               mh[2*g.band+1]::VARCHAR || '_' || mh[2*g.band+2]::VARCHAR AS bkey
@@ -1064,8 +1083,8 @@ object DedupOps {
             FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey
               AND x.doc_id < y.doc_id),
       p AS (SELECT i, j,
-              len(list_intersect(a.sh, bb.sh))::DOUBLE
-                / len(list_distinct(a.sh || bb.sh)) AS jac
+              len(list_intersect(a.shh, bb.shh))::DOUBLE
+                / len(list_distinct(a.shh || bb.shh)) AS jac
             FROM c JOIN m a ON c.i = a.doc_id JOIN m bb ON c.j = bb.doc_id)
       SELECT i, j, floor(jac*1000000 + 0.5)/1000000 AS jac FROM p WHERE jac >= 0.5""",
     "d3_simhash" -> """
