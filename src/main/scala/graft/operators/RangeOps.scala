@@ -68,8 +68,45 @@ object RangeOps {
     * cover — a filter, not a distinct (no second shuffle). This is the
     * standard spatial-join decomposition, 1-D. */
   private def r3(s: SparkSession, d: String): DataFrame = {
-    val C = 300000000L // 5 min in µs: interval length AND grid cell width
-    r3Binned(s, d, intervalUs = C, cellUs = C)
+    val I = 300000000L // 5 min in µs: the activity-window length
+    r3Binned(s, d, intervalUs = I, cellUs = r3AutoCell(s, d, I))
+  }
+
+  /** Density-derived grid cell width — the r9 autotune replacing the
+    * fixed cell == interval constant.
+    *
+    * Cost model: with per-user interval density ρ (intervals per µs
+    * per user), a width-C grid costs
+    *   shuffle  ≈ 2·n·(1 + I/C)   bin rows (explode + both join sides)
+    *   pairwork ≈ n·ρ·(C + I)     within-cell candidate comparisons
+    * The product rule gives the balance point C* = sqrt(I/ρ): sparse
+    * streams (the fixture: ~67 events/user/month → C* ≈ 11·I) get
+    * COARSER cells — almost no double-binning, groups still ~1 — and
+    * dense streams get finer cells bounding each group's quadratic,
+    * clamped to [I/4, 4096·I] so degenerate stats can't produce a
+    * pathological grid. The decomposition itself is exact for ANY
+    * cell width (NewOpsSpec drives arbitrary ratios against the naive
+    * join), so the knob trades only cost, never correctness — the
+    * oracle stays the naive non-equi join.
+    *
+    * The stats pass is ONE eager 4-aggregate scan of the pruned
+    * (ts, user_id) projection (count/min/max/HLL — deterministic, so
+    * the chosen width and thus the plan are stable run to run). It
+    * runs as its own tiny job before the main plan is built; at
+    * 100 TB the same numbers come from table statistics instead. */
+  private[graft] def r3AutoCell(s: SparkSession, d: String,
+      intervalUs: Long): Long = {
+    val r = Tables.events(s, d)
+      .agg(count(lit(1)), min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts"))), approx_count_distinct(col("user_id")))
+      .head()
+    val n = r.getLong(0)
+    if (n == 0L) return intervalUs
+    val span = math.max(r.getLong(2) - r.getLong(1) + intervalUs, 1L)
+    val users = math.max(r.getLong(3), 1L)
+    val density = n.toDouble / (users.toDouble * span.toDouble)
+    val cStar = math.sqrt(intervalUs.toDouble / density)
+    math.max(intervalUs / 4, math.min(intervalUs * 4096L, cStar.toLong))
   }
 
   /** The generic decomposition behind r3: interval length and cell

@@ -59,4 +59,30 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("m3Materialize writes ref_docs bucketed by the part key — a " +
+    "part-keyed consumer join plans no exchange on the materialized " +
+    "side, and the stored rows equal the live m3 query") {
+    val sf = "/root/testdata/sf0.001"
+    graft.operators.RelationalOps.m3Materialize(spark, sf, "ref_docs_b", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("ref_docs_b")
+        .join(Tables.part(spark, sf),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("refer_count"), col("p_size"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(l_partkey"), plan)
+      // stored table == the live query, row for row
+      val live = graft.SparkEntry.queries("m3_materialize_ref_docs")(spark, sf)
+      assert(spark.table("ref_docs_b").exceptAll(live).count() == 0 &&
+        live.exceptAll(spark.table("ref_docs_b")).count() == 0)
+      // partition-parallel write: more than one data file (no coalesce)
+      val files = spark.table("ref_docs_b").inputFiles
+      assert(files.length > 1, files.mkString(","))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS ref_docs_b")
+    }
+  }
 }

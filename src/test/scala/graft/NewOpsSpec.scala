@@ -744,6 +744,21 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("r3: the autotuned cell width lands at the shuffle/pairwork " +
+    "balance point and inside its clamps — sparse fixture events get " +
+    "a coarser-than-interval cell (fewer bin rows), never a finer one") {
+    val I = 300000000L
+    val c = graft.operators.RangeOps.r3AutoCell(spark, sf, I)
+    assert(c >= I / 4 && c <= I * 4096L, s"cell $c outside clamps")
+    // the fixture is ~tens of events per user per month — far sparser
+    // than one interval per 5 minutes — so C* = sqrt(I/rho) must be
+    // coarser than the interval itself
+    assert(c > I, s"sparse stream autotuned to $c <= interval $I")
+    // deterministic: the stats (count/min/max/HLL) are exact or
+    // seed-free sketches, so the derived plan is stable run to run
+    assert(c == graft.operators.RangeOps.r3AutoCell(spark, sf, I))
+  }
+
   test("pk1: sequence packing — offsets are the exclusive running " +
     "token sums in deterministic shuffle order per shard, pack " +
     "offsets stay inside the budget, and boundary flags are exact") {

@@ -1,0 +1,251 @@
+#!/usr/bin/env python3
+"""Standing x10 scaling gate (dev tooling, driver-side python like
+verify_local.py — NOT part of the shipped library).
+
+The sf ladder (0.001/0.01/0.1) is overhead-dominated: per-query times
+barely move across it, so it cannot distinguish O(n) from O(n^2) — the
+r8 er1 episode (0.75 s at sf0.1, 58.6 s at x10) proved a quadratic can
+sit green in the oracle gate indefinitely. This tool makes the x10
+probe a per-round record so the next accidental quadratic is caught
+the round it lands.
+
+Usage:
+  python3 tools/scale_probe.py gen    # build probe data (idempotent)
+  python3 tools/scale_probe.py run    # bench sf0.1 + both probes,
+                                      #   write BENCH_X10.json
+  python3 tools/scale_probe.py report # recompute BENCH_X10.json from
+                                      #   cached probe bench records
+
+Two probes, both derived from /root/testdata/sf0.1 (SCALE.md "The x10
+scaling experiment"):
+
+- **x10rel** — FK-consistent x10 replication of the RELATIONAL tables
+  (key offsets preserve join semantics; region/nation shared dims;
+  documents/embeddings unchanged — naive replication would fabricate
+  10-way duplicate groups no honest 10x crawl has).
+- **x10doc** — x10 corpus: replicas 1-9 deterministically reshuffle
+  each doc's word order (md5-keyed sort) so near-dup structure is
+  organic, embeddings get a small per-replica shift; relational
+  tables unchanged.
+
+Watchlist rule (documented threshold): a query is flagged when its
+x10/sf0.1 time ratio exceeds the probe threshold — 3.0 for x10rel
+(r8: honest join scaling tops out ~3x per decade) and 8.0 for x10doc
+(pure token-volume costs reach ~6x there), EXCEPT the documented
+OUTPUT-BOUND set on x10doc: the reshuffled corpus is near-dup-DENSE
+by construction, so ops that REPORT PAIRS pay the genuine pair count
+(d2/d4/d7/d10/s4 at 10-69x is the correct answer being bigger, not a
+plan flaw). Queries under MIN_SECS at x10 are never flagged — ratio
+noise on sub-second timings isn't signal.
+
+Exit status: 1 if any non-allowlisted query trips its threshold.
+"""
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.1"
+SCALE_DIR = os.path.join(REPO, "target", "scale")
+REL_DIR = os.path.join(SCALE_DIR, "x10rel")
+DOC_DIR = os.path.join(SCALE_DIR, "x10doc")
+RECORD = os.path.join(REPO, "BENCH_X10.json")
+
+REL_THRESHOLD = 3.0
+DOC_THRESHOLD = 8.0
+# x10doc only: pair-reporting ops whose ANSWER is quadratic in a
+# near-dup-dense corpus (SCALE.md "True-output-bound"). d8 is the
+# linear cluster-then-survivor path and is deliberately NOT here.
+DOC_OUTPUT_BOUND = {
+    "d2_minhash_lsh", "d4_ngram_jaccard", "d7_dedup_components",
+    "d10_incremental_dedup", "s4_knn_join",
+}
+# ignore ratio noise on queries this fast at x10 (seconds)
+MIN_SECS = 0.75
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def gen():
+    import duckdb
+    os.makedirs(REL_DIR, exist_ok=True)
+    os.makedirs(DOC_DIR, exist_ok=True)
+    marker = os.path.join(SCALE_DIR, "SOURCE_MTIME")
+    src_mtime = str(max(os.path.getmtime(f"{SF_DIR}/{t}.parquet")
+                        for t in TABLES))
+    if os.path.exists(marker) and open(marker).read() == src_mtime \
+            and all(os.path.exists(f"{d}/{t}.parquet")
+                    for d in (REL_DIR, DOC_DIR) for t in TABLES):
+        print("[gen] probe data up to date")
+        return
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    offs = {t: con.execute(f"SELECT max({k})+1 FROM {t}").fetchone()[0]
+            for t, k in [("customer", "c_custkey"), ("supplier", "s_suppkey"),
+                         ("part", "p_partkey"), ("orders", "o_orderkey"),
+                         ("events", "event_id"), ("documents", "doc_id"),
+                         ("embeddings", "vec_id")]}
+    umax = con.execute("SELECT max(user_id)+1 FROM events").fetchone()[0]
+    reps = "(SELECT unnest(generate_series(1, 9)) AS r) reps"
+
+    def copy(sql, dest):
+        con.execute(f"COPY ({sql}) TO '{dest}' (FORMAT PARQUET)")
+
+    # ---- x10rel: FK-consistent relational replication ----
+    print("[gen] x10rel ...")
+    rel = {
+        "region": "SELECT * FROM region",
+        "nation": "SELECT * FROM nation",
+        "customer": f"""SELECT * FROM customer UNION ALL
+            SELECT c_custkey + r*{offs['customer']}, c_name, c_nationkey,
+                   c_acctbal, c_mktsegment FROM customer, {reps}""",
+        "supplier": f"""SELECT * FROM supplier UNION ALL
+            SELECT s_suppkey + r*{offs['supplier']}, s_name, s_nationkey,
+                   s_acctbal FROM supplier, {reps}""",
+        "part": f"""SELECT * FROM part UNION ALL
+            SELECT p_partkey + r*{offs['part']}, p_name, p_brand, p_type,
+                   p_size, p_retailprice FROM part, {reps}""",
+        "orders": f"""SELECT * FROM orders UNION ALL
+            SELECT o_orderkey + r*{offs['orders']},
+                   o_custkey + r*{offs['customer']}, o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders, {reps}""",
+        "lineitem": f"""SELECT * FROM lineitem UNION ALL
+            SELECT l_orderkey + r*{offs['orders']},
+                   l_partkey + r*{offs['part']},
+                   l_suppkey + r*{offs['supplier']}, l_linenumber,
+                   l_quantity, l_extendedprice, l_discount, l_tax,
+                   l_returnflag, l_linestatus, l_shipdate
+            FROM lineitem, {reps}""",
+        "events": f"""SELECT * FROM events UNION ALL
+            SELECT event_id + r*{offs['events']}, ts,
+                   user_id + r*{umax}, event_type, value, props
+            FROM events, {reps}""",
+        "documents": "SELECT * FROM documents",
+        "embeddings": "SELECT * FROM embeddings",
+    }
+    for t, sql in rel.items():
+        copy(sql, f"{REL_DIR}/{t}.parquet")
+
+    # ---- x10doc: reshuffled corpus replicas ----
+    print("[gen] x10doc ...")
+    doc_sql = f"""
+        SELECT * FROM documents UNION ALL
+        SELECT doc_id + r*{offs['documents']} AS doc_id, text, lang,
+               source, length(text)::BIGINT AS n_chars
+        FROM (
+          SELECT w.doc_id, w.r, w.lang, w.source,
+                 string_agg(w.w, ' ' ORDER BY
+                   md5(w.doc_id::VARCHAR || ':' || w.r::VARCHAR || ':'
+                       || w.i::VARCHAR || ':' || w.w)) AS text
+          FROM (
+            SELECT d.doc_id, reps.r, d.lang, d.source,
+                   d.l[u.i] AS w, u.i AS i
+            FROM (SELECT doc_id, lang, source,
+                         string_split(text, ' ') AS l FROM documents) d,
+                 {reps},
+                 unnest(generate_series(1, len(d.l))) u(i)
+          ) w
+          GROUP BY w.doc_id, w.r, w.lang, w.source)"""
+    emb_sql = f"""
+        SELECT * FROM embeddings UNION ALL
+        SELECT vec_id + r*{offs['embeddings']},
+               list_transform(embedding,
+                 x -> (x + r * 0.001)::FLOAT) AS embedding, label
+        FROM embeddings, {reps}"""
+    for t in TABLES:
+        if t == "documents":
+            copy(doc_sql, f"{DOC_DIR}/{t}.parquet")
+        elif t == "embeddings":
+            copy(emb_sql, f"{DOC_DIR}/{t}.parquet")
+        else:
+            shutil.copyfile(f"{SF_DIR}/{t}.parquet",
+                            f"{DOC_DIR}/{t}.parquet")
+    with open(marker, "w") as f:
+        f.write(src_mtime)
+    print("[gen] done")
+
+
+def bench(sf_dir, cache_name):
+    """Run graft.Bench against sf_dir; preserve the official
+    BENCH_FULL.json (Bench writes it unconditionally in cwd)."""
+    cache = os.path.join(SCALE_DIR, cache_name)
+    official = os.path.join(REPO, "BENCH_FULL.json")
+    saved = None
+    if os.path.exists(official):
+        saved = open(official).read()
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    print(f"[run] bench {sf_dir} ...")
+    p = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                       cwd=REPO, env=env, capture_output=True, text=True)
+    try:
+        rec = open(official).read()
+        with open(cache, "w") as f:
+            f.write(rec)
+    finally:
+        if saved is not None:
+            with open(official, "w") as f:
+                f.write(saved)
+    if p.returncode != 0:
+        sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
+        raise SystemExit(f"bench failed for {sf_dir}")
+    return json.loads(rec)
+
+
+def report():
+    base = json.load(open(os.path.join(SCALE_DIR, "bench_sf01.json")))
+    out = {"sf01_total": base["value"], "threshold_rel": REL_THRESHOLD,
+           "threshold_doc": DOC_THRESHOLD, "min_secs": MIN_SECS,
+           "output_bound_doc": sorted(DOC_OUTPUT_BOUND), "probes": {}}
+    flagged = []
+    for probe, cache, thr in [("x10rel", "bench_x10rel.json", REL_THRESHOLD),
+                              ("x10doc", "bench_x10doc.json", DOC_THRESHOLD)]:
+        rec = json.load(open(os.path.join(SCALE_DIR, cache)))
+        ratios, watch = {}, []
+        for name, t in rec["queries"].items():
+            t0 = base["queries"].get(name)
+            if t0 is None or t0 <= 0 or t < 0:
+                continue
+            ratio = round(t / t0, 2)
+            ratios[name] = {"sf01": t0, "x10": t, "ratio": ratio}
+            exempt = probe == "x10doc" and name in DOC_OUTPUT_BOUND
+            if ratio > thr and t >= MIN_SECS and not exempt:
+                watch.append(name)
+                flagged.append(f"{probe}:{name} {t0:.2f}->{t:.2f}s "
+                               f"({ratio}x > {thr}x)")
+        out["probes"][probe] = {"total": rec["value"],
+                                "watchlist": sorted(watch),
+                                "queries": ratios}
+    with open(RECORD, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"[report] wrote {RECORD}")
+    for line in flagged:
+        print(f"[FLAG] {line}")
+    if flagged:
+        print("[report] threshold tripped — investigate before shipping")
+        return 1
+    print("[report] all queries inside their decade budget")
+    return 0
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "run"
+    if mode == "gen":
+        gen()
+        return 0
+    if mode == "report":
+        return report()
+    gen()
+    bench(SF_DIR, "bench_sf01.json")
+    bench(REL_DIR, "bench_x10rel.json")
+    bench(DOC_DIR, "bench_x10doc.json")
+    return report()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
