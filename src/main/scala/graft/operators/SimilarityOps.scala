@@ -133,8 +133,8 @@ object SimilarityOps {
 
   /** s3 — IVF-style ANN (the other scale path SURVEY names next to
     * LSH): a fixed coarse quantizer assigns every vector to its
-    * nearest-centroid cell; queries probe only their own cell and
-    * re-rank exactly inside it.
+    * nearest-centroid cell; queries probe their [[S3_NPROBE]] nearest
+    * cells and re-rank exactly inside them.
     *
     * Centroids here are the first 4 corpus vectors (deterministic so
     * the oracle replays them; in production they come from a driver-
@@ -144,28 +144,55 @@ object SimilarityOps {
     * centroid table ≪ broadcast limit, assignment is scan-speed, and
     * the candidate space is |cell| instead of |corpus|.
     */
-  private def s3(s: SparkSession, d: String): DataFrame = {
+  /** Probes per query for s3 — the IVF recall knob. nprobe=2 lifts
+    * fixture recall@3 from 18-20/30 to 25/30 at every sf (s6 records
+    * the curve: the np1 row sits next to the served np2 row) for a
+    * ≤nprobe× candidate-count cost — measured in NewOpsSpec, which
+    * pins both the strict recall improvement and the candidate bound. */
+  private val S3_NPROBE = 2
+
+  private def s3(s: SparkSession, d: String): DataFrame =
+    s3Probe(s, d, S3_NPROBE)
+
+  /** The scored (pre-top-k) candidate set of [[s3Probe]] — exposed so
+    * the recall/cost spec can measure candidate growth per probe. */
+  private[graft] def s3Candidates(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = {
     val (_, corpus) = queriesAndCorpus(s, d)
     // centroid columns take the qemb/qnrm names so the shared cosine
     // contract (cosPrecomp: zero-norm→NaN, round 6) applies verbatim
     val cents = corpus.filter(col("vec_id") < 4)
       .select(col("vec_id").as("cid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
-    val assigned = corpus
+    def ranked(src: DataFrame) = src
       .join(broadcast(cents))
       .select(col("vec_id"), col("emb"), col("nrm"), col("cid"),
         cosPrecomp.as("ccos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("ccos").desc, col("cid").asc)))
-      .filter(col("rn") === 1)
+    // every corpus vector lives in exactly ONE cell …
+    val assigned = ranked(corpus).filter(col("rn") === 1)
       .select(col("vec_id"), col("emb"), col("nrm"), col("cid").as("cell"))
-    val q = assigned.filter(col("vec_id") < 10)
+    // … while a QUERY probes its nprobe nearest cells. The query
+    // branch ranks only the 10 query vectors (filter below the
+    // centroid join), so multi-probe never rescans the corpus; a
+    // query's probed cells are distinct and corpus membership is
+    // unique, so the probe join cannot duplicate a (qid, nid)
+    // candidate — no distinct needed.
+    val q = ranked(corpus.filter(col("vec_id") < 10))
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
-        col("nrm").as("qnrm"), col("cell"))
-    topNeighbors(assigned.join(broadcast(q), Seq("cell"))
+        col("nrm").as("qnrm"), col("cid").as("cell"))
+    assigned.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos")), 3)
+      .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos"))
   }
+
+  /** s3 with an explicit probe count (s6 reports np=1 beside the
+    * served [[S3_NPROBE]] so the recall/cost curve is in the output). */
+  private[graft] def s3Probe(s: SparkSession, d: String,
+      nprobe: Int): DataFrame =
+    topNeighbors(s3Candidates(s, d, nprobe), 3)
 
   /** s4 — k-NN self-join: EVERY corpus vector gets its top-3
     * neighbors from its own LSH bucket — the all-pairs companion to
@@ -608,6 +635,10 @@ object SimilarityOps {
           expr("(1000000 * hits) div possible").as("recall_ppm"))
     }
     row("s2_ann_lsh", s2(s, d))
+      // the IVF recall/cost curve: the single-probe variant reported
+      // beside the served S3_NPROBE=2 form — the knob's value is IN
+      // the recall report, not just a claim in a doc
+      .union(row("s3_ann_ivf_np1", s3Probe(s, d, 1)))
       .union(row("s3_ann_ivf", s3(s, d)))
       .union(row("s5_ann_pq", s5(s, d)))
   }
@@ -840,27 +871,34 @@ object SimilarityOps {
               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
             FROM sc)
       SELECT qid, nid, cos, rank FROM r WHERE rank <= 3""",
-    "s3_ann_ivf" -> s"""
+    "s3_ann_ivf" -> s3OracleSql(2)
+  )
+
+  /** The s3 oracle parameterized by probe count — ONE definition so
+    * the served np=2 oracle and s6's np=1 curve row cannot drift.
+    * Corpus assignment keeps rn = 1 (a vector lives in one cell);
+    * only the QUERY side widens to rn <= nprobe. */
+  private def s3OracleSql(nprobe: Int): String = s"""
       WITH e AS ($EMB_SQL),
       c AS (SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM e WHERE vec_id < 4),
       a0 AS (SELECT e.vec_id, e.emb, e.nrm, c.cid,
                floor(list_sum(list_transform(generate_series(1,64),
                  k -> e.emb[k] * c.cemb[k])) / (e.nrm * c.cnrm)*1000000 + 0.5)/1000000 AS ccos
              FROM e, c),
-      a AS (SELECT vec_id, emb, nrm, cid AS cell FROM (
-              SELECT *, row_number() OVER (PARTITION BY vec_id
-                ORDER BY ccos DESC, cid) AS rn FROM a0)
-            WHERE rn = 1),
+      ar AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY ccos DESC, cid) AS rn FROM a0),
+      a AS (SELECT vec_id, emb, nrm, cid AS cell FROM ar WHERE rn = 1),
+      aq AS (SELECT vec_id, emb, nrm, cid AS cell FROM ar
+             WHERE vec_id < 10 AND rn <= $nprobe),
       sc AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
                floor(list_sum(list_transform(generate_series(1,64),
                  k -> q.emb[k] * x.emb[k])) / (q.nrm * x.nrm)*1000000 + 0.5)/1000000 AS cos
-             FROM a q JOIN a x ON q.vec_id < 10 AND q.cell = x.cell
+             FROM aq q JOIN a x ON q.cell = x.cell
                AND x.vec_id <> q.vec_id),
       r AS (SELECT qid, nid, cos,
               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
             FROM sc)
       SELECT qid, nid, cos, rank FROM r WHERE rank <= 3"""
-  )
 
   /** The constituent rankings embedded verbatim as CTEs (the rrf1
     * rule), so the recall report can never drift from what s1/s2/s3/s5
@@ -870,12 +908,17 @@ object SimilarityOps {
       WITH ex0 AS (${baseOracles("s1_ann_brute")}),
       v2 AS (${baseOracles("s2_ann_lsh")}),
       v3 AS (${baseOracles("s3_ann_ivf")}),
+      v3n1 AS (${s3OracleSql(1)}),
       v5 AS (${baseOracles("s5_ann_pq")}),
       ex AS (SELECT qid, nid FROM ex0 WHERE rank <= 3),
       p AS (SELECT count(*) AS possible FROM ex)
       SELECT 's2_ann_lsh' AS variant, hits, possible,
         (1000000 * hits) // possible AS recall_ppm FROM
         (SELECT count(*) AS hits FROM v2 JOIN ex USING (qid, nid)
+         WHERE rank <= 3), p
+      UNION ALL
+      SELECT 's3_ann_ivf_np1', hits, possible, (1000000 * hits) // possible FROM
+        (SELECT count(*) AS hits FROM v3n1 JOIN ex USING (qid, nid)
          WHERE rank <= 3), p
       UNION ALL
       SELECT 's3_ann_ivf', hits, possible, (1000000 * hits) // possible FROM

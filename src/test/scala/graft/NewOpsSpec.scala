@@ -222,8 +222,9 @@ class NewOpsSpec extends SparkSpec {
     assert(recall >= 0.25, s"recall@3 = $recall (${(pq & brute).size}/${brute.size})")
   }
 
-  test("s3 probes one cell: neighbors are a subset of s1's full scan space") {
-    // IVF with nprobe=1 can lose recall but never invents a neighbor:
+  test("s3 probes its nprobe cells: neighbors are a subset of s1's " +
+    "full scan space") {
+    // IVF probing can lose recall but never invents a neighbor:
     // every (qid, nid) it returns must score identically in the exact
     // brute-force results when present there
     val ivf = q("s3_ann_ivf").select(col("qid"), col("nid"), col("cos"))
@@ -1511,15 +1512,38 @@ class NewOpsSpec extends SparkSpec {
     // exact-set construction)
     val (selfHits, selfPossible) = recallOf("s1_ann_brute")
     assert(selfHits === selfPossible && selfPossible > 0)
+    val np1Hits = graft.operators.SimilarityOps.s3Probe(spark, sf, 1)
+      .collect().filter(_.getInt(3) <= 3)
+      .map(r => (r.getLong(0), r.getLong(1))).count(exact)
     val expected = Seq("s2_ann_lsh", "s3_ann_ivf", "s5_ann_pq").map { n =>
       val (h, p) = recallOf(n)
       n -> ((h, p, 1000000L * h / p))
-    }.toMap
+    }.toMap + ("s3_ann_ivf_np1" ->
+      ((np1Hits.toLong, exact.size.toLong,
+        1000000L * np1Hits / exact.size)))
     val got = q("s6_ann_recall").collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got === expected)
     assert(got.values.forall { case (h, p, ppm) => h <= p && ppm <= 1000000L })
+  }
+
+  test("s3 recall/cost curve: the second probe strictly improves " +
+    "recall@3 on the fixture at a bounded candidate cost (candidates " +
+    "grow, but by at most the probed-cell share — <= nprobe x)") {
+    val exact = q("s1_ann_brute").collect()
+      .filter(_.getInt(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hitsOf(np: Int): Int =
+      graft.operators.SimilarityOps.s3Probe(spark, sf, np)
+        .collect().filter(_.getInt(3) <= 3)
+        .map(r => (r.getLong(0), r.getLong(1))).count(exact)
+    val (h1, h2) = (hitsOf(1), hitsOf(2))
+    assert(h2 > h1, s"np2 recall $h2 not strictly above np1 $h1")
+    val c1 = graft.operators.SimilarityOps.s3Candidates(spark, sf, 1).count()
+    val c2 = graft.operators.SimilarityOps.s3Candidates(spark, sf, 2).count()
+    assert(c2 > c1, "the second probe must widen the candidate set")
+    assert(c2 <= 2 * c1 + 10,
+      s"np2 candidates $c2 exceed the 2x-per-probe bound on np1 $c1")
   }
 
   test("u10: the melt totals reconcile with direct per-column " +

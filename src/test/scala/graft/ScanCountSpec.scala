@@ -94,10 +94,11 @@ class ScanCountSpec extends SparkSpec {
       // own — the budget is exactly the constituents' sum
       "rrf1_hybrid_fuse" -> ((3, 0)),
       "s5_ann_pq" -> ((4, 1)),
-      // s6 evaluates the registered s2+s3+s5 against cached s1 ground
-      // truth — the budget is the constituents' sum (2+4+4 scans, the
-      // s5 kernel) with the exact set persisted
-      "s6_ann_recall" -> ((10, 1)),
+      // s6 evaluates the registered s2+s3(np2)+s3(np1)+s5 against
+      // cached s1 ground truth — the budget is the constituents' sum
+      // (2+4+4+4 scans, the s5 kernel) with the exact set persisted;
+      // the np1 row is the recall/cost curve, priced accordingly
+      "s6_ann_recall" -> ((14, 1)),
       "x8_contamination" -> ((2, 2)),
       // two-pass by design: MG candidate kernel, then the exact
       // count pass re-scans behind the broadcast semi-join
