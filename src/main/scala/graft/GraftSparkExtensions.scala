@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{DotProduct, FormatPhone}
+import graft.functions.{DotProduct, FormatPhone, JaroWinklerSim}
 
 /** The engine's SparkSessionExtensions: registers the custom native
   * expressions into the function registry so they're callable from
@@ -27,6 +27,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("format_phone", children, 1)
         FormatPhone(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        arity("jaro_winkler", children, 2)
+        JaroWinklerSim(children(0), children(1))
       }))
     // Spark's bloom sketch expressions (the pair its own runtime-filter
     // rule injects) are NOT in the public registry in 4.1 — surface

@@ -91,6 +91,13 @@ object Fns {
   /** L2 norm via the native dot. */
   def l2Native(a: Column): Column = sqrt(dotNative(a, a))
 
+  /** The native codegen'd Jaro-Winkler similarity
+    * ([[JaroWinklerSim]], registered by
+    * [[graft.GraftSparkExtensions]]) — bit-pinned to DuckDB's
+    * `jaro_winkler_similarity` (see the kernel's contract). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("jaro_winkler", a, b)
+
   /** Fixed-point half-up rounding computed IDENTICALLY in any engine:
     * floor(x·10^d + 0.5) / 10^d.
     *

@@ -883,7 +883,51 @@ object DedupOps {
       .agg(sum(col("w")).as("n_pairs"))
   }
 
+  /** er2 — er1's blocked entity resolution scored with Jaro-Winkler
+    * instead of Levenshtein: the linkage metric record-linkage
+    * practice actually prefers for short name strings (prefix-weighted,
+    * length-normalized). Scoring runs the native codegen'd
+    * [[graft.functions.JaroWinklerSim]] — bit-pinned to DuckDB's
+    * `jaro_winkler_similarity` — rounded to 6 places (the portable
+    * floor form), then binned into tenth-wide similarity bands; the
+    * output is the per-noun band histogram a linkage-threshold
+    * decision reads (band 10 = exact-name pairs, jw ≡ 1.0 only for
+    * identical strings).
+    *
+    * Same AGGREGATE-BEFORE-THE-QUADRATIC shape as er1 (the ×10-proven
+    * fix): distinct names with multiplicities first, all-pairs only
+    * over the vocabulary, weight cnt_a·cnt_b + C(cnt,2) — the
+    * record-pair histogram (what the oracle states) at distinct-name
+    * cost. */
+  private def er2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val names = Tables.part(s, d)
+      .select(col("p_name"), col("p_size"),
+        element_at(split(col("p_name"), " "), 2).as("noun"))
+      .groupBy(col("noun"), col("p_size"), col("p_name"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cross = names
+      .select(col("noun"), col("p_size"), col("p_name").as("na"),
+        col("cnt").as("ca"))
+      .join(names.select(col("noun"), col("p_size"),
+        col("p_name").as("nb"), col("cnt").as("cb")),
+        Seq("noun", "p_size"))
+      .filter(col("na") < col("nb"))
+      .select(col("noun"),
+        floor(roundFp(jaroWinkler(col("na"), col("nb")), 6) * 10)
+          .cast("int").as("band"),
+        (col("ca") * col("cb")).as("w"))
+    val sameName = names.filter(col("cnt") >= 2)
+      .select(col("noun"), lit(10).as("band"),
+        expr("(cnt * (cnt - 1)) div 2").as("w"))
+    cross.union(sameName)
+      .groupBy(col("noun"), col("band"))
+      .agg(sum(col("w")).as("n_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er2_jw_block" -> (er2 _),
     "er1_fuzzy_block" -> (er1 _),
     "d11_line_dedup" -> (d11 _),
     "d10_incremental_dedup" -> (d10 _),
@@ -948,6 +992,21 @@ object DedupOps {
        |  ELSE l END AS l FROM l$rounds)""".stripMargin
   val oracles: Map[String, String] = Map(
     // unit-cost Levenshtein is defined identically in both engines
+    // record-pair semantics (the engine aggregates to distinct names
+    // first — er1's proven equivalence); jw rounded with the portable
+    // floor form BEFORE banding so both engines bin the same double
+    "er2_jw_block" -> """
+      WITH p AS (SELECT p_partkey, p_name, p_size,
+                   string_split(p_name, ' ')[2] AS noun
+                 FROM part),
+      pairs AS (SELECT a.noun,
+                  CAST(floor(floor(jaro_winkler_similarity(a.p_name,
+                    b.p_name)*1000000 + 0.5)/1000000 * 10) AS INT) AS band
+                FROM p a JOIN p b
+                  ON a.noun = b.noun AND a.p_size = b.p_size
+                  AND a.p_partkey < b.p_partkey)
+      SELECT noun, band, count(*) AS n_pairs
+      FROM pairs GROUP BY 1, 2""",
     "er1_fuzzy_block" -> """
       WITH p AS (SELECT p_partkey, p_name, p_size,
                    string_split(p_name, ' ')[2] AS noun

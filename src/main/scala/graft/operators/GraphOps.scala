@@ -67,8 +67,79 @@ object GraphOps {
         (lit(150000L) + expr("(85 * in_c) div 100")).as("rank_u"))
   }
 
+  /** gr2 — triangle census of the part co-purchase graph (parts are
+    * adjacent when some order contains both): node/edge/wedge/triangle
+    * counts and the global clustering coefficient 3·T/W — the
+    * standard structural summary of an item-similarity graph.
+    *
+    * Scale design — DEGREE-ORDERED ORIENTATION (the classic
+    * distributed triangle-counting trick, e.g. Suri & Vassilvitskii's
+    * MR-friendly variant): orient every edge from its lower-(deg,id)
+    * endpoint to the higher one. Every triangle then has EXACTLY ONE
+    * source node with two out-edges, so counting = enumerate out-edge
+    * pairs (wedges) and close them against the directed edge set —
+    * and out-degrees are bounded by O(√m) regardless of the raw
+    * degree distribution, so the enumerated-wedge count is
+    * O(m^{3/2}), not Σdeg² (a hub with raw degree 10^6 would
+    * otherwise contribute 10^12 wedges; oriented it contributes only
+    * pairs of HIGHER-ordered neighbors). The edge pair-explosion from
+    * orders is bounded by lines-per-order (≤7 in TPC-H shape), and
+    * the co-purchase self-join shuffles on the order key it already
+    * groups by. The one-row output rides constant-size aggregates.
+    *
+    * The oracle states the naive a<b<c triple-join semantics; the
+    * orientation is an exact bijection on triangles, so the counts
+    * hash-match by construction. */
+  private def gr2(s: SparkSession, d: String): DataFrame = {
+    val ip = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = ip.select(col("o"), col("p").as("pa"))
+      .join(ip.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // deg + orient + counts
+    val deg = e.select(explode(array(col("pa"), col("pb"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // orient (×2) + census
+    val withDeg = e
+      .join(deg.select(col("p").as("pa"), col("deg").as("da")), Seq("pa"))
+      .join(deg.select(col("p").as("pb"), col("deg").as("db")), Seq("pb"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("pa") < col("pb"))
+    val dir = withDeg.select(
+        when(aFirst, col("pa")).otherwise(col("pb")).as("u"),
+        when(aFirst, col("pb")).otherwise(col("pa")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // wedge gen + closing join
+    val bBeforeC = col("db2") < col("dc") ||
+      (col("db2") === col("dc") && col("b") < col("c"))
+    val wedges = dir.select(col("u"), col("v").as("b"), col("dv").as("db2"))
+      .join(dir.select(col("u"), col("v").as("c"), col("dv").as("dc")),
+        Seq("u"))
+      .filter(bBeforeC)
+      .select(col("b"), col("c"))
+    // closing join must be INNER, not semi: distinct wedges sharing
+    // the same (b,c) from different u are DIFFERENT triangles, and
+    // the directed edge set is unique-keyed so inner cannot duplicate
+    val triCount = wedges
+      .join(dir.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val census = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum((deg * (deg - 1)) div 2)").as("n_wedges"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    census.crossJoin(edges).crossJoin(triCount)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        graft.functions.Fns.roundFp(
+          lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("gcc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "gr1_pagerank" -> (gr1 _)
+    "gr1_pagerank" -> (gr1 _),
+    "gr2_triangles" -> (gr2 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -89,6 +160,30 @@ object GraphOps {
                  AS r_c
              FROM e JOIN r1 ON e.sup = r1.sup JOIN ds ON e.sup = ds.sup
              GROUP BY e.c)
-      SELECT c AS custkey, CAST(r_c AS BIGINT) AS rank_u FROM r2"""
+      SELECT c AS custkey, CAST(r_c AS BIGINT) AS rank_u FROM r2""",
+    // naive a<b<c triple-join statement of the triangle census; the
+    // engine's degree-orientation is a bijection on triangles, so the
+    // counts agree exactly. 3.0 enters as CAST(3 AS DOUBLE): DuckDB
+    // parses the literal 3.0 as DECIMAL, which would change the
+    // division type
+    "gr2_triangles" -> """
+      WITH ip AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM ip a JOIN ip b
+            ON a.o = b.o AND a.p < b.p),
+      d AS (SELECT p, count(*) AS deg FROM
+              (SELECT pa AS p FROM e UNION ALL SELECT pb FROM e) u
+            GROUP BY p),
+      tri AS (SELECT count(*) AS t FROM e e1
+              JOIN e e2 ON e1.pb = e2.pa
+              JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+      census AS (SELECT count(*) AS n_nodes,
+                   CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+                 FROM d),
+      ne AS (SELECT count(*) AS n_edges FROM e)
+      SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
+        floor(CAST(3 AS DOUBLE) * t / n_wedges * 1000000 + 0.5)/1000000
+          AS gcc
+      FROM census, ne, tri"""
   )
 }

@@ -643,7 +643,52 @@ object SimilarityOps {
       .union(row("s5_ann_pq", s5(s, d)))
   }
 
+  /** Held-out query slice for cls3: fixed-size by construction
+    * (lowest CLS3_Q ids), so broadcasting it is a CONSTANT-size
+    * exchange at any corpus scale — the s1 query-side convention,
+    * deliberately NOT a percentage slice (2% of a 100 TB corpus
+    * doesn't broadcast). */
+  private val CLS3_Q = 40
+  private val CLS3_K = 5
+
+  /** cls3 — k-NN classification over the embedding corpus: each
+    * held-out query vector takes the majority label of its CLS3_K
+    * cosine-nearest corpus neighbors (ties: more votes win, then the
+    * smaller label — fully deterministic). The serve-path shape of a
+    * labeled-corpus classifier at 100 TB: the constant-size query set
+    * broadcasts, ONE corpus scan scores all pairs inside whole-stage
+    * codegen (native dot product), per-query top-k + vote are
+    * query-count-sized windows AFTER the corpus-sized rank
+    * aggregation prunes to Q·K rows. */
+  private def cls3(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", l2Native(col("emb")))
+    val q = e.filter(col("vec_id") < CLS3_Q)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"),
+        col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val scored = e.filter(col("vec_id") >= CLS3_Q)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("true_label"), col("label").as("nlabel"),
+        col("vec_id").as("nid"), cosPrecomp.as("cos"))
+    val top = scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rank") <= CLS3_K)
+    top.groupBy(col("qid"), col("true_label"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("votes").desc, col("nlabel").asc)))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("true_label").cast("int").as("true_label"),
+        col("nlabel").cast("int").as("pred_label"), col("votes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls3_knn_classify" -> (cls3 _),
     "s6_ann_recall" -> (s6 _),
     "emb1_dim_stats" -> (emb1 _),
     "s1_ann_brute" -> (s1 _),
@@ -730,6 +775,32 @@ object SimilarityOps {
              FROM g$i g JOIN w$prev w ON g.dim = w.dim)"""
 
   private val baseOracles: Map[String, String] = Map(
+    // same cosine/rank conventions as s1 (rounded cos, (cos desc,
+    // nid) tiebreak), then the vote window with the deterministic
+    // (votes desc, label) tiebreak
+    "cls3_knn_classify" -> s"""
+      WITH e AS (SELECT vec_id, label,
+               list_transform(embedding, x -> x::DOUBLE) AS emb,
+               sqrt(list_sum(list_transform(embedding,
+                 x -> x::DOUBLE * x::DOUBLE))) AS nrm
+             FROM embeddings),
+      sc AS (SELECT q.vec_id AS qid, q.label AS true_label,
+               c.label AS nlabel, c.vec_id AS nid,
+               floor(list_sum(list_transform(generate_series(1,64),
+                 k -> q.emb[k] * c.emb[k])) / (q.nrm * c.nrm)*1000000 + 0.5)/1000000 AS cos
+             FROM e q JOIN e c
+               ON q.vec_id < $CLS3_Q AND c.vec_id >= $CLS3_Q),
+      r AS (SELECT qid, true_label, nlabel, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+                AS rank FROM sc),
+      v AS (SELECT qid, true_label, nlabel, count(*) AS votes
+            FROM r WHERE rank <= $CLS3_K GROUP BY 1, 2, 3),
+      p AS (SELECT qid, true_label, nlabel, votes,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY votes DESC, nlabel) AS vr FROM v)
+      SELECT qid, CAST(true_label AS INT) AS true_label,
+        CAST(nlabel AS INT) AS pred_label, votes
+      FROM p WHERE vr = 1""",
     // 2 GD rounds of the hard-sigmoid logistic trainer from the
     // all-zero model, then the final corpus scoring — every
     // arithmetic step mirrors the engine's exactly (sequential-fold

@@ -513,7 +513,57 @@ object TextOps {
         max(col("c")).as("max_f"), min(col("c")).as("min_f"))
   }
 
+  /** ppl1 — corpus-LM familiarity bucketing, the CCNet shape (Wenzek
+    * 2020: score every document under a corpus-level LM, then split
+    * the corpus into quality buckets at score quantiles). The LM
+    * score here is exact-arithmetic "familiarity" — the mean corpus
+    * frequency of the document's tokens — NOT log-perplexity: libm
+    * log is not correctly-rounded, the same engine-portability wall
+    * x10/x12/lr1 document for log/exp, and familiarity is a monotone
+    * (reversed) proxy for unigram perplexity that needs only long
+    * sums and ONE final division. Buckets are exact fam-quartiles
+    * (3 = most familiar head, 0 = least familiar tail).
+    *
+    * Scale shape: per-doc tf (one shuffle on (doc_id, token)), vocab
+    * counts from tf (vocab-sized agg), tf⋈vocab equi-join (AQE
+    * degrades to shuffle when the vocab outgrows broadcast — the
+    * dsir1-pinned plan), per-doc long sums (partial agg). The
+    * quartile cut never sorts the corpus: ONE percentile aggregation
+    * produces 3 cut-points that join back as a broadcast band
+    * dimension — w8's documented global-binning scale path. Long
+    * bound: tf·c ≤ doc_len · max corpus count, summed per doc —
+    * ~1e17 at a 10^12-token corpus, inside int64. */
+  private def ppl1(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vocab = tf.groupBy(col("w")).agg(sum(col("tf")).as("c"))
+    val fam = tf.join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("c")).as("score"))
+      .select(col("doc_id"), col("n_tokens"),
+        roundFp(col("score").cast("double") / col("n_tokens"), 6).as("fam"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // 2 consumers: cuts + band join
+    val cuts = fam
+      .agg(expr("percentile(fam, array(0.25, 0.5, 0.75))").as("c"))
+      .select(transform(col("c"), x => roundFp(x, 6)).as("c"))
+      .select(
+        concat(array(lit(Double.NegativeInfinity)), col("c")).as("los"),
+        concat(col("c"), array(lit(Double.PositiveInfinity))).as("his"))
+    val bands = cuts
+      .select(col("his"), posexplode(col("los")).as(Seq("bin", "lo")))
+      .select(col("bin"), col("lo"), element_at(col("his"), col("bin") + 1).as("hi"))
+    fam.join(broadcast(bands),
+        col("fam") >= col("lo") && col("fam") < col("hi"))
+      .select(col("doc_id"), col("n_tokens"), col("fam"),
+        col("bin").as("fam_quartile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ppl1_lm_bucket" -> (ppl1 _),
     "x15_zipf" -> (x15 _),
     "x14_char_stats" -> (x14 _),
     "x13_source_overlap" -> (x13 _),
@@ -534,6 +584,29 @@ object TextOps {
   private[operators] def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // familiarity = one double division of exact long sums (the x12
+    // convention); quantile_cont matches Spark's exact percentile
+    // interpolation (the w8-proven pairing), cut-points rounded
+    // before binning on both sides so a sub-ulp interpolation
+    // difference can't flip a boundary doc's bucket
+    "ppl1_lm_bucket" -> """
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2),
+      v AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+      sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(sum(tf * c) AS BIGINT) AS score
+             FROM tf JOIN v USING (w) GROUP BY 1),
+      f AS (SELECT doc_id, n_tokens,
+              floor(CAST(score AS DOUBLE)/n_tokens*1000000 + 0.5)/1000000
+                AS fam FROM sc),
+      q AS (SELECT quantile_cont(fam, [0.25, 0.5, 0.75]) AS c FROM f),
+      cuts AS (SELECT list_transform(c,
+                 x -> floor(x*1000000 + 0.5)/1000000) AS c FROM q)
+      SELECT doc_id, n_tokens, fam,
+        CASE WHEN fam < c[1] THEN 0 WHEN fam < c[2] THEN 1
+             WHEN fam < c[3] THEN 2 ELSE 3 END AS fam_quartile
+      FROM f, cuts""",
     // integer log2 via bin() string length — both engines print
     // minimal-width binary, so the bucketing is exact on both sides
     "x15_zipf" -> s"""

@@ -227,9 +227,50 @@ object WindowOps {
       .agg(count(lit(1)).as("n_events"), sum(col("contrib")).as("decayed_cents"))
   }
 
+  /** Day length in integer µs — w10's cohort grain. */
+  private val W10_DAY_US = 86400000000L
+
+  /** w10 — cohort retention (fn1's sibling in the product-analytics
+    * pair): users cohorted by first-active day; for each (cohort day,
+    * day offset) the number of distinct users active at that offset
+    * and the retention ratio vs the cohort's day-0 size. All event
+    * time arithmetic in integer µs-days (the w4/r2/w9 convention), so
+    * the matrix is exact in any engine; the one double is the final
+    * ratio (single division, portable floor rounding).
+    *
+    * Scale shape: first-activity is a user-keyed partial+final agg;
+    * the activity join is user-keyed (co-partitioned with the agg
+    * output, no second shuffle of events under AQE reuse); the
+    * distinct collapses to (cohort, offset, user) BEFORE counting, so
+    * the count shuffle carries at most users·active-days narrow rows;
+    * cohort day-0 sizes are a calendar-bounded dimension (≤ days in
+    * the retention window) — broadcast back, r2's band-join shape. */
+  private def w10(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $W10_DAY_US").as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val active = ev.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      // calendar²-bounded matrix, 2 consumers (sizes + final join)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = active.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("cohort_size"))
+    active.join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_users"),
+        graft.functions.Fns.roundFp(
+          col("n_users").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w9_decay_score" -> (w9 _),
     "fn1_funnel" -> (fn1 _),
+    "w10_retention" -> (w10 _),
     "w8_global_bin" -> (w8 _),
     "w1_tumbling_window" -> (w1 _),
     "w2_rank_per_group" -> (w2 _),
@@ -241,6 +282,23 @@ object WindowOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer µs-day arithmetic throughout; the one double is the
+    // final retention ratio (single division, portable floor form)
+    "w10_retention" -> s"""
+      WITH e AS (SELECT user_id, epoch_us(ts) // $W10_DAY_US AS day
+                 FROM events),
+      f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+      a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+              e.day - f.cohort_day AS day_offset
+            FROM e JOIN f USING (user_id)),
+      m AS (SELECT cohort_day, day_offset, count(*) AS n_users
+            FROM a GROUP BY 1, 2),
+      sz AS (SELECT cohort_day, n_users AS cohort_size FROM m
+             WHERE day_offset = 0)
+      SELECT m.cohort_day, m.day_offset, m.n_users,
+        floor(CAST(m.n_users AS DOUBLE)/cohort_size*1000000 + 0.5)/1000000
+          AS retention
+      FROM m JOIN sz USING (cohort_day)""",
     // exact integer halving decay: cents div 2^k, k in whole
     // half-lives — powers of two are IEEE-exact, so both engines'
     // pow-then-cast is the same long divisor

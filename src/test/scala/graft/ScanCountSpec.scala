@@ -65,7 +65,20 @@ class ScanCountSpec extends SparkSpec {
       // cls1's token-count pass and doc-prior pass re-read pruned
       // projections ((lang, text) and (lang)); both aggregate to
       // vocabulary-/|langs|-sized outputs immediately
-      "cls1_nb_model")
+      "cls1_nb_model",
+      // cls3's constant-size query slice and the corpus are disjoint
+      // filters of the same table — two pruned reads, s1's shape
+      // with the held-out split
+      "cls3_knn_classify",
+      // gr2's co-purchase self-join reads the 2-column pruned
+      // (l_orderkey, l_partkey) projection on both sides (the j5
+      // self-join adjudication); everything downstream consumes the
+      // persisted edge/degree/directed relations
+      "gr2_triangles",
+      // w10's first-activity agg and the activity join each re-read
+      // the 2-column pruned (user_id, ts) projection — the
+      // fn1/w9 events adjudication
+      "w10_retention")
       .map(_ -> ((2, 0)))
     val kernel = Seq("d4_ngram_jaccard", "d6_minhash_udaf",
       "mm1_media_features", "mm2_frame_sample", "mm3_audio_chunk",
