@@ -22,9 +22,18 @@ object Bench {
     val spark = GraftSession.local("graft-bench")
     // warmup: JVM + whole-stage-codegen compile paths
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Optional args = query names (full or short-key) to bench alone,
+    // for local iteration on one operator. The driver always calls with
+    // no args -> full surface, and only a FULL run may overwrite
+    // BENCH_FULL.json (a partial run must never clobber the record).
+    val wanted = args.toSet
+    val selected =
+      if (wanted.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.toSeq.filter { case (n, _) =>
+        wanted.contains(n) || wanted.contains(shortKey(n)) }
     // two timed runs per query, min reported: single-JVM timings at
     // local[32] carry GC/JIT noise that a second run strips
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       // a failed query reports -1, never a (fast) bogus elapsed time
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -61,9 +70,10 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // read-only cwd must not fail the bench
+    if (wanted.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () } // read-only cwd must not fail the bench
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     if (results.exists(_._2 < 0)) {
       System.err.println("[graft] bench FAILED queries: " +
