@@ -158,7 +158,90 @@ object AnalyticsOps {
       .limit(10)
   }
 
+  /** od1's robust z-score threshold: 3·1.4826 (the MAD-to-σ
+    * consistency constant for normal data) — one double literal both
+    * engines parse to the same IEEE value. */
+  private val OD1_CUT = 4.4478
+
+  /** od1 — robust outlier detection per event type: median + MAD
+    * (median absolute deviation), flag |v − med| > 3·1.4826·MAD — the
+    * standard robust z-score that a mean/stddev rule can't do (one
+    * outlier inflates σ and hides itself; the median/MAD breakdown
+    * point is 50%). The anomaly gate every metrics pipeline runs
+    * before alerting/training on telemetry.
+    *
+    * Exactness: exact-percentile interpolation is the proven
+    * quantile_cont pairing (w8/ppl1/g4); med, dev and MAD are pinned
+    * at 6 dp before any comparison so a sub-ulp interpolation
+    * difference can never flip a flag.
+    *
+    * Scale shape: two percentile aggregates on the |event-types|-sized
+    * key (exact percentile is the oracle-parity choice; at 100 TB the
+    * same plan runs approx_percentile — g7's documented swap), each
+    * collapsing to a type-sized dimension broadcast back; the scored
+    * relation persists spillable for its two consumers (MAD agg +
+    * final flagging) so events scans once. */
+  private def od1(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(roundFp(percentile(col("value"), lit(0.5)), 6).as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", roundFp(abs(col("value") - col("med")), 6))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mad = dev.groupBy(col("event_type"))
+      .agg(roundFp(percentile(col("dev"), lit(0.5)), 6).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"),
+        (col("dev") > roundFp(col("mad") * OD1_CUT, 6)).as("is_out"))
+  }
+
+  /** an1's anonymity threshold: an equivalence class under the
+    * quasi-identifiers must hold ≥ K individuals to publish. */
+  private val AN1_K = 5
+
+  /** an1 — k-anonymity audit with one-step generalization: group the
+    * customer table by its quasi-identifiers (nation, market
+    * segment); classes of ≥ K publish at level 0, smaller classes
+    * generalize (drop the segment) and publish at level 1 if the
+    * merged class reaches K, and whatever still can't reach K is
+    * suppressed into one census row (level 2) — the release-audit
+    * every PII-bearing training corpus needs before sharing.
+    *
+    * Scale shape: level 0 is one partial+final agg on the QI key;
+    * levels 1–2 regroup the LEVEL-0 AGGREGATES (a |QI-classes|-sized
+    * relation, never the data again) — the er1
+    * aggregate-before-the-expensive-step principle, so the audit
+    * costs one corpus scan no matter how many generalization rungs
+    * the lattice has. */
+  private def an1(s: SparkSession, d: String): DataFrame = {
+    val g0 = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").cast("long").as("qi_nation"),
+        col("c_mktsegment").as("qi_segment"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pub0 = g0.filter(col("n") >= AN1_K)
+      .select(col("qi_nation"), col("qi_segment"),
+        lit(0).as("anon_level"), col("n"))
+    val rem = g0.filter(col("n") < AN1_K)
+      .groupBy(col("qi_nation")).agg(sum(col("n")).as("n"))
+    val pub1 = rem.filter(col("n") >= AN1_K)
+      .select(col("qi_nation"), lit(null).cast("string").as("qi_segment"),
+        lit(1).as("anon_level"), col("n"))
+    // global agg over a possibly-empty relation yields one NULL-sum
+    // row in both engines; the isNotNull filter drops it identically
+    val supp = rem.filter(col("n") < AN1_K)
+      .agg(sum(col("n")).as("n")).filter(col("n").isNotNull)
+      .select(lit(null).cast("long").as("qi_nation"),
+        lit(null).cast("string").as("qi_segment"),
+        lit(2).as("anon_level"), col("n"))
+    pub0.union(pub1).union(supp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "od1_outliers" -> (od1 _),
+    "an1_kanon" -> (an1 _),
     "g9_heavy_hitters" -> (g9 _),
     "g6_salted_agg" -> (g6 _),
     "g8_grouping_sets" -> (g8 _),
@@ -171,6 +254,36 @@ object AnalyticsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // quantile_cont ≡ Spark's exact percentile interpolation (the
+    // w8/ppl1/g4-proven pairing); med/dev/mad pinned at 6 dp before
+    // any comparison on both sides
+    "od1_outliers" -> """
+      WITH ev AS (SELECT event_id, event_type, value FROM events),
+      med AS (SELECT event_type,
+                floor(quantile_cont(value, 0.5)*1000000 + 0.5)/1000000 AS med
+              FROM ev GROUP BY 1),
+      dev AS (SELECT ev.*, med.med,
+                floor(abs(value - med)*1000000 + 0.5)/1000000 AS dev
+              FROM ev JOIN med USING (event_type)),
+      mad AS (SELECT event_type,
+                floor(quantile_cont(dev, 0.5)*1000000 + 0.5)/1000000 AS mad
+              FROM dev GROUP BY 1)
+      SELECT event_id, dev.event_type, value, dev.med, mad.mad,
+        dev.dev > floor(mad.mad * 4.4478 * 1000000 + 0.5)/1000000 AS is_out
+      FROM dev JOIN mad USING (event_type)""",
+    "an1_kanon" -> """
+      WITH g0 AS (SELECT CAST(c_nationkey AS BIGINT) AS qi_nation,
+                    c_mktsegment AS qi_segment, count(*) AS n
+                  FROM customer GROUP BY 1, 2),
+      rem AS (SELECT qi_nation, CAST(sum(n) AS BIGINT) AS n FROM g0
+              WHERE n < 5 GROUP BY 1)
+      SELECT qi_nation, qi_segment, 0 AS anon_level, n FROM g0 WHERE n >= 5
+      UNION ALL
+      SELECT qi_nation, NULL, 1, n FROM rem WHERE n >= 5
+      UNION ALL
+      SELECT NULL, NULL, 2, n FROM
+        (SELECT CAST(sum(n) AS BIGINT) AS n FROM rem WHERE n < 5)
+      WHERE n IS NOT NULL""",
     "g6_salted_agg" -> """
       SELECT event_type, CAST(sum(c) AS BIGINT) AS cnt, floor(sum(v)*100 + 0.5)/100 AS sum_value FROM (
         SELECT event_type, event_id % 16 AS salt, count(*) AS c, sum(value) AS v

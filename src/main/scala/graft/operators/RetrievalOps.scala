@@ -357,7 +357,49 @@ object RetrievalOps {
         Window.orderBy(col("rrf_ppm").desc, col("doc_id").asc)).cast("long"))
   }
 
+  /** idx1's posting-head length: the first P doc-ordered postings
+    * published per term. */
+  private val IDX1_HEAD = 5
+
+  /** idx1 — inverted-index build: per term, document frequency,
+    * collection frequency, and the head of its DOC-ORDERED posting
+    * list — the index structure x11/qr1's BM25 and x8's contamination
+    * probes conceptually query, built as a first-class artifact.
+    * Postings are doc-ordered (how real indexes store them, so
+    * multi-term queries merge-join postings without sorting) and the
+    * published head is truncated at P: a term's FULL posting list is
+    * corpus-sized for stopwords, so an index BUILD may aggregate it
+    * (df/cf are scalar aggs) but must never collect it.
+    *
+    * Scale shape: one (doc, term) tf aggregation (map-side combine on
+    * the corpus scan), persisted spillable for its two consumers;
+    * term stats are a vocab-sized partial+final agg; the head is a
+    * term-keyed row_number window that Spark 4's partial
+    * WindowGroupLimit prunes to ≤P per term map-side BEFORE the
+    * exchange (the cls3 shape) — so no shuffle ever carries more
+    * than vocab·P posting rows. */
+  private def idx1(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val head = tf
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= IDX1_HEAD)
+      .groupBy(col("term"))
+      // lpad makes lexicographic order = doc order, so the sorted
+      // array is deterministic and engine-portable
+      .agg(sort_array(collect_list(
+        concat(lpad(col("doc_id").cast("string"), 6, "0"),
+          lit("#"), col("tf")))).as("head"))
+    stats.join(head, Seq("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "idx1_inverted" -> (idx1 _),
     "rrf1_hybrid_fuse" -> (rrf1 _),
     "tok1_bpe_apply" -> (tok1 _),
     "qr1_batch_bm25" -> (qr1 _),
@@ -372,6 +414,20 @@ object RetrievalOps {
   private val qIn = TERMSET.map("'" + _ + "'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // doc-ordered head via the same row_number window; lpad makes the
+    // list's lexicographic sort equal doc order on both engines
+    "idx1_inverted" -> """
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      tf AS (SELECT term, doc_id, count(*) AS tf FROM t GROUP BY 1, 2),
+      s AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+            FROM tf GROUP BY 1),
+      r AS (SELECT *, row_number() OVER (PARTITION BY term
+              ORDER BY doc_id) AS rn FROM tf),
+      h AS (SELECT term, list_sort(list(lpad(doc_id::VARCHAR, 6, '0')
+              || '#' || tf::VARCHAR)) AS head
+            FROM r WHERE rn <= 5 GROUP BY term)
+      SELECT s.term, s.df, s.cf, h.head FROM s JOIN h USING (term)""",
     // the constituent rankings are the x11/s1 oracle SQL embedded
     // verbatim as CTEs — fusion can never drift from its parts
     "rrf1_hybrid_fuse" -> s"""

@@ -687,7 +687,45 @@ object SimilarityOps {
         col("nlabel").cast("int").as("pred_label"), col("votes"))
   }
 
+  /** emb2 — the distributed Gram matrix Gᵀ·G (upper triangle) of the
+    * embedding corpus: the d×d matmul primitive behind PCA/whitening,
+    * covariance shrinkage, and linear-probe training — the step a
+    * pipeline runs right after emb1 decides centering is needed.
+    *
+    * Exactness: coordinates quantize to integer thousandths BEFORE
+    * any product (the emb1/km1 trick), so every cell is an exact,
+    * order-independent long Σqᵢ·qⱼ — bit-identical in any engine and
+    * under any AQE re-partitioning. (Headroom: |q|≈3·10³ ⇒ |qᵢqⱼ|≈10⁷
+    * per row; ~10¹¹ rows before a cell nears 2⁶³.)
+    *
+    * Plan at 100 TB: each row fans out to its d(d+1)/2 = 2080 upper-
+    * triangle products via two chained generators (posexplode + a
+    * slice-bounded posexplode — generators pipeline inside the same
+    * stage, nothing materializes the n·2080 relation), and the
+    * (dim_i, dim_j) hash aggregate partial-aggregates map-side: every
+    * task collapses to ≤2080 rows, so the ONE exchange carries
+    * |tasks|·2080 narrow long rows regardless of corpus size — the
+    * same matmul-by-partial-aggregation shape a Gram matrix takes on
+    * any shared-nothing engine (never an n×n, never a vector
+    * shuffle). */
+  private def emb2(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      // float→double cast BEFORE the quantizing arithmetic (the emb1
+      // convention): exact widening, then identical double ops in the
+      // oracle — float-precision floor would diverge within an ulp
+      .select(expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+        "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").as("q"))
+      .select(posexplode(col("q")).as(Seq("i0", "qi")), col("q"))
+      // slice is 1-based: start i0+1 = the 0-based i0'th element, so
+      // dj=0 is the diagonal and j0 = i0 + dj never leaves the row
+      .select(col("i0"), col("qi"),
+        posexplode(expr(s"slice(q, i0 + 1, $DIMS)")).as(Seq("dj", "qj")))
+      .groupBy((col("i0") + 1).cast("long").as("dim_i"),
+        (col("i0") + col("dj") + 1).cast("long").as("dim_j"))
+      .agg(count(lit(1)).as("n"), sum(col("qi") * col("qj")).as("g"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb2_gram" -> (emb2 _),
     "cls3_knn_classify" -> (cls3 _),
     "s6_ann_recall" -> (s6 _),
     "emb1_dim_stats" -> (emb1 _),
@@ -775,6 +813,18 @@ object SimilarityOps {
              FROM g$i g JOIN w$prev w ON g.dim = w.dim)"""
 
   private val baseOracles: Map[String, String] = Map(
+    // quantize-then-multiply (the emb1/km1 trick): every Gram cell is
+    // an exact long sum, so the full-square unnest + j>=i filter here
+    // equals the engine's slice-bounded triangle bit-for-bit
+    "emb2_gram" -> """
+      WITH q AS (SELECT list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)) AS q
+             FROM embeddings),
+      ri AS (SELECT q, unnest(generate_series(1, 64)) AS i FROM q),
+      rij AS (SELECT q, i, unnest(generate_series(1, 64)) AS j FROM ri)
+      SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+        count(*) AS n, CAST(sum(q[i] * q[j]) AS BIGINT) AS g
+      FROM rij WHERE j >= i GROUP BY 1, 2""",
     // same cosine/rank conventions as s1 (rounded cos, (cos desc,
     // nid) tiebreak), then the vote window with the deterministic
     // (votes desc, label) tiebreak

@@ -562,7 +562,68 @@ object TextOps {
         col("bin").as("fam_quartile"))
   }
 
+  /** x16's winnowing parameters: k-gram width and window size.
+    * Guarantee (Schleimer et al., SIGMOD 2003 §3): any shared run of
+    * ≥ K+W-1 = 6 tokens yields at least one shared fingerprint. */
+  private[operators] val X16_K = 3
+  private[operators] val X16_W = 4
+
+  /** x16 — winnowing fingerprints (the MOSS local-fingerprinting
+    * scheme, Schleimer et al. 2003): hash every K-word gram, keep the
+    * MINIMUM hash in each sliding window of W gram-hashes, and the
+    * distinct kept mins are the doc's fingerprint set — a guaranteed-
+    * coverage, position-robust sample that x4's single rolling hash
+    * and d2's global MinHash both lack (winnowing detects PARTIAL
+    * overlap: any shared 6-token run fingerprints identically).
+    * Reports per doc: gram count, fingerprint count, and how many
+    * docs share its most-shared fingerprint (the plagiarism signal).
+    *
+    * Plan at 100 TB: gram hashing and window-mins are per-row array
+    * expressions inside one codegen stage (text never leaves its
+    * row); only 8-byte fingerprints ever reach an exchange (the d11
+    * principle). The fingerprint relation has three consumers
+    * (per-doc stats, the fp census, the share join-back), so it
+    * persists spillable for the query — MEMORY_AND_DISK with lineage,
+    * never a corpus checkpoint (the r6 invariant). The share count is
+    * fp-keyed (bounded by the fingerprint space), and the join back
+    * is fp-keyed then doc-keyed — all linear shuffles of narrow
+    * (long, long) rows. */
+  private def x16(s: SparkSession, d: String): DataFrame = {
+    val l = col("l")
+    // 1-based gram index i covers tokens i..i+K-1
+    val hashes = when(size(l) >= X16_K,
+      transform(sequence(lit(1), size(l) - (X16_K - 1)),
+        i => md5Long(concat_ws(" ",
+          element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)))))
+      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+    // short docs (0 < n_grams < W) take one window over all grams —
+    // the paper's convention, so no non-empty doc fingerprints empty
+    val fps = when(size(col("h")) === 0,
+      expr("CAST(array() AS ARRAY<BIGINT>)"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), greatest(size(col("h")) - (X16_W - 1), lit(1))),
+        i => array_min(slice(col("h"), i, lit(X16_W))))))
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("l"))
+      .select(col("doc_id"), hashes.as("h"))
+      .select(col("doc_id"), size(col("h")).cast("long").as("n_grams"),
+        fps.as("fps"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = perDoc.select(col("doc_id"), explode(col("fps")).as("fp"))
+    // fps are distinct WITHIN a doc, so count(*) = distinct docs
+    val census = e.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+    val share = e.join(census, Seq("fp"))
+      .groupBy(col("doc_id")).agg(max(col("n_docs")).as("max_share"))
+    perDoc
+      .select(col("doc_id"), col("n_grams"),
+        size(col("fps")).cast("long").as("n_fp"))
+      .join(share, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("n_fp"),
+        coalesce(col("max_share"), lit(0L)).as("max_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x16_winnow" -> (x16 _),
     "ppl1_lm_bucket" -> (ppl1 _),
     "x15_zipf" -> (x15 _),
     "x14_char_stats" -> (x14 _),
@@ -584,6 +645,28 @@ object TextOps {
   private[operators] def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // same md5-long gram hashes as the engine; DuckDB's 1-based
+    // inclusive list slice h[i:i+3] is exactly slice(h, i, 4), and
+    // both clamp at the list end, so the window mins agree
+    "x16_winnow" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      g AS (SELECT doc_id, CASE WHEN len(l) >= 3 THEN
+              list_transform(generate_series(1, len(l) - 2), i ->
+                ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+                   1, 15))::BIGINT)
+            ELSE []::BIGINT[] END AS h FROM t),
+      w AS (SELECT doc_id, h, CASE WHEN len(h) = 0 THEN []::BIGINT[] ELSE
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(h) - 3, 1)),
+                i -> list_min(h[i:i+3]))) END AS fps FROM g),
+      e AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+      c AS (SELECT fp, count(*) AS n_docs FROM e GROUP BY fp),
+      m AS (SELECT e.doc_id, max(c.n_docs) AS max_share
+            FROM e JOIN c USING (fp) GROUP BY e.doc_id)
+      SELECT w.doc_id, CAST(len(w.h) AS BIGINT) AS n_grams,
+        CAST(len(w.fps) AS BIGINT) AS n_fp,
+        CAST(coalesce(m.max_share, 0) AS BIGINT) AS max_share
+      FROM w LEFT JOIN m USING (doc_id)""",
     // familiarity = one double division of exact long sums (the x12
     // convention); quantile_cont matches Spark's exact percentile
     // interpolation (the w8-proven pairing), cut-points rounded

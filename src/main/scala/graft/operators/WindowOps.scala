@@ -267,7 +267,42 @@ object WindowOps {
           .as("retention"))
   }
 
+  /** att1 — last-touch conversion attribution: each purchase is
+    * credited to the user's most recent preceding non-purchase event
+    * type (the "channel"), then conversions and revenue roll up per
+    * channel — the marketing-attribution report every event pipeline
+    * serves, and the analytic-window sibling of r1's as-of join (here
+    * the "as-of" runs INSIDE one pass over the stream instead of
+    * joining two relations). A user's first-ever purchase has no
+    * preceding touch and lands in the 'none' channel.
+    *
+    * Exactness: the window order is (event-time µs, event_id) so ties
+    * are pinned; revenue quantizes to exact cents before the sum (the
+    * w9 convention) — order-independent long arithmetic.
+    *
+    * Scale shape: ONE user-keyed analytic window (running last-touch
+    * state, rows-unbounded-preceding — Spark evaluates it streaming
+    * per partition, no buffering beyond the frame row), then a
+    * channel-keyed partial+final agg on ≤|event-types| keys. No other
+    * exchange; never a global window. */
+  private def att1(s: SparkSession, d: String): DataFrame = {
+    val touch = Window.partitionBy(col("user_id"))
+      .orderBy(col("tu"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tu"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("channel",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(touch))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"), sum(col("cents")).as("rev_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "att1_last_touch" -> (att1 _),
     "w9_decay_score" -> (w9 _),
     "fn1_funnel" -> (fn1 _),
     "w10_retention" -> (w10 _),
@@ -282,6 +317,21 @@ object WindowOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same (epoch-µs, event_id) window order and IGNORE NULLS
+    // last-value semantics; revenue summed as exact cents
+    "att1_last_touch" -> """
+      WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tu,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                 FROM events),
+      t AS (SELECT *, last_value(CASE WHEN event_type <> 'purchase'
+                       THEN event_type END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY tu, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS channel
+            FROM e)
+      SELECT coalesce(channel, 'none') AS channel,
+        count(*) AS n_conversions, CAST(sum(cents) AS BIGINT) AS rev_cents
+      FROM t WHERE event_type = 'purchase' GROUP BY 1""",
     // integer µs-day arithmetic throughout; the one double is the
     // final retention ratio (single division, portable floor form)
     "w10_retention" -> s"""
