@@ -559,4 +559,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("emb2's Gram matrix shuffles ONCE, and the exchange carries " +
+    "only narrow scalar rows — never embedding vectors (the matmul-" +
+    "by-partial-aggregation shape)") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val phys = physical(q("emb2_gram"))
+    val ex = phys.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.length == 1, phys.toString)
+    assert(!ex.head.output.exists(_.dataType.isInstanceOf[ArrayType]),
+      phys.toString)
+    // the partial aggregate sits BELOW the exchange: each task
+    // collapses to <= 2080 rows before anything moves
+    assert(ex.head.collectFirst { case h: HashAggregateExec => h }.isDefined,
+      phys.toString)
+  }
+
+  test("x16's fingerprint exchanges carry only 8-byte keys and " +
+    "counts — document text never crosses a shuffle (the d11/d9 " +
+    "no-string-shuffle invariant)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val phys = physical(q("x16_winnow"))
+    spark.catalog.clearCache()
+    phys.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.output.exists(a => a.dataType == StringType ||
+        a.dataType.isInstanceOf[ArrayType]), phys.toString)
+    }
+  }
+
+  test("idx1's posting head prunes map-side via WindowGroupLimit — " +
+    "the rank shuffle never carries a stopword's full posting list") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val phys = physical(q("idx1_inverted"))
+    spark.catalog.clearCache()
+    assert(phys.collectFirst { case w: WindowGroupLimitExec => w }.isDefined,
+      phys.toString)
+  }
+
+  test("att1's analytic window is user-partitioned — never the " +
+    "single-partition global window that serializes the corpus") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val phys = physical(q("att1_last_touch"))
+    val ws = phys.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty, phys.toString)
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty, phys.toString))
+  }
 }
