@@ -239,7 +239,38 @@ object AnalyticsOps {
     pub0.union(pub1).union(supp)
   }
 
+  /** an2's diversity floor: an equivalence class must hold ≥ L
+    * DISTINCT sensitive values to publish. */
+  private val AN2_L = 3
+
+  /** an2 — l-diversity audit, k-anonymity's (an1) stronger sibling:
+    * a class can be k-anonymous yet leak everything if all k members
+    * share the sensitive value (the homogeneity attack), so each
+    * quasi-identifier class additionally needs ≥ L distinct sensitive
+    * values. Sensitive attribute here: the account-balance band
+    * (floor(acctbal/1000) — banded exactly, integer floor in both
+    * engines). Output per class: size n, diversity l, and the publish
+    * flag n ≥ K AND l ≥ L.
+    *
+    * Scale shape: one partial+final count-distinct-style agg on the
+    * QI key — expressed as the exact two-level form ((QI, band)
+    * groups, then QI groups counting bands) so the distinct collapses
+    * map-side before the second shuffle; both aggregates are
+    * class-count-sized, the data is scanned once. */
+  private def an2(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("qi_nation"),
+        col("c_mktsegment").as("qi_segment"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_band"))
+      .groupBy(col("qi_nation"), col("qi_segment"), col("bal_band"))
+      .agg(count(lit(1)).as("nb"))
+      .groupBy(col("qi_nation"), col("qi_segment"))
+      .agg(sum(col("nb")).as("n"), count(lit(1)).as("l"))
+      .select(col("qi_nation"), col("qi_segment"), col("n"), col("l"),
+        (col("n") >= AN1_K && col("l") >= AN2_L).as("publishable"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "an2_ldiversity" -> (an2 _),
     "od1_outliers" -> (od1 _),
     "an1_kanon" -> (an1 _),
     "g9_heavy_hitters" -> (g9 _),
@@ -271,6 +302,18 @@ object AnalyticsOps {
       SELECT event_id, dev.event_type, value, dev.med, mad.mad,
         dev.dev > floor(mad.mad * 4.4478 * 1000000 + 0.5)/1000000 AS is_out
       FROM dev JOIN mad USING (event_type)""",
+    // same exact two-level distinct (bands then classes), same
+    // integer floor banding and publish predicate
+    "an2_ldiversity" -> """
+      WITH b AS (SELECT CAST(c_nationkey AS BIGINT) AS qi_nation,
+                   c_mktsegment AS qi_segment,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                   count(*) AS nb
+                 FROM customer GROUP BY 1, 2, 3)
+      SELECT qi_nation, qi_segment, CAST(sum(nb) AS BIGINT) AS n,
+        count(*) AS l,
+        (CAST(sum(nb) AS BIGINT) >= 5 AND count(*) >= 3) AS publishable
+      FROM b GROUP BY 1, 2""",
     "an1_kanon" -> """
       WITH g0 AS (SELECT CAST(c_nationkey AS BIGINT) AS qi_nation,
                     c_mktsegment AS qi_segment, count(*) AS n

@@ -926,7 +926,63 @@ object DedupOps {
       .agg(sum(col("w")).as("n_pairs"))
   }
 
+  /** d12's publish threshold: a pair publishes when the LARGER of the
+    * two directional containments reaches this (ppm). */
+  private[graft] val D12_MIN_PPM = 800000L
+
+  /** d12 — asymmetric containment scoring over the shared LSH
+    * candidate stream: for each banded candidate pair, C(A→B) =
+    * |A∩B|/|A| and C(B→A) = |A∩B|/|B| over the hashed bigram shingle
+    * sets, published when either direction ≥ 0.8. Jaccard (d2) misses
+    * the subset case by construction — a short doc pasted whole into
+    * a long one has tiny |A∩B|/|A∪B| but containment ≈ 1 — and
+    * containment is how quote/boilerplate inclusion actually presents
+    * in a crawl. Candidates come from the SAME memoized signature
+    * table and band join as d2/d7/d10 (one signature build per corpus
+    * serves every dedup face; a containment-tuned band scheme would
+    * be a second index — the documented evolution, not a different
+    * operator shape).
+    *
+    * Exactness: both containments are integer ppm (inter·10⁶ div
+    * |set| — floor, the rrf1/att2 convention) over md5-long hashed
+    * shingle keys (the buildSignatures collision convention), so the
+    * score and the threshold test are pure integer arithmetic in both
+    * engines.
+    *
+    * Scale shape: identical to d2's large-corpus verify path — the
+    * candidate-sized pair list joins the persisted signature table on
+    * 8-byte ids (shingle arrays cross the shuffle only for banded
+    * docs), and one typed kernel scores both directions in a single
+    * set intersection. */
+  private def d12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = signatures(s, d)
+    val bands = bandKeys(docs)
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.m1") === col("y.m1") &&
+          col("x.m2") === col("y.m2") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    val sigs = docs.select(col("doc_id"), col("sh"))
+    cand
+      .join(sigs.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
+      .join(sigs.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
+      .select(col("i"), col("j"), col("sh_i"), col("sh_j"))
+      .as[(Long, Long, Seq[Long], Seq[Long])]
+      .mapPartitions(_.flatMap { case (i, j, shi, shj) =>
+        val sa = shi.toSet
+        val sb = shj.toSet
+        val inter = (if (sa.size <= sb.size) sa.count(sb) else sb.count(sa)).toLong
+        val cij = inter * 1000000L / sa.size
+        val cji = inter * 1000000L / sb.size
+        if (math.max(cij, cji) >= D12_MIN_PPM) Some((i, j, cij, cji)) else None
+      })
+      .toDF("i", "j", "c_ij_ppm", "c_ji_ppm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_containment" -> (d12 _),
     "er2_jw_block" -> (er2 _),
     "er1_fuzzy_block" -> (er1 _),
     "d11_line_dedup" -> (d11 _),
@@ -1126,6 +1182,33 @@ object DedupOps {
       SELECT ('0x' || substr(md5(lower(trim(text))),1,15))::BIGINT AS content_fp,
         min(doc_id) AS keeper, count(*) AS n_copies
       FROM documents GROUP BY 1""",
+    // same hashed-shingle candidate CTEs as d2/d7; both directional
+    // containments as integer ppm floor division
+    "d12_containment" -> s"""
+      WITH t AS ($SHINGLES),
+      m AS (SELECT doc_id,
+              list_distinct(list_transform(sh, s ->
+                ('0x' || substr(md5(s),1,15))::BIGINT)) AS shh,
+              list_transform(generate_series(0,7), k ->
+                list_min(list_transform(sh, s ->
+                  ('0x' || substr(md5(k::VARCHAR || ':' || s),1,15))::BIGINT))) AS mh
+            FROM t),
+      bb AS (SELECT doc_id, g.band AS band,
+              mh[2*g.band+1]::VARCHAR || '_' || mh[2*g.band+2]::VARCHAR AS bkey
+            FROM m, generate_series(0,3) g(band)),
+      c AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+            FROM bb x JOIN bb y ON x.band = y.band AND x.bkey = y.bkey
+              AND x.doc_id < y.doc_id),
+      sc AS (SELECT c.i, c.j,
+               CAST(len(list_intersect(a.shh, b2.shh)) AS BIGINT) AS inter,
+               CAST(len(a.shh) AS BIGINT) AS la,
+               CAST(len(b2.shh) AS BIGINT) AS lb
+             FROM c JOIN m a ON c.i = a.doc_id JOIN m b2 ON c.j = b2.doc_id)
+      SELECT i, j, (inter * 1000000) // la AS c_ij_ppm,
+        (inter * 1000000) // lb AS c_ji_ppm
+      FROM sc
+      WHERE greatest((inter * 1000000) // la, (inter * 1000000) // lb)
+        >= ${D12_MIN_PPM}""",
     "d2_minhash_lsh" -> s"""
       WITH t AS ($SHINGLES),
       m AS (SELECT doc_id,

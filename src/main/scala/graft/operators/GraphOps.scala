@@ -152,7 +152,83 @@ object GraphOps {
           lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("gcc"))
   }
 
+  /** gr3's witness quantile: a common neighbor only counts as link
+    * evidence if its degree is ≤ the graph's q-quantile degree (hub
+    * filtering — the standard link-prediction discipline: a node
+    * adjacent to everything carries no signal, and Adamic-Adar
+    * weights it ~0 anyway; here it is dropped outright, which is
+    * what bounds the wedge volume). The cap is DERIVED from the
+    * observed degree distribution (the r3 autotune principle: an
+    * absolute constant is wrong for every graph but the one it was
+    * tuned on — this co-purchase graph's MINIMUM degree is ~40, so
+    * any fixed small cap silently empties the operator). */
+  private[graft] val GR3_WITNESS_Q = 0.25
+  private val GR3_TOP = 20
+
+  /** gr3 — common-neighbor link prediction on gr2's part co-purchase
+    * graph: the top-K NON-adjacent part pairs by number of shared
+    * low-degree neighbors — "frequently co-purchased with the same
+    * things, never yet together", the classic structural
+    * recommendation candidate list.
+    *
+    * Scale design: (1) wedge volume is bounded by the witness cap —
+    * only nodes with deg ≤ cap generate neighbor pairs, so the
+    * stream is ≤ cap·m rows no matter the raw degree distribution (a
+    * hub never multiplies; gr2's orientation trick doesn't apply
+    * here because common-NEIGHBOR counts need every wedge at its
+    * center, not one per triangle). The cap itself is one exact
+    * percentile over the NODES-sized degree table (w8/od1's proven
+    * quantile pairing; approx_percentile at extreme scale, same
+    * plan), broadcast back as a 1-row dimension — never a driver
+    * round-trip. (2) The "not already an edge" filter is
+    * gr2's bloom used in ANTI form, split exactly: a bloom MISS
+    * proves non-membership (bloom has no false negatives), so those
+    * pairs skip the join entirely; only the ~|edges|-proportional
+    * bloom HITS shuffle into the exact left-anti join that settles
+    * false positives. (3) The final top-K is (cnt desc, a, c) via
+    * TakeOrderedAndProject — never a global sort. */
+  private def gr3(s: SparkSession, d: String): DataFrame = {
+    val ip = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = ip.select(col("o"), col("p").as("pa"))
+      .join(ip.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // degrees + bloom + anti join
+    val sym = e.select(col("pa").as("w"), col("pb").as("n"))
+      .union(e.select(col("pb").as("w"), col("pa").as("n")))
+    val deg = sym.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // cap quantile + witness filter
+    val cap = deg.agg(
+      expr(s"CAST(floor(percentile(deg, $GR3_WITNESS_Q)) AS BIGINT)").as("cap"))
+    val wit = sym.join(
+        deg.crossJoin(broadcast(cap)).filter(col("deg") <= col("cap"))
+          .select(col("w")), Seq("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the wedge join
+    val cn = wit.as("x")
+      .join(wit.as("y"), col("x.w") === col("y.w") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("a"), col("y.n").as("c"))
+      .groupBy(col("a"), col("c")).agg(count(lit(1)).as("cn"))
+    val nEdges = e.count()
+    val bf = e
+      .agg(expr(s"bloom_filter_agg(xxhash64(pa, pb), ${math.max(nEdges, 1L)}L)")
+        .as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val isMaybeEdge =
+      call_function("might_contain", lit(bf), xxhash64(col("a"), col("c")))
+    val definite = cn.filter(!isMaybeEdge)
+    val settled = cn.filter(isMaybeEdge)
+      .join(e.select(col("pa").as("a"), col("pb").as("c")), Seq("a", "c"),
+        "left_anti")
+    definite.union(settled)
+      .orderBy(col("cn").desc, col("a").asc, col("c").asc)
+      .limit(GR3_TOP)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr3_link_predict" -> (gr3 _),
     "gr1_pagerank" -> (gr1 _),
     "gr2_triangles" -> (gr2 _)
   )
@@ -176,6 +252,27 @@ object GraphOps {
              FROM e JOIN r1 ON e.sup = r1.sup JOIN ds ON e.sup = ds.sup
              GROUP BY e.c)
       SELECT c AS custkey, CAST(r_c AS BIGINT) AS rank_u FROM r2""",
+    // same witness-capped wedge count and anti-join; the bloom split
+    // is invisible to semantics (the exact join settles every hit)
+    "gr3_link_predict" -> s"""
+      WITH ip AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM ip a JOIN ip b
+            ON a.o = b.o AND a.p < b.p),
+      sym AS (SELECT pa AS w, pb AS n FROM e
+              UNION ALL SELECT pb, pa FROM e),
+      dg AS (SELECT w, count(*) AS deg FROM sym GROUP BY 1),
+      cap AS (SELECT CAST(floor(quantile_cont(deg, $GR3_WITNESS_Q))
+                AS BIGINT) AS cap FROM dg),
+      wit AS (SELECT s.w, s.n FROM sym s JOIN dg ON s.w = dg.w, cap
+              WHERE dg.deg <= cap.cap),
+      pr AS (SELECT x.n AS a, y.n AS c FROM wit x JOIN wit y
+             ON x.w = y.w AND x.n < y.n),
+      cn AS (SELECT a, c, count(*) AS cn FROM pr GROUP BY 1, 2),
+      ne AS (SELECT cn.* FROM cn LEFT JOIN e
+             ON cn.a = e.pa AND cn.c = e.pb
+             WHERE e.pa IS NULL)
+      SELECT a, c, cn FROM ne ORDER BY cn DESC, a, c LIMIT $GR3_TOP""",
     // naive a<b<c triple-join statement of the triangle census; the
     // engine's degree-orientation is a bijection on triangles, so the
     // counts agree exactly. 3.0 enters as CAST(3 AS DOUBLE): DuckDB

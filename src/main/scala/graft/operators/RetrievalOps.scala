@@ -398,7 +398,102 @@ object RetrievalOps {
     stats.join(head, Seq("term"))
   }
 
+  /** idx2's published result-head length (first P matching docs in
+    * doc order). */
+  private val IDX2_HEAD = 5
+
+  /** idx2 — conjunctive boolean retrieval over idx1's index shape:
+    * for every query in the shared [[QUERIES]] suite, the documents
+    * containing ALL of the query's terms (AND semantics — the other
+    * half of a retrieval stack next to qr1's ranked OR), reported as
+    * the match count plus the doc-ordered head. This is the postings-
+    * intersection plan: presence postings for the queried terms only,
+    * counted per (query, doc) against the query's term count.
+    *
+    * Scale shape: the union-of-terms `isin` filter pushes below the
+    * presence distinct (non-query terms never leave the scan, the qr1
+    * invariant), so postings are hits-sized; the query fanout join
+    * broadcasts the |Q·terms| suite; the intersection is ONE
+    * (query, doc)-keyed partial+final count equi-checked against the
+    * broadcast per-query term count; the head is a query-keyed
+    * row_number window pruned to ≤P map-side by Spark 4's partial
+    * WindowGroupLimit (the idx1/cls3 shape). The match table persists
+    * for its two consumers (count + head) — hits-sized, never the
+    * corpus. */
+  private def idx2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = QTERMS.toDF("query_id", "term").distinct()
+    val nq = QUERIES.map { case (id, t) =>
+      (id, t.split(" ").distinct.length.toLong) }.toDF("query_id", "n_terms")
+    val postings = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(col("term").isin(TERMSET: _*))
+      .distinct()
+    val matches = postings.join(broadcast(q), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("hit_terms"))
+      .join(broadcast(nq), Seq("query_id"))
+      .filter(col("hit_terms") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = matches.groupBy(col("query_id")).agg(count(lit(1)).as("n_docs"))
+    val head = matches
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= IDX2_HEAD)
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(
+        lpad(col("doc_id").cast("string"), 6, "0"))).as("head"))
+    counts.join(head, Seq("query_id"))
+  }
+
+  /** idx3 — exact phrase retrieval over a POSITIONAL index: for each
+    * two-word phrase in the shared [[QUERIES]] suite, the documents
+    * where the words occur ADJACENT in order (idx2 is the bag-of-
+    * words AND; this is the positional-postings intersection a real
+    * index needs for quoted queries), with occurrence totals and the
+    * doc-ordered head.
+    *
+    * Scale shape: ONE positional posting build (posexplode + the
+    * union-of-terms `isin` pushed below everything — non-query terms
+    * never leave the scan), persisted for its two sides of the
+    * adjacency join; the phrase match is an equi-join on
+    * (doc, position+1, second-word) — narrow int/string rows, hits-
+    * sized; everything downstream is query-keyed aggregation and the
+    * idx1/idx2 WindowGroupLimit head. */
+  private def idx3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parts = QUERIES.map { case (id, t) =>
+      val Array(a, b) = t.split(" "); (id, a, b) }
+    val qdf = parts.toDF("query_id", "t1", "t2")
+    val pos = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(TERMSET: _*))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val first = pos.join(broadcast(qdf), col("term") === col("t1"))
+      .select(col("query_id"), col("t2"), col("doc_id"),
+        (col("pos") + 1).as("p2"))
+    val matches = first
+      .join(pos.select(col("doc_id"), col("pos").as("p2"),
+        col("term").as("t2")), Seq("doc_id", "p2", "t2"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = matches.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_occ")).as("n_occurrences"))
+    val head = matches
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= IDX2_HEAD)
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(
+        lpad(col("doc_id").cast("string"), 6, "0"))).as("head"))
+    counts.join(head, Seq("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "idx3_phrase" -> (idx3 _),
+    "idx2_postings_and" -> (idx2 _),
     "idx1_inverted" -> (idx1 _),
     "rrf1_hybrid_fuse" -> (rrf1 _),
     "tok1_bpe_apply" -> (tok1 _),
@@ -412,8 +507,58 @@ object RetrievalOps {
   private val qValues = QTERMS
     .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
   private val qIn = TERMSET.map("'" + _ + "'").mkString(", ")
+  private val phraseValues = QUERIES.map { case (id, t) =>
+    val Array(a, b) = t.split(" "); s"($id, '$a', '$b')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // same positional postings (1-based there, 0-based here — only
+    // ADJACENCY matters, the +1 join key is shift-invariant) and the
+    // same (doc, pos+1, word2) phrase join
+    "idx3_phrase" -> s"""
+      WITH qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, t1, t2
+                  FROM (VALUES $phraseValues) q(query_id, t1, t2)),
+      tp AS (SELECT doc_id, i AS pos, l[i] AS term
+             FROM (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents) t,
+               unnest(generate_series(1, len(l))) AS u(i)
+             WHERE l[i] IN ($qIn)),
+      f AS (SELECT qt.query_id, qt.t2, tp.doc_id, tp.pos + 1 AS p2
+            FROM tp JOIN qt ON tp.term = qt.t1),
+      m AS (SELECT f.query_id, f.doc_id, count(*) AS n_occ
+            FROM f JOIN tp p ON p.doc_id = f.doc_id AND p.pos = f.p2
+              AND p.term = f.t2
+            GROUP BY 1, 2),
+      r AS (SELECT query_id, doc_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY doc_id) AS rn FROM m),
+      h AS (SELECT query_id, list_sort(list(lpad(doc_id::VARCHAR, 6, '0')))
+              AS head
+            FROM r WHERE rn <= $IDX2_HEAD GROUP BY 1),
+      c AS (SELECT query_id, count(*) AS n_docs,
+              CAST(sum(n_occ) AS BIGINT) AS n_occurrences
+            FROM m GROUP BY 1)
+      SELECT c.query_id, c.n_docs, c.n_occurrences, h.head
+      FROM c JOIN h USING (query_id)""",
+    // same presence-postings intersection: per (query, doc) distinct
+    // term hits equi-checked against the query's distinct term count
+    "idx2_postings_and" -> s"""
+      WITH qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term
+                  FROM (VALUES $qValues) q(query_id, term)),
+      nq AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1),
+      p AS (SELECT DISTINCT doc_id, term FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+            WHERE term IN ($qIn)),
+      mm AS (SELECT qt.query_id, p.doc_id, count(*) AS hit
+             FROM p JOIN qt USING (term) GROUP BY 1, 2),
+      m AS (SELECT mm.query_id, mm.doc_id FROM mm JOIN nq USING (query_id)
+            WHERE hit = n_terms),
+      r AS (SELECT query_id, doc_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY doc_id) AS rn FROM m),
+      h AS (SELECT query_id, list_sort(list(lpad(doc_id::VARCHAR, 6, '0')))
+              AS head
+            FROM r WHERE rn <= $IDX2_HEAD GROUP BY 1),
+      c AS (SELECT query_id, count(*) AS n_docs FROM m GROUP BY 1)
+      SELECT c.query_id, c.n_docs, h.head FROM c JOIN h USING (query_id)""",
     // doc-ordered head via the same row_number window; lpad makes the
     // list's lexicographic sort equal doc order on both engines
     "idx1_inverted" -> """

@@ -724,7 +724,200 @@ object SimilarityOps {
         (col("i0") + col("dj") + 1).cast("long").as("dim_j"))
       .agg(count(lit(1)).as("n"), sum(col("qi") * col("qj")).as("g"))
 
+  /** emb3 — per-dimension z-score standardization of the embedding
+    * corpus, reported per vector as the standardized L2 norm and the
+    * most-deviant dimension — the feature-scaling pass (and its
+    * "which dim is driving this vector" diagnostic) that runs between
+    * emb1's stats and any distance-based consumer (km1, s4, d5):
+    * unstandardized dims with large variance silently dominate every
+    * euclidean distance downstream.
+    *
+    * Exactness: the per-dim mean/std derive from the SAME integer-
+    * thousandths sums emb1 publishes (order-independent longs); each
+    * z quantizes to integer millionths before the norm sum, so the
+    * per-vector aggregation is again order-independent long
+    * arithmetic (|zq|≈10⁷ ⇒ Σzq² ≈ 6·10¹⁵ over 64 dims, wide
+    * headroom). The argmax dimension rides a single packed long
+    * max(|zq|·100 + (64 − dim)) — larger deviation wins, ties break
+    * to the SMALLER dim, no struct-ordering portability risk.
+    *
+    * Plan at 100 TB: the stats table is dims-sized (one partial+final
+    * agg over the posexploded corpus, 64 rows) and joins back as a
+    * broadcast; z-scoring is then a scan-speed map-side projection
+    * and the per-vector norm is one vec_id-keyed partial+final agg —
+    * two corpus passes, one exchange each, nothing wider than
+    * (vec_id, long) crosses a shuffle. A zero-variance dim
+    * standardizes to z = 0 (guarded), not NaN. */
+  private def emb3(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))"))
+          .as(Seq("i0", "qv")))
+      .select(col("vec_id"), (col("i0") + 1).cast("long").as("dim"), col("qv"))
+    val stats = q.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("sq"),
+        sum(col("qv") * col("qv")).as("sqq"))
+      .select(col("dim"),
+        (col("sq").cast("double") / (col("n") * 1000.0)).as("mean"),
+        sqrt(greatest(
+          col("sqq").cast("double") / (col("n").cast("double") * 1000000.0) -
+            (col("sq").cast("double") / (col("n") * 1000.0)) *
+            (col("sq").cast("double") / (col("n") * 1000.0)),
+          lit(0.0))).as("std"))
+    q.join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        expr("CAST(floor(CASE WHEN std > 0.0 THEN (qv / 1000.0 - mean) / std " +
+          "ELSE 0.0 END * 1000000 + 0.5) AS BIGINT)").as("zq"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("zq") * col("zq")).as("s2"),
+        max(abs(col("zq")) * 100L + (lit(64L) - col("dim"))).as("top_key"))
+      .select(col("vec_id"),
+        roundFp(sqrt(col("s2").cast("double") / 1.0e12), 4).as("znorm"),
+        (lit(64L) - col("top_key") % 100L).as("top_dim"))
+  }
+
+  /** mmr1's candidate pool and selection size. λ = 0.7 enters ONLY
+    * as the exact integer pair (7, 3) in the ppm score — never as a
+    * float literal (a SQL decimal literal would change the oracle's
+    * arithmetic type). */
+  private val MMR_CAND = 12
+  private[graft] val MMR_K = 5
+
+  /** mmr1 — Maximal Marginal Relevance diversified top-k (Carbonell &
+    * Goldstein '98): greedily pick [[MMR_K]] results per query where
+    * each pick maximizes λ·rel(q,d) − (1−λ)·max_{s∈selected}
+    * sim(d,s) — the de-duplicating re-rank every retrieval stack runs
+    * when the raw top-k collapses onto near-identical neighbors
+    * (which an embedding corpus with near-dups guarantees).
+    *
+    * Exactness: relevance and pairwise sims are the s1-rounded
+    * cosines, recovered as EXACT integer ppm; the MMR score is then
+    * pure integer arithmetic — score = 10λ·rel_ppm − 10(1−λ)·ms_ppm
+    * = 7·rel_ppm − 3·ms_ppm (score×10⁷ units, the rrf1/att2 ppm
+    * convention — no float λ ever multiplies) — and each greedy
+    * argmax tie-breaks (score desc, nid), so the whole greedy
+    * trajectory is deterministic and the oracle replays it as
+    * unrolled CTE rounds (the km1 Lloyd-round technique).
+    *
+    * Scale shape: ONE corpus scan scores relevance (s1's broadcast
+    * shape); everything after is RANKINGS-sized by construction —
+    * the candidate pool is |Q|·12 rows (persisted with its pairwise
+    * sim table, |Q|·12·11 rows), and each greedy round is a pair of
+    * tiny keyed joins + a per-query row_number. The corpus is never
+    * touched again after candidate selection; greedy depth
+    * multiplies rankings-sized work only. */
+  private def mmr1(s: SparkSession, d: String): DataFrame = {
+    val (q, corpus) = queriesAndCorpus(s, d)
+    val scored = corpus
+      .join(broadcast(q.select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"))),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos"))
+    val ranked = topNeighbors(scored, MMR_CAND)
+    val cand = ranked
+      .join(corpus.select(col("vec_id").as("nid"), col("emb"), col("nrm")),
+        Seq("nid"))
+      .select(col("qid"), col("nid"), col("cos").as("rel"),
+        col("emb"), col("nrm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairSim = cand
+      .select(col("qid"), col("nid").as("a_nid"),
+        col("emb").as("qemb"), col("nrm").as("qnrm"))
+      .join(cand.select(col("qid"), col("nid").as("b_nid"),
+        col("emb"), col("nrm")), Seq("qid"))
+      .filter(col("a_nid") =!= col("b_nid"))
+      .select(col("qid"), col("a_nid"), col("b_nid"), cosPrecomp.as("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var sel = ranked.filter(col("rank") === 1)
+      .select(col("qid"), col("nid"), lit(1L).as("pick_order"),
+        expr("7 * CAST(floor(cos * 1000000 + 0.5) AS BIGINT)").as("score"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (r <- 2 to MMR_K) {
+      val selIds = sel.select(col("qid"), col("nid"))
+      val ms = pairSim
+        .join(selIds.withColumnRenamed("nid", "b_nid"), Seq("qid", "b_nid"))
+        .groupBy(col("qid"), col("a_nid"))
+        .agg(max(expr("CAST(floor(sim * 1000000 + 0.5) AS BIGINT)"))
+          .as("ms_ppm"))
+        .withColumnRenamed("a_nid", "nid")
+      val pick = cand.select(col("qid"), col("nid"), col("rel"))
+        .join(selIds, Seq("qid", "nid"), "left_anti")
+        .join(ms, Seq("qid", "nid"))
+        .select(col("qid"), col("nid"),
+          expr("7 * CAST(floor(rel * 1000000 + 0.5) AS BIGINT) - 3 * ms_ppm")
+            .as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("nid").asc)))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nid"), lit(r.toLong).as("pick_order"),
+          col("score"))
+      sel = sel.union(pick).persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    sel
+  }
+
+  /** emb4's fixed power-iteration depth — enough for the gap between
+    * the top two eigenvalues of a real embedding Gram to dominate;
+    * the result is DEFINED as the round-20 iterate (bit-exact replay
+    * in any engine), not as "the converged eigenvector". */
+  private[graft] val EMB4_ROUNDS = 20
+
+  /** emb4 — dominant principal direction of the embedding corpus by
+    * INTEGER power iteration over emb2's Gram matrix: the top-PCA
+    * diagnostic (what single direction carries the most variance —
+    * anisotropy, the "rogue dimension" problem) that runs right after
+    * emb2, without ever calling an eigensolver no two engines agree
+    * on bit-for-bit.
+    *
+    * Exactness: the Gram is emb2's exact integer cells (the
+    * registered form REUSED — the rrf1/s6 composition rule); one
+    * data-derived power-of-ten shift caps |g| ≤ ~10⁹ so every matvec
+    * term g·v fits a long (10⁹·10⁶·64 ≈ 6·10¹⁶); each round
+    * renormalizes v to ≤10⁶ by integer division with an explicit
+    * sign split (−((−w) div d)) because Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors — on the split both
+    * operate on non-negative longs where the two agree. The oracle
+    * replays all [[EMB4_ROUNDS]] rounds as unrolled CTEs.
+    *
+    * Scale shape: ALL corpus work is emb2's proven Gram shape (the
+    * one exchange carrying ≤2080 narrow long rows); the iteration is
+    * dims²-sized — a bounded-by-construction model fetch (the
+    * km1/PQ driver round-trip discipline: 64·64 longs, corpus-
+    * independent) iterated driver-side exactly like km1's centroid
+    * update. */
+  private def emb4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tri = emb2(s, d).select(col("dim_i"), col("dim_j"), col("g"))
+    val full = tri.union(tri.filter(col("dim_i") =!= col("dim_j"))
+      .select(col("dim_j").as("dim_i"), col("dim_i").as("dim_j"), col("g")))
+    // bounded by construction: dims² = 4096 cells, corpus-independent
+    val cells = full.collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2)))
+    val dims = 64
+    val mg = cells.map(c => math.abs(c._3)).max
+    val dg = mg / 1000000000L + 1L
+    val g2 = Array.ofDim[Long](dims + 1, dims + 1)
+    cells.foreach { case (i, j, g) =>
+      g2(i)(j) = if (g < 0) -((-g) / dg) else g / dg
+    }
+    var v = Array.fill(dims + 1)(1000000L)
+    for (_ <- 1 to EMB4_ROUNDS) {
+      val w = Array.tabulate(dims + 1) { i =>
+        if (i == 0) 0L
+        else (1 to dims).map(j => g2(i)(j) * v(j)).sum
+      }
+      val dw = (1 to dims).map(i => math.abs(w(i))).max / 1000000L + 1L
+      v = w.map(x => if (x < 0) -((-x) / dw) else x / dw)
+    }
+    (1 to dims).map(i => (i.toLong, v(i))).toDF("dim", "v_ppm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb4_top_direction" -> (emb4 _),
+    "mmr1_diverse_topk" -> (mmr1 _),
+    "emb3_standardize" -> (emb3 _),
     "emb2_gram" -> (emb2 _),
     "cls3_knn_classify" -> (cls3 _),
     "s6_ann_recall" -> (s6 _),
@@ -812,7 +1005,115 @@ object SimilarityOps {
                  /1000000 AS w
              FROM g$i g JOIN w$prev w ON g.dim = w.dim)"""
 
+  /** One unrolled greedy MMR round for the mmr1 oracle: max-sim of
+    * every unselected candidate to the selected set, re-rounded
+    * score, (score desc, nid) argmax — appended to sel${r-1}. */
+  private def mmrRoundSql(r: Int): String = s"""ms$r AS (
+        SELECT p.qid, p.a_nid AS nid,
+          CAST(max(CAST(floor(p.sim * 1000000 + 0.5) AS BIGINT))
+            AS BIGINT) AS ms_ppm
+        FROM ps p JOIN sel${r - 1} s ON p.qid = s.qid AND p.b_nid = s.nid
+        GROUP BY 1, 2),
+      sc$r AS (
+        SELECT c.qid, c.nid,
+          7 * CAST(floor(c.rel * 1000000 + 0.5) AS BIGINT) - 3 * m.ms_ppm
+            AS score
+        FROM cand c JOIN ms$r m ON c.qid = m.qid AND c.nid = m.nid
+        WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+          WHERE s.qid = c.qid AND s.nid = c.nid)),
+      pk$r AS (
+        SELECT qid, nid, CAST($r AS BIGINT) AS pick_order,
+          CAST(score AS BIGINT) AS score FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY score DESC, nid) AS rn FROM sc$r)
+        WHERE rn = 1),
+      sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pk$r)"""
+
+  /** One unrolled integer power-iteration round for the emb4 oracle:
+    * matvec over the shifted Gram, then renormalize to ≤10⁶ by
+    * sign-split integer division (DuckDB `//` floors, so the split
+    * keeps both operands non-negative where floor == truncate). */
+  private def emb4RoundSql(k: Int): String = s"""w$k AS MATERIALIZED (
+        SELECT f.di AS dim, CAST(sum(f.g2 * v.v) AS BIGINT) AS w
+        FROM f JOIN v${k - 1} v ON f.dj = v.dim GROUP BY 1),
+      m$k AS (SELECT CAST(max(abs(w)) AS BIGINT) // 1000000 + 1 AS dw
+              FROM w$k),
+      v$k AS MATERIALIZED (SELECT dim,
+                CASE WHEN w < 0 THEN -((-w) // dw) ELSE w // dw END AS v
+              FROM w$k, m$k)"""
+
   private val baseOracles: Map[String, String] = Map(
+    // full-square restatement of emb2's exact Gram, the same data-
+    // derived power-of-ten shift, and all 20 integer rounds unrolled
+    "emb4_top_direction" -> s"""
+      WITH q AS (SELECT list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)) AS q
+             FROM embeddings),
+      ri AS (SELECT q, unnest(generate_series(1, 64)) AS i FROM q),
+      rij AS (SELECT q, i, unnest(generate_series(1, 64)) AS j FROM ri),
+      f0 AS (SELECT CAST(i AS BIGINT) AS di, CAST(j AS BIGINT) AS dj,
+               CAST(sum(q[i] * q[j]) AS BIGINT) AS g
+             FROM rij GROUP BY 1, 2),
+      mg AS (SELECT CAST(max(abs(g)) AS BIGINT) // 1000000000 + 1 AS dg
+             FROM f0),
+      f AS MATERIALIZED (SELECT di, dj,
+              CASE WHEN g < 0 THEN -((-g) // dg) ELSE g // dg END AS g2
+            FROM f0, mg),
+      v0 AS (SELECT CAST(i AS BIGINT) AS dim, CAST(1000000 AS BIGINT) AS v
+             FROM generate_series(1, 64) t(i)),
+      ${(1 to EMB4_ROUNDS).map(emb4RoundSql).mkString(",\n      ")}
+      SELECT dim, CAST(v AS BIGINT) AS v_ppm FROM v$EMB4_ROUNDS""",
+    // the greedy MMR trajectory replayed as unrolled CTE rounds (the
+    // km1 Lloyd-round technique): same rounded cosines, same
+    // re-rounded scores, same (score desc, nid) argmax each round
+    "mmr1_diverse_topk" -> s"""
+      WITH e AS ($EMB_SQL),
+      sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+               floor(list_sum(list_transform(generate_series(1,64),
+                 k -> q.emb[k] * c.emb[k])) / (q.nrm * c.nrm)
+                 * 1000000 + 0.5)/1000000 AS cos
+             FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, nid) AS rank FROM sc),
+      cand AS (SELECT qid, nid, cos AS rel FROM rk WHERE rank <= $MMR_CAND),
+      ps AS (SELECT a.qid, a.nid AS a_nid, b.nid AS b_nid,
+               floor(list_sum(list_transform(generate_series(1,64),
+                 k -> ea.emb[k] * eb.emb[k])) / (ea.nrm * eb.nrm)
+                 * 1000000 + 0.5)/1000000 AS sim
+             FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid <> b.nid
+               JOIN e ea ON ea.vec_id = a.nid
+               JOIN e eb ON eb.vec_id = b.nid),
+      sel1 AS (SELECT qid, nid, CAST(1 AS BIGINT) AS pick_order,
+                 7 * CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS score
+               FROM rk WHERE rank = 1),
+      ${(2 to MMR_K).map(mmrRoundSql).mkString(",\n      ")}
+      SELECT qid, nid, pick_order, score FROM sel$MMR_K""",
+    // same integer-thousandths stats, same guarded z, same integer-
+    // millionths quantization before the norm sum, same packed-long
+    // argmax — every aggregate is order-independent long arithmetic
+    "emb3_standardize" -> """
+      WITH q AS (SELECT vec_id, k AS dim, embedding[k]::DOUBLE AS x,
+               CAST(floor(embedding[k]::DOUBLE * 1000 + 0.5) AS BIGINT) AS qv
+             FROM embeddings, generate_series(1, 64) g(k)),
+      st AS (SELECT dim, count(*) AS n, CAST(sum(qv) AS BIGINT) AS sq,
+               CAST(sum(qv*qv) AS BIGINT) AS sqq
+             FROM q GROUP BY 1),
+      sd AS (SELECT dim, sq::DOUBLE / (n * 1000.0) AS mean,
+               sqrt(greatest(sqq::DOUBLE / (n::DOUBLE * 1000000.0)
+                 - (sq::DOUBLE / (n * 1000.0)) * (sq::DOUBLE / (n * 1000.0)),
+                 0.0)) AS std
+             FROM st),
+      z AS (SELECT q.vec_id, q.dim,
+              CAST(floor(CASE WHEN std > 0.0
+                THEN (qv / 1000.0 - mean) / std ELSE 0.0 END
+                * 1000000 + 0.5) AS BIGINT) AS zq
+            FROM q JOIN sd USING (dim)),
+      a AS (SELECT vec_id, CAST(sum(zq*zq) AS BIGINT) AS s2,
+              CAST(max(abs(zq) * 100 + (64 - dim)) AS BIGINT) AS top_key
+            FROM z GROUP BY 1)
+      SELECT vec_id, floor(sqrt(s2::DOUBLE / 1e12)*10000 + 0.5)/10000 AS znorm,
+        64 - top_key % 100 AS top_dim
+      FROM a""",
     // quantize-then-multiply (the emb1/km1 trick): every Gram cell is
     // an exact long sum, so the full-square unnest + j>=i filter here
     // equals the engine's slice-bounded triangle bit-for-bit

@@ -301,7 +301,198 @@ object WindowOps {
       .agg(count(lit(1)).as("n_conversions"), sum(col("cents")).as("rev_cents"))
   }
 
+  /** ts1's calendar grain: one day in integer µs (the w10 constant,
+    * kept separate so the two operators can diverge). */
+  private val TS1_DAY_US = 86400000000L
+
+  /** ts1 — calendar resample + gap-fill (LOCF): each user's event
+    * stream becomes a DENSE daily series from their first to last
+    * active day; days with activity carry the day's closing value
+    * (last event by (ts, event_id)), silent days carry the last
+    * observed value forward and are flagged `filled` — the
+    * regularization every downstream time-series model (forecasting,
+    * feature windows, retention curves) needs before it can assume
+    * one row per (key, day).
+    *
+    * Exactness: days are integer µs-day numbers (the w4/w9/w10
+    * convention); the day's close is picked by a pinned
+    * (ts desc, event_id desc) row_number, and the carried value is
+    * rounded once at the close — LOCF then only MOVES values, never
+    * recomputes them, so the filled series is exact in any engine.
+    *
+    * Scale shape: the close pick and the span agg are user-keyed
+    * (one exchange, shared under AQE); the dense grid is a map-side
+    * `sequence` explode of the per-user span — output-bound,
+    * |users|·|calendar| rows, no corpus-sized anything; the LOCF is
+    * ONE user-keyed analytic window Spark streams per partition.
+    * Never a global sort, never a driver loop over the calendar. */
+  private def ts1(s: SparkSession, d: String): DataFrame = {
+    val byDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = Tables.events(s, d)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $TS1_DAY_US").as("day"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), roundFp(col("value"), 2).as("close_val"))
+      // user-day-sized (never event-sized): 2 consumers (span + grid join)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val locf = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("close_val"), ignoreNulls = true).over(locf).as("value"),
+        col("close_val").isNull.as("filled"))
+  }
+
+  /** att2 — linear multi-touch attribution (att1's sibling: last-touch
+    * gives the final click everything; linear splits the conversion
+    * across EVERY touch in the purchase's window). A purchase's
+    * touches are the user's non-purchase events since their previous
+    * purchase; each touch's channel receives credit 1/n of the
+    * conversion and cents·count/n of the revenue; a purchase with no
+    * preceding touches credits the 'none' channel whole.
+    *
+    * Exactness: credit is integer ppm ((1000000·n_ch) div n_tot — the
+    * rrf1 reciprocal convention) and revenue splits as exact floor
+    * cents ((cents·n_ch) div n_tot), so every sum is order-independent
+    * long arithmetic; floor remainders stay unassigned by design
+    * (documented, deterministic) rather than re-spread by a float.
+    *
+    * Scale shape: purchase numbering is ONE user-keyed analytic
+    * window (running purchase count — the att1 window reused with a
+    * sum frame); touches attach to their target purchase by
+    * (user, seq) equi-join on narrow rows; everything after is
+    * |purchases|- or |channels|-sized partial+final aggs. */
+  private def att2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tu"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // persisted ONCE (spillable, lineage kept — the x10/r6 persist
+    // discipline): the numbered stream has four downstream consumers
+    // (purch ×2, byChannel ×2 via its own cache) and the running-
+    // count window must not recompute per consumer
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tu"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("np",
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("np").as("seq"), col("cents"))
+    val byChannel = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), (col("np") + 1L).as("seq"),
+        col("event_type").as("channel"))
+      .groupBy(col("user_id"), col("seq"), col("channel"))
+      .agg(count(lit(1)).as("n_ch"))
+      .withColumn("n_tot",
+        sum(col("n_ch")).over(Window.partitionBy(col("user_id"), col("seq"))))
+      // touch-group-sized (never event-sized): credited join + anti
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val credited = purch.join(byChannel, Seq("user_id", "seq"))
+      .select(col("channel"),
+        expr("(1000000 * n_ch) div n_tot").as("ppm"),
+        expr("(cents * n_ch) div n_tot").as("cents_share"))
+    val untouched = purch.join(
+        byChannel.select(col("user_id"), col("seq")).distinct(),
+        Seq("user_id", "seq"), "left_anti")
+      .select(lit("none").as("channel"), lit(1000000L).as("ppm"),
+        col("cents").as("cents_share"))
+    credited.union(untouched)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("ppm")).as("credit_ppm"),
+        sum(col("cents_share")).as("cents_credit"))
+  }
+
+  /** w11's rolling frame (50 trailing events), minimum history to
+    * score, and robust z cut — spec'd constants so the replay test
+    * pins the same contract. */
+  private[graft] val W11_FRAME = 50
+  private[graft] val W11_MIN_N = 20
+  private[graft] val W11_CUT = 2.5
+
+  /** w11 — rolling z-score anomaly flags: each event scored against
+    * the mean/std of the PRECEDING [[W11_FRAME]] events of its type
+    * (trailing frame only — no look-ahead leakage), flagged when
+    * |z| ≥ cut with at least [[W11_MIN_N]] history rows. od1 is the
+    * global batch gate; this is its streaming-shaped sibling — the
+    * form a live telemetry monitor runs, expressed as an analytic
+    * window so the oracle can check it.
+    *
+    * Exactness: the frame aggregates are INTEGER sums of exact cents
+    * (and cents², bounded: 10^12·50 ≪ 2^63), so mean/var derive from
+    * identical longs by identical double arithmetic in both engines —
+    * deterministic IEEE, no accumulation-order term anywhere. Var
+    * clamps at 0 (greatest) so a sub-ulp negative can't NaN the sqrt,
+    * and a zero-std frame never flags.
+    *
+    * Scale shape: ONE type-keyed analytic window with a bounded rows
+    * frame — Spark evaluates it as a sliding per-partition pass,
+    * state = 50 rows; the output filter keeps only flagged rows.
+    * |event-types| partitions would skew at extreme scale; the
+    * documented evolution is sub-keying by (type, hour) exactly like
+    * g6's salt, unchanged semantics per frame. */
+  private def w11(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("tu"), col("event_id"))
+      .rowsBetween(-W11_FRAME, -1)
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"), col("value"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .select(col("event_id"), col("event_type"), col("value"), col("cents"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("cents")).over(w).as("sc"),
+        sum(col("cents") * col("cents")).over(w).as("sq"))
+      .filter(col("n") >= W11_MIN_N)
+      .withColumn("mean", col("sc").cast("double") / col("n"))
+      .withColumn("std", sqrt(greatest(
+        col("sq").cast("double") / col("n") - col("mean") * col("mean"),
+        lit(0.0))))
+      .filter(col("std") > 0.0 &&
+        abs(col("cents") - col("mean")) >= lit(W11_CUT) * col("std"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("n"), roundFp((col("cents") - col("mean")) / col("std"), 4).as("z"))
+  }
+
+  /** fn2 — time-to-convert distribution (fn1's report companion): for
+    * every user whose first purchase follows their first view, the
+    * whole-day lag between the two, histogrammed — the "how long does
+    * conversion take" curve next to fn1's "how many convert". Both
+    * anchors are min() aggregates and the lag is integer µs-days
+    * (the fn1/w10 convention) — no ordering ambiguity anywhere.
+    *
+    * Scale shape: two type-filtered scans of a 3-column pruned
+    * projection, each reduced to (user, long) immediately (the fn1
+    * adjudication: pruned re-reads beat caching the corpus), one
+    * user-keyed equi-join, and a ≤|calendar|-row final histogram
+    * agg. */
+  private def fn2(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tu"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tu")).as("tv"))
+    ev.filter(col("event_type") === "purchase")
+      .join(views, Seq("user_id"))
+      .filter(col("tu") > col("tv"))
+      .groupBy(col("user_id"))
+      .agg(min(col("tu")).as("tp"), min(col("tv")).as("tv"))
+      .select(expr(s"(tp - tv) div $W10_DAY_US").as("lag_days"))
+      .groupBy(col("lag_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn2_time_to_convert" -> (fn2 _),
+    "ts1_gapfill" -> (ts1 _),
+    "att2_linear_credit" -> (att2 _),
+    "w11_rolling_z" -> (w11 _),
     "att1_last_touch" -> (att1 _),
     "w9_decay_score" -> (w9 _),
     "fn1_funnel" -> (fn1 _),
@@ -317,6 +508,97 @@ object WindowOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // min() anchors and integer µs-day lag, the fn1/w10 convention
+    "fn2_time_to_convert" -> s"""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu
+                 FROM events),
+      v AS (SELECT user_id, min(tu) AS tv FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+      p AS (SELECT e.user_id, min(tu) AS tp, min(tv) AS tv
+            FROM e JOIN v USING (user_id)
+            WHERE event_type = 'purchase' AND tu > tv
+            GROUP BY 1)
+      SELECT (tp - tv) // $W10_DAY_US AS lag_days, count(*) AS n_users
+      FROM p GROUP BY 1""",
+    // same pinned close pick (row_number ts DESC, event_id DESC), the
+    // same integer µs-day grid, and the same ROWS-framed IGNORE NULLS
+    // carry — LOCF only moves the once-rounded close values
+    "ts1_gapfill" -> s"""
+      WITH e AS (SELECT user_id, epoch_us(ts) // $TS1_DAY_US AS day,
+                   ts, event_id, value FROM events),
+      r AS (SELECT user_id, day, value, row_number() OVER (
+              PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC)
+              AS rn FROM e),
+      daily AS (SELECT user_id, day, floor(value*100 + 0.5)/100 AS close_val
+                FROM r WHERE rn = 1),
+      span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+               FROM daily GROUP BY 1),
+      grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+               FROM span),
+      f AS (SELECT g.user_id, g.day, d.close_val FROM grid g
+            LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+      SELECT user_id, day,
+        last_value(close_val IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS value,
+        close_val IS NULL AS filled
+      FROM f""",
+    // same running purchase count window, same (user, seq) attach,
+    // integer ppm credit and floor-cents revenue split
+    "att2_linear_credit" -> """
+      WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tu,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                 FROM events),
+      n AS (SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1
+                     ELSE 0 END) OVER (PARTITION BY user_id
+                     ORDER BY tu, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS np
+            FROM e),
+      p AS (SELECT user_id, np AS seq, cents FROM n
+            WHERE event_type = 'purchase'),
+      tc AS (SELECT user_id, np + 1 AS seq, event_type AS channel,
+               count(*) AS n_ch
+             FROM n WHERE event_type <> 'purchase' GROUP BY 1, 2, 3),
+      tt AS (SELECT *, sum(n_ch) OVER (PARTITION BY user_id, seq) AS n_tot
+             FROM tc),
+      credited AS (SELECT tt.channel,
+                     (1000000 * n_ch) // n_tot AS ppm,
+                     (p.cents * n_ch) // n_tot AS cents_share
+                   FROM p JOIN tt ON p.user_id = tt.user_id
+                     AND p.seq = tt.seq),
+      untouched AS (SELECT 'none' AS channel, 1000000 AS ppm,
+                      cents AS cents_share
+                    FROM p LEFT JOIN (SELECT DISTINCT user_id, seq FROM tc) t
+                      ON p.user_id = t.user_id AND p.seq = t.seq
+                    WHERE t.user_id IS NULL),
+      u AS (SELECT * FROM credited UNION ALL SELECT * FROM untouched)
+      SELECT channel, count(*) AS n_credits,
+        CAST(sum(ppm) AS BIGINT) AS credit_ppm,
+        CAST(sum(cents_share) AS BIGINT) AS cents_credit
+      FROM u GROUP BY 1""",
+    // identical integer frame sums (cents, cents²) and identical
+    // double arithmetic from them — no accumulation-order term
+    "w11_rolling_z" -> s"""
+      WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS tu, value,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                 FROM events),
+      f AS (SELECT event_id, event_type, value, cents,
+              count(*) OVER w AS n,
+              CAST(sum(cents) OVER w AS BIGINT) AS sc,
+              CAST(sum(cents * cents) OVER w AS BIGINT) AS sq
+            FROM e
+            WINDOW w AS (PARTITION BY event_type ORDER BY tu, event_id
+              ROWS BETWEEN $W11_FRAME PRECEDING AND 1 PRECEDING)),
+      m AS (SELECT *, CAST(sc AS DOUBLE) / n AS mean FROM f
+            WHERE n >= $W11_MIN_N),
+      sdt AS (SELECT *, sqrt(greatest(
+                CAST(sq AS DOUBLE) / n - mean * mean, 0.0)) AS std
+              FROM m)
+      SELECT event_id, event_type, value, n,
+        floor((cents - mean) / std * 10000 + 0.5)/10000 AS z
+      FROM sdt
+      WHERE std > 0.0 AND abs(cents - mean) >= $W11_CUT * std""",
     // same (epoch-µs, event_id) window order and IGNORE NULLS
     // last-value semantics; revenue summed as exact cents
     "att1_last_touch" -> """

@@ -607,4 +607,71 @@ class PlanShapeSpec extends SparkSpec {
     assert(ws.nonEmpty, phys.toString)
     ws.foreach(w => assert(w.partitionSpec.nonEmpty, phys.toString))
   }
+
+  test("ts1/att2/w11: every analytic window in the round-9c event " +
+    "operators is key-partitioned — the gap-fill, credit and rolling " +
+    "frames never serialize through one task") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // persisted subtrees hide their windows inside InMemoryRelation —
+    // descend into cached plans so a persist can't blind the pin
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    def allWindows(p: SparkPlan): Seq[WindowExec] =
+      p.collect { case w: WindowExec => w } ++
+        p.collect { case s: InMemoryTableScanExec =>
+          allWindows(unwrap(s.relation.cachedPlan))
+        }.flatten
+    Seq("ts1_gapfill", "att2_linear_credit", "w11_rolling_z").foreach { n =>
+      val phys = physical(q(n))
+      spark.catalog.clearCache()
+      val ws = allWindows(phys)
+      assert(ws.nonEmpty, s"$n: ${phys.toString}")
+      ws.foreach(w => assert(w.partitionSpec.nonEmpty, s"$n: ${phys.toString}"))
+    }
+  }
+
+  test("emb3's per-dim stats join back as a broadcast — the corpus " +
+    "never sort-merge-joins a 64-row dimension") {
+    val p = plan(q("emb3_standardize"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("gr3's top-k is TakeOrderedAndProject and the wedge join is a " +
+    "keyed equi-join, never a cartesian (the one nested-loop is the " +
+    "broadcast of the 1-row cap — the w9 anchor pattern)") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val df = q("gr3_link_predict")
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // any BNLJ must carry the broadcast 1-row cap, nothing bigger
+    physical(df).foreach {
+      case b: BroadcastNestedLoopJoinExec =>
+        assert(b.right.output.map(_.name) == Seq("cap") ||
+          b.left.output.map(_.name) == Seq("cap"), b.toString)
+      case _ => ()
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("d12's candidate scoring joins stay keyed equi-joins — never " +
+    "a cartesian (the d2 verify-path shape)") {
+    val p = plan(q("d12_containment"))
+    spark.catalog.clearCache()
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("idx2's query fanout and term-count check ride broadcast " +
+    "joins — the suite dimension never shuffles the postings") {
+    val p = plan(q("idx2_postings_and"))
+    spark.catalog.clearCache()
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

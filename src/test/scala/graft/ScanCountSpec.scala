@@ -85,6 +85,13 @@ class ScanCountSpec extends SparkSpec {
       "x7_top_ngrams").map(_ -> ((1, 1)))
     (twoScans ++ kernel ++ Seq(
       "d5_embedding_neardup" -> ((0, 1)), // corpus side memoized
+      // d12 scores the memoized signature table (0 scans, d2's
+      // adjudication) with its one containment kernel
+      "d12_containment" -> ((0, 1)),
+      // two-pass standardization by design: the stats pass reduces
+      // to 64 rows immediately, so two pruned embedding reads beat
+      // caching the 64×-exploded corpus (the voc1/cls1 adjudication)
+      "emb3_standardize" -> ((2, 0)),
       "m6_cdc_apply" -> ((4, 0)),
       // cls2 serves the cls1-style model: model pass (lang, text),
       // prior pass (lang), scoring pass (doc_id, lang, text) — each
