@@ -859,10 +859,11 @@ object SimilarityOps {
   }
 
   /** emb4's fixed power-iteration depth — enough for the gap between
-    * the top two eigenvalues of a real embedding Gram to dominate;
-    * the result is DEFINED as the round-20 iterate (bit-exact replay
+    * the top two eigenvalues of a real embedding Gram to dominate
+    * (the spec's fixed-point law measures the residual rotation);
+    * the result is DEFINED as the round-32 iterate (bit-exact replay
     * in any engine), not as "the converged eigenvector". */
-  private[graft] val EMB4_ROUNDS = 20
+  private[graft] val EMB4_ROUNDS = 32
 
   /** emb4 — dominant principal direction of the embedding corpus by
     * INTEGER power iteration over emb2's Gram matrix: the top-PCA
@@ -890,6 +891,8 @@ object SimilarityOps {
   private def emb4(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tri = emb2(s, d).select(col("dim_i"), col("dim_j"), col("g"))
+      // 2080-row model: the mirror union must not replan the Gram
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val full = tri.union(tri.filter(col("dim_i") =!= col("dim_j"))
       .select(col("dim_j").as("dim_i"), col("dim_i").as("dim_j"), col("g")))
     // bounded by construction: dims² = 4096 cells, corpus-independent
@@ -1044,7 +1047,7 @@ object SimilarityOps {
 
   private val baseOracles: Map[String, String] = Map(
     // full-square restatement of emb2's exact Gram, the same data-
-    // derived power-of-ten shift, and all 20 integer rounds unrolled
+    // derived power-of-ten shift, and all 32 integer rounds unrolled
     "emb4_top_direction" -> s"""
       WITH q AS (SELECT list_transform(embedding,
                x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)) AS q

@@ -280,6 +280,145 @@ class Round9cOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // ---- fn2 --------------------------------------------------------
+
+  test("fn2: the time-to-convert histogram replays exactly from " +
+    "min() anchors in integer µs-days") {
+    val dayUs = 86400000000L
+    val byUser = events.groupBy(_._4)
+    val expected = byUser.values.flatMap { evs =>
+      val views = evs.collect { case (_, tu, "view", _, _) => tu }
+      val purch = evs.collect { case (_, tu, "purchase", _, _) => tu }
+      if (views.isEmpty) None
+      else {
+        val tv = views.min
+        val after = purch.filter(_ > tv)
+        if (after.isEmpty) None else Some((after.min - tv) / dayUs)
+      }
+    }.groupBy(identity).map { case (d, hits) => d -> hits.size.toLong }
+    val got = q("fn2_time_to_convert").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.values.sum <= byUser.size.toLong)
+  }
+
+  // ---- idx3 -------------------------------------------------------
+
+  test("idx3: phrase retrieval replays exactly — adjacency in order, " +
+    "occurrence totals, doc-ordered head") {
+    val phrases = Seq(1L -> ("hash", "table"), 2L -> ("join", "merge"),
+      3L -> ("sort", "key"), 4L -> ("stream", "window"),
+      5L -> ("fast", "query"))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val expected = phrases.flatMap { case (qid, (a, b)) =>
+      val occ = docs.flatMap { case (id, toks) =>
+        val n = toks.indices.dropRight(1)
+          .count(i => toks(i) == a && toks(i + 1) == b)
+        if (n > 0) Some(id -> n.toLong) else None
+      }
+      if (occ.isEmpty) None
+      else Some(qid -> ((occ.length.toLong, occ.map(_._2).sum,
+        occ.map(_._1).sorted.take(5).toSeq.map(id => f"$id%06d"))))
+    }.toMap
+    val got = q("idx3_phrase").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[String](3).toSeq))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  // ---- mmr1 -------------------------------------------------------
+
+  /** The engine's cosine convention replayed: doubles in array order,
+    * rounded at 6 dp. */
+  private def cos6(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
+      nb += b(i) * b(i); i += 1 }
+    math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5) / 1e6
+  }
+
+  test("mmr1: the greedy MMR trajectory replays exactly (integer 7/3 " +
+    "ppm scores), and every query's picks are distinct candidates") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val expected = vecs.keys.filter(_ < 10).flatMap { qid =>
+      val rel = vecs.toSeq.filter(_._1 != qid)
+        .map { case (nid, v) => nid -> cos6(vecs(qid), v) }
+      val cand = rel.sortBy { case (nid, c) => (-c, nid) }.take(12)
+      def ppm(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+      var sel = Vector((cand.head._1, 1L, 7L * ppm(cand.head._2)))
+      for (r <- 2 to operators.SimilarityOps.MMR_K) {
+        val rest = cand.filterNot(c => sel.exists(_._1 == c._1))
+        val scoredR = rest.map { case (nid, rl) =>
+          val ms = sel.map(s => ppm(cos6(vecs(nid), vecs(s._1)))).max
+          (nid, 7L * ppm(rl) - 3L * ms)
+        }
+        val pick = scoredR.minBy { case (nid, sc) => (-sc, nid) }
+        sel :+= ((pick._1, r.toLong, pick._2))
+      }
+      sel.map { case (nid, ord, sc) => (qid, nid) -> ((ord, sc)) }
+    }.toMap
+    val got = q("mmr1_diverse_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // structural: 5 distinct picks per query
+    got.keys.groupBy(_._1).foreach { case (qid, ks) =>
+      assert(ks.size == operators.SimilarityOps.MMR_K, s"query $qid")
+    }
+  }
+
+  // ---- emb4 -------------------------------------------------------
+
+  test("emb4: the integer power iterate replays exactly from raw " +
+    "embeddings, is normalized to <= 1e6, and is (near-)fixed under " +
+    "one more round — the eigen-ness evidence") {
+    val vecs = Tables.embeddings(spark, sf).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0)
+        .map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray)
+    val dims = vecs.head.length
+    val g = Array.ofDim[Long](dims + 1, dims + 1)
+    for (i <- 1 to dims; j <- 1 to dims)
+      g(i)(j) = vecs.map(v => v(i - 1) * v(j - 1)).sum
+    val mg = (for (i <- 1 to dims; j <- 1 to dims) yield math.abs(g(i)(j))).max
+    val dg = mg / 1000000000L + 1L
+    for (i <- 1 to dims; j <- 1 to dims) {
+      val x = g(i)(j)
+      g(i)(j) = if (x < 0) -((-x) / dg) else x / dg
+    }
+    def round(v: Array[Long]): Array[Long] = {
+      val w = Array.tabulate(dims + 1)(i =>
+        if (i == 0) 0L else (1 to dims).map(j => g(i)(j) * v(j)).sum)
+      val dw = (1 to dims).map(i => math.abs(w(i))).max / 1000000L + 1L
+      w.map(x => if (x < 0) -((-x) / dw) else x / dw)
+    }
+    var v = Array.fill(dims + 1)(1000000L)
+    for (_ <- 1 to operators.SimilarityOps.EMB4_ROUNDS) v = round(v)
+    val expected = (1 to dims).map(i => i.toLong -> v(i)).toMap
+    val got = q("emb4_top_direction").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.values.map(math.abs).max <= 1000000L)
+    // near-fixed point: one more round barely rotates the iterate
+    val v1 = round(v)
+    val cos = {
+      val a = (1 to dims).map(i => v(i).toDouble)
+      val b = (1 to dims).map(i => v1(i).toDouble)
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // the gap on the sf0.001 fixture leaves ~1e-3 residual rotation
+    // per round at depth 32; the law asserts near-fixedness, the
+    // exact value is pinned by the replay above
+    assert(cos > 0.995, s"iterate still rotating: cos=$cos")
+  }
+
   // ---- gr3 --------------------------------------------------------
 
   /** Spark/DuckDB exact-percentile interpolation replayed. */

@@ -92,6 +92,15 @@ class ScanCountSpec extends SparkSpec {
       // to 64 rows immediately, so two pruned embedding reads beat
       // caching the 64×-exploded corpus (the voc1/cls1 adjudication)
       "emb3_standardize" -> ((2, 0)),
+      // mmr1's relevance pass is s1's 2-scan broadcast shape plus
+      // one more pruned embedding read to attach candidate vectors
+      // (rankings-sized join) — everything after runs on the two
+      // persisted rankings-sized tables
+      "mmr1_diverse_topk" -> ((3, 0)),
+      // fn2's view and purchase anchors are two type-filtered pruned
+      // reads, each reduced to (user, long) immediately (the fn1
+      // adjudication)
+      "fn2_time_to_convert" -> ((2, 0)),
       "m6_cdc_apply" -> ((4, 0)),
       // cls2 serves the cls1-style model: model pass (lang, text),
       // prior pass (lang), scoring pass (doc_id, lang, text) — each
