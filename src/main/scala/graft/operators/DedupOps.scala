@@ -981,7 +981,33 @@ object DedupOps {
       .toDF("i", "j", "c_ij_ppm", "c_ji_ppm")
   }
 
+  /** leak1 — train→eval contamination audit: the per-split leakage
+    * report a pipeline MUST read before trusting any eval number.
+    * Documents are split train/val/test by sm2's 80/10/10 key-hash
+    * convention; every val/test document is verdicted against the
+    * TRAIN corpus exactly as d10 verdicts an incoming crawl batch
+    * against the reference corpus (same signatures, same directional
+    * banding, same exact-fingerprint short-circuit — d10's eval
+    * population IS the bkt >= 80 slice, so the verdict relation is
+    * consumed verbatim), then aggregated to (split, verdict, n_docs):
+    * 'exact'/'near' rows are eval questions the model has seen in
+    * training — benchmark contamination, stated per split.
+    *
+    * Scale: everything heavy is d10's plan (directional banding —
+    * |eval|×|train| band collisions only, int-pair shuffles), and
+    * leak1 reads d10's CHECKPOINTED verdicts (the "consumed
+    * repeatedly downstream" face d10 eagerly materializes for) — the
+    * refinement here adds one hash on the 8-byte doc key and a
+    * 6-row aggregate over that narrow relation. */
+  private def leak1(s: SparkSession, d: String): DataFrame =
+    d10(s, d)
+      .withColumn("split",
+        when(md5Long(col("doc_id")) % 100 < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "leak1_split_leakage" -> (leak1 _),
     "d12_containment" -> (d12 _),
     "er2_jw_block" -> (er2 _),
     "er1_fuzzy_block" -> (er1 _),
@@ -1046,6 +1072,44 @@ object DedupOps {
        |fin AS (SELECT v, CASE WHEN (SELECT changed FROM conv) > 0
        |  THEN error('min-label did not converge in $rounds rounds')
        |  ELSE l END AS l FROM l$rounds)""".stripMargin
+  /** The d10 verdict SQL, factored out because leak1 restates it as
+    * a CTE — one source of truth for the directional-dedup oracle. */
+  private val D10_SQL = s"""
+      WITH t AS ($SHINGLES),
+      s AS (SELECT doc_id,
+              ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS bkt,
+              sh FROM t),
+      m AS (SELECT doc_id, bkt,
+              list_distinct(list_transform(sh, x ->
+                ('0x' || substr(md5(x),1,15))::BIGINT)) AS shh,
+              list_transform(generate_series(0,7), k ->
+                list_min(list_transform(sh, x ->
+                  ('0x' || substr(md5(k::VARCHAR || ':' || x),1,15))::BIGINT))) AS mh
+            FROM s),
+      b AS (SELECT doc_id, bkt, g.band AS band,
+              mh[2*g.band+1]::VARCHAR || '_' || mh[2*g.band+2]::VARCHAR AS bkey
+            FROM m, generate_series(0,3) g(band)),
+      c AS (SELECT DISTINCT x.doc_id AS inc, y.doc_id AS ref
+            FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey
+              AND x.bkt >= 80 AND y.bkt < 80),
+      nr AS (SELECT DISTINCT inc AS doc_id
+             FROM c JOIN m a ON c.inc = a.doc_id JOIN m bb ON c.ref = bb.doc_id
+             WHERE len(list_intersect(a.shh, bb.shh))::DOUBLE
+                   / len(list_distinct(a.shh || bb.shh)) >= 0.5),
+      fp AS (SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS bkt,
+               ('0x' || substr(md5(lower(trim(text))),1,15))::BIGINT AS content_fp
+             FROM documents),
+      ex AS (SELECT DISTINCT i.doc_id FROM fp i JOIN fp r
+             ON i.content_fp = r.content_fp AND i.bkt >= 80 AND r.bkt < 80)
+      SELECT f.doc_id,
+        CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+             WHEN nr.doc_id IS NOT NULL THEN 'near'
+             ELSE 'keep' END AS verdict
+      FROM fp f LEFT JOIN ex ON f.doc_id = ex.doc_id
+                LEFT JOIN nr ON f.doc_id = nr.doc_id
+      WHERE f.bkt >= 80"""
+
   val oracles: Map[String, String] = Map(
     // unit-cost Levenshtein is defined identically in both engines
     // record-pair semantics (the engine aggregates to distinct names
@@ -1102,41 +1166,16 @@ object DedupOps {
         CAST(length(clean) AS BIGINT) AS clean_len,
         substr(md5(clean), 1, 16) AS clean_fp
       FROM r""",
-    "d10_incremental_dedup" -> s"""
-      WITH t AS ($SHINGLES),
-      s AS (SELECT doc_id,
-              ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS bkt,
-              sh FROM t),
-      m AS (SELECT doc_id, bkt,
-              list_distinct(list_transform(sh, x ->
-                ('0x' || substr(md5(x),1,15))::BIGINT)) AS shh,
-              list_transform(generate_series(0,7), k ->
-                list_min(list_transform(sh, x ->
-                  ('0x' || substr(md5(k::VARCHAR || ':' || x),1,15))::BIGINT))) AS mh
-            FROM s),
-      b AS (SELECT doc_id, bkt, g.band AS band,
-              mh[2*g.band+1]::VARCHAR || '_' || mh[2*g.band+2]::VARCHAR AS bkey
-            FROM m, generate_series(0,3) g(band)),
-      c AS (SELECT DISTINCT x.doc_id AS inc, y.doc_id AS ref
-            FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey
-              AND x.bkt >= 80 AND y.bkt < 80),
-      nr AS (SELECT DISTINCT inc AS doc_id
-             FROM c JOIN m a ON c.inc = a.doc_id JOIN m bb ON c.ref = bb.doc_id
-             WHERE len(list_intersect(a.shh, bb.shh))::DOUBLE
-                   / len(list_distinct(a.shh || bb.shh)) >= 0.5),
-      fp AS (SELECT doc_id,
-               ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS bkt,
-               ('0x' || substr(md5(lower(trim(text))),1,15))::BIGINT AS content_fp
-             FROM documents),
-      ex AS (SELECT DISTINCT i.doc_id FROM fp i JOIN fp r
-             ON i.content_fp = r.content_fp AND i.bkt >= 80 AND r.bkt < 80)
-      SELECT f.doc_id,
-        CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
-             WHEN nr.doc_id IS NOT NULL THEN 'near'
-             ELSE 'keep' END AS verdict
-      FROM fp f LEFT JOIN ex ON f.doc_id = ex.doc_id
-                LEFT JOIN nr ON f.doc_id = nr.doc_id
-      WHERE f.bkt >= 80""",
+    "d10_incremental_dedup" -> D10_SQL,
+    // leak1 consumes d10's verdict relation verbatim: the eval docs
+    // are the same bkt >= 80 population, refined into sm2's val
+    // (80-89) / test (90-99) buckets and aggregated
+    "leak1_split_leakage" -> s"""
+      WITH v AS ($D10_SQL)
+      SELECT CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT
+                       % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+        verdict, count(*)::BIGINT AS n_docs
+      FROM v GROUP BY 1, 2""",
     // DuckDB list slice l[a:b] is 1-based inclusive-inclusive, so
     // l[p:p+7] is exactly Spark's slice(l, p, 8)
     "d9_substring_spans" -> """

@@ -227,10 +227,68 @@ object GraphOps {
       .limit(GR3_TOP)
   }
 
+  /** gr4 — degree assortativity of the part co-purchase graph: the
+    * Pearson correlation between the degrees at the two endpoints of
+    * every edge (Newman's r, the standard one-number summary of
+    * whether hubs attach to hubs or to leaves — disassortative
+    * item graphs need different partitioning/caching strategies than
+    * assortative social ones, so a curation pipeline computes this
+    * before picking a neighborhood-join plan).
+    *
+    * Determinism: all four moments (edge count, Σdeg, Σdeg²,
+    * Σdeg·deg) are EXACT integer sums; the single float division at
+    * the end is one fixed expression over those longs, identical in
+    * any IEEE-754 engine, then 6-dp rounded — the gr2 gcc
+    * convention. Both edge orientations enter symmetrically, so the
+    * x- and y-moments coincide and only one set is aggregated.
+    *
+    * Plan at 100 TB: the degree table is one partial+final agg on
+    * the node key; attaching degrees to edges is two equi-joins of
+    * narrow (id, id) rows against the (id, long) degree table —
+    * shuffles carry ids and longs only, never payloads — and the
+    * moments ride a constant-size final aggregate. No window, no
+    * wedge stream: unlike gr2/gr3 this is strictly edge-linear. */
+  private def gr4(s: SparkSession, d: String): DataFrame = {
+    val ip = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = ip.select(col("o"), col("p").as("pa"))
+      .join(ip.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // degree agg + moment joins
+    val deg = e.select(explode(array(col("pa"), col("pb"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val m = e
+      .join(deg.select(col("p").as("pa"), col("deg").as("da")), Seq("pa"))
+      .join(deg.select(col("p").as("pb"), col("deg").as("db")), Seq("pb"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("da") + col("db")).as("sx"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("sxx"),
+        sum(col("da") * col("db")).as("sxy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    // r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) over the 2m endpoint
+    // pairs; the denominator is 0 only for a degree-regular graph —
+    // NULL then, identically on both engines
+    nodes.crossJoin(m).select(
+      col("n_nodes"), col("m").as("n_edges"),
+      graft.functions.Fns.roundFp(
+        expr("""CASE WHEN CAST(2 * m AS DOUBLE) * sxx
+                       - CAST(sx AS DOUBLE) * sx = 0 THEN NULL
+                ELSE (CAST(2 * m AS DOUBLE) * (2 * sxy)
+                       - CAST(sx AS DOUBLE) * sx)
+                     / (CAST(2 * m AS DOUBLE) * sxx
+                       - CAST(sx AS DOUBLE) * sx) END"""), 6)
+        .as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr3_link_predict" -> (gr3 _),
     "gr1_pagerank" -> (gr1 _),
-    "gr2_triangles" -> (gr2 _)
+    "gr2_triangles" -> (gr2 _),
+    "gr4_assortativity" -> (gr4 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -296,6 +354,33 @@ object GraphOps {
       SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
         floor(CAST(3 AS DOUBLE) * t / n_wedges * 1000000 + 0.5)/1000000
           AS gcc
-      FROM census, ne, tri"""
+      FROM census, ne, tri""",
+    // the same exact-integer endpoint-degree moments; the one float
+    // expression is stated identically (cast order pinned) so both
+    // engines run the same IEEE-754 ops before the 6-dp round
+    "gr4_assortativity" -> """
+      WITH ip AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM ip a JOIN ip b
+            ON a.o = b.o AND a.p < b.p),
+      d AS (SELECT p, count(*) AS deg FROM
+              (SELECT pa AS p FROM e UNION ALL SELECT pb FROM e) u
+            GROUP BY p),
+      mo AS (SELECT count(*) AS m,
+               CAST(sum(da.deg + db.deg) AS BIGINT) AS sx,
+               CAST(sum(da.deg * da.deg + db.deg * db.deg) AS BIGINT)
+                 AS sxx,
+               CAST(sum(da.deg * db.deg) AS BIGINT) AS sxy
+             FROM e JOIN d da ON e.pa = da.p JOIN d db ON e.pb = db.p),
+      nn AS (SELECT count(*) AS n_nodes FROM d)
+      SELECT n_nodes, m AS n_edges,
+        floor(CASE WHEN CAST(2 * m AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx = 0 THEN NULL
+              ELSE (CAST(2 * m AS DOUBLE) * (2 * sxy)
+                          - CAST(sx AS DOUBLE) * sx)
+                   / (CAST(2 * m AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx) END
+              * 1000000 + 0.5) / 1000000 AS assortativity
+      FROM nn, mo"""
   )
 }

@@ -193,6 +193,24 @@ object RetrievalOps {
     * deterministically, on both engines. */
   private def cls2(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    nbDocScores(s, d)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("m_lang").asc)))
+      .filter(col("r") === 1)
+      .groupBy(col("lang"), col("m_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang").as("true_lang"), col("m_lang").as("pred_lang"),
+        col("n_docs"))
+  }
+
+  /** The per-document NB candidate scores (doc_id, lang, m_lang,
+    * score) under the cls2 restricted-vocab integer-log2 model —
+    * cls2 takes the per-doc argmax into a confusion matrix, cal1
+    * reads the top-2 gap as a confidence signal. One model build,
+    * two consumers. */
+  private def nbDocScores(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byLang = Window.partitionBy(col("lang"))
     val model = Tables.documents(s, d)
       .select(col("lang"), explode(toks(col("text"))).as("term"))
@@ -217,14 +235,41 @@ object RetrievalOps {
       .agg(sum(col("w")).as("hw"))
       .join(broadcast(prior), Seq("m_lang"))
       .withColumn("score", col("hw") + col("pw"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("m_lang").asc)))
-      .filter(col("r") === 1)
-      .groupBy(col("lang"), col("m_lang"))
-      .agg(count(lit(1)).as("n_docs"))
-      .select(col("lang").as("true_lang"), col("m_lang").as("pred_lang"),
-        col("n_docs"))
+      .select(col("doc_id"), col("lang"), col("m_lang"), col("score"))
+  }
+
+  /** cal1 — confidence calibration of the cls2 classifier: bucket
+    * every CONTESTED document (>= 2 candidate classes under the
+    * restricted vocab) by its top-2 score MARGIN — the integer-log2
+    * analog of a posterior-probability confidence — and report the
+    * empirical accuracy per margin. The reliability table is what
+    * decides a quality-filter threshold: "keep docs the classifier
+    * calls X with margin >= m" is only sound where acc(m) is
+    * actually high, and a miscalibrated band shows up here as a
+    * non-monotone row, before any corpus is filtered with it.
+    *
+    * Scores are already exact integers (the cls2 portability
+    * argument), so the margin is exact long subtraction and the
+    * bucket key needs no binning at all — the margin domain is
+    * bounded by the ilog2 score range (~±40), not by the corpus.
+    *
+    * Plan: one extra `lead()` rides cls2's existing per-doc window
+    * (same partition key, same order — one WindowExec evaluates
+    * both), then a ≤|margin-domain|-row aggregate. No second corpus
+    * pass beyond nbDocScores' own. */
+  private def cal1(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("m_lang").asc)
+    nbDocScores(s, d)
+      .withColumn("r", row_number().over(w))
+      .withColumn("nxt", lead(col("score"), 1).over(w))
+      .filter(col("r") === 1 && col("nxt").isNotNull)
+      .select((col("score") - col("nxt")).as("margin"),
+        when(col("lang") === col("m_lang"), 1L).otherwise(0L).as("ok"))
+      .groupBy(col("margin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))
+      .withColumn("acc_ppm", expr("(1000000 * n_correct) div n_docs"))
   }
 
   /** bpe1's report size — the top adjacent pairs by corpus count. */
@@ -501,6 +546,7 @@ object RetrievalOps {
     "voc1_oov_rate" -> (voc1 _),
     "cls1_nb_model" -> (cls1 _),
     "cls2_nb_confusion" -> (cls2 _),
+    "cal1_margin_calibration" -> (cal1 _),
     "bpe1_pair_merge" -> (bpe1 _)
   )
 
@@ -509,6 +555,36 @@ object RetrievalOps {
   private val qIn = TERMSET.map("'" + _ + "'").mkString(", ")
   private val phraseValues = QUERIES.map { case (id, t) =>
     val Array(a, b) = t.split(" "); s"($id, '$a', '$b')" }.mkString(", ")
+
+  /** The cls2 model + per-doc score CTE chain (through `fin`),
+    * factored out because cal1 restates it — one source of truth for
+    * the NB scoring oracle. */
+  private val NB_FIN_SQL = s"""t AS (SELECT lang,
+                   unnest(string_split(text,' ')) AS term
+                 FROM documents),
+      lt AS (SELECT lang, term, count(*) AS c FROM t GROUP BY 1, 2),
+      wt AS (SELECT lang, term, c,
+               CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS tot
+             FROM lt),
+      rk AS (SELECT lang, term, c, tot, row_number() OVER (
+               PARTITION BY lang ORDER BY c DESC, term) AS rnk FROM wt),
+      model AS (SELECT lang AS m_lang, term,
+                  CAST(length(bin(CAST((1000000 * c) // tot + 1 AS BIGINT)))
+                    - 1 AS BIGINT) AS w
+                FROM rk WHERE rnk <= $CLS_MV),
+      p AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+      pp AS (SELECT lang AS m_lang,
+               CAST(length(bin(CAST((1000000 * nd) //
+                 CAST(sum(nd) OVER () AS BIGINT) + 1 AS BIGINT)))
+                 - 1 AS BIGINT) AS pw
+             FROM p),
+      tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS term
+              FROM documents),
+      sc AS (SELECT doc_id, tok.lang, m_lang,
+               CAST(sum(w) AS BIGINT) AS hw
+             FROM tok JOIN model USING (term) GROUP BY 1, 2, 3),
+      fin AS (SELECT doc_id, lang, sc.m_lang, hw + pw AS score
+              FROM sc JOIN pp ON sc.m_lang = pp.m_lang)"""
 
   val oracles: Map[String, String] = Map(
     // same positional postings (1-based there, 0-based here — only
@@ -677,37 +753,29 @@ object RetrievalOps {
     // sum is pinned back to BIGINT before bin/arithmetic (DuckDB
     // integer sums ride HUGEINT)
     "cls2_nb_confusion" -> s"""
-      WITH t AS (SELECT lang, unnest(string_split(text,' ')) AS term
-                 FROM documents),
-      lt AS (SELECT lang, term, count(*) AS c FROM t GROUP BY 1, 2),
-      wt AS (SELECT lang, term, c,
-               CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS tot
-             FROM lt),
-      rk AS (SELECT lang, term, c, tot, row_number() OVER (
-               PARTITION BY lang ORDER BY c DESC, term) AS rnk FROM wt),
-      model AS (SELECT lang AS m_lang, term,
-                  CAST(length(bin(CAST((1000000 * c) // tot + 1 AS BIGINT)))
-                    - 1 AS BIGINT) AS w
-                FROM rk WHERE rnk <= $CLS_MV),
-      p AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
-      pp AS (SELECT lang AS m_lang,
-               CAST(length(bin(CAST((1000000 * nd) //
-                 CAST(sum(nd) OVER () AS BIGINT) + 1 AS BIGINT)))
-                 - 1 AS BIGINT) AS pw
-             FROM p),
-      tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS term
-              FROM documents),
-      sc AS (SELECT doc_id, tok.lang, m_lang,
-               CAST(sum(w) AS BIGINT) AS hw
-             FROM tok JOIN model USING (term) GROUP BY 1, 2, 3),
-      fin AS (SELECT doc_id, lang, sc.m_lang, hw + pw AS score
-              FROM sc JOIN pp ON sc.m_lang = pp.m_lang),
+      WITH $NB_FIN_SQL,
       win AS (SELECT doc_id, lang, m_lang, row_number() OVER (
                 PARTITION BY doc_id ORDER BY score DESC, m_lang) AS r
               FROM fin)
       SELECT lang AS true_lang, m_lang AS pred_lang,
         count(*)::BIGINT AS n_docs
       FROM win WHERE r = 1 GROUP BY 1, 2""",
+    // same fin relation; the margin is exact BIGINT subtraction of
+    // the top-2 scores under the same (score DESC, m_lang) order
+    "cal1_margin_calibration" -> s"""
+      WITH $NB_FIN_SQL,
+      win AS (SELECT doc_id, lang, m_lang, score, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, m_lang) AS r,
+              lead(score) OVER (
+                PARTITION BY doc_id ORDER BY score DESC, m_lang) AS nxt
+              FROM fin),
+      mg AS (SELECT CAST(score - nxt AS BIGINT) AS margin,
+               CASE WHEN lang = m_lang THEN 1 ELSE 0 END AS ok
+             FROM win WHERE r = 1 AND nxt IS NOT NULL)
+      SELECT margin, count(*)::BIGINT AS n_docs,
+        CAST(sum(ok) AS BIGINT) AS n_correct,
+        (1000000 * CAST(sum(ok) AS BIGINT)) // count(*) AS acc_ppm
+      FROM mg GROUP BY margin""",
     "bpe1_pair_merge" -> s"""
       WITH wds AS (SELECT unnest(string_split(text, ' ')) AS w
                    FROM documents),

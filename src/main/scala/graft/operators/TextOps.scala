@@ -622,7 +622,35 @@ object TextOps {
         coalesce(col("max_share"), lit(0L)).as("max_share"))
   }
 
+  /** x17 — per-source vocabulary concentration: token count, type
+    * count (distinct terms), hapax-legomenon count (terms occurring
+    * exactly once in the source) and the hapax rate in ppm. The
+    * hapax fraction is the standard OCR-noise / boilerplate detector
+    * a curation pass reads per source: clean natural-language crawls
+    * sit near the Zipfian ~40-60% type-hapax band, OCR garbage
+    * pushes it up (every error is a new singleton type), template
+    * spam pushes it down (tiny recycled vocabulary). x15 profiles
+    * the global head of the distribution; this is the per-source
+    * TAIL diagnostic.
+    *
+    * Plan at 100 TB: one corpus scan; (source, term) counts are one
+    * partial+final agg whose state is vocabulary-sized per source
+    * (not corpus-sized); the per-source rollup then aggregates a
+    * vocabulary-sized relation down to |sources| rows. The hapax
+    * test rides the count rows — no second scan, no distinct, no
+    * window. Rates are integer ppm (floor division, both engines). */
+  private def x17(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_ppm", expr("(1000000 * n_hapax) div n_types"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x17_hapax" -> (x17 _),
     "x16_winnow" -> (x16 _),
     "ppl1_lm_bucket" -> (ppl1 _),
     "x15_zipf" -> (x15 _),
@@ -645,6 +673,17 @@ object TextOps {
   private[operators] def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // same (source, term) count relation, same floor-division ppm
+    "x17_hapax" -> """
+      WITH tc AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+      c AS (SELECT source, term, count(*) AS c FROM tc GROUP BY 1, 2)
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        count(*)::BIGINT AS n_types,
+        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        (1000000 * CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT))
+          // count(*) AS hapax_ppm
+      FROM c GROUP BY source""",
     // same md5-long gram hashes as the engine; DuckDB's 1-based
     // inclusive list slice h[i:i+3] is exactly slice(h, i, 4), and
     // both clamp at the list end, so the window mins agree

@@ -75,6 +75,9 @@ class ScanCountSpec extends SparkSpec {
       // self-join adjudication); everything downstream consumes the
       // persisted edge/degree/directed relations
       "gr2_triangles",
+      // gr4 builds the same co-purchase edge set (2 pruned reads);
+      // the degree agg and moment joins consume the persisted edges
+      "gr4_assortativity",
       // w10's first-activity agg and the activity join each re-read
       // the 2-column pruned (user_id, ts) projection — the
       // fn1/w9 events adjudication
@@ -108,6 +111,9 @@ class ScanCountSpec extends SparkSpec {
       // the corpus-sized exploded token relation (the voc1/cls1
       // adjudication)
       "cls2_nb_confusion" -> ((3, 0)),
+      // cal1 rides cls2's exact 3-pass shape (shared nbDocScores);
+      // the margin lead() reuses the same per-doc window
+      "cal1_margin_calibration" -> ((3, 0)),
       // one type-filtered read of the 3-column pruned events
       // projection per funnel step — each reduces to (user, long)
       // immediately, so three pruned scans beat caching the corpus
