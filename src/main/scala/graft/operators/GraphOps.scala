@@ -284,11 +284,67 @@ object GraphOps {
         .as("assortativity"))
   }
 
+  /** gr5's synchronous label-propagation depth. Two rounds is one
+    * full adopt-then-consolidate cycle on the co-purchase graph
+    * (round 1 collapses every node onto its minimum neighbor id,
+    * round 2 votes over those seeds); production iterates the SAME
+    * plan to convergence — nothing about the shape changes with
+    * depth, exactly the gr1 argument. */
+  private[graft] val GR5_ROUNDS = 2
+
+  /** gr5 — community sizes by synchronous label propagation
+    * (Raghavan et al. '07) over the part co-purchase graph: labels
+    * init to node ids; each round every node adopts the most
+    * frequent label among its NEIGHBORS, ties to the smallest label
+    * — the deterministic variant of LPA (classic async LPA breaks
+    * ties randomly; the (count desc, label asc) argmax is what makes
+    * the whole trajectory replayable in any engine). Complements d7:
+    * connected components answer "what is transitively linked",
+    * communities answer "what is DENSELY linked" — the clustering a
+    * catalog/curation pass actually wants.
+    *
+    * Plan at 100 TB: each round is one equi-join of the symmetric
+    * edge list with the (node, label) table, a (node, label) count
+    * agg, and a per-node argmax window over ≤degree rows — the gr1
+    * sparse-mat-vec shape with an argmax instead of a sum. Edges
+    * persist once and every round rescans memory; labels shuffle as
+    * (id, id) pairs. Output is the community-size histogram —
+    * |labels|-sized, not corpus-sized. */
+  private def gr5(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ip = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = ip.select(col("o"), col("p").as("pa"))
+      .join(ip.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
+      .distinct()
+    val sym = e.select(col("pa").as("v"), col("pb").as("n"))
+      .union(e.select(col("pb").as("v"), col("pa").as("n")))
+      .persist(StorageLevel.MEMORY_AND_DISK) // one scan per LPA round
+    var labels = sym.select(col("v")).distinct()
+      .select(col("v"), col("v").as("l"))
+    for (_ <- 1 to GR5_ROUNDS) {
+      labels = sym
+        .join(labels.select(col("v").as("n"), col("l")), Seq("n"))
+        .groupBy(col("v"), col("l")).agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("v"))
+            .orderBy(col("c").desc, col("l").asc)))
+        .filter(col("r") === 1)
+        .select(col("v"), col("l"))
+    }
+    labels.groupBy(col("l")).agg(count(lit(1)).as("n_members"))
+      .select(col("l").as("community"), col("n_members"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr3_link_predict" -> (gr3 _),
     "gr1_pagerank" -> (gr1 _),
     "gr2_triangles" -> (gr2 _),
-    "gr4_assortativity" -> (gr4 _)
+    "gr4_assortativity" -> (gr4 _),
+    "gr5_communities" -> (gr5 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -381,6 +437,26 @@ object GraphOps {
                    / (CAST(2 * m AS DOUBLE) * sxx
                           - CAST(sx AS DOUBLE) * sx) END
               * 1000000 + 0.5) / 1000000 AS assortativity
-      FROM nn, mo"""
+      FROM nn, mo""",
+    // both synchronous LPA rounds unrolled (the gr1/km1 replay
+    // technique); the (count desc, label asc) argmax is stated as
+    // the same row_number on both sides
+    "gr5_communities" -> s"""
+      WITH ip AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM ip a JOIN ip b
+            ON a.o = b.o AND a.p < b.p),
+      sym AS (SELECT pa AS v, pb AS n FROM e
+              UNION ALL SELECT pb, pa FROM e),
+      l0 AS (SELECT DISTINCT v, v AS l FROM sym),
+      ${(1 to GR5_ROUNDS).map { r =>
+        s"""c$r AS (SELECT s.v, p.l, count(*) AS c
+             FROM sym s JOIN l${r - 1} p ON s.n = p.v GROUP BY 1, 2),
+      r$r AS (SELECT v, l, row_number() OVER (
+               PARTITION BY v ORDER BY c DESC, l) AS rk FROM c$r),
+      l$r AS (SELECT v, l FROM r$r WHERE rk = 1)"""
+      }.mkString(",\n      ")}
+      SELECT l AS community, count(*)::BIGINT AS n_members
+      FROM l$GR5_ROUNDS GROUP BY l"""
   )
 }

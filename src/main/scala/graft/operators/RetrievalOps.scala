@@ -33,6 +33,10 @@ object RetrievalOps {
 
   private val TERMSET: Seq[String] = QTERMS.map(_._2).distinct.sorted
 
+  /** Spec-visible face of [[QTERMS]] (the ADVICE convention: specs
+    * reference THE constant, not a hard-coded copy). */
+  private[graft] def queryTermPairs: Seq[(Long, String)] = QTERMS
+
   /** qr1 — batch BM25 retrieval: top-3 documents per query for the
     * whole [[QUERIES]] set in ONE pass over the corpus. x11 is the
     * single-query form; the batch form is what decontamination
@@ -236,6 +240,44 @@ object RetrievalOps {
       .join(broadcast(prior), Seq("m_lang"))
       .withColumn("score", col("hw") + col("pw"))
       .select(col("doc_id"), col("lang"), col("m_lang"), col("score"))
+  }
+
+  /** qr2's expansion-term budget per query. */
+  private val QR2_TOP = 5
+
+  /** qr2 — pseudo-relevance feedback (RM3-style query expansion):
+    * take qr1's top-3 BM25 documents per query as the feedback set,
+    * count in how many feedback docs each term appears, drop the
+    * original query terms, and keep the top-[[QR2_TOP]] expansion
+    * terms per query by (feedback-df desc, term asc). This is the
+    * second half of every classic retrieval loop — retrieve, mine
+    * the hits for co-occurring vocabulary, re-query — and the
+    * counts are pure integers, so the whole expansion is replayable.
+    *
+    * Plan at 100 TB: qr1's scoring is the corpus-scale part (one
+    * scan, persisted hits); the feedback set is |Q|·3 rows BY
+    * CONSTRUCTION, so the doc-text fetch is a broadcast join against
+    * the corpus scan (a semi-join with payload — only feedback docs
+    * ever explode), and everything downstream (distinct, counts,
+    * the anti-join against the |QTERMS|-row exclusion list, the
+    * per-query top-5 window) runs on feedback-sized data. */
+  private def qr2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fb = qr1(s, d).select(col("query_id"), col("doc_id"))
+    val qt = QTERMS.toDF("query_id", "term")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .join(broadcast(fb), Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        explode(toks(col("text"))).as("term"))
+      .distinct()
+      .groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("fb_df"))
+      .join(broadcast(qt), Seq("query_id", "term"), "left_anti")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("fb_df").desc, col("term").asc)))
+      .filter(col("rnk") <= QR2_TOP)
   }
 
   /** cal1 — confidence calibration of the cls2 classifier: bucket
@@ -547,6 +589,7 @@ object RetrievalOps {
     "cls1_nb_model" -> (cls1 _),
     "cls2_nb_confusion" -> (cls2 _),
     "cal1_margin_calibration" -> (cal1 _),
+    "qr2_prf_expand" -> (qr2 _),
     "bpe1_pair_merge" -> (bpe1 _)
   )
 
@@ -555,6 +598,32 @@ object RetrievalOps {
   private val qIn = TERMSET.map("'" + _ + "'").mkString(", ")
   private val phraseValues = QUERIES.map { case (id, t) =>
     val Array(a, b) = t.split(" "); s"($id, '$a', '$b')" }.mkString(", ")
+
+  /** The qr1 batch-BM25 SQL, factored out because qr2 restates it as
+    * its feedback-set CTE — one source of truth for the BM25 oracle. */
+  private val QR1_SQL = s"""
+      WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+                 FROM (VALUES $qValues) v(query_id, term)),
+      t AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
+                   unnest(string_split(text,' ')) AS term
+            FROM documents),
+      hits AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+               WHERE term IN ($qIn) GROUP BY 1, 2, 3),
+      df AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+      stats AS (SELECT count(*) AS n,
+                  sum(len(string_split(text,' '))) / count(*) AS avgdl
+                FROM documents),
+      sc AS (SELECT q.query_id, hits.doc_id,
+               ((n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+                 (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS term_score
+             FROM hits JOIN df USING (term) JOIN q USING (term), stats),
+      agg AS (SELECT query_id, doc_id,
+                floor(sum(term_score)*1000000 + 0.5)/1000000 AS score
+              FROM sc GROUP BY 1, 2),
+      r AS (SELECT query_id, doc_id, score, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+            FROM agg)
+      SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 3"""
 
   /** The cls2 model + per-doc score CTE chain (through `fin`),
     * factored out because cal1 restates it — one source of truth for
@@ -697,29 +766,26 @@ object RetrievalOps {
         floor((CAST(n_chars AS DOUBLE) / bpe_tokens) * 1000000 + 0.5)
           / 1000000 AS compression
       FROM c""",
-    "qr1_batch_bm25" -> s"""
-      WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
-                 FROM (VALUES $qValues) v(query_id, term)),
-      t AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
-                   unnest(string_split(text,' ')) AS term
-            FROM documents),
-      hits AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
-               WHERE term IN ($qIn) GROUP BY 1, 2, 3),
-      df AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
-      stats AS (SELECT count(*) AS n,
-                  sum(len(string_split(text,' '))) / count(*) AS avgdl
-                FROM documents),
-      sc AS (SELECT q.query_id, hits.doc_id,
-               ((n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
-                 (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS term_score
-             FROM hits JOIN df USING (term) JOIN q USING (term), stats),
-      agg AS (SELECT query_id, doc_id,
-                floor(sum(term_score)*1000000 + 0.5)/1000000 AS score
-              FROM sc GROUP BY 1, 2),
-      r AS (SELECT query_id, doc_id, score, row_number() OVER (
-              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
-            FROM agg)
-      SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 3""",
+    "qr1_batch_bm25" -> QR1_SQL,
+    // the feedback set is qr1's result restated as a CTE; expansion
+    // counts are DISTINCT (query, doc, term) presence integers
+    "qr2_prf_expand" -> s"""
+      WITH fb AS ($QR1_SQL),
+      qx AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+             FROM (VALUES $qValues) v(query_id, term)),
+      dt AS (SELECT DISTINCT fb.query_id, fb.doc_id, t.term
+             FROM fb JOIN (SELECT doc_id,
+                 unnest(string_split(text,' ')) AS term
+               FROM documents) t ON fb.doc_id = t.doc_id),
+      c AS (SELECT query_id, term, count(*) AS fb_df
+            FROM dt GROUP BY 1, 2),
+      ex AS (SELECT c.* FROM c LEFT JOIN qx
+             ON c.query_id = qx.query_id AND c.term = qx.term
+             WHERE qx.term IS NULL),
+      r AS (SELECT query_id, term, fb_df, row_number() OVER (
+              PARTITION BY query_id ORDER BY fb_df DESC, term) AS rnk
+            FROM ex)
+      SELECT query_id, term, fb_df, rnk FROM r WHERE rnk <= $QR2_TOP""",
     "voc1_oov_rate" -> s"""
       WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
                  FROM documents),

@@ -488,7 +488,37 @@ object WindowOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** w12 — day-of-week seasonality profile per event type: event
+    * count and the share of the type's traffic landing on each
+    * weekday, in ppm. The profile is the capacity-planning /
+    * anomaly-baseline table every event pipeline keeps (od1 flags
+    * outliers against a global spread; this is the periodic baseline
+    * they should really be judged against — a Monday spike is only a
+    * spike relative to Mondays).
+    *
+    * The weekday is PURE integer arithmetic on the µs timestamp —
+    * ((tu div day) + 4) mod 7, epoch day 0 being a Thursday — so no
+    * engine's calendar/timezone layer is ever consulted; 0 = Monday.
+    *
+    * Plan at 100 TB: one pruned scan, one partial+final agg on the
+    * (type, dow) key — ≤ 7·|types| groups; the per-type total is a
+    * window over that ≤7-row partition of the AGGREGATED relation
+    * (never a second pass, never a join). */
+  private def w12(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr(s"((unix_micros(ts) div $W10_DAY_US) + 4) % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("tot",
+        sum(col("n_events")).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("dow"), col("n_events"),
+        expr("(1000000 * n_events) div tot").as("share_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w12_dow_profile" -> (w12 _),
     "fn2_time_to_convert" -> (fn2 _),
     "ts1_gapfill" -> (ts1 _),
     "att2_linear_credit" -> (att2 _),
@@ -508,6 +538,20 @@ object WindowOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same integer weekday ((epoch-day + 4) mod 7) and floor-div ppm
+    "w12_dow_profile" -> s"""
+      WITH e AS (SELECT event_type,
+                   ((epoch_us(ts) // $W10_DAY_US) + 4) % 7 AS dow
+                 FROM events),
+      c AS (SELECT event_type, dow, count(*) AS n_events
+            FROM e GROUP BY 1, 2),
+      w AS (SELECT event_type, dow, n_events,
+              CAST(sum(n_events) OVER (PARTITION BY event_type)
+                AS BIGINT) AS tot
+            FROM c)
+      SELECT event_type, dow, n_events,
+        (1000000 * n_events) // tot AS share_ppm
+      FROM w""",
     // min() anchors and integer µs-day lag, the fn1/w10 convention
     "fn2_time_to_convert" -> s"""
       WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu

@@ -97,8 +97,9 @@ class ScanCountSpec extends SparkSpec {
       "emb3_standardize" -> ((2, 0)),
       // mmr1's relevance pass is s1's 2-scan broadcast shape plus
       // one more pruned embedding read to attach candidate vectors
-      // (rankings-sized join) — everything after runs on the two
-      // persisted rankings-sized tables
+      // (rankings-sized join) — the greedy itself is a per-query
+      // flatMapGroups kernel (MapGroups, not MapPartitions) over
+      // the pooled candidates
       "mmr1_diverse_topk" -> ((3, 0)),
       // fn2's view and purchase anchors are two type-filtered pruned
       // reads, each reduced to (user, long) immediately (the fn1
@@ -114,6 +115,11 @@ class ScanCountSpec extends SparkSpec {
       // cal1 rides cls2's exact 3-pass shape (shared nbDocScores);
       // the margin lead() reuses the same per-doc window
       "cal1_margin_calibration" -> ((3, 0)),
+      // qr2 = qr1's scoring pass (1 scan, persisted hits) + one
+      // broadcast-semi re-read of the pruned (doc_id, text)
+      // projection to fetch the |Q|·3 feedback docs — only feedback
+      // rows ever explode, so the re-read beats caching corpus text
+      "qr2_prf_expand" -> ((2, 0)),
       // one type-filtered read of the 3-column pruned events
       // projection per funnel step — each reduces to (user, long)
       // immediately, so three pruned scans beat caching the corpus
