@@ -269,7 +269,62 @@ object AnalyticsOps {
       .select(col("qi_nation"), col("qi_segment"), col("n"), col("l"),
         (col("n") >= AN1_K && col("l") >= AN2_L).as("publishable"))
 
+  /** an3 — t-closeness audit (Li et al. '07), the third rung of the
+    * privacy ladder after an1 (k-anonymity) and an2 (l-diversity): a
+    * class can be k-anonymous AND l-diverse yet still leak through a
+    * SKEWED sensitive distribution, so each class's distance to the
+    * global sensitive distribution is bounded by t. Sensitive
+    * attribute: the order priority (ordinally coded by its leading
+    * digit — '1-URGENT'..'5-LOW', so lexical order IS the ordinal
+    * order); classes: the customer market segment reached through
+    * the orders⋈customer join. Distance is the ordered-category EMD
+    * — Σ |cum_class − cum_global| over the priority ladder — in
+    * exact integer ppm (floor-divided cumulative shares), so both
+    * engines agree bit-for-bit with no float anywhere.
+    *
+    * The (segment × priority) grid is DENSIFIED from the observed
+    * domains before the cumsum: a class missing a category still
+    * accumulates the right cumulative share (a sparse cumsum would
+    * silently skip ladder steps, understating the distance).
+    *
+    * Scale shape: the only corpus-sized work is the orders⋈customer
+    * equi-join and one (segment, priority) count agg; everything
+    * after (densify, windows, EMD) runs on the ≤ |segments|·|pris|
+    * grid. */
+  private def an3(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.orders(s, d)
+      .select(col("o_custkey").as("ck"), col("o_orderpriority").as("pri"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("ck"), col("c_mktsegment").as("segment")),
+        Seq("ck"))
+      .groupBy(col("segment"), col("pri")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dense = counts.select(col("segment")).distinct()
+      .crossJoin(counts.select(col("pri")).distinct())
+      .join(counts, Seq("segment", "pri"), "left")
+      .na.fill(0L, Seq("n"))
+    val ladder = Window.partitionBy(col("segment"))
+      .orderBy(col("pri").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the global ladder windows over ≤|priorities| grid rows — the
+    // bounded-by-construction census pattern (SampleOps w8 note)
+    val gLadder = Window.partitionBy(col("pri"))
+    val gAll = Window.partitionBy()
+    dense
+      .withColumn("cum", sum(col("n")).over(ladder))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("segment"))))
+      .withColumn("gcum", sum(col("cum")).over(gLadder))
+      .withColumn("gtot", sum(col("n")).over(gAll))
+      .select(col("segment"), col("tot").as("n_orders"),
+        expr("""abs((1000000 * cum) div tot
+                  - (1000000 * gcum) div gtot)""").as("step"))
+      .groupBy(col("segment"), col("n_orders"))
+      .agg(sum(col("step")).as("t_emd_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "an3_tcloseness" -> (an3 _),
     "an2_ldiversity" -> (an2 _),
     "od1_outliers" -> (od1 _),
     "an1_kanon" -> (an1 _),
@@ -304,6 +359,31 @@ object AnalyticsOps {
       FROM dev JOIN mad USING (event_type)""",
     // same exact two-level distinct (bands then classes), same
     // integer floor banding and publish predicate
+    // same densified grid, same ROWS-framed ladder cumsum, same
+    // floor-div ppm shares; the global cum is the sum of per-segment
+    // cums at each ladder step (an exact identity, both engines)
+    "an3_tcloseness" -> """
+      WITH j AS (SELECT c_mktsegment AS segment,
+                   o_orderpriority AS pri
+                 FROM orders JOIN customer ON o_custkey = c_custkey),
+      c AS (SELECT segment, pri, count(*) AS n FROM j GROUP BY 1, 2),
+      dense AS (SELECT s.segment, p.pri, coalesce(c.n, 0) AS n
+                FROM (SELECT DISTINCT segment FROM c) s
+                CROSS JOIN (SELECT DISTINCT pri FROM c) p
+                LEFT JOIN c ON c.segment = s.segment AND c.pri = p.pri),
+      w AS (SELECT segment, pri, n,
+              CAST(sum(n) OVER (PARTITION BY segment ORDER BY pri
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum,
+              CAST(sum(n) OVER (PARTITION BY segment) AS BIGINT) AS tot
+            FROM dense),
+      g AS (SELECT *, CAST(sum(cum) OVER (PARTITION BY pri) AS BIGINT)
+              AS gcum,
+              CAST(sum(n) OVER () AS BIGINT) AS gtot FROM w)
+      SELECT segment, tot AS n_orders,
+        CAST(sum(abs((1000000 * cum) // tot - (1000000 * gcum) // gtot))
+          AS BIGINT) AS t_emd_ppm
+      FROM g GROUP BY 1, 2""",
     "an2_ldiversity" -> """
       WITH b AS (SELECT CAST(c_nationkey AS BIGINT) AS qi_nation,
                    c_mktsegment AS qi_segment,

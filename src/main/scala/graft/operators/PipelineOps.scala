@@ -321,7 +321,36 @@ object PipelineOps {
         min(col("quality")).as("q_lo"), max(col("quality")).as("q_hi"))
   }
 
+  /** imp1 — leave-one-out source impact: for every source, what the
+    * corpus mean document length would become WITHOUT that source,
+    * stated as the delta against the current mean (6-dp, the exact
+    * cast-pinned float convention). A positive delta says "removing
+    * this source raises the corpus average" — the one-table answer
+    * to "which source drags the metric", read before any sm3-style
+    * mixture reweighting. LOO over an additive metric needs no
+    * second pass: every leave-one-out mean is arithmetic on the
+    * per-source (count, sum) pairs and the grand totals.
+    *
+    * Scale shape: one pruned scan, one |sources|-sized partial+final
+    * agg; the grand totals are unpartitioned windows over the
+    * |sources|-row AGGREGATED relation (bounded by construction —
+    * the census pattern), and the delta is two divisions over exact
+    * longs, parenthesization pinned on both engines. */
+  private def imp1(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("tn", sum(col("n_docs")).over(Window.partitionBy()))
+      .withColumn("ts", sum(col("sum_chars")).over(Window.partitionBy()))
+      .select(col("source"), col("n_docs"),
+        when(col("tn") === col("n_docs"), lit(null))
+          .otherwise(roundFp(
+            (col("ts") - col("sum_chars")) / (col("tn") - col("n_docs"))
+              - col("ts") / col("tn"), 6))
+          .as("loo_delta"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "imp1_loo_impact" -> (imp1 _),
     "cur1_curriculum" -> (cur1 _),
     "pipe4_domain_tilt" -> (pipe4 _),
     "pipe3_data_card" -> (pipe3 _),
@@ -334,6 +363,19 @@ object PipelineOps {
   private val H = "('0x' || substr(md5(%s::VARCHAR),1,15))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    // the same (count, sum) pairs and grand totals; BIGINT / BIGINT
+    // is DOUBLE division in both engines, parenthesization identical
+    "imp1_loo_impact" -> """
+      WITH c AS (SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 FROM documents GROUP BY 1),
+      t AS (SELECT *, CAST(sum(n_docs) OVER () AS BIGINT) AS tn,
+              CAST(sum(sum_chars) OVER () AS BIGINT) AS ts FROM c)
+      SELECT source, n_docs,
+        CASE WHEN tn = n_docs THEN NULL
+        ELSE floor(((ts - sum_chars) / (tn - n_docs) - ts / tn)
+               * 1000000 + 0.5) / 1000000 END AS loo_delta
+      FROM t""",
     // x2's oracle embedded verbatim; quantile_cont == Spark's exact
     // percentile (the w8 precedent), cut-points floor-rounded on both
     // sides before binning

@@ -517,7 +517,67 @@ object WindowOps {
         expr("(1000000 * n_events) div tot").as("share_ppm"))
   }
 
+  /** ts2's maximum lead/lag in days. */
+  private[graft] val TS2_MAX_LAG = 3L
+
+  /** ts2 — lead/lag cross-correlation of the daily view and purchase
+    * series: Pearson r of (views on day t, purchases on day t+lag)
+    * for every lag in ±[[TS2_MAX_LAG]] days — the "does browsing
+    * predict buying N days out" table, and the standard first probe
+    * before any causal/attribution modeling (att1/att2 assume a
+    * click→purchase ordering; this MEASURES the lead time).
+    *
+    * Both series are densified onto the shared [min-day, max-day]
+    * calendar (a sparse join would silently pair across gaps); daily
+    * counts are exact integers, so all five moments per lag are
+    * exact longs and the single float expression (one division, two
+    * sqrts — IEEE-correctly-rounded in both engines) is pinned
+    * before the 6-dp round. Zero-variance series degenerate to NULL
+    * identically on both sides.
+    *
+    * Scale shape: one pruned type-filtered scan aggregates to
+    * (type, day) immediately — the fn1/fn2 adjudication; everything
+    * after (calendar explode, ±3 lag replication, per-lag moments)
+    * runs on days-sized data. */
+  private def ts2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import s.implicits._
+    val byDay = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"),
+        expr(s"unix_micros(ts) div $W10_DAY_US").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // span + both series
+    val cal = byDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+    def series(t: String, as: String) = cal
+      .join(byDay.filter(col("event_type") === t)
+        .select(col("day"), col("n").as(as)), Seq("day"), "left")
+      .na.fill(0L, Seq(as))
+    val lags = (-TS2_MAX_LAG to TS2_MAX_LAG).toList
+    series("view", "x")
+      .crossJoin(broadcast(lags.toDF("lag")))
+      .join(series("purchase", "y")
+          .select(col("day").as("dy"), col("y")),
+        col("dy") === col("day") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lag"), col("n_days"),
+        expr("""CASE WHEN n_days * sxx - sx * sx <= 0
+                       OR n_days * syy - sy * sy <= 0 THEN NULL
+                ELSE floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))
+                       * 1000000 + 0.5) / 1000000 END""").as("r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts2_xcorr" -> (ts2 _),
     "w12_dow_profile" -> (w12 _),
     "fn2_time_to_convert" -> (fn2 _),
     "ts1_gapfill" -> (ts1 _),
@@ -538,6 +598,36 @@ object WindowOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same dense calendar, exact integer moments, and the one pinned
+    // float expression (div + two IEEE sqrts) before the 6-dp round
+    "ts2_xcorr" -> s"""
+      WITH e AS (SELECT event_type, epoch_us(ts) // $W10_DAY_US AS day
+                 FROM events WHERE event_type IN ('view', 'purchase')),
+      c AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+      span AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+      cal AS (SELECT unnest(generate_series(d0, d1)) AS day FROM span),
+      x AS (SELECT cal.day, coalesce(c.n, 0) AS x FROM cal
+            LEFT JOIN c ON c.day = cal.day AND c.event_type = 'view'),
+      y AS (SELECT cal.day, coalesce(c.n, 0) AS y FROM cal
+            LEFT JOIN c ON c.day = cal.day AND c.event_type = 'purchase'),
+      l AS (SELECT unnest(generate_series(-$TS2_MAX_LAG, $TS2_MAX_LAG))
+              AS lag),
+      p AS (SELECT l.lag, x.x, y.y FROM x CROSS JOIN l
+            JOIN y ON y.day = x.day + l.lag),
+      m AS (SELECT lag, count(*) AS n_days,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(y * y) AS BIGINT) AS syy,
+              CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM p GROUP BY 1)
+      SELECT lag, n_days,
+        CASE WHEN n_days * sxx - sx * sx <= 0
+               OR n_days * syy - sy * sy <= 0 THEN NULL
+        ELSE floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))
+               * 1000000 + 0.5) / 1000000 END AS r
+      FROM m""",
     // same integer weekday ((epoch-day + 4) mod 7) and floor-div ppm
     "w12_dow_profile" -> s"""
       WITH e AS (SELECT event_type,

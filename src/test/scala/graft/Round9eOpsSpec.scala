@@ -95,4 +95,104 @@ class Round9eOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
     got.keys.foreach { case (qid, t) => assert(!qterms((qid, t))) }
   }
+
+  // ---- an3 --------------------------------------------------------
+
+  test("an3: the t-closeness EMD replays exactly over the densified " +
+    "ladder, and a segment distributed like the global corpus " +
+    "scores near zero") {
+    val custSeg = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderpriority")).collect()
+      .map(r => (custSeg(r.getLong(0)), r.getString(1)))
+    val segs = rows.map(_._1).distinct.sorted
+    val pris = rows.map(_._2).distinct.sorted
+    val cnt = rows.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val gtot = rows.length.toLong
+    val expected = segs.map { sg =>
+      val ns = pris.map(p => cnt.getOrElse((sg, p), 0L))
+      val tot = ns.sum
+      val cums = ns.scanLeft(0L)(_ + _).tail
+      val gcums = pris.map(p =>
+        segs.map(s2 => cnt.getOrElse((s2, p), 0L)).sum)
+        .scanLeft(0L)(_ + _).tail
+      val t = cums.zip(gcums).map { case (c, g) =>
+        math.abs(1000000L * c / tot - 1000000L * g / gtot)
+      }.sum
+      sg -> ((tot, t))
+    }.toMap
+    val got = q("an3_tcloseness").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // law: EMD against the global mix is bounded by the ladder size
+    got.values.foreach { case (_, t) =>
+      assert(t >= 0 && t < 1000000L * pris.length)
+    }
+  }
+
+  // ---- imp1 -------------------------------------------------------
+
+  test("imp1: leave-one-out deltas replay exactly and weighted-sum " +
+    "to ~zero (removing everything removes nothing)") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1)
+      .map { case (s0, xs) => s0 -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    val tn = docs.length.toLong
+    val ts = docs.map(_._2).sum
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = bySrc.map { case (s0, (n, sum)) =>
+      s0 -> ((n, r6d((ts - sum).toDouble / (tn - n) - ts.toDouble / tn)))
+    }
+    val got = q("imp1_loo_impact").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === expected)
+    // a weighted combination of LOO deltas telescopes to ~0
+    val wsum = got.map { case (_, (n, dl)) => (tn - n).toDouble * dl }.sum
+    assert(math.abs(wsum) < 1.0)
+  }
+
+  // ---- ts2 --------------------------------------------------------
+
+  test("ts2: the lead/lag correlation table replays exactly from " +
+    "dense daily series, and lag 0 pairs every calendar day") {
+    val dayUs = 86400000000L
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getString(0), r.getLong(1) / dayUs))
+      .filter(e => e._1 == "view" || e._1 == "purchase")
+    val d0 = evs.map(_._2).min
+    val d1 = evs.map(_._2).max
+    val x = (d0 to d1).map(day =>
+      day -> evs.count(e => e._1 == "view" && e._2 == day).toLong).toMap
+    val y = (d0 to d1).map(day =>
+      day -> evs.count(e => e._1 == "purchase" && e._2 == day).toLong).toMap
+    val expected = (-operators.WindowOps.TS2_MAX_LAG to
+      operators.WindowOps.TS2_MAX_LAG).map { lag =>
+      val pairs = (d0 to d1).flatMap { day =>
+        val dy = day + lag
+        if (dy >= d0 && dy <= d1) Some((x(day), y(dy))) else None
+      }
+      val n = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val v1 = n * sxx - sx * sx; val v2 = n * syy - sy * sy
+      val r = if (v1 <= 0 || v2 <= 0) None
+      else Some(math.floor((n * sxy - sx * sy).toDouble /
+        (math.sqrt(v1.toDouble) * math.sqrt(v2.toDouble))
+        * 1e6 + 0.5) / 1e6)
+      lag -> ((n, r))
+    }.toMap
+    val got = q("ts2_xcorr").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(got === expected)
+    assert(got(0L)._1 == d1 - d0 + 1)
+    got.values.flatMap(_._2).foreach(r => assert(math.abs(r) <= 1.0))
+  }
 }

@@ -29,8 +29,16 @@ class SourceInvariantSpec extends AnyFunSuite {
       kids.filter(_.isDirectory).flatMap(scalaSources)
   }
 
-  test("localCheckpoint appears only in DedupOps (signature-scale " +
-    "relations) — corpus-scale projections must persist(MEMORY_AND_DISK)") {
+  /** Files allowed to localCheckpoint: each stores SIGNATURE-CLASS
+    * narrow relations only, never a corpus projection. DedupOps
+    * checkpoints (doc_id, hashed-shingle, minhash) signatures;
+    * GraphOps checkpoints the memoized (id, id) co-purchase edge
+    * list (the r9 edge memo — same discipline, graph flavor). */
+  private val checkpointAllowlist = Set("DedupOps.scala", "GraphOps.scala")
+
+  test("localCheckpoint appears only in the signature-class " +
+    "allowlist (DedupOps signatures, GraphOps edge memo) — " +
+    "corpus-scale projections must persist(MEMORY_AND_DISK)") {
     val root = new java.io.File("src/main/scala/graft")
     assert(root.isDirectory, s"source root not found at ${root.getAbsolutePath}")
     val offenders = scalaSources(root).filter { f =>
@@ -43,8 +51,8 @@ class SourceInvariantSpec extends AnyFunSuite {
       finally src.close()
       code.contains(".localCheckpoint(")
     }.map(_.getName).toSet
-    assert(offenders.subsetOf(Set("DedupOps.scala")),
-      s"localCheckpoint outside the allowlist: ${offenders - "DedupOps.scala"} — " +
+    assert(offenders.subsetOf(checkpointAllowlist),
+      s"localCheckpoint outside the allowlist: ${offenders -- checkpointAllowlist} — " +
         "corpus-scale relations must keep lineage; use " +
         "persist(StorageLevel.MEMORY_AND_DISK) instead")
   }
