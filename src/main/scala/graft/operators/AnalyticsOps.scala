@@ -323,7 +323,43 @@ object AnalyticsOps {
       .agg(sum(col("step")).as("t_emd_ppm"))
   }
 
+  /** dq1 — referential-integrity audit over the four core FK edges
+    * (orders→customer, lineitem→orders, lineitem→part,
+    * lineitem→supplier): child rows whose key has no parent, as a
+    * count and ppm rate per edge. Every serious ingest pipeline runs
+    * exactly this after a load — silently dangling FKs turn inner
+    * joins into row loss downstream — and a clean corpus proves
+    * itself with four zero rows rather than by assumption.
+    *
+    * Scale shape: each edge is one LeftAnti equi-join of the child
+    * key projection against the DISTINCT parent key (j6's shape) —
+    * the anti side aggregates to one row immediately, and the four
+    * audits are independent branches unioned at 4 rows. Key columns
+    * only ever shuffle; at extreme scale each anti-join downgrades
+    * to the j7 bloom-prefilter form with the same semantics. */
+  private def dq1(s: SparkSession, d: String): DataFrame = {
+    def audit(edge: String, child: DataFrame, key: String,
+              parent: DataFrame, pkey: String): DataFrame = {
+      val orphans = child.select(col(key).as("k"))
+        .join(parent.select(col(pkey).as("k")).distinct(),
+          Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_rows")).crossJoin(orphans)
+        .select(lit(edge).as("fk"), col("n_rows"), col("n_orphans"),
+          expr("(1000000 * n_orphans) div n_rows").as("orphan_ppm"))
+    }
+    audit("orders.custkey", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey")
+      .union(audit("lineitem.orderkey", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"))
+      .union(audit("lineitem.partkey", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey"))
+      .union(audit("lineitem.suppkey", Tables.lineitem(s, d), "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq1_fk_orphans" -> (dq1 _),
     "an3_tcloseness" -> (an3 _),
     "an2_ldiversity" -> (an2 _),
     "od1_outliers" -> (od1 _),
@@ -359,6 +395,39 @@ object AnalyticsOps {
       FROM dev JOIN mad USING (event_type)""",
     // same exact two-level distinct (bands then classes), same
     // integer floor banding and publish predicate
+    // same four anti-join audits, stated as null-probe left joins
+    "dq1_fk_orphans" -> """
+      SELECT 'orders.custkey' AS fk,
+        (SELECT count(*) FROM orders) AS n_rows,
+        (SELECT count(*) FROM orders LEFT JOIN customer
+           ON o_custkey = c_custkey WHERE c_custkey IS NULL) AS n_orphans,
+        (1000000 * (SELECT count(*) FROM orders LEFT JOIN customer
+           ON o_custkey = c_custkey WHERE c_custkey IS NULL))
+          // (SELECT count(*) FROM orders) AS orphan_ppm
+      UNION ALL
+      SELECT 'lineitem.orderkey',
+        (SELECT count(*) FROM lineitem),
+        (SELECT count(*) FROM lineitem LEFT JOIN orders
+           ON l_orderkey = o_orderkey WHERE o_orderkey IS NULL),
+        (1000000 * (SELECT count(*) FROM lineitem LEFT JOIN orders
+           ON l_orderkey = o_orderkey WHERE o_orderkey IS NULL))
+          // (SELECT count(*) FROM lineitem)
+      UNION ALL
+      SELECT 'lineitem.partkey',
+        (SELECT count(*) FROM lineitem),
+        (SELECT count(*) FROM lineitem LEFT JOIN part
+           ON l_partkey = p_partkey WHERE p_partkey IS NULL),
+        (1000000 * (SELECT count(*) FROM lineitem LEFT JOIN part
+           ON l_partkey = p_partkey WHERE p_partkey IS NULL))
+          // (SELECT count(*) FROM lineitem)
+      UNION ALL
+      SELECT 'lineitem.suppkey',
+        (SELECT count(*) FROM lineitem),
+        (SELECT count(*) FROM lineitem LEFT JOIN supplier
+           ON l_suppkey = s_suppkey WHERE s_suppkey IS NULL),
+        (1000000 * (SELECT count(*) FROM lineitem LEFT JOIN supplier
+           ON l_suppkey = s_suppkey WHERE s_suppkey IS NULL))
+          // (SELECT count(*) FROM lineitem)""",
     // same densified grid, same ROWS-framed ladder cumsum, same
     // floor-div ppm shares; the global cum is the sum of per-segment
     // cums at each ladder step (an exact identity, both engines)

@@ -649,7 +649,45 @@ object TextOps {
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
       .withColumn("hapax_ppm", expr("(1000000 * n_hapax) div n_types"))
 
+  /** x18's report size — the top terms by corpus frequency. */
+  private val X18_TOP = 20
+
+  /** x18 — term burstiness (Church & Gale): the variance-to-mean
+    * ratio of each top-[[X18_TOP]] term's per-document frequency,
+    * zeros included. Under a Poisson null a term's VMR is ~1;
+    * content words are BURSTY (VMR >> 1 — absent from most docs,
+    * clumped where they appear) while function words sit near 1.
+    * The table separates topical vocabulary from glue — the signal
+    * behind stop-word lists, keyword extraction, and x10's df-based
+    * idf, measured directly.
+    *
+    * Exactness: with N docs and per-doc counts tf, VMR =
+    * (N·Σtf² − (Σtf)²) / (N·Σtf) — all three moments are exact
+    * integer sums (zero-tf docs contribute zero to each, so the
+    * sparse (doc, term, tf) relation IS the dense computation), and
+    * the single division is pinned to 6 dp.
+    *
+    * Plan at 100 TB: one corpus scan aggregates to (term, tf)
+    * moments — vocabulary-sized state; the top-K cut is
+    * TakeOrderedAndProject; N rides a 1-row broadcast. */
+  private def x18(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(sum(col("tf")).as("s1"), sum(col("tf") * col("tf")).as("s2"))
+      .orderBy(col("s1").desc, col("term").asc)
+      .limit(X18_TOP)
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    tf.crossJoin(broadcast(n))
+      .select(col("term"), col("s1").as("tf_total"),
+        expr("""floor(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                  / CAST(n * s1 AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000""").as("vmr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x18_burstiness" -> (x18 _),
     "x17_hapax" -> (x17 _),
     "x16_winnow" -> (x16 _),
     "ppl1_lm_bucket" -> (ppl1 _),
@@ -673,6 +711,21 @@ object TextOps {
   private[operators] def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // same exact integer moments and the same pinned division; the
+    // top-K cut is (s1 desc, term) on both sides
+    "x18_burstiness" -> s"""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      m AS (SELECT term, CAST(sum(tf) AS BIGINT) AS s1,
+              CAST(sum(tf * tf) AS BIGINT) AS s2
+            FROM tf GROUP BY 1
+            ORDER BY s1 DESC, term LIMIT $X18_TOP),
+      n AS (SELECT count(*) AS n FROM documents)
+      SELECT term, s1 AS tf_total,
+        floor(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * s1 AS DOUBLE)
+          * 1000000 + 0.5) / 1000000 AS vmr
+      FROM m, n""",
     // same (source, term) count relation, same floor-division ppm
     "x17_hapax" -> """
       WITH tc AS (SELECT source, unnest(string_split(text, ' ')) AS term

@@ -195,4 +195,62 @@ class Round9eOpsSpec extends SparkSpec {
     assert(got(0L)._1 == d1 - d0 + 1)
     got.values.flatMap(_._2).foreach(r => assert(math.abs(r) <= 1.0))
   }
+
+  // ---- dq1 --------------------------------------------------------
+
+  test("dq1: the FK audit replays exactly — driver-side set " +
+    "difference per edge — and the synthetic corpus is clean") {
+    def keys(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col(c)).collect().map(_.getLong(0))
+    val edges = Seq(
+      ("orders.custkey", keys(Tables.orders(spark, sf), "o_custkey"),
+        keys(Tables.customer(spark, sf), "c_custkey").toSet),
+      ("lineitem.orderkey", keys(Tables.lineitem(spark, sf), "l_orderkey"),
+        keys(Tables.orders(spark, sf), "o_orderkey").toSet),
+      ("lineitem.partkey", keys(Tables.lineitem(spark, sf), "l_partkey"),
+        keys(Tables.part(spark, sf), "p_partkey").toSet),
+      ("lineitem.suppkey", keys(Tables.lineitem(spark, sf), "l_suppkey"),
+        keys(Tables.supplier(spark, sf), "s_suppkey").toSet))
+    val expected = edges.map { case (fk, child, parent) =>
+      val orphans = child.count(k => !parent(k)).toLong
+      fk -> ((child.length.toLong, orphans,
+        1000000L * orphans / child.length))
+    }.toMap
+    val got = q("dq1_fk_orphans").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // the driver generator is FK-consistent — the audit proves it
+    got.values.foreach { case (_, orphans, ppm) =>
+      assert(orphans == 0L && ppm == 0L)
+    }
+  }
+
+  // ---- x18 --------------------------------------------------------
+
+  test("x18: burstiness replays exactly (integer moments, zeros " +
+    "included via the sparse identity), and every VMR is positive") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val n = docs.length.toLong
+    val tf = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+    }
+    val m = tf.groupBy(_._1).map { case (t, xs) =>
+      t -> ((xs.map(_._2).sum, xs.map(x => x._2 * x._2).sum))
+    }
+    val expected = m.toSeq
+      .sortBy { case (t, (s1, _)) => (-s1, t) }.take(20)
+      .map { case (t, (s1, s2)) =>
+        t -> ((s1, math.floor((n * s2 - s1 * s1).toDouble /
+          (n * s1).toDouble * 1e6 + 0.5) / 1e6))
+      }.toMap
+    val got = q("x18_burstiness").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === expected)
+    assert(got.size == 20)
+    // Cauchy-Schwarz law: N·Σtf² >= (Σtf)², so VMR is never negative
+    got.values.foreach { case (_, vmr) => assert(vmr >= 0.0) }
+  }
 }

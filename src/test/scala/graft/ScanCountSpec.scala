@@ -106,6 +106,13 @@ class ScanCountSpec extends SparkSpec {
       // adjudication)
       "fn2_time_to_convert" -> ((2, 0)),
       "m6_cdc_apply" -> ((4, 0)),
+      // x18's corpus-stats branch (1-row N) re-reads the pruned
+      // projection beside the moments pass — the x10/x11 shape
+      "x18_burstiness" -> ((2, 0)),
+      // dq1 audits four FK edges; each is an independent child⋈parent
+      // anti-join branch (j6's 2-scan shape) plus the child count —
+      // the union is 4 one-row branches, scans are the audit's data
+      "dq1_fk_orphans" -> ((12, 0)),
       // cls2 serves the cls1-style model: model pass (lang, text),
       // prior pass (lang), scoring pass (doc_id, lang, text) — each
       // aggregates immediately, so three pruned re-reads beat caching
