@@ -1006,7 +1006,40 @@ object DedupOps {
       .groupBy(col("split"), col("verdict"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** d13 — MinHash fidelity report, the s6-style eval harness for
+    * the dedup stack: for every d2-verified near-dup pair, compare
+    * the MinHash ESTIMATE of Jaccard (the fraction of the 8
+    * signature positions that agree — exactly what the banding
+    * gambles on) against the exact shingle Jaccard the verifier
+    * computed, bucketed by agreement count. The table answers "how
+    * honest are 8 minhashes on THIS corpus" — the knob-tuning
+    * evidence for the bands×rows tradeoff (more hashes = fewer
+    * false candidates but a wider signature to shuffle; a real
+    * pipeline reads this before resizing d2's signature).
+    *
+    * Scale shape: pairs and signatures are the MEMOIZED d2
+    * relations (zero new corpus work); the mh comparison is an
+    * 8-element zip_with per pair, and the report aggregates to ≤9
+    * rows. */
+  private def d13(s: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(s, d)
+    d2Pairs(s, d)
+      .join(sigs.select(col("doc_id").as("i"), col("mh").as("mh_i")),
+        Seq("i"))
+      .join(sigs.select(col("doc_id").as("j"), col("mh").as("mh_j")),
+        Seq("j"))
+      .select(
+        expr("""CAST(size(filter(zip_with(mh_i, mh_j, (a, b) -> a = b),
+                  x -> x)) AS BIGINT)""").as("est_eighths"),
+        expr("CAST(floor(jac * 1000000 + 0.5) AS BIGINT)").as("jac_ppm"))
+      .groupBy(col("est_eighths"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jac_ppm")).as("sj"))
+      .select(col("est_eighths"), col("n_pairs"),
+        expr("sj div n_pairs").as("mean_jac_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_minhash_fidelity" -> (d13 _),
     "leak1_split_leakage" -> (leak1 _),
     "d12_containment" -> (d12 _),
     "er2_jw_block" -> (er2 _),
@@ -1248,6 +1281,36 @@ object DedupOps {
       FROM sc
       WHERE greatest((inter * 1000000) // la, (inter * 1000000) // lb)
         >= ${D12_MIN_PPM}""",
+    // d2's verified pairs re-joined to their signatures; the
+    // estimate counts equal mh positions 1..8, jac enters as the
+    // same floor-rounded ppm, the report is a <=9-row floor-div agg
+    "d13_minhash_fidelity" -> s"""
+      WITH t AS ($SHINGLES),
+      m AS (SELECT doc_id,
+              list_distinct(list_transform(sh, s ->
+                ('0x' || substr(md5(s),1,15))::BIGINT)) AS shh,
+              list_transform(generate_series(0,7), k ->
+                list_min(list_transform(sh, s ->
+                  ('0x' || substr(md5(k::VARCHAR || ':' || s),1,15))::BIGINT))) AS mh
+            FROM t),
+      b AS (SELECT doc_id, g.band AS band,
+              mh[2*g.band+1]::VARCHAR || '_' || mh[2*g.band+2]::VARCHAR AS bkey
+            FROM m, generate_series(0,3) g(band)),
+      c AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+            FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey
+              AND x.doc_id < y.doc_id),
+      p AS (SELECT i, j,
+              len(list_intersect(a.shh, bb.shh))::DOUBLE
+                / len(list_distinct(a.shh || bb.shh)) AS jac,
+              len(list_filter(generate_series(1, 8), k ->
+                a.mh[k] = bb.mh[k])) AS est_eighths
+            FROM c JOIN m a ON c.i = a.doc_id JOIN m bb ON c.j = bb.doc_id)
+      SELECT CAST(est_eighths AS BIGINT) AS est_eighths,
+        count(*)::BIGINT AS n_pairs,
+        CAST(sum(CAST(floor(jac*1000000 + 0.5) AS BIGINT)) AS BIGINT)
+          // count(*) AS mean_jac_ppm
+      FROM p WHERE jac >= 0.5
+      GROUP BY 1""",
     "d2_minhash_lsh" -> s"""
       WITH t AS ($SHINGLES),
       m AS (SELECT doc_id,

@@ -242,6 +242,64 @@ object RetrievalOps {
       .select(col("doc_id"), col("lang"), col("m_lang"), col("score"))
   }
 
+  /** cls4's tail-accuracy bar in ppm (keep docs only where the
+    * calibrated confidence band clears it). */
+  private[graft] val CLS4_ACC_PPM = 900000L
+
+  /** cls4 — the deployed calibrated filter, closing the classifier
+    * loop cls1/cls2/cal1 opened: score every contested document
+    * (cls2's model), read the calibration table (cal1's margins) to
+    * find the SMALLEST margin whose cumulative-from-the-top accuracy
+    * clears [[CLS4_ACC_PPM]], and keep only documents at or above
+    * that margin — "filter with a confidence threshold chosen from
+    * measured calibration, not from a vibes constant". Falls back to
+    * the strictest observed margin if no band qualifies. Output is
+    * the kept-count/correct-count table per predicted language — the
+    * filter's own audit.
+    *
+    * Scale shape: ONE nbDocScores pass (3 pruned scans, the cls2
+    * shape); the per-doc margin relation persists (docs-sized,
+    * narrow) and feeds both the calibration aggregate
+    * (margin-domain-sized, ~±40 rows) and the final filter; the
+    * threshold is a 1-row broadcast. The cumulative window rides the
+    * AGGREGATED margin table — bounded by the ilog2 score range, not
+    * the corpus (the unpartitioned-window census argument). */
+  private def cls4(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("m_lang").asc)
+    val marg = nbDocScores(s, d)
+      .withColumn("r", row_number().over(w))
+      .withColumn("nxt", lead(col("score"), 1).over(w))
+      .filter(col("r") === 1 && col("nxt").isNotNull)
+      .select(col("doc_id"), col("lang"), col("m_lang"),
+        (col("score") - col("nxt")).as("margin"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // calibration + filter
+    val cal = marg
+      .select(col("margin"),
+        when(col("lang") === col("m_lang"), 1L).otherwise(0L).as("ok"))
+      .groupBy(col("margin"))
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("k"))
+    val wd = Window.orderBy(col("margin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = cal
+      .withColumn("cn", sum(col("n")).over(wd))
+      .withColumn("ck", sum(col("k")).over(wd))
+      .agg(coalesce(
+        min(when(expr("(1000000 * ck) div cn") >= CLS4_ACC_PPM,
+          col("margin"))),
+        max(col("margin"))).as("thr"))
+    marg.crossJoin(broadcast(thr))
+      .filter(col("margin") >= col("thr"))
+      .groupBy(col("m_lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(when(col("lang") === col("m_lang"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("m_lang").as("pred_lang"), col("n_kept"),
+        col("n_correct"))
+  }
+
   /** qr2's expansion-term budget per query. */
   private val QR2_TOP = 5
 
@@ -589,6 +647,7 @@ object RetrievalOps {
     "cls1_nb_model" -> (cls1 _),
     "cls2_nb_confusion" -> (cls2 _),
     "cal1_margin_calibration" -> (cal1 _),
+    "cls4_calibrated_filter" -> (cls4 _),
     "qr2_prf_expand" -> (qr2 _),
     "bpe1_pair_merge" -> (bpe1 _)
   )
@@ -826,6 +885,36 @@ object RetrievalOps {
       SELECT lang AS true_lang, m_lang AS pred_lang,
         count(*)::BIGINT AS n_docs
       FROM win WHERE r = 1 GROUP BY 1, 2""",
+    // same fin relation, same margins, same cumulative-accuracy
+    // threshold rule (smallest qualifying margin, strictest-band
+    // fallback), same tail filter
+    "cls4_calibrated_filter" -> s"""
+      WITH $NB_FIN_SQL,
+      win AS (SELECT doc_id, lang, m_lang, score, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, m_lang) AS r,
+              lead(score) OVER (
+                PARTITION BY doc_id ORDER BY score DESC, m_lang) AS nxt
+              FROM fin),
+      mg AS (SELECT doc_id, lang, m_lang,
+               CAST(score - nxt AS BIGINT) AS margin
+             FROM win WHERE r = 1 AND nxt IS NOT NULL),
+      cal AS (SELECT margin, count(*) AS n,
+                sum(CASE WHEN lang = m_lang THEN 1 ELSE 0 END) AS k
+              FROM mg GROUP BY 1),
+      cum AS (SELECT margin,
+                CAST(sum(n) OVER (ORDER BY margin DESC ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+                CAST(sum(k) OVER (ORDER BY margin DESC ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ck
+              FROM cal),
+      thr AS (SELECT coalesce(
+                min(CASE WHEN (1000000 * ck) // cn >= $CLS4_ACC_PPM
+                      THEN margin END),
+                max(margin)) AS thr FROM cum)
+      SELECT m_lang AS pred_lang, count(*)::BIGINT AS n_kept,
+        CAST(sum(CASE WHEN lang = m_lang THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_correct
+      FROM mg, thr WHERE margin >= thr GROUP BY 1""",
     // same fin relation; the margin is exact BIGINT subtraction of
     // the top-2 scores under the same (score DESC, m_lang) order
     "cal1_margin_calibration" -> s"""

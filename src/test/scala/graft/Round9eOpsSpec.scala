@@ -253,4 +253,54 @@ class Round9eOpsSpec extends SparkSpec {
     // Cauchy-Schwarz law: N·Σtf² >= (Σtf)², so VMR is never negative
     got.values.foreach { case (_, vmr) => assert(vmr >= 0.0) }
   }
+
+  // ---- cls4 -------------------------------------------------------
+
+  test("cls4: the deployed filter is exactly cal1's tail at the " +
+    "calibrated threshold — kept/correct totals match the replayed " +
+    "threshold rule") {
+    val cal = q("cal1_margin_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1) // margin desc
+    // replay the threshold rule: smallest margin whose cumulative
+    // (from the top) accuracy clears the bar, else the max margin
+    var cn = 0L; var ck = 0L
+    val qualifying = cal.flatMap { case (m, n, k) =>
+      cn += n; ck += k
+      if (1000000L * ck / cn >= operators.RetrievalOps.CLS4_ACC_PPM)
+        Some(m)
+      else None
+    }
+    val thr = if (qualifying.nonEmpty) qualifying.min else cal.map(_._1).max
+    val tail = cal.filter(_._1 >= thr)
+    val got = q("cls4_calibrated_filter").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.values.map(_._1).sum == tail.map(_._2).sum)
+    assert(got.values.map(_._2).sum == tail.map(_._3).sum)
+    // the filter never keeps more wrong than right per class at a
+    // >=90% calibrated bar unless the fallback band fired
+    if (qualifying.nonEmpty)
+      assert(tail.map(_._3).sum * 10L >= tail.map(_._2).sum * 9L)
+    assert(got.nonEmpty)
+  }
+
+  // ---- d13 --------------------------------------------------------
+
+  test("d13: the fidelity report conserves d2's pair count, every " +
+    "bucket is a feasible band-match (>= 2 agreeing positions), and " +
+    "mean Jaccard rides in the verified band") {
+    val nPairs = q("d2_minhash_lsh").count()
+    val got = q("d13_minhash_fidelity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._2).sum == nPairs)
+    got.foreach { case (est, n, meanJac) =>
+      // a verified pair band-matched somewhere: both positions of
+      // that band agree, so at least 2 of 8 signature slots agree
+      assert(est >= 2 && est <= 8, s"est=$est")
+      assert(n > 0)
+      // pairs only exist at jac >= 0.5; round-6 ppm stays in band
+      assert(meanJac >= 500000L && meanJac <= 1000000L, s"jac=$meanJac")
+    }
+    assert(got.nonEmpty)
+  }
 }
