@@ -946,7 +946,46 @@ object SimilarityOps {
     (1 to dims).map(i => (i.toLong, v(i))).toDF("dim", "v_ppm")
   }
 
+  /** emb5 — the "All-but-the-Top" projection pass (Mu & Viswanath
+    * '18): project every embedding onto emb4's dominant direction
+    * and report the exact integer projection plus its coefficient
+    * in ppm of the direction's squared norm. Anisotropic embedding
+    * corpora pile mass onto one rogue direction; this table is both
+    * the per-vector evidence and the first half of the standard
+    * post-process (subtract c·v from every vector) — run it after
+    * emb4 says the corpus is anisotropic, before any cosine
+    * consumer (s1-s6, d5, d8).
+    *
+    * Exactness: q is emb2's milli-quantization; v is emb4's
+    * round-[[EMB4_ROUNDS]] iterate — 64 exact longs, so
+    * proj = Σ qᵢ·vᵢ is an exact long (|q|·|v|·64 ≈ 6·10¹³) and the
+    * coefficient is the sign-split integer division (Spark `div`
+    * truncates, DuckDB `//` floors; the split keeps operands
+    * non-negative where they agree — the emb4 convention).
+    *
+    * Scale shape: the direction is a bounded-by-construction driver
+    * fetch (64 longs — the km1/PQ model discipline; emb4's corpus
+    * work is emb2's Gram exchange); serving is ONE corpus scan with
+    * the 64-long literal array inlined into codegen; no join, no
+    * shuffle beyond the Gram's own. */
+  private def emb5(s: SparkSession, d: String): DataFrame = {
+    val v = emb4(s, d).collect().sortBy(_.getLong(0)).map(_.getLong(1))
+    val vv = v.map(x => x * x).sum
+    val varr = v.mkString("array(", ", ", ")")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").as("q"))
+      .select(col("vec_id"),
+        expr(s"aggregate(zip_with(q, $varr, (a, b) -> a * b), " +
+          "0L, (acc, x) -> acc + x)").as("proj"))
+      .select(col("vec_id"), col("proj"),
+        expr(s"CASE WHEN proj < 0 THEN -((-(1000000 * proj)) div ${vv}L) " +
+          s"ELSE (1000000 * proj) div ${vv}L END").as("c_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb5_detop" -> (emb5 _),
     "emb4_top_direction" -> (emb4 _),
     "mmr1_diverse_topk" -> (mmr1 _),
     "emb3_standardize" -> (emb3 _),
@@ -1074,11 +1113,11 @@ object SimilarityOps {
                 CASE WHEN w < 0 THEN -((-w) // dw) ELSE w // dw END AS v
               FROM w$k, m$k)"""
 
-  private val baseOracles: Map[String, String] = Map(
-    // full-square restatement of emb2's exact Gram, the same data-
-    // derived power-of-ten shift, and all 32 integer rounds unrolled
-    "emb4_top_direction" -> s"""
-      WITH q AS (SELECT list_transform(embedding,
+  /** The emb4 power-iteration CTE chain (quantize → Gram → shift →
+    * all rounds), factored out because emb5 restates it to fetch the
+    * direction — one source of truth; `v$EMB4_ROUNDS` is the final
+    * iterate relation. */
+  private def emb4ChainSql: String = s"""q AS (SELECT list_transform(embedding,
                x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)) AS q
              FROM embeddings),
       ri AS (SELECT q, unnest(generate_series(1, 64)) AS i FROM q),
@@ -1093,8 +1132,31 @@ object SimilarityOps {
             FROM f0, mg),
       v0 AS (SELECT CAST(i AS BIGINT) AS dim, CAST(1000000 AS BIGINT) AS v
              FROM generate_series(1, 64) t(i)),
-      ${(1 to EMB4_ROUNDS).map(emb4RoundSql).mkString(",\n      ")}
+      ${(1 to EMB4_ROUNDS).map(emb4RoundSql).mkString(",\n      ")}"""
+
+  private val baseOracles: Map[String, String] = Map(
+    // full-square restatement of emb2's exact Gram, the same data-
+    // derived power-of-ten shift, and all 32 integer rounds unrolled
+    "emb4_top_direction" -> s"""
+      WITH $emb4ChainSql
       SELECT dim, CAST(v AS BIGINT) AS v_ppm FROM v$EMB4_ROUNDS""",
+    // the same chain re-stated; the projection joins each quantized
+    // vector against the 64-row final iterate, and the coefficient
+    // applies the same sign-split division
+    "emb5_detop" -> s"""
+      WITH $emb4ChainSql,
+      qe AS (SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)) AS q
+             FROM embeddings),
+      pr AS (SELECT qe.vec_id,
+               CAST(sum(qe.q[v.dim] * v.v) AS BIGINT) AS proj
+             FROM qe, v$EMB4_ROUNDS v GROUP BY 1),
+      nv AS (SELECT CAST(sum(v * v) AS BIGINT) AS vv
+             FROM v$EMB4_ROUNDS)
+      SELECT vec_id, proj,
+        CASE WHEN proj < 0 THEN -((-(1000000 * proj)) // vv)
+             ELSE (1000000 * proj) // vv END AS c_ppm
+      FROM pr, nv""",
     // the greedy MMR trajectory replayed as unrolled CTE rounds (the
     // km1 Lloyd-round technique): same rounded cosines, same
     // re-rounded scores, same (score desc, nid) argmax each round

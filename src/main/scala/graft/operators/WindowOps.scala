@@ -498,19 +498,28 @@ object WindowOps {
     *
     * The weekday is PURE integer arithmetic on the µs timestamp —
     * ((tu div day) + 4) mod 7, epoch day 0 being a Thursday — so no
-    * engine's calendar/timezone layer is ever consulted; 0 = Monday.
+    * engine’s calendar/timezone layer is ever consulted; 0 = Sunday.
     *
     * Plan at 100 TB: one pruned scan, one partial+final agg on the
     * (type, dow) key — ≤ 7·|types| groups; the per-type total is a
     * window over that ≤7-row partition of the AGGREGATED relation
     * (never a second pass, never a join). */
-  private def w12(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    Tables.events(s, d)
+  /** The streamable core of w12 — (event_type, weekday, count) from
+    * pure integer µs arithmetic. Split out so the SAME transform
+    * serves the batch profile and the streaming face (a standard
+    * streaming aggregation in complete/update mode; see
+    * EventStreamsSpec's parity test). The share window rides the
+    * tiny aggregated relation batch-side only. */
+  private[graft] def dowCounts(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"),
         expr(s"((unix_micros(ts) div $W10_DAY_US) + 4) % 7").as("dow"))
       .groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("n_events"))
+
+  private def w12(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    dowCounts(Tables.events(s, d))
       .withColumn("tot",
         sum(col("n_events")).over(Window.partitionBy(col("event_type"))))
       .select(col("event_type"), col("dow"), col("n_events"),

@@ -303,4 +303,31 @@ class Round9eOpsSpec extends SparkSpec {
     }
     assert(got.nonEmpty)
   }
+
+  // ---- emb5 -------------------------------------------------------
+
+  test("emb5: projections replay exactly from raw embeddings and " +
+    "the emb4 direction, with the sign-split ppm coefficient") {
+    val v = q("emb4_top_direction").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vArr = (1 to v.size).map(i => v(i.toLong)).toArray
+    val vv = vArr.map(x => x * x).sum
+    val expected = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val q0 = r.getSeq[Float](1)
+          .map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray
+        val proj = q0.zip(vArr).map { case (a, b) => a * b }.sum
+        val n = 1000000L * proj
+        val c = if (n < 0) -((-n) / vv) else n / vv
+        r.getLong(0) -> ((proj, c))
+      }.toMap
+    val got = q("emb5_detop").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // Cauchy-Schwarz in ppm: |c| <= 1e6 * |q|/|v|; on unit-ish
+    // embeddings (|q| ~ sqrt(64)*1000 ~ 8e3, |v| >~ 1e6) the
+    // coefficient is small — sanity-bound it loosely
+    got.values.foreach { case (_, c) => assert(math.abs(c) < 100000L) }
+  }
 }

@@ -289,6 +289,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.contains(("l_extendedprice", 123456L)))
   }
 
+  test("the weekday profile is streamable UNCHANGED — w12's integer " +
+    "dow counts over micro-batches equal the batch aggregation " +
+    "(complete mode; the share window is a batch-side consumer of " +
+    "this tiny relation)") {
+    val evs = Seq(
+      Event(1, ts(0), 1, "view", 1.0),      // 2024-01-01 = Monday (dow 1)
+      Event(2, ts(10), 1, "view", 2.0),
+      Event(3, ts(65), 2, "purchase", 3.0),
+      Event(4, ts(24 * 60 + 5), 2, "view", 4.0)) // Tuesday (dow 2)
+    val mem = MemoryStream[Event]
+    val q = graft.operators.WindowOps.dowCounts(mem.toDF())
+      .writeStream.format("memory").queryName("dow_stream")
+      .outputMode("complete").start()
+    mem.addData(evs(0), evs(1), evs(2))
+    q.processAllAvailable()
+    mem.addData(evs(3)) // later micro-batch updates the running counts
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2))
+    val streamed = spark.table("dow_stream").collect().map(key).toSet
+    val batch = graft.operators.WindowOps.dowCounts(evs.toDF())
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    // epoch day 0 was a Thursday, so ((day + 4) % 7) puts Sunday at
+    // 0 — 2024-01-01 (a Monday) lands on dow 1, the next day on 2
+    assert(streamed == Set(("view", 1L, 2L), ("purchase", 1L, 1L),
+      ("view", 2L, 1L)))
+  }
+
   test("watermarked stream-stream join pairs events within the hour bound") {
     val l = MemoryStream[Event]
     val r = MemoryStream[Event]
