@@ -65,6 +65,11 @@ DOC_THRESHOLD = 8.0
 DOC_OUTPUT_BOUND = {
     "d2_minhash_lsh", "d4_ngram_jaccard", "d7_dedup_components",
     "d10_incremental_dedup", "s4_knn_join",
+    # consumers of the above relations: leak1 aggregates d10's
+    # verdicts, d13 re-scores d2's verified pairs — each inherits the
+    # genuine pair-density cost of its producer, adds only a
+    # bounded-size aggregate of its own
+    "leak1_split_leakage", "d13_minhash_fidelity",
 }
 # x10rel: queries whose WORK is provably data-linear (each was
 # investigated after the r9 run tripped the 3x trigger) — for these
