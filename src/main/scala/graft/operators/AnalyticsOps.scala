@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Fns.roundFp
+import graft.functions.Fns.{md5Long, roundFp}
 
 /** Analytics-completeness operators beyond the reference surface —
   * grouping sets, pivot, quantiles, and the sketch-based distinct the
@@ -358,7 +358,55 @@ object AnalyticsOps {
         Tables.supplier(s, d), "s_suppkey"))
   }
 
+  /** ab1 — two-proportion A/B conversion test: users split into two
+    * arms by the engine's standard key hash (sm2's convention —
+    * deterministic, join-stable, re-run-stable), conversion = "the
+    * user purchased at least once", reported as per-arm user/
+    * converter counts, the ppm lift, and the pooled two-proportion
+    * z-score. The experiment-analysis primitive every event pipeline
+    * ends at; the hash split also makes it the A/A harness (on
+    * synthetic data the split IS an A/A test — lift ≈ 0 is the
+    * correctness signal).
+    *
+    * Exactness: counts are exact integers off one per-user
+    * aggregate; lift is floor-div ppm; the z-score is ONE pinned
+    * float expression (divisions + an IEEE sqrt) over those longs,
+    * 6-dp rounded — the ts2/gr4 convention. Degenerate pools (0% or
+    * 100% conversion) yield NULL identically on both engines.
+    *
+    * Scale shape: one pruned scan → per-user partial+final agg
+    * (user-keyed, the fn1 shape) → a 2-row arm aggregate → a 1-row
+    * conditional pivot. Nothing after the user agg depends on data
+    * volume. */
+  private def ab1(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"),
+        (col("event_type") === "purchase").cast("long").as("p"))
+      .groupBy(col("user_id"))
+      .agg(max(col("p")).as("conv"))
+      .select((md5Long(col("user_id")) % 2).as("arm"), col("conv"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      .agg(
+        sum(when(col("arm") === 0, col("n"))).as("n_a"),
+        sum(when(col("arm") === 0, col("c"))).as("c_a"),
+        sum(when(col("arm") === 1, col("n"))).as("n_b"),
+        sum(when(col("arm") === 1, col("c"))).as("c_b"))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        expr("""(1000000 * c_b) div n_b - (1000000 * c_a) div n_a""")
+          .as("lift_ppm"),
+        expr("""CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b
+                     THEN NULL
+                ELSE floor((CAST(c_b AS DOUBLE) / n_b
+                             - CAST(c_a AS DOUBLE) / n_a)
+                       / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                           * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                           * (1 / CAST(n_a AS DOUBLE)
+                              + 1 / CAST(n_b AS DOUBLE)))
+                       * 1000000 + 0.5) / 1000000 END""").as("z"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab1_conversion_lift" -> (ab1 _),
     "dq1_fk_orphans" -> (dq1 _),
     "an3_tcloseness" -> (an3 _),
     "an2_ldiversity" -> (an2 _),
@@ -395,6 +443,32 @@ object AnalyticsOps {
       FROM dev JOIN mad USING (event_type)""",
     // same exact two-level distinct (bands then classes), same
     // integer floor banding and publish predicate
+    // same hash split, same exact counts, same pinned z expression
+    "ab1_conversion_lift" -> """
+      WITH u AS (SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS conv
+                 FROM events GROUP BY 1),
+      a AS (SELECT ('0x' || substr(md5(user_id::VARCHAR),1,15))::BIGINT % 2
+              AS arm, conv FROM u),
+      g AS (SELECT arm, count(*) AS n, CAST(sum(conv) AS BIGINT) AS c
+            FROM a GROUP BY 1),
+      p AS (SELECT
+              CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS c_a,
+              CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS c_b
+            FROM g)
+      SELECT n_a, c_a, n_b, c_b,
+        (1000000 * c_b) // n_b - (1000000 * c_a) // n_a AS lift_ppm,
+        CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+        ELSE floor((CAST(c_b AS DOUBLE) / n_b
+                     - CAST(c_a AS DOUBLE) / n_a)
+               / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                   * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                   * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE)))
+               * 1000000 + 0.5) / 1000000 END AS z
+      FROM p""",
     // same four anti-join audits, stated as null-probe left joins
     "dq1_fk_orphans" -> """
       SELECT 'orders.custkey' AS fk,

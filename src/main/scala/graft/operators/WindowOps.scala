@@ -585,7 +585,49 @@ object WindowOps {
                        * 1000000 + 0.5) / 1000000 END""").as("r"))
   }
 
+  /** w13 — CUSUM drift detection over the daily event volume
+    * (Page '54): s_d = max(0, s_{d-1} + x_d − μ − k), alarm when the
+    * accumulated positive drift clears h = 5k. The sequential
+    * change-point detector od1/w11 can't express — those flag
+    * pointwise outliers; CUSUM catches a SUSTAINED small shift long
+    * before any single day looks anomalous (the data-pipeline use:
+    * a crawler source silently ramping or decaying).
+    *
+    * Exactness: everything is integer — daily counts, the floor-div
+    * mean μ, the slack k = max(1, μ div 20) and threshold 5k derived
+    * from the data, and the recurrence itself — so the oracle
+    * replays it as a recursive CTE bit-for-bit.
+    *
+    * Scale shape: ONE pruned scan reduces to (day, count) — the
+    * ts1/ts2 grid discipline; the recurrence is inherently
+    * sequential, but its state is the DENSE CALENDAR (bounded by
+    * elapsed days, ~365 rows/year at ANY corpus size — a decade of
+    * 100 TB crawls is ~3,650 rows), so it folds driver-side under
+    * the km1/PQ bounded-model discipline and returns as a literal
+    * relation. */
+  private def w13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .select(expr(s"unix_micros(ts) div $W10_DAY_US").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d0 = daily.keys.min
+    val d1 = daily.keys.max
+    val xs = (d0 to d1).map(day => day -> daily.getOrElse(day, 0L))
+    val n = xs.length.toLong
+    val mu = xs.map(_._2).sum / n
+    val k = math.max(1L, mu / 20L)
+    val h = 5L * k
+    var sAcc = 0L
+    val rows = xs.map { case (day, x) =>
+      sAcc = math.max(0L, sAcc + x - mu - k)
+      (day, x, sAcc, sAcc > h)
+    }
+    rows.toDF("day", "x", "cusum", "alarm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w13_cusum" -> (w13 _),
     "ts2_xcorr" -> (ts2 _),
     "w12_dow_profile" -> (w12 _),
     "fn2_time_to_convert" -> (fn2 _),
@@ -607,6 +649,32 @@ object WindowOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the integer recurrence replayed as a recursive CTE: same dense
+    // calendar, same floor-div mean, same data-derived k and 5k bar
+    "w13_cusum" -> s"""
+      WITH RECURSIVE c AS (
+        SELECT epoch_us(ts) // $W10_DAY_US AS day, count(*) AS x
+        FROM events GROUP BY 1),
+      span AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+      grid AS (SELECT g.day, row_number() OVER (ORDER BY g.day) AS rn,
+                 coalesce(c.x, 0) AS x
+               FROM (SELECT unnest(generate_series(d0, d1)) AS day
+                     FROM span) g
+               LEFT JOIN c ON c.day = g.day),
+      st AS (SELECT CAST(sum(x) AS BIGINT) // count(*) AS mu FROM grid),
+      kk AS (SELECT mu, greatest(1, mu // 20) AS k, 5 * greatest(1, mu // 20) AS h
+             FROM st),
+      s AS (SELECT rn, day, x,
+              greatest(0, x - (SELECT mu FROM kk) - (SELECT k FROM kk)) AS cusum
+            FROM grid WHERE rn = 1
+            UNION ALL
+            SELECT g.rn, g.day, g.x,
+              greatest(0, s.cusum + g.x - (SELECT mu FROM kk)
+                            - (SELECT k FROM kk))
+            FROM s JOIN grid g ON g.rn = s.rn + 1)
+      SELECT day, x, CAST(cusum AS BIGINT) AS cusum,
+        cusum > (SELECT h FROM kk) AS alarm
+      FROM s""",
     // same dense calendar, exact integer moments, and the one pinned
     // float expression (div + two IEEE sqrts) before the 6-dp round
     "ts2_xcorr" -> s"""

@@ -1,17 +1,28 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.functions.Fns
 
-/** Semantic checks for the round-9 sixth wave (label-propagation
-  * communities, day-of-week seasonality, pseudo-relevance-feedback
-  * expansion) — plain-Scala replays plus the conservation laws the
-  * DuckDB oracle can't state directly.
+/** Semantic checks for the round-9 sixth-through-tenth waves
+  * (label-propagation communities, weekday seasonality, PRF
+  * expansion, t-closeness, LOO impact, cross-correlation, FK audit,
+  * burstiness, calibrated filter, MinHash fidelity, de-anisotropy,
+  * A/B lift, CUSUM drift) — plain-Scala replays plus the
+  * conservation laws the DuckDB oracle can't state directly.
   */
 class Round9eOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** Events projected to the integer-µs fields the replays use. */
+  private lazy val events: Array[(Long, Long, String, Long)] =
+    Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("tu"),
+        col("event_type"), col("user_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
 
   // ---- gr5 --------------------------------------------------------
 
@@ -329,5 +340,69 @@ class Round9eOpsSpec extends SparkSpec {
     // embeddings (|q| ~ sqrt(64)*1000 ~ 8e3, |v| >~ 1e6) the
     // coefficient is small — sanity-bound it loosely
     got.values.foreach { case (_, c) => assert(math.abs(c) < 100000L) }
+  }
+
+  // ---- ab1 --------------------------------------------------------
+
+  test("ab1: the A/B table replays exactly from per-user purchase " +
+    "flags and the md5 split, and the hash A/A lift is honest") {
+    val byUser = events.groupBy(_._4).map { case (uid, evs) =>
+      uid -> (if (evs.exists(_._3 == "purchase")) 1L else 0L)
+    }
+    val arms = byUser.groupBy { case (uid, _) =>
+      Fns.md5LongLocal(uid.toString) % 2
+    }
+    def nc(arm: Long) = {
+      val xs = arms.getOrElse(arm, Map.empty)
+      (xs.size.toLong, xs.values.sum)
+    }
+    val (na, ca) = nc(0L); val (nb, cb) = nc(1L)
+    val lift = 1000000L * cb / nb - 1000000L * ca / na
+    val z =
+      if (ca + cb == 0 || ca + cb == na + nb) None
+      else {
+        val p = (ca + cb).toDouble / (na + nb)
+        Some(math.floor((cb.toDouble / nb - ca.toDouble / na) /
+          math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+          * 1e6 + 0.5) / 1e6)
+      }
+    val rows = q("ab1_conversion_lift").collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((na, ca, nb, cb)))
+    assert(r.getLong(4) == lift)
+    val gz = if (r.isNullAt(5)) None else Some(r.getDouble(5))
+    assert(gz === z)
+    // the split is an A/A test on synthetic data: arms should be
+    // statistically indistinguishable (|z| < 4 is a very loose bar
+    // that still catches a broken split hash)
+    gz.foreach(v => assert(math.abs(v) < 4.0, s"A/A z=$v"))
+  }
+
+  // ---- w13 --------------------------------------------------------
+
+  test("w13: the CUSUM trajectory replays exactly (dense calendar, " +
+    "floor-div mean, data-derived slack), and resets to zero under " +
+    "sub-mean days") {
+    val dayUs = 86400000000L
+    val daily = events.groupBy(e => e._2 / dayUs)
+      .map { case (day, evs) => day -> evs.length.toLong }
+    val d0 = daily.keys.min; val d1 = daily.keys.max
+    val xs = (d0 to d1).map(day => day -> daily.getOrElse(day, 0L))
+    val mu = xs.map(_._2).sum / xs.length
+    val k = math.max(1L, mu / 20L)
+    var acc = 0L
+    val expected = xs.map { case (day, x) =>
+      acc = math.max(0L, acc + x - mu - k)
+      day -> ((x, acc, acc > 5 * k))
+    }.toMap
+    val got = q("w13_cusum").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got === expected)
+    assert(got.size == (d1 - d0 + 1).toInt)
+    // the statistic is non-negative by construction
+    got.values.foreach { case (_, s0, _) => assert(s0 >= 0L) }
   }
 }
