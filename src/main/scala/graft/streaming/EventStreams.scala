@@ -221,6 +221,21 @@ object EventStreams {
         col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
         col("l.ts").as("left_ts"), col("r.ts").as("right_ts"))
 
+  /** Stream-static enrichment — the dimension-join face every event
+    * pipeline ships first: a streaming fact joined to a bounded
+    * dimension table. Stateless per micro-batch (no watermark, no
+    * join state — the static side broadcasts into each batch), so
+    * append mode and batch parity are trivial BY CONSTRUCTION; at
+    * cluster scale the dimension is a broadcast (or a re-read
+    * Delta-style snapshot) and the stream side never shuffles.
+    * Inner join: facts without a dimension row are dropped — the
+    * dq1-audited FK contract, applied streaming-side. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+        org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("segment"), col("value"))
+
   /** The streaming output mode each query needs (state eviction
     * semantics): append for watermarked windows and joins, update for
     * custom state. */
@@ -230,5 +245,6 @@ object EventStreams {
     "session" -> OutputMode.Append(),
     "running" -> OutputMode.Update(),
     "dedup" -> OutputMode.Append(),
-    "join" -> OutputMode.Append())
+    "join" -> OutputMode.Append(),
+    "enrich" -> OutputMode.Append())
 }

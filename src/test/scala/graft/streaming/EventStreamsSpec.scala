@@ -319,6 +319,34 @@ class EventStreamsSpec extends SparkSpec {
       ("view", 2L, 1L)))
   }
 
+  test("stream-static enrichment joins each micro-batch against the " +
+    "broadcast dimension — batch parity, and facts without a " +
+    "dimension row drop (the dq1 FK contract, streaming-side)") {
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("user_id", "segment")
+    val evs = Seq(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(5), 2, "click", 2.0),
+      Event(3, ts(9), 9, "view", 3.0)) // user 9: no dim row -> dropped
+    val mem = MemoryStream[Event]
+    val q = EventStreams.enrichWithDim(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("append").start()
+    mem.addData(evs(0), evs(1))
+    q.processAllAvailable()
+    mem.addData(evs(2)) // later micro-batch enriches independently
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))
+    val streamed = spark.table("enrich_stream").collect().map(key).toSet
+    val batch = EventStreams.enrichWithDim(evs.toDF(), dim)
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, 1L, "view", "BUILDING"),
+      (2L, 2L, "click", "MACHINERY")))
+  }
+
   test("watermarked stream-stream join pairs events within the hour bound") {
     val l = MemoryStream[Event]
     val r = MemoryStream[Event]
