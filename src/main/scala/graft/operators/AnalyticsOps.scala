@@ -469,39 +469,28 @@ object AnalyticsOps {
                    * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE)))
                * 1000000 + 0.5) / 1000000 END AS z
       FROM p""",
-    // same four anti-join audits, stated as null-probe left joins
+    // same four anti-join audits; each join/count runs ONCE in a CTE
+    // (DuckDB does not reliably CSE scalar subqueries — the repo's
+    // D10_SQL/QR1_SQL factoring convention applied inside an oracle)
     "dq1_fk_orphans" -> """
-      SELECT 'orders.custkey' AS fk,
-        (SELECT count(*) FROM orders) AS n_rows,
-        (SELECT count(*) FROM orders LEFT JOIN customer
-           ON o_custkey = c_custkey WHERE c_custkey IS NULL) AS n_orphans,
-        (1000000 * (SELECT count(*) FROM orders LEFT JOIN customer
-           ON o_custkey = c_custkey WHERE c_custkey IS NULL))
-          // (SELECT count(*) FROM orders) AS orphan_ppm
+      WITH no AS (SELECT count(*) AS n FROM orders),
+      nl AS (SELECT count(*) AS n FROM lineitem),
+      o1 AS (SELECT count(*) AS o FROM orders LEFT JOIN customer
+             ON o_custkey = c_custkey WHERE c_custkey IS NULL),
+      o2 AS (SELECT count(*) AS o FROM lineitem LEFT JOIN orders
+             ON l_orderkey = o_orderkey WHERE o_orderkey IS NULL),
+      o3 AS (SELECT count(*) AS o FROM lineitem LEFT JOIN part
+             ON l_partkey = p_partkey WHERE p_partkey IS NULL),
+      o4 AS (SELECT count(*) AS o FROM lineitem LEFT JOIN supplier
+             ON l_suppkey = s_suppkey WHERE s_suppkey IS NULL)
+      SELECT 'orders.custkey' AS fk, n AS n_rows, o AS n_orphans,
+        (1000000 * o) // n AS orphan_ppm FROM no, o1
       UNION ALL
-      SELECT 'lineitem.orderkey',
-        (SELECT count(*) FROM lineitem),
-        (SELECT count(*) FROM lineitem LEFT JOIN orders
-           ON l_orderkey = o_orderkey WHERE o_orderkey IS NULL),
-        (1000000 * (SELECT count(*) FROM lineitem LEFT JOIN orders
-           ON l_orderkey = o_orderkey WHERE o_orderkey IS NULL))
-          // (SELECT count(*) FROM lineitem)
+      SELECT 'lineitem.orderkey', n, o, (1000000 * o) // n FROM nl, o2
       UNION ALL
-      SELECT 'lineitem.partkey',
-        (SELECT count(*) FROM lineitem),
-        (SELECT count(*) FROM lineitem LEFT JOIN part
-           ON l_partkey = p_partkey WHERE p_partkey IS NULL),
-        (1000000 * (SELECT count(*) FROM lineitem LEFT JOIN part
-           ON l_partkey = p_partkey WHERE p_partkey IS NULL))
-          // (SELECT count(*) FROM lineitem)
+      SELECT 'lineitem.partkey', n, o, (1000000 * o) // n FROM nl, o3
       UNION ALL
-      SELECT 'lineitem.suppkey',
-        (SELECT count(*) FROM lineitem),
-        (SELECT count(*) FROM lineitem LEFT JOIN supplier
-           ON l_suppkey = s_suppkey WHERE s_suppkey IS NULL),
-        (1000000 * (SELECT count(*) FROM lineitem LEFT JOIN supplier
-           ON l_suppkey = s_suppkey WHERE s_suppkey IS NULL))
-          // (SELECT count(*) FROM lineitem)""",
+      SELECT 'lineitem.suppkey', n, o, (1000000 * o) // n FROM nl, o4""",
     // same densified grid, same ROWS-framed ladder cumsum, same
     // floor-div ppm shares; the global cum is the sum of per-segment
     // cums at each ladder step (an exact identity, both engines)

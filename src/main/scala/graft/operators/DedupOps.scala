@@ -711,9 +711,21 @@ object DedupOps {
     * near verification is unconditionally the shuffle-join path —
     * incremental dedup IS the large-corpus regime, nothing
     * corpus-sized belongs on the driver. */
+  /** Per-session memo of the d10 verdict table — the sigMemo/
+    * pairMemo discipline applied to verdicts: d10 exposes them,
+    * leak1 aggregates them, and a pipeline running both must pay the
+    * band-join + verification exactly once per corpus version. The
+    * stored relation is (doc_id, 7-char verdict) — signature-class
+    * narrow. */
+  private val verdictMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Test/bench hook: drop memoized verdict tables. */
+  private[graft] def clearVerdictMemo(): Unit = verdictMemo.clear()
+
   private def d10(s: SparkSession, d: String): DataFrame =
     // eager checkpoint: verdicts are consumed repeatedly downstream
-    d10Plan(s, d).localCheckpoint(true)
+    verdictMemo.getOrElseUpdate((s, d), d10Plan(s, d).localCheckpoint(true))
 
   /** The lazy d10 plan — split out so PlanShapeSpec can assert the
     * PRE-checkpoint physical plan (after localCheckpoint the plan is

@@ -958,10 +958,16 @@ object SimilarityOps {
     *
     * Exactness: q is emb2's milli-quantization; v is emb4's
     * round-[[EMB4_ROUNDS]] iterate — 64 exact longs, so
-    * proj = Σ qᵢ·vᵢ is an exact long (|q|·|v|·64 ≈ 6·10¹³) and the
-    * coefficient is the sign-split integer division (Spark `div`
-    * truncates, DuckDB `//` floors; the split keeps operands
-    * non-negative where they agree — the emb4 convention).
+    * proj = Σ qᵢ·vᵢ is an exact long and the coefficient is the
+    * sign-split integer division (Spark `div` truncates, DuckDB
+    * `//` floors; the split keeps operands non-negative where they
+    * agree — the emb4 convention). Headroom: the binding term is
+    * 10⁶·proj ≤ 10⁶ · 64·|q|ᵢ·10⁶, which stays inside a long while
+    * per-coordinate |x| ≲ 140 (q ≲ 1.4·10⁵) — comfortably true for
+    * the unit-range embeddings this corpus contracts (|x| < 8,
+    * TestDataContractSpec), but a pre-normalization pass belongs
+    * BEFORE this operator for wild-range vectors: past that bound
+    * Spark would wrap silently where DuckDB errors.
     *
     * Scale shape: the direction is a bounded-by-construction driver
     * fetch (64 longs — the km1/PQ model discipline; emb4's corpus

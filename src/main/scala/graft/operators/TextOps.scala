@@ -679,10 +679,15 @@ object TextOps {
       .orderBy(col("s1").desc, col("term").asc)
       .limit(X18_TOP)
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    // moments convert to DOUBLE BEFORE multiplying: n·s2 and s1²
+    // overflow a long at web-corpus scale (s1 ~ 1e12 for a top term
+    // ⇒ s1² ~ 1e24), and Spark would wrap silently where DuckDB
+    // errors; in double space both engines run the identical IEEE
+    // ops (exact whenever the products fit 2^53 — every tested sf)
     tf.crossJoin(broadcast(n))
       .select(col("term"), col("s1").as("tf_total"),
-        expr("""floor(CAST(n * s2 - s1 * s1 AS DOUBLE)
-                  / CAST(n * s1 AS DOUBLE)
+        expr("""floor((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                  / (CAST(n AS DOUBLE) * s1)
                   * 1000000 + 0.5) / 1000000""").as("vmr"))
   }
 
@@ -723,7 +728,8 @@ object TextOps {
             ORDER BY s1 DESC, term LIMIT $X18_TOP),
       n AS (SELECT count(*) AS n FROM documents)
       SELECT term, s1 AS tf_total,
-        floor(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * s1 AS DOUBLE)
+        floor((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+          / (CAST(n AS DOUBLE) * s1)
           * 1000000 + 0.5) / 1000000 AS vmr
       FROM m, n""",
     // same (source, term) count relation, same floor-division ppm

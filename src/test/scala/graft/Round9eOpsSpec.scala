@@ -254,8 +254,10 @@ class Round9eOpsSpec extends SparkSpec {
     val expected = m.toSeq
       .sortBy { case (t, (s1, _)) => (-s1, t) }.take(20)
       .map { case (t, (s1, s2)) =>
-        t -> ((s1, math.floor((n * s2 - s1 * s1).toDouble /
-          (n * s1).toDouble * 1e6 + 0.5) / 1e6))
+        // the engines' double-space moments (overflow-safe form)
+        t -> ((s1, math.floor(
+          (n.toDouble * s2 - s1.toDouble * s1) / (n.toDouble * s1)
+            * 1e6 + 0.5) / 1e6))
       }.toMap
     val got = q("x18_burstiness").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap

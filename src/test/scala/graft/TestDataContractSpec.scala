@@ -27,6 +27,17 @@ class TestDataContractSpec extends SparkSpec {
       assert(dt == TimestampType,
         s"$dir/events.parquet: ts normalized to $dt, expected " +
           "TimestampType — extend Tables.normalizeEventTs for the new layout")
+      // the POST-EPOCH domain every µs-day operator (w10/w12/w13/
+      // ts1/ts2/fn1/fn2) silently assumes: for negative micros,
+      // Spark's `div` (truncate) and DuckDB's `//` (floor) bucket
+      // the SAME instant on different days, and (day+4)%7 leaves
+      // the 0..6 weekday domain — pin the assumption here by name
+      val minUs = Tables.events(spark, dir)
+        .select(org.apache.spark.sql.functions.expr("min(unix_micros(ts))"))
+        .collect()(0).getLong(0)
+      assert(minUs >= 0L,
+        s"$dir events reach pre-epoch time ($minUs µs) — the integer " +
+          "day/weekday arithmetic contracts post-1970 event time")
     }
   }
 
@@ -56,6 +67,18 @@ class TestDataContractSpec extends SparkSpec {
         .distinct().collect().map(_.getInt(0)).toSet
       assert(dims == Set(64),
         s"$dir embeddings dims $dims, engine+oracles assume exactly 64")
+      // the coordinate-range contract emb5's integer headroom
+      // depends on (|x| <~ 140 keeps 1e6·proj inside a long; see
+      // SimilarityOps.emb5): pin the much tighter unit-range bound
+      // the generator actually produces
+      val maxAbs = Tables.embeddings(spark, dir)
+        .select(org.apache.spark.sql.functions.expr(
+          "max(aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+            "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))))").as("m"))
+        .collect()(0).getDouble(0)
+      assert(maxAbs < 8.0,
+        s"$dir embeddings |x| up to $maxAbs — emb5's long headroom " +
+          "assumes unit-range coordinates (bound 140; contract 8)")
     }
   }
 
