@@ -674,4 +674,13 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("qr2's feedback-doc fetch is a broadcast join against the " +
+    "corpus scan — the |Q|·3 feedback set probes the docs, corpus " +
+    "text never shuffles for it") {
+    val p = plan(q("qr2_prf_expand"))
+    spark.catalog.clearCache()
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
