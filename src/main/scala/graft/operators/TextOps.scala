@@ -691,7 +691,58 @@ object TextOps {
                   * 1000000 + 0.5) / 1000000""").as("vmr"))
   }
 
+  /** x19's report size. */
+  private val X19_TOP = 20
+
+  /** x19 — collocation mining by independence-normalized LIFT: for
+    * the top-[[X19_TOP]] adjacent word pairs by count, report
+    * lift = N·c(a,b) / (c(a)·c(b)) — the PMI-class association
+    * measure without PMI's libm log (lift is PMI's argument; the
+    * monotone-equivalent exact form, the ppl1/x12 portability move).
+    * x7 ranks n-grams by raw count (frequency ≠ association — "the
+    * fast" is frequent because both words are); lift is what
+    * separates true collocations from products of popularity, the
+    * phrase-vocabulary signal a tokenizer or index build reads.
+    *
+    * Exactness: all four counts are exact longs; the single lift
+    * expression converts to DOUBLE BEFORE multiplying (the x18
+    * overflow lesson applied pre-emptively: N·c_ab ~ 10²⁴ at web
+    * scale) and both engines run identical IEEE ops, 6-dp rounded.
+    *
+    * Plan at 100 TB: two pruned scans (unigram counts and bigram
+    * counts, each partial+final agg on vocabulary-sized keys — the
+    * cls1 two-pass adjudication); the top-K cut is
+    * TakeOrderedAndProject, and the two unigram attachments join the
+    * 20-row head against the vocab table — AQE broadcasts the head,
+    * so the vocab never shuffles for it. */
+  private def x19(s: SparkSession, d: String): DataFrame = {
+    val toksArr = Tables.documents(s, d)
+      .select(toks(col("text")).as("l"))
+    val ca = toksArr.select(explode(col("l")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val cb = toksArr
+      .filter(size(col("l")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(l) - 1),
+             i -> struct(element_at(l, i) AS w1,
+                         element_at(l, i + 1) AS w2))""")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = cb.agg(sum(col("c_ab")).as("n"))
+    cb.orderBy(col("c_ab").desc, col("w1").asc, col("w2").asc)
+      .limit(X19_TOP)
+      .join(ca.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(ca.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        expr("""floor((CAST(n AS DOUBLE) * c_ab)
+                  / (CAST(c1 AS DOUBLE) * c2)
+                  * 1000000 + 0.5) / 1000000""").as("lift"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x19_collocation_lift" -> (x19 _),
     "x18_burstiness" -> (x18 _),
     "x17_hapax" -> (x17 _),
     "x16_winnow" -> (x16 _),
@@ -716,6 +767,25 @@ object TextOps {
   private[operators] def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // same exact counts, same (c_ab desc, w1, w2) head, same
+    // double-space lift expression
+    "x19_collocation_lift" -> s"""
+      WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+      u AS (SELECT unnest(l) AS w FROM t),
+      ca AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+      b AS (SELECT l[i] AS w1, l[i+1] AS w2
+            FROM t, unnest(generate_series(1, len(l) - 1)) AS g(i)
+            WHERE len(l) >= 2),
+      cb AS (SELECT w1, w2, count(*) AS c_ab FROM b GROUP BY 1, 2),
+      nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM cb),
+      top AS (SELECT * FROM cb
+              ORDER BY c_ab DESC, w1, w2 LIMIT $X19_TOP)
+      SELECT top.w1, top.w2, c_ab,
+        floor((CAST(n AS DOUBLE) * c_ab)
+          / (CAST(a1.c AS DOUBLE) * a2.c)
+          * 1000000 + 0.5) / 1000000 AS lift
+      FROM top JOIN ca a1 ON top.w1 = a1.w
+               JOIN ca a2 ON top.w2 = a2.w, nb""",
     // same exact integer moments and the same pinned division; the
     // top-K cut is (s1 desc, term) on both sides
     "x18_burstiness" -> s"""

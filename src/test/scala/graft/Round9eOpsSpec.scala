@@ -344,6 +344,36 @@ class Round9eOpsSpec extends SparkSpec {
     got.values.foreach { case (_, c) => assert(math.abs(c) < 100000L) }
   }
 
+  // ---- x19 --------------------------------------------------------
+
+  test("x19: collocation lift replays exactly from unigram/bigram " +
+    "counts in the engines' double-space expression, and lift is " +
+    "scale-free (never negative, bounded by N/c_ab)") {
+    val docs = Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0).split(" ", -1))
+    val ca = docs.flatten.groupBy(identity)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    val bigrams = docs.filter(_.length >= 2)
+      .flatMap(l => l.dropRight(1).zip(l.drop(1)))
+    val cb = bigrams.groupBy(identity)
+      .map { case (p, xs) => p -> xs.length.toLong }
+    val n = bigrams.length.toLong
+    val expected = cb.toSeq
+      .sortBy { case ((w1, w2), c) => (-c, w1, w2) }.take(20)
+      .map { case ((w1, w2), c) =>
+        (w1, w2) -> ((c, math.floor(
+          n.toDouble * c / (ca(w1).toDouble * ca(w2)) * 1e6 + 0.5) / 1e6))
+      }.toMap
+    val got = q("x19_collocation_lift").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === expected)
+    assert(got.size == 20)
+    got.foreach { case ((_, _), (c, lift)) =>
+      assert(lift >= 0.0 && lift <= n.toDouble / c + 1)
+    }
+  }
+
   // ---- ab1 --------------------------------------------------------
 
   test("ab1: the A/B table replays exactly from per-user purchase " +

@@ -109,6 +109,11 @@ class ScanCountSpec extends SparkSpec {
       // x18's corpus-stats branch (1-row N) re-reads the pruned
       // projection beside the moments pass — the x10/x11 shape
       "x18_burstiness" -> ((2, 0)),
+      // x19's unigram and bigram passes each aggregate to
+      // vocabulary-sized counts immediately (the cls1 two-pass
+      // adjudication); the bigram relation persists for its head
+      // cut + total
+      "x19_collocation_lift" -> ((2, 0)),
       // dq1 audits four FK edges; each is an independent child⋈parent
       // anti-join branch (j6's 2-scan shape) plus the child count —
       // the union is 4 one-row branches, scans are the audit's data
