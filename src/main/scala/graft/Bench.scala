@@ -31,6 +31,23 @@ object Bench {
       if (wanted.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.toSeq.filter { case (n, _) =>
         wanted.contains(n) || wanted.contains(shortKey(n)) }
+    // Full runs prime the shared cross-query memos FIRST and record
+    // the build as its own line in BENCH_FULL.json: gr2–gr5 share the
+    // memoized co-purchase edge list, so whichever ran first used to
+    // absorb the build — making those per-query timings order-
+    // dependent (the VERDICT r9 watchlist item). The build is real
+    // work, so it counts toward the total either way; this only fixes
+    // the ATTRIBUTION.
+    val memoLines: Seq[(String, Double)] =
+      if (wanted.nonEmpty) Seq.empty
+      else {
+        val t0 = System.nanoTime()
+        val t = try {
+          graft.operators.GraphOps.primeEdgeMemo(spark, sfDir)
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+        Seq("memo_copurchase_edges" -> t)
+      }
     // two timed runs per query, min reported: single-JVM timings at
     // local[32] carry GC/JIT noise that a second run strips
     val results = selected.sortBy(_._1).map { case (name, fn) =>
@@ -50,23 +67,24 @@ object Bench {
     }
     // any failed query (-1) poisons the headline: a smaller-is-better
     // total must never look BETTER because a query crashed
+    val lines = memoLines ++ results
     val total =
-      if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
+      if (lines.exists(_._2 < 0)) -1.0 else lines.map(_._2).sum
     // The stdout JSON line must fit the driver's 2000-char stdout tail
     // (with sbt's "[success] …" trailer after it) or the driver records
     // parsed:null — which it did for six straight rounds with full
-    // query names (~2.9k chars). Key each query by its unique prefix
-    // before the first '_' (d9_substring_spans -> d9; uniqueness is
-    // asserted) and park the full-name map in BENCH_FULL.json next to
-    // the repo for human/judge reading.
+    // query names (~2.9k chars), and AGAIN in r9 when even the
+    // short-key map (~2.4k at 172 queries) outgrew the tail. The
+    // stdout record is now TOTALS-ONLY (~90 chars — fits at any
+    // surface size, forever); the per-query map goes exclusively to
+    // BENCH_FULL.json next to the repo for human/judge reading.
+    // shortKey uniqueness still pinned: BENCH_FULL keys and the
+    // `bench <key>` CLI selection depend on it.
     val shortKeys = results.map(r => shortKey(r._1))
     require(shortKeys.distinct.size == results.size,
       "query short-key collision: " +
         shortKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.mkString(","))
-    val qs = shortKeys.zip(results.map(_._2))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val fullQs = lines.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
@@ -74,10 +92,14 @@ object Bench {
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullLine + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () } // read-only cwd must not fail the bench
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
-    if (results.exists(_._2 < 0)) {
+    else
+      // partial run: per-query times to stdout for local iteration
+      // (never the official record, so length doesn't matter here)
+      results.foreach { case (k, v) => System.err.println(f"[graft]   $k%-28s $v%.3f s") }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+    if (lines.exists(_._2 < 0)) {
       System.err.println("[graft] bench FAILED queries: " +
-        results.filter(_._2 < 0).map(_._1).mkString(", "))
+        lines.filter(_._2 < 0).map(_._1).mkString(", "))
       spark.stop()
       sys.exit(1)
     }

@@ -56,6 +56,28 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Cheap dataset-version stamp for per-session memos (GraphOps
+    * edgeMemo, DedupOps verdictMemo): a hash of the table's file set
+    * (name, length, mtime). Keying a memo on it means a REWRITTEN
+    * dataset at the same path gets a fresh build instead of a silently
+    * stale checkpoint — the staleness hole a path-only key leaves
+    * open. Driver-side listing of one directory (a few files locally,
+    * one metadata round-trip on a real FS) — never data-sized. Falls
+    * back to 0 for non-local paths Java's File can't list (an
+    * hdfs:// deployment would swap in a FileSystem.listStatus here);
+    * 0 keys still memoize per-path, the pre-stamp behavior. */
+  def versionStamp(dir: String, table: String): Long = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    val files: Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName)
+      else if (f.isFile) Seq(f)
+      else Seq.empty
+    files.foldLeft(0L) { (h, x) =>
+      31L * (31L * (31L * h + x.getName.hashCode.toLong)
+        + x.length()) + x.lastModified()
+    }
+  }
+
   /** Register every table as a temp view so the whole surface is also
     * reachable SQL-first (`spark.sql("SELECT ... FROM lineitem ...")`),
     * with the engine's registered functions (`dot_product`,

@@ -35,12 +35,19 @@ object AnalyticsOps {
       .count()
 
   /** g4 — exact interpolated quantiles of order price (both engines:
-    * linear interpolation at (n-1)p over the sorted values). */
+    * linear interpolation at (n-1)p over the sorted values). ONE
+    * percentile agg computes all three; the final projection unwraps
+    * them into scalar q25/q50/q75 columns — the harness contract
+    * (OutputContractSpec): an array column only survived r9's gate by
+    * the single-row accident, and double→string joins are formatting-
+    * fragile across engines, so scalars beat strJoin here. */
   private def g4(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .agg(transform(
-        percentile(col("o_totalprice"), array(lit(0.25), lit(0.5), lit(0.75))),
-        x => roundFp(x, 4)).as("quartiles"))
+      .agg(percentile(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+      .select(roundFp(element_at(col("qs"), 1), 4).as("q25"),
+        roundFp(element_at(col("qs"), 2), 4).as("q50"),
+        roundFp(element_at(col("qs"), 3), 4).as("q75"))
 
   /** g5 — HyperLogLog distinct (the 100 TB form of a1): NO oracle —
     * sketch implementations differ per engine, so the driver records
@@ -59,10 +66,12 @@ object AnalyticsOps {
     * quartiles. */
   private def g7(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .agg(transform(
-        approx_percentile(col("o_totalprice"),
-          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)),
-        x => roundFp(x, 4)).as("approx_quartiles"))
+      .agg(approx_percentile(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
+      // scalar columns, same contract (and same shape) as g4
+      .select(roundFp(element_at(col("qs"), 1), 4).as("aq25"),
+        roundFp(element_at(col("qs"), 2), 4).as("aq50"),
+        roundFp(element_at(col("qs"), 3), 4).as("aq75"))
 
   /** g6 — salted two-stage aggregation: the skew pattern for
     * low-cardinality group keys (5 event types over 100 TB would put
@@ -556,9 +565,12 @@ object AnalyticsOps {
         count(*) FILTER (WHERE l_linestatus = 'O') AS "O"
       FROM lineitem GROUP BY l_returnflag""",
     "g4_quantiles" -> """
-      SELECT list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
-        x -> floor(x*10000 + 0.5)/10000) AS quartiles
-      FROM orders""",
+      WITH qs AS (SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS q
+                  FROM orders)
+      SELECT floor(q[1]*10000 + 0.5)/10000 AS q25,
+             floor(q[2]*10000 + 0.5)/10000 AS q50,
+             floor(q[3]*10000 + 0.5)/10000 AS q75
+      FROM qs""",
     // GROUPING bitmask convention verified identical (leftmost arg =
     // MSB, 1 = aggregated away): (flag) set -> gid 1, (status) -> 2
     "g8_grouping_sets" -> """

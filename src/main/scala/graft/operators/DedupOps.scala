@@ -54,9 +54,12 @@ object DedupOps {
     * localCheckpoint'ed DataFrame: lineage is truncated, the blocks
     * live in executor storage (never the driver), and they're freed
     * when the entry is dropped or the session ends. Bench/Verify
-    * implications are recorded in SCALE.md (warm vs cold numbers). */
+    * implications are recorded in SCALE.md (warm vs cold numbers).
+    * Keyed on (session, path, [[Tables.versionStamp]]) so an in-
+    * session rewrite of the dataset invalidates the entry (the
+    * verdictMemo/edgeMemo staleness discipline). */
   private val pairMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), DataFrame]
 
   /** Test/bench hook: drop memoized pair tables (e.g. between cold
     * timing runs). */
@@ -71,7 +74,8 @@ object DedupOps {
 
   /** Memoized face of [[computeD2Pairs]] — see [[pairMemo]]. */
   private[graft] def d2Pairs(s: SparkSession, d: String): DataFrame =
-    pairMemo.getOrElseUpdate((s, d), computeD2Pairs(s, d, D2_BROADCAST_MAX_DOCS))
+    pairMemo.getOrElseUpdate((s, d, Tables.versionStamp(d, "documents")),
+      computeD2Pairs(s, d, D2_BROADCAST_MAX_DOCS))
 
   /** The O(N) MinHash signature table (doc_id, sh, mh) — the distinct
     * bigram shingle set as 8-byte md5-long KEYS (never the strings;
@@ -89,16 +93,19 @@ object DedupOps {
     * truncated, survive `catalog.clearCache()` (which drops every
     * CacheManager entry between bench queries), and free when the
     * memo entry drops or the session ends. At cluster scale this is
-    * a checkpoint of signatures, never of the corpus. */
+    * a checkpoint of signatures, never of the corpus. Version-stamp
+    * keyed like [[pairMemo]] — an in-session dataset rewrite gets
+    * fresh signatures. */
   private val sigMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), DataFrame]
 
   /** Test/bench hook: drop memoized signature tables (e.g. between
     * cold timing runs). */
   private[graft] def clearSigMemo(): Unit = sigMemo.clear()
 
   private def signatures(s: SparkSession, d: String): DataFrame =
-    sigMemo.getOrElseUpdate((s, d), buildSignatures(s, d))
+    sigMemo.getOrElseUpdate((s, d, Tables.versionStamp(d, "documents")),
+      buildSignatures(s, d))
 
   private def buildSignatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -716,16 +723,21 @@ object DedupOps {
     * leak1 aggregates them, and a pipeline running both must pay the
     * band-join + verification exactly once per corpus version. The
     * stored relation is (doc_id, 7-char verdict) — signature-class
-    * narrow. */
+    * narrow. Keyed on (session, path, [[Tables.versionStamp]]) so a
+    * dataset REWRITTEN at the same path within a session gets fresh
+    * verdicts, never stale ones (the ADVICE r9 staleness hole);
+    * entries persist for the session (verdict-sized), with
+    * [[clearVerdictMemo]] for long-lived drivers. */
   private val verdictMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), DataFrame]
 
   /** Test/bench hook: drop memoized verdict tables. */
   private[graft] def clearVerdictMemo(): Unit = verdictMemo.clear()
 
   private def d10(s: SparkSession, d: String): DataFrame =
     // eager checkpoint: verdicts are consumed repeatedly downstream
-    verdictMemo.getOrElseUpdate((s, d), d10Plan(s, d).localCheckpoint(true))
+    verdictMemo.getOrElseUpdate((s, d, Tables.versionStamp(d, "documents")),
+      d10Plan(s, d).localCheckpoint(true))
 
   /** The lazy d10 plan — split out so PlanShapeSpec can assert the
     * PRE-checkpoint physical plan (after localCheckpoint the plan is

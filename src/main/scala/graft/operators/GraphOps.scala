@@ -45,14 +45,29 @@ object GraphOps {
     * motivated it: four co-purchase queries paid four identical
     * edge-build exchanges per run. */
   private val edgeMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), DataFrame]
 
   /** Test/bench hook: drop memoized edge lists (cold-run timing). */
   private[graft] def clearEdgeMemo(): Unit = edgeMemo.clear()
 
-  /** The distinct part co-purchase edge list (pa < pb) — memoized. */
+  /** Bench hook: eagerly build + checkpoint the shared co-purchase
+    * edge memo so its one-time cost is a BENCH LINE OF ITS OWN
+    * (`memo_copurchase_edges` in BENCH_FULL.json) instead of landing
+    * on whichever of gr2–gr5 happens to run first — which made those
+    * per-query timings order-dependent and a past "gr2 regressed"
+    * reading re-litigate the memo (VERDICT r9 watchlist). */
+  private[graft] def primeEdgeMemo(s: SparkSession, d: String): Unit = {
+    coEdges(s, d); ()
+  }
+
+  /** The distinct part co-purchase edge list (pa < pb) — memoized per
+    * (session, path, [[Tables.versionStamp]]): rewriting the dataset
+    * at the same path within a session invalidates the entry instead
+    * of serving stale edges (the ADVICE r9 staleness hole). Entries
+    * live for the session — acceptable because they're edge-sized,
+    * and [[clearEdgeMemo]] exists for long-lived drivers. */
   private def coEdges(s: SparkSession, d: String): DataFrame =
-    edgeMemo.getOrElseUpdate((s, d), {
+    edgeMemo.getOrElseUpdate((s, d, Tables.versionStamp(d, "lineitem")), {
       val ip = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.Tables
-import graft.functions.Fns.{roundFp, toks}
+import graft.functions.Fns.{roundFp, strJoin, toks}
 
 /** Retrieval and vocabulary operators — the eval-set / tokenizer side
   * of a training-data pipeline: batch BM25 retrieval (contamination
@@ -536,10 +536,13 @@ object RetrievalOps {
       .filter(col("rn") <= IDX1_HEAD)
       .groupBy(col("term"))
       // lpad makes lexicographic order = doc order, so the sorted
-      // array is deterministic and engine-portable
-      .agg(sort_array(collect_list(
+      // array is deterministic and engine-portable; strJoin flattens
+      // it to a scalar — the harness contract (a3/a4 convention,
+      // Fns.strJoin scaladoc): the driver's pandas compare cannot
+      // sort rows holding ndarray cells
+      .agg(strJoin(sort_array(collect_list(
         concat(lpad(col("doc_id").cast("string"), 6, "0"),
-          lit("#"), col("tf")))).as("head"))
+          lit("#"), col("tf"))))).as("head"))
     stats.join(head, Seq("term"))
   }
 
@@ -587,8 +590,9 @@ object RetrievalOps {
         Window.partitionBy(col("query_id")).orderBy(col("doc_id"))))
       .filter(col("rn") <= IDX2_HEAD)
       .groupBy(col("query_id"))
-      .agg(sort_array(collect_list(
-        lpad(col("doc_id").cast("string"), 6, "0"))).as("head"))
+      // strJoin: scalar-only output, the harness contract (see idx1)
+      .agg(strJoin(sort_array(collect_list(
+        lpad(col("doc_id").cast("string"), 6, "0")))).as("head"))
     counts.join(head, Seq("query_id"))
   }
 
@@ -631,8 +635,9 @@ object RetrievalOps {
         Window.partitionBy(col("query_id")).orderBy(col("doc_id"))))
       .filter(col("rn") <= IDX2_HEAD)
       .groupBy(col("query_id"))
-      .agg(sort_array(collect_list(
-        lpad(col("doc_id").cast("string"), 6, "0"))).as("head"))
+      // strJoin: scalar-only output, the harness contract (see idx1)
+      .agg(strJoin(sort_array(collect_list(
+        lpad(col("doc_id").cast("string"), 6, "0")))).as("head"))
     counts.join(head, Seq("query_id"))
   }
 
@@ -734,8 +739,8 @@ object RetrievalOps {
             GROUP BY 1, 2),
       r AS (SELECT query_id, doc_id, row_number() OVER (
               PARTITION BY query_id ORDER BY doc_id) AS rn FROM m),
-      h AS (SELECT query_id, list_sort(list(lpad(doc_id::VARCHAR, 6, '0')))
-              AS head
+      h AS (SELECT query_id, array_to_string(
+              list_sort(list(lpad(doc_id::VARCHAR, 6, '0'))), '|') AS head
             FROM r WHERE rn <= $IDX2_HEAD GROUP BY 1),
       c AS (SELECT query_id, count(*) AS n_docs,
               CAST(sum(n_occ) AS BIGINT) AS n_occurrences
@@ -758,8 +763,8 @@ object RetrievalOps {
             WHERE hit = n_terms),
       r AS (SELECT query_id, doc_id, row_number() OVER (
               PARTITION BY query_id ORDER BY doc_id) AS rn FROM m),
-      h AS (SELECT query_id, list_sort(list(lpad(doc_id::VARCHAR, 6, '0')))
-              AS head
+      h AS (SELECT query_id, array_to_string(
+              list_sort(list(lpad(doc_id::VARCHAR, 6, '0'))), '|') AS head
             FROM r WHERE rn <= $IDX2_HEAD GROUP BY 1),
       c AS (SELECT query_id, count(*) AS n_docs FROM m GROUP BY 1)
       SELECT c.query_id, c.n_docs, h.head FROM c JOIN h USING (query_id)""",
@@ -773,8 +778,9 @@ object RetrievalOps {
             FROM tf GROUP BY 1),
       r AS (SELECT *, row_number() OVER (PARTITION BY term
               ORDER BY doc_id) AS rn FROM tf),
-      h AS (SELECT term, list_sort(list(lpad(doc_id::VARCHAR, 6, '0')
-              || '#' || tf::VARCHAR)) AS head
+      h AS (SELECT term, array_to_string(
+              list_sort(list(lpad(doc_id::VARCHAR, 6, '0')
+                || '#' || tf::VARCHAR)), '|') AS head
             FROM r WHERE rn <= 5 GROUP BY term)
       SELECT s.term, s.df, s.cf, h.head FROM s JOIN h USING (term)""",
     // the constituent rankings are the x11/s1 oracle SQL embedded

@@ -538,9 +538,13 @@ object WindowOps {
     *
     * Both series are densified onto the shared [min-day, max-day]
     * calendar (a sparse join would silently pair across gaps); daily
-    * counts are exact integers, so all five moments per lag are
-    * exact longs and the single float expression (one division, two
-    * sqrts — IEEE-correctly-rounded in both engines) is pinned
+    * counts are exact integers, so the five moments per lag are exact
+    * longs — but the PRODUCTS n·sxx, sx² overflow BIGINT once sx
+    * reaches ~3e9 (100-TB territory), and Spark wraps where DuckDB
+    * raises. So the moments convert to DOUBLE before any product (the
+    * x18/x19/gr4 discipline); at test scale every moment is < 2^26,
+    * the double products are exact, and the expression (one division,
+    * two sqrts — IEEE-correctly-rounded in both engines) is pinned
     * before the 6-dp round. Zero-variance series degenerate to NULL
     * identically on both sides.
     *
@@ -576,12 +580,25 @@ object WindowOps {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
+      // moments to DOUBLE BEFORE forming n·sxx − sx² (the x18/x19/gr4
+      // overflow discipline): at 100 TB sx ~ total events makes sx*sx
+      // overflow BIGINT — Spark wraps silently where DuckDB raises,
+      // so the engines would diverge and the guard could misfire. At
+      // test scale all moments < 2^26, so the double products are
+      // exact and the hash is unchanged.
       .select(col("lag"), col("n_days"),
-        expr("""CASE WHEN n_days * sxx - sx * sx <= 0
-                       OR n_days * syy - sy * sy <= 0 THEN NULL
-                ELSE floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
-                       / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
-                          * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))
+        col("n_days").cast("double").as("nd"),
+        col("sx").cast("double").as("sxd"),
+        col("sy").cast("double").as("syd"),
+        col("sxx").cast("double").as("sxxd"),
+        col("syy").cast("double").as("syyd"),
+        col("sxy").cast("double").as("sxyd"))
+      .select(col("lag"), col("n_days"),
+        expr("""CASE WHEN nd * sxxd - sxd * sxd <= 0
+                       OR nd * syyd - syd * syd <= 0 THEN NULL
+                ELSE floor((nd * sxyd - sxd * syd)
+                       / (sqrt(nd * sxxd - sxd * sxd)
+                          * sqrt(nd * syyd - syd * syd))
                        * 1000000 + 0.5) / 1000000 END""").as("r"))
   }
 
@@ -692,17 +709,18 @@ object WindowOps {
       p AS (SELECT l.lag, x.x, y.y FROM x CROSS JOIN l
             JOIN y ON y.day = x.day + l.lag),
       m AS (SELECT lag, count(*) AS n_days,
-              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-              CAST(sum(x * x) AS BIGINT) AS sxx,
-              CAST(sum(y * y) AS BIGINT) AS syy,
-              CAST(sum(x * y) AS BIGINT) AS sxy
+              CAST(count(*) AS DOUBLE) AS nd,
+              CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+              CAST(sum(x * x) AS DOUBLE) AS sxx,
+              CAST(sum(y * y) AS DOUBLE) AS syy,
+              CAST(sum(x * y) AS DOUBLE) AS sxy
             FROM p GROUP BY 1)
       SELECT lag, n_days,
-        CASE WHEN n_days * sxx - sx * sx <= 0
-               OR n_days * syy - sy * sy <= 0 THEN NULL
-        ELSE floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
-               / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
-                  * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))
+        CASE WHEN nd * sxx - sx * sx <= 0
+               OR nd * syy - sy * sy <= 0 THEN NULL
+        ELSE floor((nd * sxy - sx * sy)
+               / (sqrt(nd * sxx - sx * sx)
+                  * sqrt(nd * syy - sy * sy))
                * 1000000 + 0.5) / 1000000 END AS r
       FROM m""",
     // same integer weekday ((epoch-day + 4) mod 7) and floor-div ppm

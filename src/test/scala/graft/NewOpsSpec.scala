@@ -530,7 +530,8 @@ class NewOpsSpec extends SparkSpec {
   test("g7: sketch quartiles honor the declared RANK-error bound " +
     "(accuracy bounds rank, not value — a value bound would be " +
     "distribution-dependent and spuriously fail on skewed data)") {
-    val approx = q("g7_approx_quantiles").head().getSeq[Double](0)
+    val g7row = q("g7_approx_quantiles").head()
+    val approx = Seq(g7row.getDouble(0), g7row.getDouble(1), g7row.getDouble(2))
     val prices = Tables.orders(spark, sf).select(col("o_totalprice")).cache()
     val n = prices.count()
     // accuracy=10000 in g7 => rank error <= n/accuracy (+1 for ties)

@@ -195,7 +195,7 @@ class Round9bOpsSpec extends SparkSpec {
     }
     val got = q("idx1_inverted").collect().map(r =>
       r.getString(0) -> ((r.getLong(1), r.getLong(2),
-        r.getSeq[String](3).toList))).toMap
+        r.getString(3).split("\\|").toList))).toMap
     assert(got === expected)
     got.foreach { case (_, (df, cf, head)) =>
       assert(head.length == math.min(df, 5L).toInt)

@@ -275,7 +275,7 @@ class Round9cOpsSpec extends SparkSpec {
     }.toMap
     val got = q("idx2_postings_and").collect()
       .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getSeq[String](2).toSeq))).toMap
+        ((r.getLong(1), r.getString(2).split("\\|").toSeq))).toMap
     assert(got === expected)
     assert(got.nonEmpty)
   }
@@ -324,7 +324,8 @@ class Round9cOpsSpec extends SparkSpec {
     }.toMap
     val got = q("idx3_phrase").collect()
       .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getSeq[String](3).toSeq))).toMap
+        ((r.getLong(1), r.getLong(2),
+          r.getString(3).split("\\|").toSeq))).toMap
     assert(got === expected)
     assert(got.nonEmpty)
   }

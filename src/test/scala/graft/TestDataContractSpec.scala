@@ -107,4 +107,20 @@ class TestDataContractSpec extends SparkSpec {
           s"$dir events missing $c"))
     }
   }
+
+  test("events.value is non-negative at every scale factor — att2's " +
+    "integer credit split uses Spark `div` (truncate toward zero) " +
+    "where the DuckDB oracle uses `//` (floor); they agree only for " +
+    "non-negative cents, so a refund-style negative value would " +
+    "diverge engine-vs-oracle by one unit — fail here by name") {
+    sfs.foreach { dir =>
+      val minV = Tables.events(spark, dir)
+        .select(org.apache.spark.sql.functions.expr("min(value)"))
+        .collect()(0).getDouble(0)
+      assert(minV >= 0.0,
+        s"$dir events reach negative value ($minV) — att2's div/floor " +
+          "equivalence breaks; switch att2 to the emb4/emb5 sign-split " +
+          "division convention")
+    }
+  }
 }

@@ -17,11 +17,19 @@ def norm_cell(v):
         if math.isnan(v):
             return ("nan",)
         return v
-    if isinstance(v, list):
-        return tuple(norm_cell(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
     return v
+
+def nonscalar_cols(cols, types):
+    """Columns the driver's pandas harness cannot hash: its row sort
+    throws `unhashable type: numpy.ndarray` on any list/struct/map cell
+    (the r9 idx1/idx2/idx3 red rows). This gate must be EXACTLY as
+    strict — a local pass that normalizes list cells hides the class."""
+    bad = []
+    for c, t in zip(cols, types):
+        s = str(t)
+        if s.endswith("[]") or s.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+            bad.append(c)
+    return bad
 
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -58,6 +66,15 @@ def main():
             n_fail += 1
             continue
         path = os.path.join(out_dir, name)
+        srel = con.sql(f"SELECT * FROM '{path}/*.parquet'")
+        sbad = nonscalar_cols(srel.columns, srel.types)
+        if sbad:
+            print(f"  [FAIL-type] {name}: spark output columns {sbad} are "
+                  f"non-scalar — the driver's pandas sort_values throws on "
+                  f"array cells; serialize through Fns.strJoin (a3/a4 "
+                  f"convention)")
+            n_fail += 1
+            continue
         r = con.execute(f"SELECT * FROM '{path}/*.parquet'")
         scols = [d[0] for d in r.description]
         srows = r.fetchall()
@@ -79,6 +96,13 @@ def main():
                 print(f"  [FAIL-type] {name}: oracle columns {wide} are "
                       f"HUGEINT/DECIMAL — CAST them (driver hashes via "
                       f"pandas where these become float64)")
+                n_fail += 1
+                continue
+            obad = nonscalar_cols(rel.columns, rel.types)
+            if obad:
+                print(f"  [FAIL-type] {name}: oracle columns {obad} are "
+                      f"non-scalar — use a string aggregate "
+                      f"(array_to_string) so the driver can hash them")
                 n_fail += 1
                 continue
             q = con.execute(oracles[name])
