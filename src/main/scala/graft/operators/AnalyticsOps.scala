@@ -414,7 +414,131 @@ object AnalyticsOps {
                               + 1 / CAST(n_b AS DOUBLE)))
                        * 1000000 + 0.5) / 1000000 END""").as("z"))
 
+  /** an4 — local-DP frequency estimation by generalized randomized
+    * response (Warner '65 / the RAPPOR-class mechanism): each doc
+    * "reports" its lang truthfully with p = 3/4, else one of the
+    * OTHER langs uniformly; the noisy histogram is then debiased with
+    * the standard unbiased estimator n̂_v = (obs_v − n·q)/(p − q),
+    * q = (1−p)/(k−1). With k = 5 that's ε = ln(p(k−1)/(1−p)) =
+    * ln 12 ≈ 2.48 — the local-DP ladder rung above an1–an3's
+    * syntactic privacy audits: those certify the PUBLISHED table,
+    * this is the collect-side mechanism for when the raw attribute
+    * must never be seen at all.
+    *
+    * DERANDOMIZED COIN (documented, deliberate): the coin and the
+    * replacement pick come from the engine's md5Long family keyed on
+    * doc_id — a DP deployment uses a real RNG; the md5 coin makes the
+    * mechanism + estimator pipeline exactly replayable (the sm2/ab1
+    * hash-split discipline), which is what lets the oracle verify the
+    * estimator algebra end-to-end.
+    *
+    * Exactness: counts are exact longs; the estimator is ONE pinned
+    * float expression over them, 6-dp rounded. The value domain is
+    * data-derived (sorted distinct langs) on both sides — no pinned
+    * constant to drift.
+    *
+    * Scale shape: one pruned scan computes reports at scan speed
+    * (the lang domain rides a 1-row broadcast); two ≤k-key aggs off
+    * the persisted reports + a full-outer stitch. Nothing after the
+    * aggs depends on volume. */
+  private def an4(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val langsDf = docs.agg(sort_array(collect_set(col("lang"))).as("langs"))
+    val rep = docs.crossJoin(broadcast(langsDf))
+      .withColumn("others", expr("filter(langs, x -> x != lang)"))
+      .withColumn("report",
+        when(md5Long(concat(col("doc_id").cast("string"), lit(":rr")))
+          % 1000 < 750, col("lang"))
+          .otherwise(element_at(col("others"),
+            (md5Long(concat(col("doc_id").cast("string"), lit(":pick")))
+              % size(col("others"))).cast("int") + 1)))
+      .select(col("lang"), col("report"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // true + observed aggs
+    val tru = rep.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+    val obs = rep.groupBy(col("report").as("lang"))
+      .agg(count(lit(1)).as("n_obs"))
+    val meta = rep.agg(count(lit(1)).as("n"))
+      .crossJoin(langsDf.select(size(col("langs")).cast("long").as("k")))
+    tru.join(obs, Seq("lang"), "full_outer")
+      .na.fill(0L, Seq("n_true", "n_obs"))
+      .crossJoin(broadcast(meta))
+      .select(col("lang"), col("n_true"), col("n_obs"),
+        roundFp((lit(1000.0) * (col("k") - 1) * col("n_obs")
+          - lit(250.0) * col("n"))
+          / (lit(750.0) * (col("k") - 1) - lit(250.0)), 6).as("n_est"))
+  }
+
+  /** The (table, column, is-string) census dq2 profiles — ONE
+    * definition shared by the engine and the oracle generator so the
+    * two column lists cannot drift. */
+  private val DQ2_COLS: Seq[(String, String, Boolean)] = Seq(
+    ("documents", "doc_id", false), ("documents", "text", true),
+    ("documents", "source", true), ("documents", "lang", true),
+    ("events", "event_id", false), ("events", "ts", false),
+    ("events", "user_id", false), ("events", "event_type", true),
+    ("events", "value", false), ("events", "props", true))
+
+  /** dq2 — per-column completeness census over the two ingest-facing
+    * tables: NULL count, blank count (string columns: trims to
+    * empty), and the combined incompleteness ppm — dq1 audits
+    * referential integrity BETWEEN tables, this audits the columns
+    * themselves (the first report any ingest pipeline prints, and
+    * the one that catches a upstream writer silently nulling a
+    * field). A clean corpus proves itself with zero rows of damage,
+    * not by assumption.
+    *
+    * Scale shape: ONE aggregate pass per table computes every
+    * column's counters simultaneously (2·|cols| conditional sums in
+    * one partial+final agg — never a scan per column), then a stack
+    * generator unpivots the 1-row result to the |cols|-row report.
+    * Cost = two scans total, independent of column count. */
+  private def dq2(s: SparkSession, d: String): DataFrame = {
+    def profile(tbl: String, df: DataFrame): DataFrame = {
+      val cols = DQ2_COLS.filter(_._1 == tbl)
+      val aggs = cols.flatMap { case (_, c, isStr) =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__null"),
+          (if (isStr)
+            sum(when(col(c).isNotNull && length(trim(col(c))) === 0, 1L)
+              .otherwise(0L))
+          else sum(lit(0L))).as(s"${c}__blank"))
+      }
+      val stackArgs = cols
+        .map { case (_, c, _) => s"'$c', ${c}__null, ${c}__blank" }
+        .mkString(", ")
+      df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(col("n_rows"), expr(s"stack(${cols.size}, $stackArgs) " +
+          "AS (col_name, n_null, n_blank)"))
+        .select(lit(tbl).as("tbl"), col("col_name"), col("n_rows"),
+          col("n_null"), col("n_blank"),
+          expr("(1000000 * (n_null + n_blank)) div n_rows")
+            .as("incomplete_ppm"))
+    }
+    profile("documents", Tables.documents(s, d))
+      .unionByName(profile("events", Tables.events(s, d)))
+  }
+
+  /** The dq2 oracle generated from the SAME [[DQ2_COLS]] census list
+    * as the engine. */
+  private def dq2OracleSql: String =
+    DQ2_COLS.map { case (tbl, c, isStr) =>
+      val blank =
+        if (isStr)
+          s"sum(CASE WHEN $c IS NOT NULL AND length(trim($c)) = 0 " +
+            "THEN 1 ELSE 0 END)"
+        else "0"
+      s"""SELECT '$tbl' AS tbl, '$c' AS col_name, count(*) AS n_rows,
+         CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST($blank AS BIGINT) AS n_blank,
+         (1000000 * CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+            + $blank AS BIGINT)) // count(*) AS incomplete_ppm
+       FROM $tbl"""
+    }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "an4_ldp_freq" -> (an4 _),
+    "dq2_null_profile" -> (dq2 _),
     "ab1_conversion_lift" -> (ab1 _),
     "dq1_fk_orphans" -> (dq1 _),
     "an3_tcloseness" -> (an3 _),
@@ -433,6 +557,31 @@ object AnalyticsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same md5 coin/pick, same data-derived sorted domain, same
+    // pinned estimator expression
+    "an4_ldp_freq" -> """
+      WITH lg AS (SELECT list_sort(list(DISTINCT lang)) AS langs
+                  FROM documents),
+      r AS (SELECT d.lang,
+              CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR || ':rr'),
+                  1, 15))::BIGINT % 1000 < 750
+                THEN d.lang
+                ELSE list_extract(list_filter(lg.langs, x -> x != d.lang),
+                  CAST(('0x' || substr(md5(d.doc_id::VARCHAR || ':pick'),
+                    1, 15))::BIGINT % (len(lg.langs) - 1) AS INT) + 1)
+              END AS report
+            FROM documents d CROSS JOIN lg),
+      meta AS (SELECT count(*) AS n FROM r),
+      kk AS (SELECT CAST(len(langs) AS BIGINT) AS k FROM lg),
+      t AS (SELECT lang, count(*) AS n_true FROM r GROUP BY 1),
+      o AS (SELECT report AS lang, count(*) AS n_obs FROM r GROUP BY 1)
+      SELECT lang, coalesce(n_true, 0) AS n_true,
+        coalesce(n_obs, 0) AS n_obs,
+        floor((1000.0 * (k - 1) * coalesce(n_obs, 0) - 250.0 * n)
+          / (750.0 * (k - 1) - 250.0) * 1000000 + 0.5) / 1000000 AS n_est
+      FROM t FULL JOIN o USING (lang) CROSS JOIN meta CROSS JOIN kk""",
+    // generated from the engine's own DQ2_COLS census list
+    "dq2_null_profile" -> dq2OracleSql,
     // quantile_cont ≡ Spark's exact percentile interpolation (the
     // w8/ppl1/g4-proven pairing); med/dev/mad pinned at 6 dp before
     // any comparison on both sides

@@ -641,7 +641,59 @@ object RetrievalOps {
     counts.join(head, Seq("query_id"))
   }
 
+  /** idx4's maximum in-order position gap (1 = adjacent = idx3). */
+  private[graft] val IDX4_WINDOW = 3L
+
+  /** idx4 — proximity retrieval over the positional index: for each
+    * two-word query in the shared [[QUERIES]] suite, the documents
+    * where the words occur IN ORDER within [[IDX4_WINDOW]] positions
+    * (idx3 is the exact-phrase special case, gap = 1; this is the
+    * `"a NEAR/3 b"` operator a real retrieval stack offers between
+    * bag-of-words AND and quoted phrase), with ordered-pair totals
+    * and the doc-ordered head.
+    *
+    * Scale shape: identical to idx3 — ONE positional posting build
+    * (union-of-terms `isin` pushed below the posexplode; non-query
+    * terms never leave the scan), persisted for both sides; the
+    * proximity match is an EQUI-join on (doc, second-word) over the
+    * hits-sized postings with the gap predicate as a residual filter
+    * (a banded range join is only worth it when per-(doc, term)
+    * posting lists are huge; hits-sized postings make the equi-join
+    * + filter the cheaper plan); downstream is the idx1/idx2/idx3
+    * query-keyed agg + WindowGroupLimit head. */
+  private def idx4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parts = QUERIES.map { case (id, t) =>
+      val Array(a, b) = t.split(" "); (id, a, b) }
+    val qdf = parts.toDF("query_id", "t1", "t2")
+    val pos = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(TERMSET: _*))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val first = pos.join(broadcast(qdf), col("term") === col("t1"))
+      .select(col("query_id"), col("t2"), col("doc_id"), col("pos").as("p1"))
+    val matches = first
+      .join(pos.select(col("doc_id"), col("pos").as("p2"),
+        col("term").as("t2")), Seq("doc_id", "t2"))
+      .filter(col("p2") > col("p1") && col("p2") <= col("p1") + IDX4_WINDOW)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = matches.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_pairs")).as("n_pair_occ"))
+    val head = matches
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= IDX2_HEAD)
+      .groupBy(col("query_id"))
+      // strJoin: scalar-only output, the harness contract (see idx1)
+      .agg(strJoin(sort_array(collect_list(
+        lpad(col("doc_id").cast("string"), 6, "0")))).as("head"))
+    counts.join(head, Seq("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "idx4_proximity" -> (idx4 _),
     "idx3_phrase" -> (idx3 _),
     "idx2_postings_and" -> (idx2 _),
     "idx1_inverted" -> (idx1 _),
@@ -720,6 +772,33 @@ object RetrievalOps {
               FROM sc JOIN pp ON sc.m_lang = pp.m_lang)"""
 
   val oracles: Map[String, String] = Map(
+    // same positional postings (1-based there, 0-based here — only
+    // position DIFFERENCES matter, so the shift cancels) and the same
+    // in-order window predicate
+    "idx4_proximity" -> s"""
+      WITH qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, t1, t2
+                  FROM (VALUES $phraseValues) q(query_id, t1, t2)),
+      tp AS (SELECT doc_id, i AS pos, l[i] AS term
+             FROM (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents) t,
+               unnest(generate_series(1, len(l))) AS u(i)
+             WHERE l[i] IN ($qIn)),
+      f AS (SELECT qt.query_id, qt.t2, tp.doc_id, tp.pos AS p1
+            FROM tp JOIN qt ON tp.term = qt.t1),
+      m AS (SELECT f.query_id, f.doc_id, count(*) AS n_pairs
+            FROM f JOIN tp p ON p.doc_id = f.doc_id AND p.term = f.t2
+              AND p.pos > f.p1 AND p.pos <= f.p1 + $IDX4_WINDOW
+            GROUP BY 1, 2),
+      r AS (SELECT query_id, doc_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY doc_id) AS rn FROM m),
+      h AS (SELECT query_id, array_to_string(
+              list_sort(list(lpad(doc_id::VARCHAR, 6, '0'))), '|') AS head
+            FROM r WHERE rn <= $IDX2_HEAD GROUP BY 1),
+      c AS (SELECT query_id, count(*) AS n_docs,
+              CAST(sum(n_pairs) AS BIGINT) AS n_pair_occ
+            FROM m GROUP BY 1)
+      SELECT c.query_id, c.n_docs, c.n_pair_occ, h.head
+      FROM c JOIN h USING (query_id)""",
     // same positional postings (1-based there, 0-based here — only
     // ADJACENCY matters, the +1 join key is shift-invariant) and the
     // same (doc, pos+1, word2) phrase join

@@ -990,7 +990,107 @@ object SimilarityOps {
           s"ELSE (1000000 * proj) div ${vv}L END").as("c_ppm"))
   }
 
+  /** emb6's target dimensionality. */
+  private[graft] val RP_OUT_DIMS = 16
+
+  /** emb6 — Johnson–Lindenstrauss random projection 64 → 16 with a
+    * fixed ±1 sign matrix (Achlioptas 2003: Rademacher entries
+    * preserve pairwise distances in expectation like Gaussian ones,
+    * and stay EXACT in integer arithmetic): the dimensionality-
+    * reduction pre-pass a billion-vector ANN deployment runs before
+    * indexing — s2/s3/s5 index cost all scale with dims, and a 4×
+    * reduction is a 4× cheaper index at a bounded distortion.
+    *
+    * Determinism: signs derive from the engine's md5Long family
+    * (`rp:i:j`, even → +1) — the s2 hyperplane discipline, identical
+    * in the oracle's SQL md5; coordinates quantize to integer
+    * thousandths BEFORE the signed sum (emb1/km1 trick), so every
+    * projection cell is an exact, order-independent long.
+    *
+    * Plan at 100 TB: posexplode to (vec, dim, q), broadcast-join the
+    * 1024-row literal sign matrix, ONE (vec, j) partial+final agg —
+    * map-side combine collapses each task's rows to 16 per vector;
+    * no vector ever crosses an exchange un-reduced. */
+  private def emb6(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val signs = (for {
+      i <- 1 to DIMS
+      j <- 0 until RP_OUT_DIMS
+    } yield (i.toLong, j.toLong,
+      if (md5LongLocal(s"rp:$i:$j") % 2L == 0L) 1L else -1L))
+      .toDF("dim", "j", "sign")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        expr("CAST(floor(x * 1000 + 0.5) AS BIGINT)").as("q"))
+      .join(broadcast(signs), Seq("dim"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("sign") * col("q")).as("proj_q"))
+  }
+
+  /** cls5 — Rocchio nearest-centroid classifier (the classic
+    * prototype method; Manning IR ch. 14) over the embedding corpus,
+    * reported as its confusion matrix: each vector assigned to the
+    * label whose centroid is L2-nearest. The cheap linear-time
+    * complement to cls3's kNN (one centroid pass + one scan vs a
+    * query×corpus score) and the geometric sibling of cls1's NB.
+    *
+    * Exactness: coordinates quantize to integer thousandths, the
+    * per-(label, dim) sums are exact longs, and the centroid itself
+    * is integer-div quantized with TRUNCATE-toward-zero semantics on
+    * both sides (JVM Long `/` == DuckDB `//`, measured: -7 // 4 = -1
+    * there — negative-safe), so distances are exact longs and the
+    * argmin (ties → smallest label, the kmAssign convention) is
+    * bit-deterministic.
+    *
+    * Plan at 100 TB: the centroid agg partial-aggregates map-side to
+    * ≤|labels|·64 rows per task (vectors never shuffle); the fetch is
+    * the bounded km1-style model collect; assignment inlines the
+    * centroids as literals and runs at scan speed — the only other
+    * exchange is the ≤|labels|²-key confusion agg. */
+  private def cls5(s: SparkSession, d: String): DataFrame = {
+    val cents = Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        posexplode(expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))"))
+          .as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (lbl, rows) =>
+        // plain Long division TRUNCATES toward zero == DuckDB's `//`
+        // (measured: -7 // 4 = -1 there — NOT floor; Math.floorDiv
+        // would give -2 and diverge on negative coordinate sums)
+        lbl -> rows.sortBy(_.getInt(1))
+          .map(r => r.getLong(2) / r.getLong(3)).toSeq
+      }.toSeq.sortBy(_._1)
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").as("q"))
+    val ds = cents.map { case (_, cs) =>
+      val arr = cs.mkString("array(", ", ", ")")
+      expr(s"aggregate(zip_with(q, $arr, (a, b) -> (a - b) * (a - b)), " +
+        "0L, (acc, x) -> acc + x)")
+    }
+    val m = least(ds: _*)
+    val pairs = cents.map(_._1).zip(ds)
+    val pred = pairs.tail
+      .foldLeft(when(pairs.head._2 === m, lit(pairs.head._1))) {
+        case (acc, (lbl, dc)) => acc.when(dc === m, lit(lbl))
+      }
+      .otherwise(lit(pairs.last._1)) // unreachable; keeps pred non-null
+    q.select(col("label"), pred.as("pred"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cls5_rocchio" -> (cls5 _),
+    "emb6_rand_proj" -> (emb6 _),
     "emb5_detop" -> (emb5 _),
     "emb4_top_direction" -> (emb4 _),
     "mmr1_diverse_topk" -> (mmr1 _),
@@ -1292,6 +1392,45 @@ object SimilarityOps {
         floor(dd*1000000 + 0.5)/1000000 AS dist2 FROM a3""",
     // quantize-then-sum (the km1 trick) makes Σq/Σq² exact longs; the
     // mean/std expressions mirror the engine's float op order exactly
+    // same integer-thousandths quantization, floor-div centroids, and
+    // (dist2, label) argmin tie order
+    "cls5_rocchio" -> s"""
+      WITH e AS (SELECT CAST(label AS BIGINT) AS label, dm.dim AS dim,
+               CAST(floor(embedding[dm.dim]::DOUBLE * 1000 + 0.5) AS BIGINT)
+                 AS qv
+             FROM embeddings, generate_series(1, $DIMS) dm(dim)),
+      c AS (SELECT label AS clabel, dim,
+              CAST(sum(qv) AS BIGINT) // CAST(count(*) AS BIGINT) AS cq
+            FROM e GROUP BY 1, 2),
+      q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+              list_transform(embedding,
+                x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)) AS q
+            FROM embeddings),
+      d AS (SELECT q.vec_id, q.label, c.clabel,
+              CAST(sum((q.q[c.dim] - c.cq) * (q.q[c.dim] - c.cq))
+                AS BIGINT) AS dist2
+            FROM q CROSS JOIN c GROUP BY 1, 2, 3),
+      r AS (SELECT vec_id, label, clabel,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist2, clabel) AS rn
+            FROM d)
+      SELECT label, clabel AS pred, count(*) AS n_vecs
+      FROM r WHERE rn = 1 GROUP BY 1, 2""",
+    // same md5-even sign matrix, same integer-thousandths quantization
+    "emb6_rand_proj" -> s"""
+      WITH sg AS (SELECT i.i AS dim, j.j AS j,
+               CASE WHEN ('0x' || substr(md5('rp:' || i.i::VARCHAR || ':'
+                   || j.j::VARCHAR), 1, 15))::BIGINT % 2 = 0
+                 THEN 1 ELSE -1 END AS sign
+             FROM generate_series(1, $DIMS) i(i),
+                  generate_series(0, ${RP_OUT_DIMS - 1}) j(j)),
+      q AS (SELECT vec_id, dm.dim AS dim,
+              CAST(floor(embedding[dm.dim]::DOUBLE * 1000 + 0.5) AS BIGINT)
+                AS q
+            FROM embeddings, generate_series(1, $DIMS) dm(dim))
+      SELECT q.vec_id, CAST(sg.j AS BIGINT) AS j,
+        CAST(sum(sg.sign * q.q) AS BIGINT) AS proj_q
+      FROM q JOIN sg USING (dim) GROUP BY 1, 2""",
     "emb1_dim_stats" -> """
       WITH p AS (SELECT dm.dim AS dim,
                embedding[dm.dim]::DOUBLE AS x,

@@ -741,7 +741,68 @@ object TextOps {
                   * 1000000 + 0.5) / 1000000""").as("lift"))
   }
 
+  /** x20's function-word vocabulary size. */
+  private val X20_TOP = 20
+
+  /** x20 — Burrows' Delta stylometry (Burrows 2002): each source's
+    * mean absolute z-score of its top-[[X20_TOP]] function-word rates
+    * against the across-source norm — the authorship/register
+    * fingerprint. A source whose glue-word profile sits far from the
+    * corpus norm is a different REGISTER (machine-generated, template,
+    * scraped UI chrome) even when its topical vocabulary looks normal
+    * — the stylistic outlier signal x2's surface quality score and
+    * x13's content overlap both miss.
+    *
+    * Exactness: rates are integer ppm (floor-div), the per-term
+    * across-source moments are exact longs converted to DOUBLE before
+    * any product (the x18/ts2 discipline), each |z| quantizes to
+    * integer millionths BEFORE the per-source sum (the emb3 move —
+    * a double sum over terms would be order-dependent), and Delta is
+    * one exact integer floor-division.
+    *
+    * Plan at 100 TB: ONE corpus scan aggregates to (source, term) —
+    * vocabulary-class state, persisted for its two consumers; the
+    * function-word head is TakeOrderedAndProject; everything after
+    * runs on |sources|×[[X20_TOP]] rows with the head and the ≤T-row
+    * moment table broadcast. Absent (source, top-term) pairs are real
+    * 0-rates via the cross join, not dropped rows. */
+  private def x20(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // totals + head + rates
+    val totals = st.groupBy(col("source")).agg(sum(col("c")).as("n_tok"))
+    val top = st.groupBy(col("term")).agg(sum(col("c")).as("ct"))
+      .orderBy(col("ct").desc, col("term").asc)
+      .limit(X20_TOP)
+      .select(col("term"))
+    val rates = totals.crossJoin(broadcast(top))
+      .join(st, Seq("source", "term"), "left")
+      .na.fill(0L, Seq("c"))
+      .select(col("source"), col("term"), col("n_tok"),
+        expr("(1000000 * c) div n_tok").as("rp"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // moments + z
+    val mom = rates.groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"), sum(col("rp")).as("sr"),
+        sum(col("rp") * col("rp")).as("srr"))
+    rates.join(broadcast(mom), Seq("term"))
+      .select(col("source"), col("n_tok"),
+        expr("""CASE WHEN CAST(cnt AS DOUBLE) * srr
+                       - CAST(sr AS DOUBLE) * sr <= 0 THEN 0L
+                ELSE CAST(floor(abs(
+                       (CAST(rp AS DOUBLE) * cnt - CAST(sr AS DOUBLE))
+                       / sqrt(CAST(cnt AS DOUBLE) * srr
+                              - CAST(sr AS DOUBLE) * sr))
+                       * 1000000 + 0.5) AS BIGINT) END""").as("azq"))
+      .groupBy(col("source"), col("n_tok"))
+      .agg(sum(col("azq")).as("s_az"))
+      .select(col("source"), col("n_tok"),
+        expr(s"s_az div $X20_TOP").as("delta_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x20_burrows_delta" -> (x20 _),
     "x19_collocation_lift" -> (x19 _),
     "x18_burstiness" -> (x18 _),
     "x17_hapax" -> (x17 _),
@@ -767,6 +828,37 @@ object TextOps {
   private[operators] def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // same ppm rates, DOUBLE-before-product moments, millionths-
+    // quantized |z|, and integer floor-div Delta
+    "x20_burrows_delta" -> s"""
+      WITH st AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+      c AS (SELECT source, term, count(*) AS c FROM st GROUP BY 1, 2),
+      tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tok
+              FROM c GROUP BY 1),
+      top AS (SELECT term FROM (
+                SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM c GROUP BY 1)
+              ORDER BY ct DESC, term LIMIT $X20_TOP),
+      r AS (SELECT tot.source, top.term, tot.n_tok,
+              (1000000 * coalesce(c.c, 0)) // tot.n_tok AS rp
+            FROM tot CROSS JOIN top
+            LEFT JOIN c ON c.source = tot.source AND c.term = top.term),
+      m AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(rp) AS BIGINT) AS sr,
+              CAST(sum(rp * rp) AS BIGINT) AS srr
+            FROM r GROUP BY 1),
+      z AS (SELECT r.source, r.n_tok,
+              CASE WHEN CAST(cnt AS DOUBLE) * srr
+                     - CAST(sr AS DOUBLE) * sr <= 0 THEN 0
+              ELSE CAST(floor(abs(
+                     (CAST(rp AS DOUBLE) * cnt - CAST(sr AS DOUBLE))
+                     / sqrt(CAST(cnt AS DOUBLE) * srr
+                            - CAST(sr AS DOUBLE) * sr))
+                     * 1000000 + 0.5) AS BIGINT) END AS azq
+            FROM r JOIN m USING (term))
+      SELECT source, n_tok,
+        CAST(sum(azq) AS BIGINT) // $X20_TOP AS delta_ppm
+      FROM z GROUP BY 1, 2""",
     // same exact counts, same (c_ab desc, w1, w2) head, same
     // double-space lift expression
     "x19_collocation_lift" -> s"""

@@ -643,7 +643,114 @@ object WindowOps {
     rows.toDF("day", "x", "cusum", "alarm")
   }
 
+  /** seq1 — first-order Markov transition matrix of the event stream:
+    * for every consecutive pair in a user's (ts, event_id)-ordered
+    * event sequence, the (src → dst) transition count and the source
+    * type's outgoing share in ppm — the behavioral-model table a
+    * sequence-aware sampler or sessionizer reads (which next-action
+    * distributions are flat vs peaked), and the sequence-level
+    * complement to w12's marginal profile.
+    *
+    * Ties are pinned by event_id (the w4 convention), so the sequence
+    * — and therefore every count — is total-order deterministic.
+    *
+    * Scale shape: ONE user-keyed analytic window (the w4 lag shape —
+    * events shuffle once on user_id) feeding a |types|²-key
+    * partial+final agg; the share window runs on the ≤|types|² agg
+    * output. Nothing wider than the w4 exchange at any corpus size. */
+  private def seq1(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("tot",
+        sum(col("n_trans")).over(Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"), col("n_trans"),
+        expr("(1000000 * n_trans) div tot").as("share_ppm"))
+  }
+
+  /** ts3 — integer EWMA smoothing of the daily event volume at
+    * α = 1/4: s₁ = x₁, s_d = (3·s_{d-1} + x_d) div 4 — the trend
+    * baseline w13's CUSUM and w14's seasonal z both assume exists,
+    * exposed as its own artifact. The recurrence is ALL-NON-NEGATIVE
+    * integers by construction (counts ≥ 0 ⇒ s ≥ 0), so floor-div and
+    * truncate-div agree and the oracle's recursive CTE replays it
+    * bit-for-bit — no float, no div-convention hazard.
+    *
+    * Scale shape: the w13 discipline exactly — ONE scan reduces to
+    * (day, count); the sequential fold runs driver-side over the
+    * DENSE CALENDAR (bounded by elapsed days at ANY corpus size) and
+    * returns as a literal relation. */
+  private def ts3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .select(expr(s"unix_micros(ts) div $W10_DAY_US").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d0 = daily.keys.min
+    val d1 = daily.keys.max
+    var ema = 0L
+    val rows = (d0 to d1).map { day =>
+      val x = daily.getOrElse(day, 0L)
+      ema = if (day == d0) x else (3L * ema + x) / 4L
+      (day, x, ema)
+    }
+    rows.toDF("day", "x", "ewma")
+  }
+
+  /** w14 — day-of-week-adjusted volume anomaly: each dense-calendar
+    * day's event count flagged against ITS OWN WEEKDAY's population
+    * mean/variance at 2σ — w12 profiles the weekly seasonality, this
+    * removes it before judging a day (a quiet Sunday is normal; a
+    * Sunday with Tuesday volume is the anomaly w11/od1's unsegmented
+    * scores would miss). Gap days count as real zero-volume days in
+    * both the statistics and the flags.
+    *
+    * Flag arithmetic: z² > 4 restated multiplied-out as
+    * (n·cnt − sx)² > 4·(cnt·sxx − sx²), with every moment cast to
+    * DOUBLE BEFORE any product (the ts2/x18 overflow discipline; at
+    * test scale all moments < 2^26 so the doubles are exact and the
+    * comparison is bit-deterministic). Zero-variance weekdays flag
+    * any deviation and pass equality — no guard needed.
+    *
+    * Scale shape: daily counts (one scan), dense grid via the ts1/ts2
+    * calendar explode, ≤7-row moment table broadcast back. */
+  private def w14(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val byDay = Tables.events(s, d)
+      .select(expr(s"unix_micros(ts) div $W10_DAY_US").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // span + grid join
+    val grid = byDay
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .join(byDay, Seq("day"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("dow", expr("(day + 4) % 7"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // moments + flags
+    val moments = grid.groupBy(col("dow"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n")).as("sx"),
+        sum(col("n") * col("n")).as("sxx"))
+    grid.join(broadcast(moments), Seq("dow"))
+      .select(col("day"), col("n"), col("dow"),
+        expr("""(CAST(n AS DOUBLE) * CAST(cnt AS DOUBLE)
+                  - CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(cnt AS DOUBLE)
+                  - CAST(sx AS DOUBLE))
+                > 4.0d * (CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))""")
+          .as("flagged"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seq1_transition" -> (seq1 _),
+    "ts3_ewma" -> (ts3 _),
+    "w14_dow_anomaly" -> (w14 _),
     "w13_cusum" -> (w13 _),
     "ts2_xcorr" -> (ts2 _),
     "w12_dow_profile" -> (w12 _),
@@ -666,6 +773,57 @@ object WindowOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same (ts, event_id) total order, same ppm floor-division; the
+    // window sum casts HUGEINT back to BIGINT (the w12 convention)
+    "seq1_transition" -> """
+      WITH e AS (SELECT user_id, event_type AS src, epoch_us(ts) AS tu,
+                   event_id
+                 FROM events),
+      t AS (SELECT src, lead(src) OVER (
+              PARTITION BY user_id ORDER BY tu, event_id) AS dst
+            FROM e),
+      c AS (SELECT src, dst, count(*) AS n_trans FROM t
+            WHERE dst IS NOT NULL GROUP BY 1, 2)
+      SELECT src, dst, n_trans,
+        (1000000 * n_trans) //
+          CAST(sum(n_trans) OVER (PARTITION BY src) AS BIGINT) AS share_ppm
+      FROM c""",
+    // the all-non-negative integer recurrence replayed as a recursive
+    // CTE over the same dense calendar (the w13 shape)
+    "ts3_ewma" -> s"""
+      WITH RECURSIVE c AS (
+        SELECT epoch_us(ts) // $W10_DAY_US AS day, count(*) AS x
+        FROM events GROUP BY 1),
+      span AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+      grid AS (SELECT g.day, row_number() OVER (ORDER BY g.day) AS rn,
+                 coalesce(c.x, 0) AS x
+               FROM (SELECT unnest(generate_series(d0, d1)) AS day
+                     FROM span) g
+               LEFT JOIN c ON c.day = g.day),
+      s AS (SELECT rn, day, x, x AS ewma FROM grid WHERE rn = 1
+            UNION ALL
+            SELECT g.rn, g.day, g.x, (3 * s.ewma + g.x) // 4
+            FROM s JOIN grid g ON g.rn = s.rn + 1)
+      SELECT day, x, CAST(ewma AS BIGINT) AS ewma FROM s""",
+    // same dense grid, same integer moments cast to DOUBLE before any
+    // product, same multiplied-out 2-sigma comparison
+    "w14_dow_anomaly" -> s"""
+      WITH c AS (SELECT epoch_us(ts) // $W10_DAY_US AS day, count(*) AS n
+                 FROM events GROUP BY 1),
+      span AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+      grid AS (SELECT g.day, coalesce(c.n, 0) AS n, (g.day + 4) % 7 AS dow
+               FROM (SELECT unnest(generate_series(d0, d1)) AS day
+                     FROM span) g
+               LEFT JOIN c ON c.day = g.day),
+      m AS (SELECT dow, CAST(count(*) AS DOUBLE) AS cnt,
+              CAST(sum(n) AS DOUBLE) AS sx,
+              CAST(sum(n * n) AS DOUBLE) AS sxx
+            FROM grid GROUP BY 1)
+      SELECT grid.day, grid.n, grid.dow,
+        (CAST(grid.n AS DOUBLE) * cnt - sx)
+          * (CAST(grid.n AS DOUBLE) * cnt - sx)
+          > 4.0 * (cnt * sxx - sx * sx) AS flagged
+      FROM grid JOIN m USING (dow)""",
     // the integer recurrence replayed as a recursive CTE: same dense
     // calendar, same floor-div mean, same data-derived k and 5k bar
     "w13_cusum" -> s"""

@@ -683,4 +683,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("idx4's proximity head prunes map-side via WindowGroupLimit " +
+    "and the adjacency join stays a keyed equi-join — never a " +
+    "cartesian over postings") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val df = q("idx4_proximity")
+    val p = plan(df)
+    assert(physical(df).collectFirst {
+      case w: WindowGroupLimitExec => w }.isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("emb6's 1024-row sign matrix rides a broadcast join — the " +
+    "exploded corpus never sort-merge-joins a literal dimension") {
+    val p = plan(q("emb6_rand_proj"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("cls5's assignment runs at scan speed — centroids inline as " +
+    "literals, so the plan has NO join at all") {
+    val p = plan(q("cls5_rocchio"))
+    assert(!p.contains("Join"), p)
+    // and the confusion agg is partial+final
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("seq1's sequence window is user-partitioned — the transition " +
+    "lag never serializes the event stream through one task") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val phys = physical(q("seq1_transition"))
+    val ws = phys.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty, phys.toString)
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty, phys.toString))
+  }
+
+  test("x20's function-word head is TakeOrderedAndProject and the " +
+    "moment/head attachments are broadcasts — the (source, term) " +
+    "relation never shuffles for a 20-row dimension") {
+    val p = plan(q("x20_burrows_delta"))
+    spark.catalog.clearCache()
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -118,6 +118,10 @@ class ScanCountSpec extends SparkSpec {
       // anti-join branch (j6's 2-scan shape) plus the child count —
       // the union is 4 one-row branches, scans are the audit's data
       "dq1_fk_orphans" -> ((12, 0)),
+      // dq2 censuses TWO tables (documents + events); each side is
+      // exactly one all-columns aggregate pass — the adjudicated
+      // minimum for a two-table audit
+      "dq2_null_profile" -> ((2, 0)),
       // cls2 serves the cls1-style model: model pass (lang, text),
       // prior pass (lang), scoring pass (doc_id, lang, text) — each
       // aggregates immediately, so three pruned re-reads beat caching

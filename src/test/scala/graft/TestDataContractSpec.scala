@@ -109,10 +109,11 @@ class TestDataContractSpec extends SparkSpec {
   }
 
   test("events.value is non-negative at every scale factor — att2's " +
-    "integer credit split uses Spark `div` (truncate toward zero) " +
-    "where the DuckDB oracle uses `//` (floor); they agree only for " +
-    "non-negative cents, so a refund-style negative value would " +
-    "diverge engine-vs-oracle by one unit — fail here by name") {
+    "integer credit split floor-divides cents, and the non-negative " +
+    "domain is what makes every div convention (Spark `div`, DuckDB " +
+    "`//` — both measured truncate-toward-zero — and any floor-" +
+    "division reading) agree exactly; a refund-style negative value " +
+    "would make the convention question live — fail here by name") {
     sfs.foreach { dir =>
       val minV = Tables.events(spark, dir)
         .select(org.apache.spark.sql.functions.expr("min(value)"))
