@@ -347,6 +347,18 @@ object AnalyticsOps {
     * only ever shuffle; at extreme scale each anti-join downgrades
     * to the j7 bloom-prefilter form with the same semantics. */
   private def dq1(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // The fact tables are read ONCE as pruned key projections and
+    // persisted: the naive form paid 6 lineitem reads (3 audits ×
+    // child + count) and 3 orders reads, which the standing ×10 gate
+    // flagged at 3.05×/decade — sharing the projections makes the
+    // audit pay each table's scan exactly once (the r10 probe fix).
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // 3 audits + their counts
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // child + parent + count
     def audit(edge: String, child: DataFrame, key: String,
               parent: DataFrame, pkey: String): DataFrame = {
       val orphans = child.select(col(key).as("k"))
@@ -357,13 +369,13 @@ object AnalyticsOps {
         .select(lit(edge).as("fk"), col("n_rows"), col("n_orphans"),
           expr("(1000000 * n_orphans) div n_rows").as("orphan_ppm"))
     }
-    audit("orders.custkey", Tables.orders(s, d), "o_custkey",
+    audit("orders.custkey", ord, "o_custkey",
         Tables.customer(s, d), "c_custkey")
-      .union(audit("lineitem.orderkey", Tables.lineitem(s, d), "l_orderkey",
-        Tables.orders(s, d), "o_orderkey"))
-      .union(audit("lineitem.partkey", Tables.lineitem(s, d), "l_partkey",
+      .union(audit("lineitem.orderkey", li, "l_orderkey",
+        ord, "o_orderkey"))
+      .union(audit("lineitem.partkey", li, "l_partkey",
         Tables.part(s, d), "p_partkey"))
-      .union(audit("lineitem.suppkey", Tables.lineitem(s, d), "l_suppkey",
+      .union(audit("lineitem.suppkey", li, "l_suppkey",
         Tables.supplier(s, d), "s_suppkey"))
   }
 
@@ -536,7 +548,63 @@ object AnalyticsOps {
        FROM $tbl"""
     }.mkString("\nUNION ALL\n")
 
+  /** dq3 — temporal distribution drift: the event-type mix of the
+    * FIRST calendar half vs the SECOND (pivot = calendar midpoint,
+    * data-derived), reported per type with both shares in ppm, the
+    * absolute share delta, and the type's chi-square contribution —
+    * the drift monitor every continuously-ingesting pipeline runs
+    * (Σ adiff_ppm div 2 is the total-variation distance in ppm;
+    * Σ chi2_micro is the homogeneity statistic). Deliberately
+    * log-free: TV and χ² are exact-rational/pinned-float where
+    * PSI/KL would drag libm log in (the x19/ppl1 portability move).
+    *
+    * Exactness: counts and shares are exact integers; each χ²
+    * contribution is ONE pinned float expression quantized to
+    * integer MILLIONTHS before any cross-row use (the emb3/x20
+    * order-independence move). A degenerate single-day calendar
+    * leaves one half empty → NULL shares, identically on both sides.
+    *
+    * Scale shape: one pruned scan to (type, day) with the 1-row
+    * pivot broadcast; everything after the |types|-key agg is
+    * constant-size. */
+  private def dq3(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val byDay = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // pivot + half counts
+    val piv = byDay.agg(expr("(min(day) + max(day) + 1) div 2").as("piv"))
+    val counts = byDay.crossJoin(broadcast(piv))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("day") < col("piv"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("day") >= col("piv"), 1L).otherwise(0L)).as("nb"))
+    val tots = counts.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    counts.crossJoin(broadcast(tots))
+      .select(col("event_type"), col("na"), col("nb"),
+        expr("CASE WHEN ta = 0 THEN NULL " +
+          "ELSE (1000000 * na) div ta END").as("p_ppm"),
+        expr("CASE WHEN tb = 0 THEN NULL " +
+          "ELSE (1000000 * nb) div tb END").as("q_ppm"),
+        expr("""CASE WHEN ta = 0 OR tb = 0 THEN NULL
+                ELSE abs((1000000 * na) div ta - (1000000 * nb) div tb)
+                END""").as("adiff_ppm"),
+        expr("""CASE WHEN ta = 0 OR tb = 0 THEN NULL
+                ELSE CAST(floor(
+                  (((CAST(na AS DOUBLE)
+                     - CAST(ta AS DOUBLE) * (na + nb) / (ta + tb))
+                   * (CAST(na AS DOUBLE)
+                     - CAST(ta AS DOUBLE) * (na + nb) / (ta + tb))
+                   / (CAST(ta AS DOUBLE) * (na + nb) / (ta + tb)))
+                  + ((CAST(nb AS DOUBLE)
+                     - CAST(tb AS DOUBLE) * (na + nb) / (ta + tb))
+                   * (CAST(nb AS DOUBLE)
+                     - CAST(tb AS DOUBLE) * (na + nb) / (ta + tb))
+                   / (CAST(tb AS DOUBLE) * (na + nb) / (ta + tb))))
+                  * 1000000 + 0.5) AS BIGINT) END""").as("chi2_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq3_drift" -> (dq3 _),
     "an4_ldp_freq" -> (an4 _),
     "dq2_null_profile" -> (dq2 _),
     "ab1_conversion_lift" -> (ab1 _),
@@ -557,6 +625,42 @@ object AnalyticsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same calendar-midpoint pivot, integer shares, and pinned chi2
+    // expression (identical operation order, then millionths floor)
+    "dq3_drift" -> """
+      WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+                 FROM events),
+      piv AS (SELECT (min(day) + max(day) + 1) // 2 AS piv FROM e),
+      c AS (SELECT event_type,
+              CAST(sum(CASE WHEN day < piv THEN 1 ELSE 0 END) AS BIGINT)
+                AS na,
+              CAST(sum(CASE WHEN day >= piv THEN 1 ELSE 0 END) AS BIGINT)
+                AS nb
+            FROM e, piv GROUP BY 1),
+      t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+              CAST(sum(nb) AS BIGINT) AS tb FROM c)
+      SELECT event_type, na, nb,
+        CASE WHEN ta = 0 THEN NULL
+             ELSE (1000000 * na) // ta END AS p_ppm,
+        CASE WHEN tb = 0 THEN NULL
+             ELSE (1000000 * nb) // tb END AS q_ppm,
+        CASE WHEN ta = 0 OR tb = 0 THEN NULL
+             ELSE abs((1000000 * na) // ta - (1000000 * nb) // tb)
+             END AS adiff_ppm,
+        CASE WHEN ta = 0 OR tb = 0 THEN NULL
+             ELSE CAST(floor(
+               (((CAST(na AS DOUBLE)
+                  - CAST(ta AS DOUBLE) * (na + nb) / (ta + tb))
+                * (CAST(na AS DOUBLE)
+                  - CAST(ta AS DOUBLE) * (na + nb) / (ta + tb))
+                / (CAST(ta AS DOUBLE) * (na + nb) / (ta + tb)))
+               + ((CAST(nb AS DOUBLE)
+                  - CAST(tb AS DOUBLE) * (na + nb) / (ta + tb))
+                * (CAST(nb AS DOUBLE)
+                  - CAST(tb AS DOUBLE) * (na + nb) / (ta + tb))
+                / (CAST(tb AS DOUBLE) * (na + nb) / (ta + tb))))
+               * 1000000 + 0.5) AS BIGINT) END AS chi2_micro
+      FROM c, t""",
     // same md5 coin/pick, same data-derived sorted domain, same
     // pinned estimator expression
     "an4_ldp_freq" -> """

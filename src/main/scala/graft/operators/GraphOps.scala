@@ -354,7 +354,36 @@ object GraphOps {
       .select(col("l").as("community"), col("n_members"))
   }
 
+  /** gr6 — log2-bucketed degree distribution of the co-purchase
+    * graph: per bucket b = ⌊log2 deg⌋ (the cls2/x15 `length(bin())−1`
+    * integer-log trick — no libm), node count, total degree mass and
+    * node-share ppm. The power-law diagnostic every skew decision
+    * reads BEFORE running: j8's salting factor, gr3's witness
+    * quantile, AQE's skew-join threshold are all tuned off exactly
+    * this histogram — publishing it makes the skew policy data-driven
+    * instead of folklore.
+    *
+    * Plan at 100 TB: degrees are one partial+final agg over the
+    * memoized edge list (narrow id/long rows); the bucket agg
+    * collapses to ≤64 rows which persist for the share attachment —
+    * nothing downstream of the degree agg depends on graph size. */
+  private def gr6(s: SparkSession, d: String): DataFrame = {
+    val b = coEdges(s, d)
+      .select(explode(array(col("pa"), col("pb"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+      .select(expr("CAST(length(bin(deg)) - 1 AS BIGINT)").as("bucket"),
+        col("deg"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_mass"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // ≤64 rows: total + share
+    val tot = b.agg(sum(col("n_nodes")).as("tot"))
+    b.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_nodes"), col("deg_mass"),
+        expr("(1000000 * n_nodes) div tot").as("share_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr6_degree_hist" -> (gr6 _),
     "gr3_link_predict" -> (gr3 _),
     "gr1_pagerank" -> (gr1 _),
     "gr2_triangles" -> (gr2 _),
@@ -363,6 +392,22 @@ object GraphOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same edge derivation as gr4's oracle, same integer-log2 buckets
+    "gr6_degree_hist" -> """
+      WITH ip AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM ip a JOIN ip b
+            ON a.o = b.o AND a.p < b.p),
+      d AS (SELECT p, count(*) AS deg FROM
+              (SELECT pa AS p FROM e UNION ALL SELECT pb FROM e) u
+            GROUP BY p),
+      b AS (SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+              count(*) AS n_nodes, CAST(sum(deg) AS BIGINT) AS deg_mass
+            FROM d GROUP BY 1),
+      t AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS tot FROM b)
+      SELECT bucket, n_nodes, deg_mass,
+        (1000000 * n_nodes) // tot AS share_ppm
+      FROM b, t""",
     // exact replay of both integer push rounds; sums over BIGINT ride
     // DuckDB's HUGEINT and are pinned back to BIGINT before the
     // damping arithmetic

@@ -349,7 +349,69 @@ object PipelineOps {
               - col("ts") / col("tn"), 6))
           .as("loo_delta"))
 
+  /** pipe5's stopword probe set — the two function words the synthetic
+    * corpus actually contains; ONE definition shared with the oracle
+    * generator so the lists cannot drift. */
+  private val PIPE5_STOPS = Seq("the", "a")
+
+  /** pipe5 — Gopher-style rule-based quality filtering WITH PER-RULE
+    * ATTRIBUTION (Rae et al. 2021 §A.1.1, thresholds adapted to the
+    * synthetic corpus): five document rules —
+    *   r1_word_count: 50 ≤ words ≤ 500
+    *   r2_mean_word_len: mean word length in [3, 8) chars (integer
+    *     thousandths: 3000 ≤ 1000·chars div words < 8000)
+    *   r3_stopwords: ≥ 2 occurrences of the [[PIPE5_STOPS]] probe set
+    *   r4_top_token: most frequent token ≤ 12% of tokens (dominance —
+    *     the repetition gate)
+    *   r5_ttr: distinct tokens ≥ 30% of tokens (type-token ratio)
+    * — reported as (rule, n_fail, fail_ppm) plus the `any_rule` roll-
+    * up. pipe1 APPLIES a quality gate; this is the report that says
+    * WHICH rule is doing the filtering, the first thing anyone tunes
+    * when a corpus refresh suddenly drops 30% of a source.
+    *
+    * Scale shape: ONE exploded (doc, token) tf agg (map-side combine)
+    * rolls up to one row per doc, joined back to the 2-column pruned
+    * doc projection for the char count; the rule verdicts reduce to a
+    * SINGLE row of conditional sums which a stack generator unpivots
+    * — nothing after the per-doc agg depends on volume. */
+  private def pipe5(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val per = tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("words"), max(col("c")).as("max_tf"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tok").isin(PIPE5_STOPS: _*), col("c"))
+          .otherwise(0L)).as("n_stop"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("words") < 50 || col("words") > 500).as("f1"),
+        (expr("(1000 * n_chars) div words") < 3000
+          || expr("(1000 * n_chars) div words") >= 8000).as("f2"),
+        (col("n_stop") < 2).as("f3"),
+        (expr("(1000 * max_tf) div words") > 120).as("f4"),
+        (expr("(1000 * n_types) div words") < 300).as("f5"))
+    per.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("f2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("f3"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("f4"), 1L).otherwise(0L)).as("n4"),
+        sum(when(col("f5"), 1L).otherwise(0L)).as("n5"),
+        sum(when(col("f1") || col("f2") || col("f3") || col("f4")
+          || col("f5"), 1L).otherwise(0L)).as("n_any"))
+      .select(col("n_docs"), expr(
+        """stack(6,
+             'r1_word_count', n1, 'r2_mean_word_len', n2,
+             'r3_stopwords', n3, 'r4_top_token', n4,
+             'r5_ttr', n5, 'any_rule', n_any)
+           AS (rule, n_fail)"""))
+      .select(col("rule"), col("n_fail"),
+        expr("(1000000 * n_fail) div n_docs").as("fail_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe5_gopher_rules" -> (pipe5 _),
     "imp1_loo_impact" -> (imp1 _),
     "cur1_curriculum" -> (cur1 _),
     "pipe4_domain_tilt" -> (pipe4 _),
@@ -362,7 +424,51 @@ object PipelineOps {
 
   private val H = "('0x' || substr(md5(%s::VARCHAR),1,15))::BIGINT"
 
+  /** The pipe5 oracle, generated from the same [[PIPE5_STOPS]] set
+    * and rule thresholds as the engine. */
+  private def pipe5OracleSql: String = {
+    val stops = PIPE5_STOPS.map("'" + _ + "'").mkString(", ")
+    s"""
+      WITH tf AS (SELECT doc_id, tok, count(*) AS c FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents) GROUP BY 1, 2),
+      per0 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS words,
+                 CAST(max(c) AS BIGINT) AS max_tf,
+                 count(*) AS n_types,
+                 CAST(sum(CASE WHEN tok IN ($stops) THEN c ELSE 0 END)
+                   AS BIGINT) AS n_stop
+               FROM tf GROUP BY 1),
+      per AS (SELECT p.doc_id,
+                (words < 50 OR words > 500) AS f1,
+                ((1000 * d.n_chars) // words < 3000
+                  OR (1000 * d.n_chars) // words >= 8000) AS f2,
+                (n_stop < 2) AS f3,
+                ((1000 * max_tf) // words > 120) AS f4,
+                ((1000 * n_types) // words < 300) AS f5
+              FROM per0 p JOIN documents d ON p.doc_id = d.doc_id),
+      agg AS (SELECT count(*) AS n_docs,
+        CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        CAST(sum(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+        CAST(sum(CASE WHEN f1 OR f2 OR f3 OR f4 OR f5 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_any
+        FROM per),
+      u AS (
+        SELECT 'r1_word_count' AS rule, n1 AS n_fail, n_docs FROM agg
+        UNION ALL SELECT 'r2_mean_word_len', n2, n_docs FROM agg
+        UNION ALL SELECT 'r3_stopwords', n3, n_docs FROM agg
+        UNION ALL SELECT 'r4_top_token', n4, n_docs FROM agg
+        UNION ALL SELECT 'r5_ttr', n5, n_docs FROM agg
+        UNION ALL SELECT 'any_rule', n_any, n_docs FROM agg)
+      SELECT rule, n_fail, (1000000 * n_fail) // n_docs AS fail_ppm
+      FROM u"""
+  }
+
   val oracles: Map[String, String] = Map(
+    // generated from the engine's own stopword set + thresholds
+    "pipe5_gopher_rules" -> pipe5OracleSql,
     // the same (count, sum) pairs and grand totals; BIGINT / BIGINT
     // is DOUBLE division in both engines, parenthesization identical
     "imp1_loo_impact" -> """

@@ -568,7 +568,10 @@ object RetrievalOps {
     * WindowGroupLimit (the idx1/cls3 shape). The match table persists
     * for its two consumers (count + head) — hits-sized, never the
     * corpus. */
-  private def idx2(s: SparkSession, d: String): DataFrame = {
+  /** The conjunctive (AND) match set over the shared query suite —
+    * idx2's core relation, factored out so qr3's pseudo-qrels reuse
+    * the IDENTICAL semantics (one definition, two consumers). */
+  private def conjMatches(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val q = QTERMS.toDF("query_id", "term").distinct()
     val nq = QUERIES.map { case (id, t) =>
@@ -577,12 +580,16 @@ object RetrievalOps {
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .filter(col("term").isin(TERMSET: _*))
       .distinct()
-    val matches = postings.join(broadcast(q), Seq("term"))
+    postings.join(broadcast(q), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("hit_terms"))
       .join(broadcast(nq), Seq("query_id"))
       .filter(col("hit_terms") === col("n_terms"))
       .select(col("query_id"), col("doc_id"))
+  }
+
+  private def idx2(s: SparkSession, d: String): DataFrame = {
+    val matches = conjMatches(s, d)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = matches.groupBy(col("query_id")).agg(count(lit(1)).as("n_docs"))
     val head = matches
@@ -692,7 +699,62 @@ object RetrievalOps {
     counts.join(head, Seq("query_id"))
   }
 
+  /** qr3 — retrieval evaluation as a first-class query: per query,
+    * the rank of the first CONJUNCTIVE match (idx2's AND semantics as
+    * pseudo-qrels — deterministic relevance without human labels, the
+    * standard weak-supervision eval) inside qr1's served BM25 top-3,
+    * and its reciprocal in exact ppm. Summing rr_ppm div |Q| gives
+    * MRR@3; the s6 composition rule — the evaluated ranking IS the
+    * registered qr1 query, and the relevance set IS idx2's registered
+    * match relation, so the eval can never drift from what's served.
+    *
+    * Scale shape: the constituents run under their established plans;
+    * the eval itself is a LeftSemi of the |Q|·3 ranking against the
+    * hits-sized match set + a |Q|-key agg — rankings-sized,
+    * corpus-independent BY CONSTRUCTION. */
+  private def qr3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hits = qr1(s, d)
+      .join(conjMatches(s, d), Seq("query_id", "doc_id"), "left_semi")
+      .groupBy(col("query_id")).agg(min(col("rnk")).as("first_rel_rank"))
+    QUERIES.map(_._1).toDF("query_id")
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("first_rel_rank"))
+      .select(col("query_id").cast("long").as("query_id"),
+        col("first_rel_rank"),
+        expr("""CAST(CASE WHEN first_rel_rank = 0 THEN 0
+                ELSE 1000000 div first_rel_rank END AS BIGINT)""")
+          .as("rr_ppm"))
+  }
+
+  /** voc2 — tokenizer fertility per language: tokens-per-word and
+    * chars-per-token of the LIVE bpe1/tok1 tokenizer, rolled up by
+    * lang — the standard multilingual-tokenizer audit (a vocab
+    * trained on one language tokenizes the others at higher
+    * fertility; this table is what decides whether the merge table
+    * needs rebalancing before a multilingual run). Composed from the
+    * REGISTERED tok1 query verbatim (the s6/rrf1 rule), so the audit
+    * can never drift from the tokenizer it audits.
+    *
+    * Scale shape: tok1's one scan + a broadcast-joinable 2-column
+    * lang attachment + a ≤|langs|-key agg. */
+  private def voc2(s: SparkSession, d: String): DataFrame =
+    tok1(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("ws_tokens"),
+        sum(col("bpe_tokens")).as("bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("bpe_tokens"),
+        expr("(1000000 * bpe_tokens) div ws_tokens").as("fertility_ppm"),
+        expr("(1000000 * n_chars) div bpe_tokens").as("chars_per_tok_ppm"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "voc2_fertility" -> (voc2 _),
+    "qr3_mrr" -> (qr3 _),
     "idx4_proximity" -> (idx4 _),
     "idx3_phrase" -> (idx3 _),
     "idx2_postings_and" -> (idx2 _),
@@ -714,6 +776,27 @@ object RetrievalOps {
   private val qIn = TERMSET.map("'" + _ + "'").mkString(", ")
   private val phraseValues = QUERIES.map { case (id, t) =>
     val Array(a, b) = t.split(" "); s"($id, '$a', '$b')" }.mkString(", ")
+
+  /** The tok1 BPE-apply SQL, factored out because voc2 restates it as
+    * its per-doc CTE — one source of truth for the tokenizer oracle.
+    * The replace chain is generated from the SAME MERGES constant as
+    * the engine's expression, so the vocabularies cannot drift. */
+  private lazy val TOK1_SQL = s"""
+      WITH b AS (SELECT doc_id, string_split(text, ' ') AS t,
+                   length(replace(text, ' ', '')) AS n_chars
+                 FROM documents),
+      c AS (SELECT doc_id,
+              CAST(len(t) AS BIGINT) AS ws_tokens,
+              CAST(n_chars AS BIGINT) AS n_chars,
+              CAST(list_sum(list_transform(t, w ->
+                len(string_split(trim(${mergeChain(
+                  """regexp_replace(w, '(.)', '\1 ', 'g')""")}), ' ')))) AS BIGINT)
+                AS bpe_tokens
+            FROM b)
+      SELECT doc_id, ws_tokens, n_chars, bpe_tokens,
+        floor((CAST(n_chars AS DOUBLE) / bpe_tokens) * 1000000 + 0.5)
+          / 1000000 AS compression
+      FROM c"""
 
   /** The qr1 batch-BM25 SQL, factored out because qr2 restates it as
     * its feedback-set CTE — one source of truth for the BM25 oracle. */
@@ -772,6 +855,32 @@ object RetrievalOps {
               FROM sc JOIN pp ON sc.m_lang = pp.m_lang)"""
 
   val oracles: Map[String, String] = Map(
+    // qr1's oracle SQL + idx2's match CTEs embedded verbatim (the
+    // s6/rrf1 composition rule) — the eval cannot drift from its parts
+    "qr3_mrr" -> s"""
+      WITH fb AS ($QR1_SQL),
+      qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term
+             FROM (VALUES $qValues) q(query_id, term)),
+      nq AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1),
+      p AS (SELECT DISTINCT doc_id, term FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+            WHERE term IN ($qIn)),
+      mm AS (SELECT qt.query_id, p.doc_id, count(*) AS hit
+             FROM p JOIN qt USING (term) GROUP BY 1, 2),
+      m AS (SELECT mm.query_id, mm.doc_id FROM mm JOIN nq USING (query_id)
+            WHERE hit = n_terms),
+      fr AS (SELECT fb.query_id, CAST(min(rnk) AS BIGINT)
+               AS first_rel_rank
+             FROM fb JOIN m ON fb.query_id = m.query_id
+               AND fb.doc_id = m.doc_id
+             GROUP BY 1),
+      al AS (SELECT DISTINCT query_id FROM qt)
+      SELECT al.query_id,
+        coalesce(first_rel_rank, 0) AS first_rel_rank,
+        CAST(CASE WHEN coalesce(first_rel_rank, 0) = 0 THEN 0
+             ELSE 1000000 // first_rel_rank END AS BIGINT) AS rr_ppm
+      FROM al LEFT JOIN fr USING (query_id)""",
     // same positional postings (1-based there, 0-based here — only
     // position DIFFERENCES matter, so the shift cancels) and the same
     // in-order window predicate
@@ -894,22 +1003,21 @@ object RetrievalOps {
       FROM scored""",
     // the replace chain is generated from the SAME MERGES constant as
     // the engine's expression — the vocabularies cannot drift
-    "tok1_bpe_apply" -> s"""
-      WITH b AS (SELECT doc_id, string_split(text, ' ') AS t,
-                   length(replace(text, ' ', '')) AS n_chars
-                 FROM documents),
-      c AS (SELECT doc_id,
-              CAST(len(t) AS BIGINT) AS ws_tokens,
-              CAST(n_chars AS BIGINT) AS n_chars,
-              CAST(list_sum(list_transform(t, w ->
-                len(string_split(trim(${mergeChain(
-                  """regexp_replace(w, '(.)', '\1 ', 'g')""")}), ' ')))) AS BIGINT)
-                AS bpe_tokens
-            FROM b)
-      SELECT doc_id, ws_tokens, n_chars, bpe_tokens,
-        floor((CAST(n_chars AS DOUBLE) / bpe_tokens) * 1000000 + 0.5)
-          / 1000000 AS compression
-      FROM c""",
+    "tok1_bpe_apply" -> TOK1_SQL,
+    // tok1's oracle embedded verbatim (the s6/rrf1 composition rule)
+    // + the lang attachment and per-lang roll-up
+    "voc2_fertility" -> s"""
+      WITH t1 AS ($TOK1_SQL),
+      j AS (SELECT d.lang, t1.ws_tokens, t1.bpe_tokens, t1.n_chars
+            FROM t1 JOIN documents d ON t1.doc_id = d.doc_id)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+        CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+        (1000000 * CAST(sum(bpe_tokens) AS BIGINT))
+          // CAST(sum(ws_tokens) AS BIGINT) AS fertility_ppm,
+        (1000000 * CAST(sum(n_chars) AS BIGINT))
+          // CAST(sum(bpe_tokens) AS BIGINT) AS chars_per_tok_ppm
+      FROM j GROUP BY 1""",
     "qr1_batch_bm25" -> QR1_SQL,
     // the feedback set is qr1's result restated as a CTE; expansion
     // counts are DISTINCT (query, doc, term) presence integers

@@ -273,7 +273,33 @@ object SampleOps {
       .limit(DSIR_TOP)
   }
 
+  /** sm8 — class-balanced downsample: every lang keeps exactly
+    * k = min-class-size docs, selected in md5-hash order (ties by
+    * doc_id) — the classic rebalancing step before training a
+    * classifier on skewed labels (cls1/cls5's lang classes run 42–63
+    * per 500 at sf0.001; this equalizes them deterministically). The
+    * hash-order selection is the sm4 cap rule applied with a
+    * DATA-DERIVED k instead of a constant.
+    *
+    * Scale shape: one ≤|langs|-row count agg (broadcast back as a
+    * 1-row min), one lang-keyed rank window over the 2-column pruned
+    * projection, narrow filter — the sm4/sm6 shape. */
+  private def sm8(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val k = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("k"))
+    docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(md5Long(col("doc_id")).asc, col("doc_id").asc)))
+      .crossJoin(broadcast(k))
+      .filter(col("rk") <= col("k"))
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sm8_class_balance" -> (sm8 _),
     "dsir1_importance" -> (dsir1 _),
     "sm7_systematic_sample" -> (sm7 _),
     "sm6_temperature_mix" -> (sm6 _),
@@ -288,6 +314,17 @@ object SampleOps {
     "('0x' || substr(md5(%s::VARCHAR),1,15))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    // same md5-order rank, same data-derived min-class k
+    "sm8_class_balance" -> """
+      WITH d AS (SELECT doc_id, lang FROM documents),
+      k AS (SELECT min(n) AS k FROM (
+              SELECT lang, count(*) AS n FROM d GROUP BY 1)),
+      r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+              ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                doc_id) AS rk
+            FROM d)
+      SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+      FROM r, k WHERE rk <= k.k""",
     // all-integer DSIR: ppm rates via floor division, integer log2
     // via bin() length (both engines print minimal-width binary)
     "dsir1_importance" -> s"""

@@ -801,7 +801,54 @@ object TextOps {
         expr(s"s_az div $X20_TOP").as("delta_ppm"))
   }
 
+  /** x21 — duplicated-n-gram coverage (the RefinedWeb/Gopher
+    * repetition signal, Penedo 2023 §"repetition removal"): per doc,
+    * the fraction of its DISTINCT 3-grams that also occur in at least
+    * one other document — x9 measures repetition INSIDE a doc, x8/x13
+    * measure pairwise overlap; this is the corpus-wide boilerplate
+    * exposure of each doc (navigation chrome, license blocks,
+    * templated spans score high and get dropped or down-weighted in
+    * every production curation pipeline).
+    *
+    * Exactness: grams are 8-byte md5Long keys (the x13/x16 hash
+    * family, identical in SQL md5), coverage is an exact integer
+    * floor-div ppm; sub-3-token docs report 0/0 grams via the left
+    * join, never a dropped row.
+    *
+    * Plan at 100 TB: text never leaves its row (the d11 principle) —
+    * the trigram transform emits 8-byte hashes at scan speed; the
+    * distinct and the df agg shuffle hash-keyed longs only; the
+    * per-doc roll-up is one partial+final agg on doc_id. The doc-list
+    * left join re-reads the 1-column pruned projection (the voc1
+    * adjudication). */
+  private def x21(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("l"))
+      .filter(size(col("l")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(l) - 2),
+             i -> concat_ws(' ', element_at(l, i), element_at(l, i + 1),
+                            element_at(l, i + 2)))""")).as("g"))
+      .select(col("doc_id"), md5Long(col("g")).as("h"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // df + per-doc roll-up
+    val df = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val per = grams.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        expr("""CAST(CASE WHEN n_grams = 0 THEN 0
+                ELSE (1000000 * n_dup) div n_grams END AS BIGINT)""")
+          .as("dup_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x21_dup_ngrams" -> (x21 _),
     "x20_burrows_delta" -> (x20 _),
     "x19_collocation_lift" -> (x19 _),
     "x18_burstiness" -> (x18 _),
@@ -828,6 +875,26 @@ object TextOps {
   private[operators] def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // same md5-prefix trigram hashes, distinct-per-doc coverage, and
+    // floor-div ppm; sub-3-token docs survive via the left join
+    "x21_dup_ngrams" -> """
+      WITH l AS (SELECT doc_id, string_split(text, ' ') AS l
+                 FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+              ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+                1, 15))::BIGINT AS h
+            FROM l, unnest(generate_series(1, len(l) - 2)) AS u(i)
+            WHERE len(l) >= 3),
+      df AS (SELECT h, count(*) AS df FROM g GROUP BY 1),
+      per AS (SELECT doc_id, count(*) AS n_grams,
+                CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup
+              FROM g JOIN df USING (h) GROUP BY 1)
+      SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+        coalesce(n_dup, 0) AS n_dup,
+        CAST(CASE WHEN coalesce(n_grams, 0) = 0 THEN 0
+             ELSE (1000000 * n_dup) // n_grams END AS BIGINT) AS dup_ppm
+      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""",
     // same ppm rates, DOUBLE-before-product moments, millionths-
     // quantized |z|, and integer floor-div Delta
     "x20_burrows_delta" -> s"""

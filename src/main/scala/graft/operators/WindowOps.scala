@@ -747,7 +747,45 @@ object WindowOps {
           .as("flagged"))
   }
 
+  /** w15 — Holt double-exponential (level + trend) smoothing of the
+    * daily event volume at α = β = 1/4, all-integer:
+    * l₁ = x₁, b₁ = 0, then l_d = (x_d + 3·(l+b)) div 4 and
+    * b_d = ((l_d − l) + 3·b) div 4 — ts3's EWMA tracks a LEVEL and
+    * lags any sustained ramp by construction; Holt's trend term is
+    * what closes that gap (the capacity-forecast primitive:
+    * forecast_next = l + b). The trend can go NEGATIVE, and both
+    * integer divisions TRUNCATE toward zero identically (JVM Long `/`
+    * == DuckDB `//`, the measured cls5 convention), so the recurrence
+    * replays bit-for-bit.
+    *
+    * Scale shape: the w13/ts3 discipline — one scan to (day, count),
+    * driver fold over the calendar-bounded state, literal relation
+    * out; the oracle replays it as a recursive CTE. */
+  private def w15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .select(expr(s"unix_micros(ts) div $W10_DAY_US").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d0 = daily.keys.min
+    val d1 = daily.keys.max
+    var l = 0L
+    var b = 0L
+    val rows = (d0 to d1).map { day =>
+      val x = daily.getOrElse(day, 0L)
+      if (day == d0) { l = x; b = 0L }
+      else {
+        val lNew = (x + 3L * (l + b)) / 4L
+        b = ((lNew - l) + 3L * b) / 4L
+        l = lNew
+      }
+      (day, x, l, b, l + b)
+    }
+    rows.toDF("day", "x", "level", "trend", "forecast_next")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w15_holt" -> (w15 _),
     "seq1_transition" -> (seq1 _),
     "ts3_ewma" -> (ts3 _),
     "w14_dow_anomaly" -> (w14 _),
@@ -788,6 +826,30 @@ object WindowOps {
         (1000000 * n_trans) //
           CAST(sum(n_trans) OVER (PARTITION BY src) AS BIGINT) AS share_ppm
       FROM c""",
+    // level+trend recurrence replayed as a recursive CTE; both
+    // divisions truncate toward zero on both engines (measured), so
+    // the negative-trend branch replays exactly
+    "w15_holt" -> s"""
+      WITH RECURSIVE c AS (
+        SELECT epoch_us(ts) // $W10_DAY_US AS day, count(*) AS x
+        FROM events GROUP BY 1),
+      span AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+      grid AS (SELECT g.day, row_number() OVER (ORDER BY g.day) AS rn,
+                 coalesce(c.x, 0) AS x
+               FROM (SELECT unnest(generate_series(d0, d1)) AS day
+                     FROM span) g
+               LEFT JOIN c ON c.day = g.day),
+      s AS (SELECT rn, day, x, x AS lv, CAST(0 AS BIGINT) AS tr
+            FROM grid WHERE rn = 1
+            UNION ALL
+            SELECT g.rn, g.day, g.x,
+              (g.x + 3 * (s.lv + s.tr)) // 4,
+              (((g.x + 3 * (s.lv + s.tr)) // 4) - s.lv + 3 * s.tr) // 4
+            FROM s JOIN grid g ON g.rn = s.rn + 1)
+      SELECT day, x, CAST(lv AS BIGINT) AS level,
+        CAST(tr AS BIGINT) AS trend,
+        CAST(lv + tr AS BIGINT) AS forecast_next
+      FROM s""",
     // the all-non-negative integer recurrence replayed as a recursive
     // CTE over the same dense calendar (the w13 shape)
     "ts3_ewma" -> s"""

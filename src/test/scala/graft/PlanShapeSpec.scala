@@ -729,4 +729,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("x21's gram exchanges carry only 8-byte keys and counts — " +
+    "document text never crosses a shuffle (the x16/d11 invariant)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val phys = physical(q("x21_dup_ngrams"))
+    spark.catalog.clearCache()
+    phys.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.output.exists(a => a.dataType == StringType ||
+        a.dataType.isInstanceOf[ArrayType]), phys.toString)
+    }
+  }
+
+  test("sm8's rank window is lang-partitioned and the data-derived k " +
+    "rides a broadcast — never a global window or a shuffled 1-row " +
+    "dimension") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = q("sm8_class_balance")
+    val ws = physical(df).collect { case w: WindowExec => w }
+    assert(ws.nonEmpty)
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty))
+    assert(!plan(df).contains("SortMergeJoin"), plan(df))
+  }
 }

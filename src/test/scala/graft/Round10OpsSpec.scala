@@ -280,6 +280,234 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == n) // reports conserve too
   }
 
+  // ---- w15 --------------------------------------------------------
+
+  test("w15: the Holt level+trend recurrence replays exactly " +
+    "(truncating integer divisions), forecast = level + trend, and " +
+    "day 1 is (x1, 0)") {
+    var l = 0L
+    var b = 0L
+    val expected = dailyDense.zipWithIndex.map { case ((day, x), i) =>
+      if (i == 0) { l = x; b = 0L }
+      else {
+        val lNew = (x + 3L * (l + b)) / 4L
+        b = ((lNew - l) + 3L * b) / 4L
+        l = lNew
+      }
+      (day, x, l, b, l + b)
+    }
+    val got = q("w15_holt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got === expected)
+    assert(got.head._3 == got.head._2 && got.head._4 == 0L)
+    got.foreach { case (_, _, lv, tr, fc) => assert(fc == lv + tr) }
+  }
+
+  // ---- gr6 --------------------------------------------------------
+
+  test("gr6: the log2 degree histogram replays exactly from the " +
+    "co-purchase graph and conserves nodes and degree mass") {
+    val ip = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = ip.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val buckets = deg.values.groupBy(d => 63 - java.lang.Long.numberOfLeadingZeros(d))
+      .map { case (bkt, ds) => bkt.toLong -> ((ds.size.toLong, ds.sum)) }
+    val tot = deg.size.toLong
+    val expected = buckets.map { case (bkt, (n, mass)) =>
+      bkt -> ((n, mass, 1000000L * n / tot))
+    }
+    val got = q("gr6_degree_hist").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum == tot)
+    assert(got.values.map(_._2).sum == 2L * edges.size) // Σdeg = 2m
+  }
+
+  // ---- qr3 --------------------------------------------------------
+
+  test("qr3: MRR eval replays from the served qr1 ranking and the " +
+    "conjunctive pseudo-qrels, and rr_ppm takes only the four " +
+    "rank-reciprocal values") {
+    val queries = Seq(1L -> "hash table", 2L -> "join merge",
+      3L -> "sort key", 4L -> "stream window", 5L -> "fast query")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSet)
+    val rel = queries.map { case (qid, terms) =>
+      val ts = terms.split(" ").toSet
+      qid -> docs.collect { case (id, toks) if ts.subsetOf(toks) => id }.toSet
+    }.toMap
+    val served = q("qr1_batch_bm25").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](3).longValue))
+    val expected = queries.map { case (qid, _) =>
+      val ranks = served.collect {
+        case (`qid`, doc, rnk) if rel(qid).contains(doc) => rnk }
+      val first = if (ranks.isEmpty) 0L else ranks.min
+      qid -> ((first, if (first == 0L) 0L else 1000000L / first))
+    }.toMap
+    val got = q("qr3_mrr").collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        ((r.getAs[Number](1).longValue, r.getAs[Number](2).longValue)))
+      .toMap
+    assert(got === expected)
+    assert(got.values.map(_._2).toSet
+      .subsetOf(Set(0L, 333333L, 500000L, 1000000L)))
+    assert(got.size == queries.size)
+  }
+
+  // ---- dq3 --------------------------------------------------------
+
+  test("dq3: the temporal drift table replays exactly (midpoint " +
+    "pivot, integer shares, pinned chi2) and the halves conserve " +
+    "the corpus") {
+    val days = events.map(e => (e._3, e._2 / dayUs))
+    val piv = (days.map(_._2).min + days.map(_._2).max + 1) / 2
+    val counts = days.groupBy(_._1).map { case (t, xs) =>
+      t -> ((xs.count(_._2 < piv).toLong, xs.count(_._2 >= piv).toLong))
+    }
+    val ta = counts.values.map(_._1).sum
+    val tb = counts.values.map(_._2).sum
+    val expected = counts.map { case (t, (na, nb)) =>
+      val ea = ta.toDouble * (na + nb) / (ta + tb)
+      val eb = tb.toDouble * (na + nb) / (ta + tb)
+      val chi = (na.toDouble - ea) * (na.toDouble - ea) / ea +
+        (nb.toDouble - eb) * (nb.toDouble - eb) / eb
+      t -> ((na, nb, 1000000L * na / ta, 1000000L * nb / tb,
+        math.abs(1000000L * na / ta - 1000000L * nb / tb),
+        math.floor(chi * 1000000 + 0.5).toLong))
+    }
+    val got = q("dq3_drift").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum == ta)
+    assert(got.values.map(_._2).sum == tb)
+    assert(got.values.forall(_._6 >= 0L))
+  }
+
+  // ---- x21 --------------------------------------------------------
+
+  test("x21: duplicated-trigram coverage replays exactly from md5 " +
+    "gram hashes, and dup grams are symmetric (a gram dup in one doc " +
+    "is dup in every doc carrying it)") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val grams = docs.flatMap { case (id, toks) =>
+      toks.sliding(3).filter(_.length == 3)
+        .map(g => (id, Fns.md5LongLocal(g.mkString(" ")))).toSet
+    }
+    val dfc = grams.groupBy(_._2).map { case (h, xs) => h -> xs.size }
+    val expected = docs.map { case (id, toks) =>
+      val gs = toks.sliding(3).filter(_.length == 3)
+        .map(g => Fns.md5LongLocal(g.mkString(" "))).toSet
+      val nDup = gs.count(h => dfc(h) >= 2).toLong
+      val n = gs.size.toLong
+      id -> ((n, nDup, if (n == 0) 0L else 1000000L * nDup / n))
+    }.toMap
+    val got = q("x21_dup_ngrams").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    assert(got.size == docs.length)
+  }
+
+  // ---- pipe5 ------------------------------------------------------
+
+  test("pipe5: the Gopher-rule attribution table replays exactly, " +
+    "and any_rule dominates every individual rule") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1),
+        r.getAs[Number](2).longValue))
+    val stops = Set("the", "a")
+    val flags = docs.map { case (_, toks, nChars) =>
+      val words = toks.length.toLong
+      val tf = toks.groupBy(identity).map(_._2.length.toLong)
+      val f1 = words < 50 || words > 500
+      val mw = 1000L * nChars / words
+      val f2 = mw < 3000 || mw >= 8000
+      val f3 = toks.count(stops) < 2
+      val f4 = 1000L * tf.max / words > 120
+      val f5 = 1000L * tf.size / words < 300
+      (f1, f2, f3, f4, f5)
+    }
+    val n = docs.length.toLong
+    def cnt(f: ((Boolean, Boolean, Boolean, Boolean, Boolean)) => Boolean) =
+      flags.count(f).toLong
+    val expected = Map(
+      "r1_word_count" -> cnt(_._1), "r2_mean_word_len" -> cnt(_._2),
+      "r3_stopwords" -> cnt(_._3), "r4_top_token" -> cnt(_._4),
+      "r5_ttr" -> cnt(_._5),
+      "any_rule" -> cnt(f => f._1 || f._2 || f._3 || f._4 || f._5))
+      .map { case (k, v) => k -> ((v, 1000000L * v / n)) }
+    val got = q("pipe5_gopher_rules").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    val any = got("any_rule")._1
+    got.foreach { case (rule, (nf, _)) =>
+      assert(nf <= any, s"$rule $nf > any_rule $any")
+    }
+  }
+
+  // ---- voc2 -------------------------------------------------------
+
+  test("voc2: the per-lang fertility roll-up equals the registered " +
+    "tok1 output aggregated by lang, and fertility is >= 1e6 (BPE " +
+    "never merges across words)") {
+    val langOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val t1 = q("tok1_bpe_apply").collect()
+      .map(r => (langOf(r.getLong(0)), r.getLong(1), r.getLong(3),
+        r.getLong(2)))
+    val expected = t1.groupBy(_._1).map { case (lang, xs) =>
+      val ws = xs.map(_._2).sum
+      val bpe = xs.map(_._3).sum
+      val ch = xs.map(_._4).sum
+      lang -> ((xs.length.toLong, ws, bpe,
+        1000000L * bpe / ws, 1000000L * ch / bpe))
+    }
+    val got = q("voc2_fertility").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expected)
+    got.values.foreach { case (_, _, _, fert, _) =>
+      assert(fert >= 1000000L)
+    }
+  }
+
+  // ---- sm8 --------------------------------------------------------
+
+  test("sm8: the class-balanced sample replays exactly (md5 order, " +
+    "min-class k) and every lang keeps exactly k docs") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val k = docs.groupBy(_._2).values.map(_.size).min
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, xs) =>
+      xs.sortBy { case (id, _) => (Fns.md5LongLocal(id.toString), id) }
+        .take(k).zipWithIndex
+        .map { case ((id, _), i) => (id, lang, (i + 1).toLong) }.toSeq
+    }.toSet
+    val got = q("sm8_class_balance").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expected)
+    val perLang = got.groupBy(_._2).map { case (l, xs) => l -> xs.size }
+    assert(perLang.values.forall(_ == k))
+  }
+
   // ---- dq2 --------------------------------------------------------
 
   test("dq2: the completeness census replays exactly per column and " +

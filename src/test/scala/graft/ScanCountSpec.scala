@@ -114,10 +114,10 @@ class ScanCountSpec extends SparkSpec {
       // adjudication); the bigram relation persists for its head
       // cut + total
       "x19_collocation_lift" -> ((2, 0)),
-      // dq1 audits four FK edges; each is an independent child⋈parent
-      // anti-join branch (j6's 2-scan shape) plus the child count —
-      // the union is 4 one-row branches, scans are the audit's data
-      "dq1_fk_orphans" -> ((12, 0)),
+      // dq1 audits four FK edges off TWO persisted fact-key
+      // projections (lineitem, orders — the r10 ×10-probe fix; was 12
+      // scans) — only the three dimension parents scan per run
+      "dq1_fk_orphans" -> ((3, 0)),
       // dq2 censuses TWO tables (documents + events); each side is
       // exactly one all-columns aggregate pass — the adjudicated
       // minimum for a two-table audit
@@ -131,6 +131,22 @@ class ScanCountSpec extends SparkSpec {
       // cal1 rides cls2's exact 3-pass shape (shared nbDocScores);
       // the margin lead() reuses the same per-doc window
       "cal1_margin_calibration" -> ((3, 0)),
+      // pipe5's token-stats pass and the n_chars attachment re-read
+      // pruned projections — the cls1/voc1 two-pass adjudication
+      "pipe5_gopher_rules" -> ((2, 0)),
+      // sm8's min-class-k agg and the rank window each re-read the
+      // 2-column pruned (doc_id, lang) projection — the sm6/sm7 shape
+      "sm8_class_balance" -> ((2, 0)),
+      // voc2 composes registered tok1 (1 scan) with the 2-column
+      // pruned lang attachment — the constituents'-sum rule
+      "voc2_fertility" -> ((2, 0)),
+      // x21's doc-list left join re-reads the 1-column pruned
+      // projection beside the gram build (the voc1 adjudication)
+      "x21_dup_ngrams" -> ((2, 0)),
+      // qr3 composes registered qr1 (1 scan) with the conjMatches
+      // pseudo-qrels pass (1 pruned documents scan) — the s6/rrf1
+      // constituents'-sum rule
+      "qr3_mrr" -> ((2, 0)),
       // qr2 = qr1's scoring pass (1 scan, persisted hits) + one
       // broadcast-semi re-read of the pruned (doc_id, text)
       // projection to fetch the |Q|·3 feedback docs — only feedback
