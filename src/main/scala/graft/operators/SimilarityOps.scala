@@ -906,9 +906,12 @@ object SimilarityOps {
     * data-derived power-of-ten shift caps |g| ≤ ~10⁹ so every matvec
     * term g·v fits a long (10⁹·10⁶·64 ≈ 6·10¹⁶); each round
     * renormalizes v to ≤10⁶ by integer division with an explicit
-    * sign split (−((−w) div d)) because Spark's `div` truncates
-    * toward zero while DuckDB's `//` floors — on the split both
-    * operate on non-negative longs where the two agree. The oracle
+    * sign split (−((−w) div d)): the split states truncate-toward-
+    * zero semantics structurally, independent of either engine's
+    * native negative-division convention. (Measured r10: DuckDB's
+    * `//` in fact ALSO truncates toward zero, -7 // 4 = -1, so the
+    * engines agree even unsplit — the split stays because it makes
+    * the convention explicit rather than measured.) The oracle
     * replays all [[EMB4_ROUNDS]] rounds as unrolled CTEs.
     *
     * Scale shape: ALL corpus work is emb2's proven Gram shape (the
@@ -959,9 +962,9 @@ object SimilarityOps {
     * Exactness: q is emb2's milli-quantization; v is emb4's
     * round-[[EMB4_ROUNDS]] iterate — 64 exact longs, so
     * proj = Σ qᵢ·vᵢ is an exact long and the coefficient is the
-    * sign-split integer division (Spark `div` truncates, DuckDB
-    * `//` floors; the split keeps operands non-negative where they
-    * agree — the emb4 convention). Headroom: the binding term is
+    * sign-split integer division (the emb4 convention: the split
+    * states truncation structurally; measured r10, both engines
+    * truncate natively too). Headroom: the binding term is
     * 10⁶·proj ≤ 10⁶ · 64·|q|ᵢ·10⁶, which stays inside a long while
     * per-coordinate |x| ≲ 140 (q ≲ 1.4·10⁵) — comfortably true for
     * the unit-range embeddings this corpus contracts (|x| < 8,
@@ -1208,8 +1211,9 @@ object SimilarityOps {
 
   /** One unrolled integer power-iteration round for the emb4 oracle:
     * matvec over the shifted Gram, then renormalize to ≤10⁶ by
-    * sign-split integer division (DuckDB `//` floors, so the split
-    * keeps both operands non-negative where floor == truncate). */
+    * sign-split integer division (truncation stated structurally —
+    * measured r10, DuckDB's `//` truncates toward zero natively
+    * too, so the split is belt-and-braces, not load-bearing). */
   private def emb4RoundSql(k: Int): String = s"""w$k AS MATERIALIZED (
         SELECT f.di AS dim, CAST(sum(f.g2 * v.v) AS BIGINT) AS w
         FROM f JOIN v${k - 1} v ON f.dj = v.dim GROUP BY 1),
