@@ -4,10 +4,21 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional trailing args = query names to dump alone (the Bench
+    // partial-run convention, for local oracle iteration on one
+    // operator). The driver always calls with exactly two args →
+    // full surface; a partial dump reuses the previous full dump's
+    // oracle_sql.json/queries.json siblings, which this overwrites
+    // with the CURRENT full maps either way (they're surface-level,
+    // not selection-level).
+    val wanted = args.drop(2).toSet
+    val selected =
+      if (wanted.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => wanted.contains(n) }
     val spark = GraftSession.local("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -603,7 +603,33 @@ object AnalyticsOps {
                   * 1000000 + 0.5) AS BIGINT) END""").as("chi2_micro"))
   }
 
+  /** an5 — re-identification uniqueness risk under an1's
+    * (nation, segment) quasi-identifiers: class count, singleton
+    * classes (size 1 — the "prosecutor risk" rows: anyone knowing a
+    * target's QI pair re-identifies them outright), the smallest
+    * class, and the fraction of the POPULATION sitting in singleton
+    * classes in ppm. an1 DECIDES what to publish; this is the risk
+    * number that motivates the decision (the standard uniqueness
+    * statistic reported before any k-anonymity scheme is chosen).
+    *
+    * Scale shape: one QI-keyed partial+final agg (an1's g0 shape)
+    * collapsing to |classes| rows, then one constant-size summary
+    * agg. Nothing after the first agg depends on volume. */
+  private def an5(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey").cast("long").as("qi_nation"),
+        col("c_mktsegment").as("qi_segment"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("n")).as("n_rows"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        min(col("n")).as("min_class"))
+      .select(col("n_rows"), col("n_classes"), col("n_singletons"),
+        col("min_class"),
+        expr("(1000000 * n_singletons) div n_rows").as("unique_ppm"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "an5_unique_risk" -> (an5 _),
     "dq3_drift" -> (dq3 _),
     "an4_ldp_freq" -> (an4 _),
     "dq2_null_profile" -> (dq2 _),
@@ -625,6 +651,20 @@ object AnalyticsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same QI classes as an1's oracle, one summary row
+    "an5_unique_risk" -> """
+      WITH g AS (SELECT CAST(c_nationkey AS BIGINT) AS qi_nation,
+               c_mktsegment AS qi_segment, count(*) AS n
+             FROM customer GROUP BY 1, 2),
+      s AS (SELECT count(*) AS n_classes,
+              CAST(sum(n) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_singletons,
+              CAST(min(n) AS BIGINT) AS min_class
+            FROM g)
+      SELECT n_rows, n_classes, n_singletons, min_class,
+        (1000000 * n_singletons) // n_rows AS unique_ppm
+      FROM s""",
     // same calendar-midpoint pivot, integer shares, and pinned chi2
     // expression (identical operation order, then millionths floor)
     "dq3_drift" -> """

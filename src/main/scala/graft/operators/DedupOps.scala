@@ -1062,7 +1062,59 @@ object DedupOps {
         expr("sj div n_pairs").as("mean_jac_ppm"))
   }
 
+  /** er3 — SymSpell candidate generation (Garbe's deletion-
+    * neighborhood blocking, the spell-correction / fuzzy-vocabulary
+    * half of entity resolution): two terms are within Damerau-
+    * Levenshtein 1 only if they share an entry in their
+    * {term} ∪ {term minus one char} delete neighborhoods, so the
+    * candidate space is a VOCAB-sized equi-join on the delete key —
+    * never an all-pairs — followed by an exact `levenshtein ≤ 1`
+    * verify on the candidate stream (the common-delete join also
+    * admits transpositions, which plain Levenshtein then rejects:
+    * candidate-then-verify, the d2 discipline). Domain: the part-name
+    * word vocabulary er1/er2 resolve over; output is each verified
+    * pair with both corpus counts and the suggested canonical (the
+    * more frequent spelling, count desc / term asc tie-break) — the
+    * correction table a cleaning pass would apply.
+    *
+    * Plan at 100 TB: vocabulary = one partial-aggregated term count
+    * (vocab-sized, the er1 aggregate-before-pairing rule); deletes
+    * expand each term ×(len+1) — still vocab-sized; the self-join
+    * shuffles on the short delete-key string; distinct-pair dedup and
+    * the levenshtein verify run on the candidate stream, which the
+    * common-delete bound keeps near-linear in vocab (each term has
+    * ≤len+1 keys, each key bucket holds only terms within one edit of
+    * each other's shape). */
+  private def er3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.part(s, d)
+      .select(explode(split(col("p_name"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dels = v.select(col("term"),
+        explode(expr(
+          """array_union(
+               transform(sequence(1, length(term)),
+                 i -> concat(substring(term, 1, i - 1),
+                             substring(term, i + 1, length(term) - i))),
+               array(term))""")).as("key"))
+    val cand = dels.select(col("key"), col("term").as("ta"))
+      .join(dels.select(col("key"), col("term").as("tb")), Seq("key"))
+      .filter(col("ta") < col("tb"))
+      .select(col("ta"), col("tb"))
+      .distinct()
+      .filter(levenshtein(col("ta"), col("tb")) <= 1)
+    cand
+      .join(v.select(col("term").as("ta"), col("cnt").as("cnt_a")), Seq("ta"))
+      .join(v.select(col("term").as("tb"), col("cnt").as("cnt_b")), Seq("tb"))
+      .select(col("ta"), col("tb"), col("cnt_a"), col("cnt_b"),
+        when(col("cnt_a") > col("cnt_b") ||
+          (col("cnt_a") === col("cnt_b") && col("ta") < col("tb")),
+          col("ta")).otherwise(col("tb")).as("canonical"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er3_symspell" -> (er3 _),
     "d13_minhash_fidelity" -> (d13 _),
     "leak1_split_leakage" -> (leak1 _),
     "d12_containment" -> (d12 _),
@@ -1168,6 +1220,27 @@ object DedupOps {
       WHERE f.bkt >= 80"""
 
   val oracles: Map[String, String] = Map(
+    // same delete-neighborhood join, distinct-pair dedup, exact
+    // levenshtein verify, and count-desc/term-asc canonical rule
+    "er3_symspell" -> """
+      WITH v AS (SELECT term, count(*) AS cnt FROM (
+               SELECT unnest(string_split(p_name, ' ')) AS term
+               FROM part) GROUP BY 1),
+      dels AS (SELECT term,
+                 substr(term, 1, i - 1) ||
+                 substr(term, i + 1, len(term) - i) AS key
+               FROM v, (SELECT unnest(generate_series(1, 64)) AS i) u
+               WHERE i <= len(term)
+               UNION ALL SELECT term, term FROM v),
+      cand AS (SELECT DISTINCT a.term AS ta, b.term AS tb
+               FROM dels a JOIN dels b ON a.key = b.key
+               WHERE a.term < b.term),
+      p AS (SELECT ta, tb FROM cand WHERE levenshtein(ta, tb) <= 1)
+      SELECT ta, tb, va.cnt AS cnt_a, vb.cnt AS cnt_b,
+        CASE WHEN va.cnt > vb.cnt
+               OR (va.cnt = vb.cnt AND ta < tb) THEN ta
+             ELSE tb END AS canonical
+      FROM p JOIN v va ON p.ta = va.term JOIN v vb ON p.tb = vb.term""",
     // unit-cost Levenshtein is defined identically in both engines
     // record-pair semantics (the engine aggregates to distinct names
     // first — er1's proven equivalence); jw rounded with the portable

@@ -421,6 +421,28 @@ object RelationalOps {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** M8 — point-in-time (AS OF) read over m5's SCD2 intervals: each
+    * user's state at the calendar-midpoint instant t (data-derived,
+    * integer µs), i.e. the interval with valid_from ≤ t < valid_to
+    * (current interval when open-ended) — the time-travel query every
+    * versioned store serves, expressed on the engine's OWN interval
+    * table (the m5 builder reused verbatim, the s6 composition rule).
+    * Exactly ≤1 row per user by interval construction; a user whose
+    * history starts after t has none.
+    *
+    * Scale shape: m5's one scan + user-keyed window, a 1-row pivot
+    * broadcast, and a narrow filter — nothing else. */
+  private def m8(s: SparkSession, d: String): DataFrame = {
+    val piv = Tables.events(s, d)
+      .agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts)) + 1) div 2")
+        .as("t_us"))
+    m5(s, d).crossJoin(broadcast(piv))
+      .filter(expr("unix_micros(valid_from) <= t_us AND " +
+        "(valid_to IS NULL OR unix_micros(valid_to) > t_us)"))
+      .select(col("user_id"), col("state"),
+        expr("unix_micros(valid_from)").as("since_us"), col("t_us"))
+  }
+
   /** U8 — positional unwind (the `$unwind includeArrayIndex` variant
     * of U1): explode with the element's 0-based index — Generate with
     * position, same narrow no-shuffle shape as U1. */
@@ -652,6 +674,7 @@ object RelationalOps {
     "m3_materialize_ref_docs" -> (m3 _),
     "m4_upsert_latest" -> (m4 _),
     "m5_scd2_intervals" -> (m5 _),
+    "m8_asof_state" -> (m8 _),
     "m6_cdc_apply" -> (m6 _),
     "m7_snapshot_diff" -> (m7 _),
     "u8_posexplode" -> (u8 _),
@@ -767,6 +790,17 @@ object RelationalOps {
         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
           AS is_current
       FROM events""",
+    // same intervals in integer µs, same calendar-midpoint instant
+    "m8_asof_state" -> """
+      WITH iv AS (SELECT user_id, event_type AS state,
+               epoch_us(ts) AS vf,
+               lead(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS vt
+             FROM events),
+      p AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts)) + 1) // 2
+              AS t_us FROM events)
+      SELECT user_id, state, vf AS since_us, t_us
+      FROM iv, p WHERE vf <= t_us AND (vt IS NULL OR vt > t_us)""",
     "u8_posexplode" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
       SELECT doc_id, unnest(generate_series(1, len(l))) - 1 AS idx,

@@ -617,7 +617,11 @@ object RetrievalOps {
     * (doc, position+1, second-word) — narrow int/string rows, hits-
     * sized; everything downstream is query-keyed aggregation and the
     * idx1/idx2 WindowGroupLimit head. */
-  private def idx3(s: SparkSession, d: String): DataFrame = {
+  /** The exact-phrase match relation (query, doc, n_occ) — idx3's
+    * core positional intersection, factored out so qr4's graded
+    * qrels reuse the IDENTICAL semantics (the conjMatches precedent:
+    * one definition, two consumers). */
+  private def phraseMatches(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val parts = QUERIES.map { case (id, t) =>
       val Array(a, b) = t.split(" "); (id, a, b) }
@@ -629,11 +633,15 @@ object RetrievalOps {
     val first = pos.join(broadcast(qdf), col("term") === col("t1"))
       .select(col("query_id"), col("t2"), col("doc_id"),
         (col("pos") + 1).as("p2"))
-    val matches = first
+    first
       .join(pos.select(col("doc_id"), col("pos").as("p2"),
         col("term").as("t2")), Seq("doc_id", "p2", "t2"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_occ"))
+  }
+
+  private def idx3(s: SparkSession, d: String): DataFrame = {
+    val matches = phraseMatches(s, d)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = matches.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_occ")).as("n_occurrences"))
@@ -752,7 +760,91 @@ object RetrievalOps {
         expr("(1000000 * bpe_tokens) div ws_tokens").as("fertility_ppm"),
         expr("(1000000 * n_chars) div bpe_tokens").as("chars_per_tok_ppm"))
 
+  /** idx5's per-term champion-list length. An index-build knob: at
+    * the gate corpus every query term matches ~80% of docs (stopword
+    * regime, flat idf), and the measured min champion-depth of the
+    * true top-3 podium is 24 — C=32 keeps recall 1.0 with margin
+    * while still pruning ~92% of each posting list. Production sets
+    * C from the same measurement at its own scale (Manning §7.1.3:
+    * "r ... chosen to exceed k"). */
+  private[graft] val IDX5_CHAMPIONS = 32
+
+  /** idx5 — champion-list pruned BM25 (Manning IR §7.1.3 "champion
+    * lists" / the static-pruning half of WAND): each term publishes
+    * only its top-[[IDX5_CHAMPIONS]] postings by IMPACT — the term's
+    * length-normalized BM25 tf contribution tf/(tf+k1·(1−b+b·dl/avgdl)),
+    * computable at index-build time because within one term the idf
+    * factor is a constant. Raw-tf champion ordering was measured at
+    * 0.33 top-3 recall on the gate corpus (tf saturates at k1=1.2, so
+    * dl-normalization dominates and tf ties break arbitrarily);
+    * impact ordering ranks exactly what the scorer will score.
+    * Queries score ONLY the union of their terms' champions, full
+    * BM25 over those candidates, top-3 per query. qr1 is the
+    * exhaustive form — its scoring work is proportional to ALL docs
+    * containing any query term, which for a stopword-bearing query at
+    * web scale is a constant fraction of the corpus; the champion
+    * bound makes scoring |Q|·C·|terms|-sized BY CONSTRUCTION, the
+    * trade every production engine takes. Pruning CAN still miss a
+    * doc whose aggregate spans many weak terms — s6's measured-recall
+    * discipline applies and the spec pins recall vs qr1.
+    *
+    * Plan at 100 TB: same one-scan hits relation as qr1 (persisted,
+    * union-of-terms isin below the agg); the champion cut is a
+    * term-keyed WindowGroupLimit (map-side prune to ≤C per term);
+    * candidate set and the scoring restriction are hits-sized
+    * LeftSemi probes; everything downstream is the qr1 shape. */
+  private def idx5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("dl"))
+    val hits = docs
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(TERMSET: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // 1-row corpus stats, persisted because BOTH the champion cut and
+    // the final scorer consume it — without the persist each consumer
+    // re-plans its own docs scan (the ScanCountSpec budget class)
+    val stats = docs.agg(count(lit(1)).as("n"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val champs = hits
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .withColumn("impact",
+        col("tf") / (col("tf") + lit(1.2) * (lit(0.25) +
+          lit(0.75) * col("dl") / col("avgdl"))))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("impact").desc, col("doc_id").asc)))
+      .filter(col("crk") <= IDX5_CHAMPIONS)
+      .select(col("term"), col("doc_id"))
+    val q = QTERMS.toDF("query_id", "term")
+    val cand = champs.join(broadcast(q), Seq("term"))
+      .select(col("query_id"), col("doc_id"))
+      .distinct()
+    val df = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    hits.join(broadcast(df), Seq("term"))
+      .join(broadcast(q), Seq("term"))
+      .join(cand, Seq("query_id", "doc_id"), "left_semi")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        (((col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(roundFp(sum(col("term_score")), 6).as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "idx5_champion_topk" -> (idx5 _),
     "voc2_fertility" -> (voc2 _),
     "qr3_mrr" -> (qr3 _),
     "idx4_proximity" -> (idx4 _),
@@ -855,6 +947,42 @@ object RetrievalOps {
               FROM sc JOIN pp ON sc.m_lang = pp.m_lang)"""
 
   val oracles: Map[String, String] = Map(
+    // qr1's CTE chain with the champion-candidate restriction spliced
+    // in; identical BM25 formula text, same (impact desc, doc)
+    // champion cut and 6-dp pin
+    "idx5_champion_topk" -> s"""
+      WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+                 FROM (VALUES $qValues) v(query_id, term)),
+      t AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
+                   unnest(string_split(text,' ')) AS term
+            FROM documents),
+      hits AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+               WHERE term IN ($qIn) GROUP BY 1, 2, 3),
+      stats AS (SELECT count(*) AS n,
+                  sum(len(string_split(text,' '))) / count(*) AS avgdl
+                FROM documents),
+      ch AS (SELECT term, doc_id FROM (
+               SELECT term, doc_id, row_number() OVER (PARTITION BY term
+                 ORDER BY tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   DESC, doc_id) AS crk FROM hits, stats)
+             WHERE crk <= $IDX5_CHAMPIONS),
+      cand AS (SELECT DISTINCT q.query_id, ch.doc_id
+               FROM ch JOIN q USING (term)),
+      df AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+      sc AS (SELECT q.query_id, hits.doc_id,
+               ((n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+                 (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS term_score
+             FROM hits JOIN df USING (term) JOIN q USING (term), stats
+             WHERE EXISTS (SELECT 1 FROM cand
+                           WHERE cand.query_id = q.query_id
+                             AND cand.doc_id = hits.doc_id)),
+      agg AS (SELECT query_id, doc_id,
+                floor(sum(term_score)*1000000 + 0.5)/1000000 AS score
+              FROM sc GROUP BY 1, 2),
+      r AS (SELECT query_id, doc_id, score, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+            FROM agg)
+      SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 3""",
     // qr1's oracle SQL + idx2's match CTEs embedded verbatim (the
     // s6/rrf1 composition rule) — the eval cannot drift from its parts
     "qr3_mrr" -> s"""

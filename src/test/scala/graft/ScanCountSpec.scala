@@ -81,7 +81,11 @@ class ScanCountSpec extends SparkSpec {
       // w10's first-activity agg and the activity join each re-read
       // the 2-column pruned (user_id, ts) projection — the
       // fn1/w9 events adjudication
-      "w10_retention")
+      "w10_retention",
+      // m8's calendar-midpoint anchor is a 1-row agg beside m5's
+      // interval window — the w9 "now"-anchor adjudication: a 3-column
+      // pruned re-read beats caching the corpus for a 1-row reduce
+      "m8_asof_state")
       .map(_ -> ((2, 0)))
     val kernel = Seq("d4_ngram_jaccard", "d6_minhash_udaf",
       "mm1_media_features", "mm2_frame_sample", "mm3_audio_chunk",
