@@ -382,7 +382,72 @@ object GraphOps {
         expr("(1000000 * n_nodes) div tot").as("share_ppm"))
   }
 
+  /** gr7's peel threshold quantile and round budget. */
+  private val GR7_Q = 0.25
+  private[graft] val GR7_ROUNDS = 6
+
+  /** gr7 — bounded-round k-core peeling profile: iteratively remove
+    * nodes whose degree INSIDE the surviving subgraph falls below k,
+    * and report the survivor census after each of [[GR7_ROUNDS]]
+    * rounds (Seidman's k-core; the batch "peel" formulation
+    * Montresor et al. distribute). k is data-derived — the p25 of the
+    * degree distribution (gr3's percentile mechanism) — because the
+    * co-purchase graph is near-regular: any fixed k is either
+    * no-op (k ≤ min degree) or total. The TRAJECTORY is the result:
+    * this graph's cascade collapses to an EMPTY core (removing the
+    * low-degree quartile undermines everyone else — measured
+    * 200→152→46→0 at gate sf), which is the finding: cohesion is
+    * uniform, there is no elite subgraph, and neighborhood-join
+    * plans can't count on a dense nucleus. A fixpoint reached before
+    * round R carries forward without re-running rounds (peel of a
+    * fixpoint is itself — counts are equal iff sets are equal
+    * because peeling is monotone ⊆-decreasing).
+    *
+    * Scale shape: per round, two node-set semi-joins against the
+    * memoized symmetric edge list + one partial-aggregated degree
+    * count — the gr5 per-round shape; node sets are catalog-sized
+    * and eagerly checkpointed (never the corpus), and the round
+    * census rows return as a literal relation (w13's bounded-state
+    * discipline). */
+  private def gr7(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = coEdges(s, d)
+    val ed = e.select(col("pa").as("n"), col("pb").as("m"))
+      .union(e.select(col("pb").as("n"), col("pa").as("m")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = ed.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val k = deg
+      .agg(expr(s"CAST(floor(percentile(deg, $GR7_Q)) AS BIGINT)"))
+      .head().getLong(0) // 1-row scalar fetch: loop control is driver-side
+    var cur = deg.select(col("n")).localCheckpoint(true)
+    var prev = cur.count()
+    val census = Seq.newBuilder[(Long, Long, Long)]
+    census += ((0L, k, prev))
+    var r = 1
+    var fixed = false
+    while (r <= GR7_ROUNDS) {
+      if (!fixed) {
+        val nxt = ed
+          .join(cur.select(col("n")), Seq("n"))
+          .join(cur.select(col("n").as("m")), Seq("m"))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k)
+          .select(col("n"))
+          .localCheckpoint(true)
+        val cnt = nxt.count()
+        fixed = cnt == prev // monotone ⊆: equal counts ⟺ equal sets
+        cur = nxt
+        prev = cnt
+      }
+      census += ((r.toLong, k, prev))
+      r += 1
+    }
+    ed.unpersist()
+    census.result().toDF("peel_round", "k", "n_nodes")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr7_kcore" -> (gr7 _),
     "gr6_degree_hist" -> (gr6 _),
     "gr3_link_predict" -> (gr3 _),
     "gr1_pagerank" -> (gr1 _),
@@ -391,7 +456,40 @@ object GraphOps {
     "gr5_communities" -> (gr5 _)
   )
 
+  /** gr7's oracle: the same peel unrolled as [[GR7_ROUNDS]] generated
+    * CTEs (each round filters the previous survivor set by in-subgraph
+    * degree ≥ k) — the SQL is built from the ONE round template so
+    * engine and oracle can never disagree on the recurrence; the
+    * percentile threshold uses the proven percentile ≡ quantile_cont
+    * pairing (w8/ppl1/g4). */
+  private val GR7_SQL: String = {
+    val rounds = (1 to GR7_ROUNDS).map { r =>
+      s"""s$r AS (SELECT ed.n FROM ed
+           JOIN s${r - 1} x ON ed.n = x.n
+           JOIN s${r - 1} y ON ed.m = y.n, kk
+           GROUP BY ed.n, kk.k HAVING count(*) >= kk.k)"""
+    }.mkString(",\n      ")
+    val sel = (0 to GR7_ROUNDS).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS peel_round, k,
+            (SELECT count(*) FROM s$r) AS n_nodes FROM kk"""
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH ip AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM ip a JOIN ip b
+            ON a.o = b.o AND a.p < b.p),
+      ed AS (SELECT pa AS n, pb AS m FROM e
+             UNION ALL SELECT pb AS n, pa AS m FROM e),
+      dg AS (SELECT n, count(*) AS deg FROM ed GROUP BY 1),
+      kk AS (SELECT CAST(floor(quantile_cont(deg, $GR7_Q)) AS BIGINT)
+               AS k FROM dg),
+      s0 AS (SELECT n FROM dg),
+      $rounds
+      $sel"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "gr7_kcore" -> GR7_SQL,
     // same edge derivation as gr4's oracle, same integer-log2 buckets
     "gr6_degree_hist" -> """
       WITH ip AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

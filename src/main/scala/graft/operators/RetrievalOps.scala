@@ -843,7 +843,74 @@ object RetrievalOps {
       .filter(col("rnk") <= 3)
   }
 
+  /** The rank-2 DCG discount log2(3), as ONE shared literal in both
+    * engines (a library log2 could differ in the last ulp between
+    * JVM and DuckDB; a parsed decimal literal cannot). Ranks 1 and 3
+    * discount by exactly 1 and 2. */
+  private val LOG2_3 = "CAST(1.5849625007211562 AS DOUBLE)"
+
+  /** qr4 — nDCG@3 over qr1's ranking with graded pseudo-qrels from
+    * the engine's own registered match relations (the s6/rrf1
+    * composition rule, so the eval can never drift from its parts):
+    * rel 2 = exact-phrase match (idx3's positional adjacency), rel 1
+    * = bag-of-words AND match (idx2's conjunction), rel 0 otherwise —
+    * phrase ⊆ conjunction, so the grades nest. DCG pivots the three
+    * ranked gains into ONE fixed-order expression g1 + g2/log2(3) +
+    * g3/2 (a 3-row float sum would be order-nondeterministic across
+    * engines); IDCG comes from the rel-2/rel-1 census (ideal gain at
+    * rank r is a CASE on n2, n1), nDCG = DCG/IDCG, both 6-dp pinned,
+    * NULL when the query has no relevant docs.
+    *
+    * Plan at 100 TB: qr1's one-scan scoring pass + the two match
+    * relations (each hits-sized, union-of-terms isin below their
+    * aggs); the qrels join is rankings-sized (|Q|·3 rows probe the
+    * match table); everything after is a ≤|Q|-row pivot. */
+  private def qr4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rels = conjMatches(s, d)
+      .join(phraseMatches(s, d).select(col("query_id"), col("doc_id"),
+        lit(1L).as("ph")), Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"),
+        when(col("ph").isNotNull, 2L).otherwise(1L).as("rel"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gains = qr1(s, d)
+      .join(rels, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("rnk"),
+        expr("""CASE coalesce(rel, 0L) WHEN 2 THEN CAST(3 AS DOUBLE)
+                WHEN 1 THEN CAST(1 AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END""").as("gain"))
+    val dcg = gains.groupBy(col("query_id"))
+      .agg(max(when(col("rnk") === 1, col("gain"))).as("g1"),
+        max(when(col("rnk") === 2, col("gain"))).as("g2"),
+        max(when(col("rnk") === 3, col("gain"))).as("g3"))
+    val nrel = rels.groupBy(col("query_id"))
+      .agg(sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("rel") === 1, 1L).otherwise(0L)).as("n1"))
+    QUERIES.map(_._1).toDF("query_id")
+      .join(dcg, Seq("query_id"), "left")
+      .join(nrel, Seq("query_id"), "left")
+      .na.fill(0.0, Seq("g1", "g2", "g3")).na.fill(0L, Seq("n2", "n1"))
+      .select(col("query_id").cast("long").as("query_id"),
+        col("n2"), col("n1"),
+        expr(s"g1 + g2 / $LOG2_3 + g3 / CAST(2 AS DOUBLE)").as("dcgr"),
+        expr(s"""(CASE WHEN n2 >= 1 THEN CAST(3 AS DOUBLE)
+                       WHEN n2 + n1 >= 1 THEN CAST(1 AS DOUBLE)
+                       ELSE CAST(0 AS DOUBLE) END)
+                 + (CASE WHEN n2 >= 2 THEN CAST(3 AS DOUBLE)
+                         WHEN n2 + n1 >= 2 THEN CAST(1 AS DOUBLE)
+                         ELSE CAST(0 AS DOUBLE) END) / $LOG2_3
+                 + (CASE WHEN n2 >= 3 THEN CAST(3 AS DOUBLE)
+                         WHEN n2 + n1 >= 3 THEN CAST(1 AS DOUBLE)
+                         ELSE CAST(0 AS DOUBLE) END)
+                   / CAST(2 AS DOUBLE)""").as("idcg"))
+      .select(col("query_id"), col("n2"), col("n1"),
+        roundFp(col("dcgr"), 6).as("dcg"),
+        when(col("idcg") > 0, roundFp(col("dcgr") / col("idcg"), 6))
+          .as("ndcg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qr4_ndcg" -> (qr4 _),
     "idx5_champion_topk" -> (idx5 _),
     "voc2_fertility" -> (voc2 _),
     "qr3_mrr" -> (qr3 _),
@@ -947,6 +1014,81 @@ object RetrievalOps {
               FROM sc JOIN pp ON sc.m_lang = pp.m_lang)"""
 
   val oracles: Map[String, String] = Map(
+    // qr1's ranking CTE + idx2's conjunction CTEs + idx3's positional
+    // CTEs embedded verbatim (the qr3 splice pattern); the same
+    // fixed-order DCG pivot and shared log2(3) literal
+    "qr4_ndcg" -> s"""
+      WITH fb AS ($QR1_SQL),
+      qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term
+             FROM (VALUES $qValues) q(query_id, term)),
+      nq AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1),
+      pp AS (SELECT DISTINCT doc_id, term FROM (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents)
+             WHERE term IN ($qIn)),
+      mm AS (SELECT qt.query_id, pp.doc_id, count(*) AS hit
+             FROM pp JOIN qt USING (term) GROUP BY 1, 2),
+      cj AS (SELECT mm.query_id, mm.doc_id FROM mm JOIN nq USING (query_id)
+             WHERE hit = n_terms),
+      qp AS (SELECT CAST(query_id AS BIGINT) AS query_id, t1, t2
+             FROM (VALUES $phraseValues) q(query_id, t1, t2)),
+      tp AS (SELECT doc_id, i AS pos, l[i] AS term
+             FROM (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents) t,
+               unnest(generate_series(1, len(l))) AS u(i)
+             WHERE l[i] IN ($qIn)),
+      ff AS (SELECT qp.query_id, qp.t2, tp.doc_id, tp.pos + 1 AS p2
+             FROM tp JOIN qp ON tp.term = qp.t1),
+      ph AS (SELECT DISTINCT ff.query_id, ff.doc_id
+             FROM ff JOIN tp p ON p.doc_id = ff.doc_id AND p.pos = ff.p2
+               AND p.term = ff.t2),
+      rels AS (SELECT cj.query_id, cj.doc_id,
+                 CASE WHEN ph.doc_id IS NOT NULL THEN 2 ELSE 1 END AS rel
+               FROM cj LEFT JOIN ph ON ph.query_id = cj.query_id
+                 AND ph.doc_id = cj.doc_id),
+      g AS (SELECT fb.query_id, fb.rnk,
+              CASE coalesce(rels.rel, 0) WHEN 2 THEN CAST(3 AS DOUBLE)
+                WHEN 1 THEN CAST(1 AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS gain
+            FROM fb LEFT JOIN rels ON rels.query_id = fb.query_id
+              AND rels.doc_id = fb.doc_id),
+      gg AS (SELECT query_id,
+               max(CASE WHEN rnk = 1 THEN gain END) AS g1,
+               max(CASE WHEN rnk = 2 THEN gain END) AS g2,
+               max(CASE WHEN rnk = 3 THEN gain END) AS g3
+             FROM g GROUP BY 1),
+      nr AS (SELECT query_id,
+               CAST(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n2,
+               CAST(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n1
+             FROM rels GROUP BY 1),
+      al AS (SELECT DISTINCT query_id FROM qt),
+      j AS (SELECT al.query_id,
+              coalesce(g1, CAST(0 AS DOUBLE)) AS g1,
+              coalesce(g2, CAST(0 AS DOUBLE)) AS g2,
+              coalesce(g3, CAST(0 AS DOUBLE)) AS g3,
+              coalesce(n2, 0) AS n2, coalesce(n1, 0) AS n1
+            FROM al LEFT JOIN gg USING (query_id)
+              LEFT JOIN nr USING (query_id)),
+      k AS (SELECT query_id, n2, n1,
+              g1 + g2 / $LOG2_3 + g3 / CAST(2 AS DOUBLE) AS dcgr,
+              (CASE WHEN n2 >= 1 THEN CAST(3 AS DOUBLE)
+                    WHEN n2 + n1 >= 1 THEN CAST(1 AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END)
+              + (CASE WHEN n2 >= 2 THEN CAST(3 AS DOUBLE)
+                      WHEN n2 + n1 >= 2 THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END) / $LOG2_3
+              + (CASE WHEN n2 >= 3 THEN CAST(3 AS DOUBLE)
+                      WHEN n2 + n1 >= 3 THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END)
+                / CAST(2 AS DOUBLE) AS idcg
+            FROM j)
+      SELECT query_id, n2, n1,
+        floor(dcgr * 1000000 + 0.5) / 1000000 AS dcg,
+        CASE WHEN idcg > 0
+             THEN floor(dcgr / idcg * 1000000 + 0.5) / 1000000 END AS ndcg
+      FROM k""",
     // qr1's CTE chain with the champion-candidate restriction spliced
     // in; identical BM25 formula text, same (impact desc, doc)
     // champion cut and 6-dp pin

@@ -127,6 +127,94 @@ class Round10bOpsSpec extends SparkSpec {
     assert(got.keySet === allDist1)
   }
 
+  // ---- qr4 --------------------------------------------------------
+
+  test("qr4: nDCG@3 replays exactly from the ranked gains and the " +
+    "rel census, every ndcg is in [0,1], and phrase-relevant docs " +
+    "are a subset of conjunction-relevant docs") {
+    val qterms = operators.RetrievalOps.queryTermPairs
+    val queries = qterms.groupBy(_._1)
+      .map { case (id, xs) => id -> xs.map(_._2) }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val conj = (for {
+      (qid, ts) <- queries.toSeq
+      (id, toks) <- docs if ts.forall(toks.contains)
+    } yield (qid, id)).toSet
+    val phrase = (for {
+      (qid, ts) <- queries.toSeq
+      Seq(a, b) = ts.toSeq
+      (id, toks) <- docs
+      if toks.indices.dropRight(1).exists(i =>
+        toks(i) == a && toks(i + 1) == b)
+    } yield (qid, id)).toSet
+    assert(phrase.subsetOf(conj))
+    val rel: ((Long, Long)) => Long =
+      p => if (phrase(p)) 2L else if (conj(p)) 1L else 0L
+    val rank = q("qr1_batch_bm25").collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val L3 = 1.5849625007211562
+    def r6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000
+    val expected = queries.keys.map { qid =>
+      def gain(rk: Int): Double =
+        rank.get((qid, rk)).map(d => rel((qid, d)) match {
+          case 2L => 3.0; case 1L => 1.0; case _ => 0.0
+        }).getOrElse(0.0)
+      val n2 = docs.count { case (id, _) => phrase((qid, id)) }.toLong
+      val n1 = docs.count { case (id, _) =>
+        conj((qid, id)) && !phrase((qid, id)) }.toLong
+      def ideal(rk: Int): Double =
+        if (n2 >= rk) 3.0 else if (n2 + n1 >= rk) 1.0 else 0.0
+      val dcg = gain(1) + gain(2) / L3 + gain(3) / 2.0
+      val idcg = ideal(1) + ideal(2) / L3 + ideal(3) / 2.0
+      qid -> ((n2, n1, r6(dcg),
+        if (idcg > 0) Some(r6(dcg / idcg)) else None))
+    }.toMap
+    val got = q("qr4_ndcg").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got === expected)
+    got.values.foreach { case (_, _, _, nd) =>
+      nd.foreach(v => assert(v >= 0.0 && v <= 1.0)) }
+  }
+
+  // ---- gr7 --------------------------------------------------------
+
+  test("gr7: the peel trajectory replays exactly (p25-derived k, " +
+    "in-subgraph degree filter, fixpoint carry-forward) and the " +
+    "census is monotone non-increasing") {
+    val edges = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap { xs =>
+        val ps = xs.map(_._2).toSeq
+        for (a <- ps; b <- ps if a < b) yield (a, b)
+      }.toSet
+    val adj = (edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    // Spark `percentile` interpolation, then floor (gr3's mechanism)
+    val degs = adj.values.map(_.size.toLong).toSeq.sorted
+    val idx = (degs.length - 1) * 0.25
+    val lo = degs(idx.toInt)
+    val hi = degs(math.ceil(idx).toInt)
+    val k = math.floor(lo + (hi - lo) * (idx - idx.toInt)).toLong
+    val R = operators.GraphOps.GR7_ROUNDS
+    var cur = adj.keySet
+    val expected = Seq.newBuilder[(Long, Long, Long)]
+    expected += ((0L, k, cur.size.toLong))
+    for (r <- 1 to R) {
+      cur = cur.filter(n => adj(n).count(cur) >= k)
+      expected += ((r.toLong, k, cur.size.toLong))
+    }
+    val got = q("gr7_kcore").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === expected.result())
+    assert(got.map(_._3).sliding(2).forall(w =>
+      w.length < 2 || w(0) >= w(1)))
+  }
+
   // ---- idx5 -------------------------------------------------------
 
   test("idx5: champion-list BM25 replays exactly, every result doc " +
