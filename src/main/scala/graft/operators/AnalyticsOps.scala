@@ -57,6 +57,49 @@ object AnalyticsOps {
     Tables.lineitem(s, d)
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
 
+  /** g10's HLL precision (Datasketches lgConfigK: 2^12 buckets,
+    * ~1.6% RSE — the warehouse default trade of 4 KB per sketch for
+    * percent-level distinct counts). */
+  private[graft] val G10_LGK = 12
+
+  /** g10 — distinct-count sketches as DATA (the capability g5 only
+    * hints at): per-type HLL sketches of the user audience built with
+    * `hll_sketch_agg`, re-aggregated WITHOUT returning to the raw
+    * events via `hll_union_agg` — the mergeable-sketch contract that
+    * makes 100 TB rollup cubes cheap (store one 4 KB sketch per cell;
+    * any marginal is a union of sketches, never a re-scan). Output:
+    * per-type estimate vs the exact twin, plus the ALL row whose
+    * estimate comes ONLY from merging the per-type sketches; the spec
+    * pins the union-merge law (merged ≡ one sketch built over
+    * everything) and the error bound. NO oracle — sketch internals
+    * are engine-specific (the g5/g7 policy), so the driver records
+    * the rows-only check and the spec bounds the estimates.
+    *
+    * Scale shape: one partial-aggregated groupBy per type (sketches
+    * merge map-side — that IS the point), a ≤|types|-row union agg,
+    * and the exact twins for validation (countDistinct per type in
+    * the same pass; one extra pruned scan for the global twin, the
+    * dq2 two-table-audit adjudication). At 100 TB the twins are the
+    * first thing a user drops; the sketch path never touches them. */
+  private def g10(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+    val perType = ev.groupBy(col("event_type"))
+      .agg(expr(s"hll_sketch_agg(user_id, $G10_LGK)").as("sk"),
+        countDistinct(col("user_id")).as("exact"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = perType
+      .select(col("event_type"),
+        expr("hll_sketch_estimate(sk)").as("est"), col("exact"))
+    val all = perType
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .crossJoin(broadcast(
+        ev.agg(countDistinct(col("user_id")).as("exact"))))
+      .select(lit("ALL").as("event_type"), col("est"), col("exact"))
+    rows.unionByName(all)
+      .select(col("event_type"), col("est"), col("exact"),
+        expr("(1000000 * abs(est - exact)) div exact").as("abs_err_ppm"))
+  }
+
   /** g7 — approximate quantiles (the 100 TB form of g4): a fixed-size
     * quantile sketch with declared accuracy, mergeable across
     * partitions — exact percentile holds all values per group, the
@@ -647,7 +690,8 @@ object AnalyticsOps {
     "g3_pivot" -> (g3 _),
     "g4_quantiles" -> (g4 _),
     "g5_approx_distinct" -> (g5 _),
-    "g7_approx_quantiles" -> (g7 _)
+    "g7_approx_quantiles" -> (g7 _),
+    "g10_hll_merge" -> (g10 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -875,9 +919,11 @@ object AnalyticsOps {
       SELECT tok, count(*) AS cnt FROM (
         SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
       GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 10"""
-    // g5_approx_distinct, g7_approx_quantiles: intentionally no oracle
-    // (per-engine sketches); accuracy is spec-bounded against the exact
-    // forms instead. g9 DOES have one: Misra-Gries only generates
-    // candidates; the exact second pass makes the result oracle-equal.
+    // g5_approx_distinct, g7_approx_quantiles, g10_hll_merge:
+    // intentionally no oracle (per-engine sketches); accuracy is
+    // spec-bounded against the exact forms instead (g10 additionally
+    // pins the union-merge law). g9 DOES have one: Misra-Gries only
+    // generates candidates; the exact second pass makes the result
+    // oracle-equal.
   )
 }

@@ -372,6 +372,39 @@ object RetrievalOps {
       .withColumn("acc_ppm", expr("(1000000 * n_correct) div n_docs"))
   }
 
+  /** al1's labeling-queue size. */
+  private[graft] val AL1_K = 20
+
+  /** al1 — uncertainty sampling (margin variant, Lewis & Gale's
+    * active-learning selection): the [[AL1_K]] documents whose
+    * top-1 vs top-2 NB score margin is SMALLEST — the docs the
+    * classifier is least sure about, which is exactly the labeling
+    * queue an annotation budget should buy (cal1 is the evidence:
+    * its margin-vs-accuracy table shows small margins are
+    * error-dense, so labeling them moves the decision boundary
+    * most). Composed from the same registered nbDocScores relation
+    * as cls2/cal1 (one definition, N consumers), with the predicted
+    * lang and the correctness flag riding along so the spec can
+    * assert the queue is error-denser than the corpus.
+    *
+    * Scale shape: nbDocScores' 3-pass shape + the same per-doc
+    * window as cal1, then a (margin, doc) TakeOrderedAndProject —
+    * bottom-K is per-partition prunable, never a global sort. */
+  private def al1(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("m_lang").asc)
+    nbDocScores(s, d)
+      .withColumn("r", row_number().over(w))
+      .withColumn("nxt", lead(col("score"), 1).over(w))
+      .filter(col("r") === 1 && col("nxt").isNotNull)
+      .select(col("doc_id"), col("m_lang").as("pred_lang"),
+        (col("score") - col("nxt")).as("margin"),
+        when(col("lang") === col("m_lang"), 1L).otherwise(0L).as("ok"))
+      .orderBy(col("margin").asc, col("doc_id").asc)
+      .limit(AL1_K)
+  }
+
   /** bpe1's report size — the top adjacent pairs by corpus count. */
   private val BPE_TOP = 20
 
@@ -910,6 +943,7 @@ object RetrievalOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "al1_uncertain_topk" -> (al1 _),
     "qr4_ndcg" -> (qr4 _),
     "idx5_champion_topk" -> (idx5 _),
     "voc2_fertility" -> (voc2 _),
@@ -1380,6 +1414,21 @@ object RetrievalOps {
       FROM mg, thr WHERE margin >= thr GROUP BY 1""",
     // same fin relation; the margin is exact BIGINT subtraction of
     // the top-2 scores under the same (score DESC, m_lang) order
+    // cal1's window CTEs verbatim, bottom-K by (margin, doc) —
+    // TakeOrderedAndProject's total order makes the LIMIT exact
+    "al1_uncertain_topk" -> s"""
+      WITH $NB_FIN_SQL,
+      win AS (SELECT doc_id, lang, m_lang, score, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, m_lang) AS r,
+              lead(score) OVER (
+                PARTITION BY doc_id ORDER BY score DESC, m_lang) AS nxt
+              FROM fin),
+      mg AS (SELECT doc_id, m_lang AS pred_lang,
+               CAST(score - nxt AS BIGINT) AS margin,
+               CASE WHEN lang = m_lang THEN 1 ELSE 0 END AS ok
+             FROM win WHERE r = 1 AND nxt IS NOT NULL)
+      SELECT doc_id, pred_lang, margin, CAST(ok AS BIGINT) AS ok
+      FROM mg ORDER BY margin, doc_id LIMIT $AL1_K""",
     "cal1_margin_calibration" -> s"""
       WITH $NB_FIN_SQL,
       win AS (SELECT doc_id, lang, m_lang, score, row_number() OVER (

@@ -215,6 +215,111 @@ class Round10bOpsSpec extends SparkSpec {
       w.length < 2 || w(0) >= w(1)))
   }
 
+  // ---- ts4 --------------------------------------------------------
+
+  test("ts4: the backtest replays exactly (w15's truncating-div Holt " +
+    "on the train prefix, 7-lag naive, MASE ratio), and both methods " +
+    "share the train-naive denominator") {
+    val dayUs0 = 86400000000L
+    val daily = Tables.events(spark, sf)
+      .select(expr(s"unix_micros(ts) div $dayUs0").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d0 = daily.keys.min
+    val d1 = daily.keys.max
+    val H = operators.WindowOps.TS4_HOLDOUT
+    val S = operators.WindowOps.TS4_SEASON
+    val cutoff = d1 - H
+    def x(d: Long) = daily.getOrElse(d, 0L)
+    var l = 0L; var b = 0L
+    (d0 to cutoff).foreach { day =>
+      if (day == d0) { l = x(day); b = 0L }
+      else {
+        val ln = (x(day) + 3L * (l + b)) / 4L
+        b = ((ln - l) + 3L * b) / 4L
+        l = ln
+      }
+    }
+    val hold = ((cutoff + 1) to d1).zipWithIndex
+    val saeHolt = hold.map { case (d, i) =>
+      math.abs(x(d) - (l + (i + 1) * b)) }.sum
+    val saeNaive = hold.map { case (d, _) => math.abs(x(d) - x(d - S)) }.sum
+    val train = (d0 + S) to cutoff
+    val saeT = train.map(d => math.abs(x(d) - x(d - S))).sum
+    def mase(sae: Long) = math.floor(
+      (sae.toDouble / hold.length) / (saeT.toDouble / train.length)
+        * 1000000 + 0.5) / 1000000
+    val got = q("ts4_mase_backtest").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === Map(
+      "holt" -> ((hold.length.toLong, saeHolt, saeT, train.length.toLong,
+        mase(saeHolt))),
+      "naive" -> ((hold.length.toLong, saeNaive, saeT,
+        train.length.toLong, mase(saeNaive)))))
+    // shared denominator: the two rows carry identical train stats
+    assert(got("holt")._3 == got("naive")._3 &&
+      got("holt")._4 == got("naive")._4)
+  }
+
+  // ---- g10 --------------------------------------------------------
+
+  test("g10: per-type exact twins replay, the ALL estimate equals a " +
+    "single sketch built over the whole relation (union-merge law), " +
+    "and every estimate is within 5% of exact") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val exactBy = ev.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(_._2).distinct.length.toLong }
+    val exactAll = ev.map(_._2).distinct.length.toLong
+    val got = q("g10_hll_merge").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got.keySet === exactBy.keySet + "ALL")
+    exactBy.foreach { case (t, ex) => assert(got(t)._2 == ex) }
+    assert(got("ALL")._2 == exactAll)
+    // union-merge law: merging the per-type sketches estimates the
+    // same as ONE sketch over everything (same lgK — lossless union)
+    val lgk = operators.AnalyticsOps.G10_LGK
+    val single = Tables.events(spark, sf)
+      .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, $lgk))"))
+      .head().getLong(0)
+    assert(got("ALL")._1 == single)
+    got.values.foreach { case (est, ex, errPpm) =>
+      assert(math.abs(est - ex) * 20 <= ex,
+        s"estimate $est vs exact $ex exceeds 5%")
+      assert(errPpm == 1000000L * math.abs(est - ex) / ex)
+    }
+  }
+
+  // ---- al1 --------------------------------------------------------
+
+  test("al1: the labeling queue has exactly K rows, is consistent " +
+    "with cal1's margin histogram (bottom-K cut + error density), " +
+    "and margins arrive sorted") {
+    val K = operators.RetrievalOps.AL1_K
+    val got = q("al1_uncertain_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.length == K)
+    val margins = got.map(_._2)
+    assert(margins.sameElements(margins.sorted))
+    // cross-consistency with cal1's histogram: strictly-below-max
+    // mass fits inside K, at-or-below-max mass covers K
+    val hist = q("cal1_margin_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mMax = margins.max
+    val below = hist.filter(_._1 < mMax).map(_._2).sum
+    val atOrBelow = hist.filter(_._1 <= mMax).map(_._2).sum
+    assert(below <= K && atOrBelow >= K)
+    // the queue is error-denser than the corpus (the point of
+    // uncertainty sampling): queue accuracy ≤ overall accuracy
+    val accQ = got.map(_._3).sum.toDouble / K
+    val accAll = hist.map(_._3).sum.toDouble / hist.map(_._2).sum
+    assert(accQ <= accAll,
+      f"queue acc $accQ%.3f > corpus acc $accAll%.3f")
+  }
+
   // ---- idx5 -------------------------------------------------------
 
   test("idx5: champion-list BM25 replays exactly, every result doc " +

@@ -135,6 +135,9 @@ class ScanCountSpec extends SparkSpec {
       // cal1 rides cls2's exact 3-pass shape (shared nbDocScores);
       // the margin lead() reuses the same per-doc window
       "cal1_margin_calibration" -> ((3, 0)),
+      // al1 is cal1's window over the same shared nbDocScores 3-pass
+      // shape, ending in a TakeOrderedAndProject bottom-K
+      "al1_uncertain_topk" -> ((3, 0)),
       // pipe5's token-stats pass and the n_chars attachment re-read
       // pruned projections — the cls1/voc1 two-pass adjudication
       "pipe5_gopher_rules" -> ((2, 0)),
