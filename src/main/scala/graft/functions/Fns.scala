@@ -169,6 +169,33 @@ object Fns {
           i => concat(element_at(tokens, i), lit(" "), element_at(tokens, i + 1)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Distinct word n-gram shingles of a token array — the general
+    * form of [[bigramShingles]] (same guard: Spark's
+    * `sequence(1, 0)` is DESCENDING, so short docs take the explicit
+    * empty branch, matching DuckDB's empty `generate_series`).
+    * Decontamination screens want wider windows than dedup (a shared
+    * n-gram run must be long enough to be evidence of copying, not
+    * phrasing) — pipe6 uses n=4 where production picks 8–13. */
+  def wordShingles(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(tokens) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(tokens, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Local mirror of [[wordShingles]] for spec replays. */
+  def wordShinglesLocal(text: String, n: Int): Seq[String] = {
+    val t = text.split(" ", -1)
+    val seen = new scala.collection.mutable.LinkedHashSet[String]
+    var i = 0
+    while (i <= t.length - n) {
+      seen.add((i until i + n).map(t).mkString(" ")); i += 1
+    }
+    seen.toSeq
+  }
+
   /** k MinHash values of a shingle array: for each seed 0..k-1 the
     * minimum of the seeded hash over the shingles. One pass per seed —
     * at scale this is a narrow map, no shuffle.

@@ -410,7 +410,62 @@ object PipelineOps {
         expr("(1000000 * n_fail) div n_docs").as("fail_ppm"))
   }
 
+  /** pipe6's shingle width and quarantine threshold: a train doc
+    * sharing ≥ [[PIPE6_MIN_SHARED]] distinct [[PIPE6_NGRAM]]-gram
+    * shingles with ANY test-split content is held out of training.
+    * Width is the discriminating knob, MEASURED on the gate corpus:
+    * its 31-word vocabulary makes bigrams useless (every train doc
+    * shares ≥7 — 100% quarantine) and 4-grams surgical (4 of 408
+    * docs, the planted cross-split near-dups, one at 91 shared
+    * shingles); production picks 8–13-gram windows by the same
+    * measurement (the GPT-3/PaLM decontamination convention). */
+  private[graft] val PIPE6_NGRAM = 4
+  private[graft] val PIPE6_MIN_SHARED = 3
+
+  /** pipe6 — decontaminated split: x8 ANSWERS "which eval docs leak
+    * into train"; this op ACTS on the reverse direction — quarantine
+    * the TRAIN docs (sm2's 0–79 hash buckets) that share ≥
+    * [[PIPE6_MIN_SHARED]] distinct [[PIPE6_NGRAM]]-gram shingles
+    * with the test split (sm2's 90–99), because the fix a pipeline
+    * ships is "remove them from training", never "edit the
+    * benchmark". Output is the per-source quarantine census
+    * (n_train, n_quarantined, kept_ppm) — the decontamination report
+    * attached to a data card. Same buckets as sm2/x8, so the
+    * operators agree by construction.
+    *
+    * Plan at 100 TB: two pruned hash-filtered scans (the x8
+    * adjudication — train and test splits are disjoint row subsets);
+    * the test side reduces to DISTINCT shingles (vocabulary-sized);
+    * the train side explodes once, left-probes the test shingles, and
+    * partial-aggregates to (doc, hits) then (source, census) —
+    * explode_outer keeps shingle-less docs in the census. */
+  private def pipe6(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Fns.wordShingles
+    def side(lo: Int, hi: Int) = Tables.documents(s, d)
+      .filter(md5Long(col("doc_id")) % 100 >= lo &&
+        md5Long(col("doc_id")) % 100 < hi)
+      .select(col("doc_id"), col("source"),
+        wordShingles(toks(col("text")), PIPE6_NGRAM).as("sh"))
+    val testSh = side(90, 100)
+      .select(explode(col("sh")).as("sh")).distinct()
+    side(0, 80)
+      .select(col("doc_id"), col("source"),
+        explode_outer(col("sh")).as("sh"))
+      .join(testSh.withColumn("hit", lit(1L)), Seq("sh"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L))
+        .as("n_shared"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("n_shared") >= PIPE6_MIN_SHARED, 1L).otherwise(0L))
+          .as("n_quarantined"))
+      .select(col("source"), col("n_train"), col("n_quarantined"),
+        expr("(1000000 * (n_train - n_quarantined)) div n_train")
+          .as("kept_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe6_decontam_split" -> (pipe6 _),
     "pipe5_gopher_rules" -> (pipe5 _),
     "imp1_loo_impact" -> (imp1 _),
     "cur1_curriculum" -> (cur1 _),
@@ -467,6 +522,32 @@ object PipelineOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // x8's bucket CTEs with the direction reversed and the measured
+    // 4-gram shingle width; the LEFT-join census keeps shingle-less
+    // docs, same ≥3 quarantine rule and ppm floor-division
+    "pipe6_decontam_split" -> s"""
+      WITH s AS (SELECT doc_id, source,
+        ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS bkt,
+        list_distinct(list_transform(
+          generate_series(1, len(l) - ${PIPE6_NGRAM - 1}),
+          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))
+          AS sh
+        FROM (SELECT doc_id, source, string_split(text,' ') AS l
+              FROM documents)),
+      test AS (SELECT DISTINCT unnest(sh) AS sh FROM s WHERE bkt >= 90),
+      tr AS (SELECT doc_id, unnest(sh) AS sh FROM s WHERE bkt < 80),
+      hits AS (SELECT tr.doc_id, count(*) AS n_shared
+               FROM tr JOIN test USING (sh) GROUP BY 1),
+      census AS (SELECT s.source,
+                   coalesce(hits.n_shared, 0) AS n_shared
+                 FROM s LEFT JOIN hits USING (doc_id) WHERE s.bkt < 80)
+      SELECT source, count(*) AS n_train,
+        CAST(sum(CASE WHEN n_shared >= $PIPE6_MIN_SHARED THEN 1 ELSE 0
+          END) AS BIGINT) AS n_quarantined,
+        CAST((1000000 * (count(*) - sum(CASE WHEN n_shared >=
+          $PIPE6_MIN_SHARED THEN 1 ELSE 0 END))) // count(*)
+          AS BIGINT) AS kept_ppm
+      FROM census GROUP BY source""",
     // generated from the engine's own stopword set + thresholds
     "pipe5_gopher_rules" -> pipe5OracleSql,
     // the same (count, sum) pairs and grand totals; BIGINT / BIGINT

@@ -320,6 +320,42 @@ class Round10bOpsSpec extends SparkSpec {
       f"queue acc $accQ%.3f > corpus acc $accAll%.3f")
   }
 
+  // ---- pipe6 ------------------------------------------------------
+
+  test("pipe6: the quarantine census replays exactly (sm2's buckets, " +
+    "4-gram shingles, the ≥3 rule), conserves the train split, and " +
+    "the threshold is EXERCISED: some docs quarantine, most survive") {
+    import graft.functions.Fns.{md5LongLocal, wordShinglesLocal}
+    val N = operators.PipelineOps.PIPE6_NGRAM
+    val M = operators.PipelineOps.PIPE6_MIN_SHARED
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bkt(id: Long): Long = md5LongLocal(id.toString) % 100
+    val testSh = docs.filter(d => bkt(d._1) >= 90)
+      .flatMap(d => wordShinglesLocal(d._3, N)).toSet
+    val train = docs.filter(d => bkt(d._1) < 80)
+    val expected = train.groupBy(_._2).map { case (src, xs) =>
+      val quar = xs.count(d =>
+        wordShinglesLocal(d._3, N).count(testSh) >= M).toLong
+      val n = xs.length.toLong
+      src -> ((n, quar, 1000000L * (n - quar) / n))
+    }
+    val got = q("pipe6_decontam_split").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // conservation: per-source n_train sums to the split's true size
+    assert(got.values.map(_._1).sum == train.length.toLong)
+    // the rule discriminates on this corpus: the planted cross-split
+    // near-dups quarantine, the bulk survives (an all-or-nothing
+    // verdict would mean the shingle width stopped discriminating)
+    val totQ = got.values.map(_._2).sum
+    val totN = got.values.map(_._1).sum
+    assert(totQ > 0 && totQ * 10 < totN,
+      s"quarantined $totQ of $totN — width no longer discriminates")
+  }
+
   // ---- idx5 -------------------------------------------------------
 
   test("idx5: champion-list BM25 replays exactly, every result doc " +

@@ -180,6 +180,10 @@ class ScanCountSpec extends SparkSpec {
       // the np1 row is the recall/cost curve, priced accordingly
       "s6_ann_recall" -> ((14, 1)),
       "x8_contamination" -> ((2, 2)),
+      // pipe6 reverses x8's direction with the codegen shingle column
+      // (no kernels): train and test splits are two disjoint
+      // hash-filtered pruned scans
+      "pipe6_decontam_split" -> ((2, 0)),
       // two-pass by design: MG candidate kernel, then the exact
       // count pass re-scans behind the broadcast semi-join
       "g9_heavy_hitters" -> ((2, 1)))).toMap
