@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Fns.{md5Long, roundFp}
+import graft.functions.Fns.{md5Long, md5LongSeeded, roundFp}
 
 /** Analytics-completeness operators beyond the reference surface —
   * grouping sets, pivot, quantiles, and the sketch-based distinct the
@@ -98,6 +98,63 @@ object AnalyticsOps {
     rows.unionByName(all)
       .select(col("event_type"), col("est"), col("exact"),
         expr("(1000000 * abs(est - exact)) div exact").as("abs_err_ppm"))
+  }
+
+  /** g11's Count-Min geometry: [[CMS_D]] hash rows × [[CMS_W]]
+    * buckets. Width 16 is DELIBERATELY under the corpus vocabulary
+    * (31 terms) so collisions — the thing the sketch's min-over-rows
+    * exists to survive — actually occur and the error column is a
+    * real measurement, not a column of zeros; production widths are
+    * ~e/ε buckets for an additive-εN guarantee. */
+  private[graft] val CMS_D = 4
+  private[graft] val CMS_W = 16
+
+  /** g11 — Count-Min point-frequency sketch (Cormode & Muthukrishnan
+    * 2005) with its error audited against exact counts: completes the
+    * mergeable-sketch shelf — g5/g10 answer "how many DISTINCT", g9
+    * answers "which keys are frequent", this answers "how frequent is
+    * key k" from [[CMS_D]]·[[CMS_W]] counters regardless of corpus
+    * size. Counters are plain SUMS, so sketches merge across
+    * partitions, days, or streams by cell-wise addition (the g10
+    * mergeability contract — a 100 TB deployment keeps one tiny
+    * sketch per shard/day and unions them, never re-scans). The
+    * estimate for a key is min over the [[CMS_D]] rows of its bucket
+    * counter; over_cnt = est − exact ≥ 0 ALWAYS (one-sided error —
+    * each bucket holds the true count plus colliding mass), which the
+    * spec pins as a law and the report surfaces per key.
+    *
+    * Hash family: the engine's standard seeded md5 ("r:tok" —
+    * the MinHash/LSH foundation, portable bit-for-bit to DuckDB), so
+    * the sketch is deterministic and the oracle replays mechanism +
+    * estimator end-to-end (the an4 derandomization discipline).
+    *
+    * Scale shape: the sketch pass explodes tokens ×[[CMS_D]] seeds
+    * and partial-aggregates to ≤D·W cells map-side — the exchange
+    * carries |tasks|·64 narrow rows at ANY corpus size. The exact
+    * pass (top-10 by true count) is the x7 vocab-keyed agg with a
+    * TakeOrderedAndProject head; at 100 TB a user swaps it for g9's
+    * Misra-Gries candidates and keeps the sketch pass unchanged. The
+    * probe join runs behind a broadcast of the 64-cell sketch. */
+  private def g11(s: SparkSession, d: String): DataFrame = {
+    def toksRel = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sketch = toksRel
+      .select(col("tok"),
+        explode(sequence(lit(0), lit(CMS_D - 1))).as("r"))
+      .select(col("r"),
+        (md5LongSeeded(col("r"), col("tok")) % CMS_W).as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    toksRel.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(10)
+      .select(col("tok"), col("cnt"),
+        explode(sequence(lit(0), lit(CMS_D - 1))).as("r"))
+      .select(col("tok"), col("cnt"), col("r"),
+        (md5LongSeeded(col("r"), col("tok")) % CMS_W).as("b"))
+      .join(broadcast(sketch), Seq("r", "b"))
+      .groupBy(col("tok"), col("cnt"))
+      .agg(min(col("c")).as("est"))
+      .select(col("tok"), col("cnt"), col("est"),
+        (col("est") - col("cnt")).as("over_cnt"))
   }
 
   /** g7 — approximate quantiles (the 100 TB form of g4): a fixed-size
@@ -691,10 +748,32 @@ object AnalyticsOps {
     "g4_quantiles" -> (g4 _),
     "g5_approx_distinct" -> (g5 _),
     "g7_approx_quantiles" -> (g7 _),
-    "g10_hll_merge" -> (g10 _)
+    "g10_hll_merge" -> (g10 _),
+    "g11_cms_freq" -> (g11 _)
   )
 
   val oracles: Map[String, String] = Map(
+    // full mechanism + estimator replay: same seeded-md5 bucket
+    // hashes, same 4×16 cell sums, same min-over-rows estimate
+    "g11_cms_freq" -> s"""
+      WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+      sk AS (SELECT g.r,
+               ('0x' || substr(md5(g.r::VARCHAR || ':' || tok), 1, 15))
+                 ::BIGINT % $CMS_W AS b,
+               count(*) AS c
+             FROM t CROSS JOIN generate_series(0, ${CMS_D - 1}) g(r)
+             GROUP BY 1, 2),
+      top AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1
+              ORDER BY cnt DESC, tok LIMIT 10),
+      coords AS (SELECT top.tok, top.cnt, g.r,
+                   ('0x' || substr(md5(g.r::VARCHAR || ':' || top.tok),
+                     1, 15))::BIGINT % $CMS_W AS b
+                 FROM top CROSS JOIN generate_series(0, ${CMS_D - 1}) g(r))
+      SELECT coords.tok, coords.cnt, min(sk.c) AS est,
+        min(sk.c) - coords.cnt AS over_cnt
+      FROM coords JOIN sk USING (r, b)
+      GROUP BY 1, 2""",
     // same QI classes as an1's oracle, one summary row
     "an5_unique_risk" -> """
       WITH g AS (SELECT CAST(c_nationkey AS BIGINT) AS qi_nation,

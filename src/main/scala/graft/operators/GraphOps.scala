@@ -446,7 +446,66 @@ object GraphOps {
     census.result().toDF("peel_round", "k", "n_nodes")
   }
 
+  /** gr8's round budget: hop distances beyond [[GR8_HOPS]] collapse
+    * into the unreached row (hop = −1) together with genuinely
+    * disconnected nodes — a diameter probe, not a full APSP. */
+  private[graft] val GR8_HOPS = 3
+
+  /** gr8 — landmark BFS hop histogram: breadth-first distances from
+    * one data-derived landmark (the minimum part id in the graph)
+    * over the memoized co-purchase graph, reported as nodes-per-hop
+    * with population shares; everything not reached within
+    * [[GR8_HOPS]] rounds lands in the hop −1 row. This is the
+    * small-world/diameter diagnostic beside gr6's degree view: it
+    * measures how fast neighborhoods saturate — the number that
+    * decides whether multi-hop expansions (gr3's wedges, graph
+    * feature joins) are tractable or explosive on this graph.
+    *
+    * Scale shape: textbook distributed frontier BFS (the Pregel
+    * iteration as per-round joins): each round equi-joins the
+    * frontier against the symmetric edge list, dedups, and
+    * anti-joins the visited set — frontier/visited are node-sized
+    * and eagerly checkpointed per round (gr7's discipline: checkpoint
+    * node sets, never the corpus); the census is driver-side bounded
+    * state (one long per round — w13's rule) returned as a literal
+    * relation, so every hop row exists even when a frontier dies
+    * early. Rounds are a compile-time constant, so the whole query
+    * is [[GR8_HOPS]] shuffles regardless of data volume. */
+  private def gr8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = coEdges(s, d)
+    val sym = e.select(col("pa").as("w"), col("pb").as("n"))
+      .union(e.select(col("pb").as("w"), col("pa").as("n")))
+      .persist(StorageLevel.MEMORY_AND_DISK) // one scan per BFS round
+    val nodes = sym.select(col("w").as("p")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // total + landmark
+    val tot = nodes.count()
+    val lm = nodes.agg(min(col("p"))).head().getLong(0)
+    var visited = s.createDataset(Seq(lm)).toDF("p").localCheckpoint(true)
+    var frontier = visited
+    var reached = 1L
+    val census = Seq.newBuilder[(Long, Long)]
+    census += ((0L, 1L))
+    for (h <- 1 to GR8_HOPS) {
+      val nxt = sym.join(frontier.select(col("p").as("w")), Seq("w"))
+        .select(col("n").as("p")).distinct()
+        .join(visited, Seq("p"), "left_anti")
+        .localCheckpoint(true)
+      val cnt = nxt.count()
+      census += ((h.toLong, cnt))
+      visited = visited.union(nxt).localCheckpoint(true)
+      frontier = nxt
+      reached += cnt
+    }
+    sym.unpersist(); nodes.unpersist()
+    (census.result() :+ ((-1L, tot - reached)))
+      .toDF("hop", "n_nodes")
+      .select(col("hop"), col("n_nodes"),
+        expr(s"(1000000 * n_nodes) div $tot").as("share_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr8_hop_histogram" -> (gr8 _),
     "gr7_kcore" -> (gr7 _),
     "gr6_degree_hist" -> (gr6 _),
     "gr3_link_predict" -> (gr3 _),
@@ -488,7 +547,47 @@ object GraphOps {
       $sel"""
   }
 
+  /** gr8's oracle: the BFS unrolled as [[GR8_HOPS]] generated
+    * frontier CTEs (d_h = neighbors of d_{h−1} minus the visited
+    * union v_{h−1}) — built from the ONE round template, gr7's
+    * anti-drift discipline; the unreached row is total minus the
+    * frontier sum. */
+  private val GR8_SQL: String = {
+    val rounds = (1 to GR8_HOPS).map { h =>
+      s"""d$h AS (SELECT DISTINCT s.n AS p FROM sym s
+           JOIN d${h - 1} f ON s.w = f.p
+           WHERE s.n NOT IN (SELECT p FROM v${h - 1})),
+      v$h AS (SELECT p FROM v${h - 1} UNION SELECT p FROM d$h)"""
+    }.mkString(",\n      ")
+    val reachSel = (0 to GR8_HOPS).map { h =>
+      s"""SELECT CAST($h AS BIGINT) AS hop,
+            (SELECT count(*) FROM d$h) AS n_nodes"""
+    }.mkString("\n      UNION ALL ")
+    val reachedSum = (0 to GR8_HOPS)
+      .map(h => s"(SELECT count(*) FROM d$h)").mkString(" - ")
+    s"""
+      WITH ip AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM ip a JOIN ip b
+            ON a.o = b.o AND a.p < b.p),
+      sym AS (SELECT pa AS w, pb AS n FROM e
+              UNION ALL SELECT pb, pa FROM e),
+      nodes AS (SELECT DISTINCT w AS p FROM sym),
+      d0 AS (SELECT min(p) AS p FROM nodes),
+      v0 AS (SELECT p FROM d0),
+      $rounds,
+      hist AS (
+      $reachSel
+      UNION ALL SELECT CAST(-1 AS BIGINT),
+        (SELECT count(*) FROM nodes) - $reachedSum)
+      SELECT hop, n_nodes,
+        (1000000 * n_nodes) // (SELECT count(*) FROM nodes)
+          AS share_ppm
+      FROM hist"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "gr8_hop_histogram" -> GR8_SQL,
     "gr7_kcore" -> GR7_SQL,
     // same edge derivation as gr4's oracle, same integer-log2 buckets
     "gr6_degree_hist" -> """

@@ -464,7 +464,51 @@ object PipelineOps {
           .as("kept_ppm"))
   }
 
+  /** pipe7's token budget: the target training-mix size the per-source
+    * quotas must sum to EXACTLY. */
+  private[graft] val PIPE7_BUDGET = 1000000L
+
+  /** pipe7 — token-budget apportionment (Hamilton / largest-remainder):
+    * split a fixed [[PIPE7_BUDGET]]-token training budget across
+    * sources proportionally to their measured token mass, exactly —
+    * floor quotas first, then the leftover tokens go one each to the
+    * largest remainders (ties broken by source name). This is the
+    * final assembly step of a training-mix pipeline (sm3/sm6 decide
+    * the WEIGHTS; this turns weights into integer token quotas a
+    * sampler can execute), and the largest-remainder rule is why
+    * Σ alloc = budget holds as an identity rather than drifting by
+    * |sources| rounding errors.
+    *
+    * Exactness/domains: all integer. budget·n_tokens stays inside
+    * BIGINT while the corpus holds < 9.2·10¹² tokens (budget = 10⁶);
+    * past that, pre-scale n_tokens by a power of two before the
+    * products — remainder ORDER is preserved, which is all the rule
+    * consumes (the att2/emb5 domain-pinning convention).
+    *
+    * Scale shape: one pruned scan partial-aggregates to the
+    * |sources|-row mass relation; the quota arithmetic is two window
+    * passes over those ≤20 rows (sm6's one-relation window discipline
+    * — a separate agg+crossJoin would re-plan the counts subtree per
+    * consumer). Nothing after the first agg depends on volume. */
+  private def pipe7(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val byRem = Window.orderBy(col("rem").desc, col("source").asc)
+    Tables.documents(s, d)
+      .select(col("source"), size(toks(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("tot", sum(col("n_tokens")).over(all))
+      .withColumn("fl", expr(s"($PIPE7_BUDGET * n_tokens) div tot"))
+      .withColumn("rem", expr(s"($PIPE7_BUDGET * n_tokens) % tot"))
+      .withColumn("short", lit(PIPE7_BUDGET) - sum(col("fl")).over(all))
+      .withColumn("rnk", row_number().over(byRem))
+      .select(col("source"), col("n_tokens"),
+        (col("fl") + when(col("rnk") <= col("short"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe7_token_budget" -> (pipe7 _),
     "pipe6_decontam_split" -> (pipe6 _),
     "pipe5_gopher_rules" -> (pipe5 _),
     "imp1_loo_impact" -> (imp1 _),
@@ -522,6 +566,25 @@ object PipelineOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // same floor quotas, same largest-remainder top-up with the
+    // (rem DESC, source) tie order
+    "pipe7_token_budget" -> s"""
+      WITH c AS (SELECT source,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      w AS (SELECT source, n_tokens,
+              CAST(sum(n_tokens) OVER () AS BIGINT) AS tot FROM c),
+      f AS (SELECT source, n_tokens,
+              ($PIPE7_BUDGET * n_tokens) // tot AS fl,
+              ($PIPE7_BUDGET * n_tokens) % tot AS rem FROM w),
+      r AS (SELECT f.*,
+              $PIPE7_BUDGET - CAST(sum(fl) OVER () AS BIGINT) AS short,
+              row_number() OVER (ORDER BY rem DESC, source) AS rnk
+            FROM f)
+      SELECT source, n_tokens,
+        CAST(fl + CASE WHEN rnk <= short THEN 1 ELSE 0 END AS BIGINT)
+          AS alloc_tokens
+      FROM r""",
     // x8's bucket CTEs with the direction reversed and the measured
     // 4-gram shingle width; the LEFT-join census keeps shingle-less
     // docs, same ≥3 quarantine rule and ppm floor-division

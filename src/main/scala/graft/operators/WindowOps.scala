@@ -602,6 +602,68 @@ object WindowOps {
                        * 1000000 + 0.5) / 1000000 END""").as("r"))
   }
 
+  /** ts5's lag range: 1..7 days — one calendar week, so the lag-7
+    * row IS the weekly-seasonality strength the w12/w14 operators
+    * assume exists. */
+  private[graft] val TS5_MAX_LAG = 7L
+
+  /** ts5 — autocorrelation function of the daily event volume at
+    * lags 1..[[TS5_MAX_LAG]]: ts2 asks "does series X lead series Y";
+    * this asks the prior question of ONE series — "does the volume
+    * remember itself, and at what period" — the diagnostic that
+    * justifies w12's weekday profile (lag-7 peak), w14's
+    * dow-adjustment (remove it), and ts3/w15's smoothing constants
+    * (how fast memory decays). Same dense-calendar discipline as
+    * ts1/ts2 (gap days are real zero observations, not missing), same
+    * exact integer moments, same single pinned float expression per
+    * lag with the DOUBLE-before-product overflow rule.
+    *
+    * Scale shape: ONE pruned scan reduces to (day, count) — calendar-
+    * sized at any corpus volume; the lag pairing is a self-join of
+    * that calendar-bounded series against a broadcast 7-row lag
+    * dimension, and each lag's moments partial-aggregate to one row.
+    * Nothing downstream of the first agg depends on data volume. */
+  private def ts5(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import s.implicits._
+    val byDay = Tables.events(s, d)
+      .select(expr(s"unix_micros(ts) div $W10_DAY_US").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // span agg + grid join
+    val series = byDay
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .join(byDay.select(col("day"), col("n").as("x")), Seq("day"), "left")
+      .na.fill(0L, Seq("x"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the lag join
+    series
+      .crossJoin(broadcast((1L to TS5_MAX_LAG).toList.toDF("lag")))
+      .join(series.select(col("day").as("dy"), col("x").as("y")),
+        col("dy") === col("day") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      // the ts2 overflow discipline: moments to DOUBLE BEFORE any
+      // n·sxx − sx² product forms
+      .select(col("lag"), col("n_days"),
+        col("n_days").cast("double").as("nd"),
+        col("sx").cast("double").as("sxd"),
+        col("sy").cast("double").as("syd"),
+        col("sxx").cast("double").as("sxxd"),
+        col("syy").cast("double").as("syyd"),
+        col("sxy").cast("double").as("sxyd"))
+      .select(col("lag"), col("n_days"),
+        expr("""CASE WHEN nd * sxxd - sxd * sxd <= 0
+                       OR nd * syyd - syd * syd <= 0 THEN NULL
+                ELSE floor((nd * sxyd - sxd * syd)
+                       / (sqrt(nd * sxxd - sxd * sxd)
+                          * sqrt(nd * syyd - syd * syd))
+                       * 1000000 + 0.5) / 1000000 END""").as("r"))
+  }
+
   /** w13 — CUSUM drift detection over the daily event volume
     * (Page '54): s_d = max(0, s_{d-1} + x_d − μ − k), alarm when the
     * accumulated positive drift clears h = 5k. The sequential
@@ -866,6 +928,7 @@ object WindowOps {
     "w14_dow_anomaly" -> (w14 _),
     "w13_cusum" -> (w13 _),
     "ts2_xcorr" -> (ts2 _),
+    "ts5_acf" -> (ts5 _),
     "w12_dow_profile" -> (w12 _),
     "fn2_time_to_convert" -> (fn2 _),
     "ts1_gapfill" -> (ts1 _),
@@ -1053,6 +1116,34 @@ object WindowOps {
               AS lag),
       p AS (SELECT l.lag, x.x, y.y FROM x CROSS JOIN l
             JOIN y ON y.day = x.day + l.lag),
+      m AS (SELECT lag, count(*) AS n_days,
+              CAST(count(*) AS DOUBLE) AS nd,
+              CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+              CAST(sum(x * x) AS DOUBLE) AS sxx,
+              CAST(sum(y * y) AS DOUBLE) AS syy,
+              CAST(sum(x * y) AS DOUBLE) AS sxy
+            FROM p GROUP BY 1)
+      SELECT lag, n_days,
+        CASE WHEN nd * sxx - sx * sx <= 0
+               OR nd * syy - sy * sy <= 0 THEN NULL
+        ELSE floor((nd * sxy - sx * sy)
+               / (sqrt(nd * sxx - sx * sx)
+                  * sqrt(nd * syy - sy * sy))
+               * 1000000 + 0.5) / 1000000 END AS r
+      FROM m""",
+    // ts2's dense grid and pinned-float r, self-joined at lags 1..7
+    "ts5_acf" -> s"""
+      WITH c AS (SELECT epoch_us(ts) // $W10_DAY_US AS day,
+                   count(*) AS n
+                 FROM events GROUP BY 1),
+      span AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+      grid AS (SELECT g.day, coalesce(c.n, 0) AS x
+               FROM (SELECT unnest(generate_series(d0, d1)) AS day
+                     FROM span) g
+               LEFT JOIN c ON c.day = g.day),
+      l AS (SELECT unnest(generate_series(1, $TS5_MAX_LAG)) AS lag),
+      p AS (SELECT l.lag, a.x, b.x AS y FROM grid a CROSS JOIN l
+            JOIN grid b ON b.day = a.day + l.lag),
       m AS (SELECT lag, count(*) AS n_days,
               CAST(count(*) AS DOUBLE) AS nd,
               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,

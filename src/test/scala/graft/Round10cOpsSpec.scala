@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-10c wave (Count-Min frequency
+  * sketch, landmark BFS) — plain-Scala replays plus the laws the
+  * DuckDB oracle can't state directly: g11's one-sided-error
+  * guarantee and exercised collision column, gr8's node conservation
+  * and frontier-disjointness.
+  */
+class Round10cOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // ---- g11 --------------------------------------------------------
+
+  test("g11: the CMS estimates replay exactly from a local sketch, " +
+    "the error is one-sided (est >= cnt ALWAYS), and the collision " +
+    "column is EXERCISED (vocab 31 > width 16 forces overestimates)") {
+    import graft.functions.Fns.md5LongLocal
+    val D = operators.AnalyticsOps.CMS_D
+    val W = operators.AnalyticsOps.CMS_W
+    val toks = Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    def bucket(r: Int, tok: String): Long = md5LongLocal(s"$r:$tok") % W
+    val cells = scala.collection.mutable.HashMap
+      .empty[(Int, Long), Long].withDefaultValue(0L)
+    for (t <- toks; r <- 0 until D) cells((r, bucket(r, t))) += 1L
+    val exact = toks.groupBy(identity).map { case (t, xs) =>
+      t -> xs.length.toLong
+    }
+    val top = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+    val expected = top.map { case (t, c) =>
+      t -> ((c, (0 until D).map(r => cells((r, bucket(r, t)))).min))
+    }.toMap
+    val got = q("g11_cms_freq").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === expected.keySet)
+    for ((t, (cnt, est)) <- expected) {
+      assert(got(t) === ((cnt, est, est - cnt)), s"tok $t")
+      // the CMS one-sided guarantee: a bucket holds the true count
+      // plus colliding mass, so min-over-rows never underestimates
+      assert(est >= cnt, s"tok $t underestimated")
+    }
+    // the geometry is chosen so collisions actually occur (width 16
+    // under a 31-term vocabulary) — a zero error column would mean
+    // the audit stopped measuring anything
+    assert(got.values.exists(_._3 > 0), "no collision reached the report")
+  }
+
+  // ---- gr8 --------------------------------------------------------
+
+  test("gr8: the hop histogram replays exactly from a local BFS over " +
+    "the co-purchase edges, conserves the node population, and pins " +
+    "hop 0 to the single landmark") {
+    val ip = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = ip.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    for ((a, b) <- edges) {
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val nodes = adj.keySet.toSet
+    val hops = operators.GraphOps.GR8_HOPS
+    val lm = nodes.min
+    var visited = Set(lm)
+    var frontier = Set(lm)
+    val hist = scala.collection.mutable.LinkedHashMap(0L -> 1L)
+    for (h <- 1 to hops) {
+      val nxt = frontier.flatMap(adj(_)) -- visited
+      hist(h.toLong) = nxt.size.toLong
+      visited ++= nxt
+      frontier = nxt
+    }
+    hist(-1L) = (nodes.size - visited.size).toLong
+    val got = q("gr8_hop_histogram").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === hist.keySet.toSet)
+    for ((h, n) <- hist)
+      assert(got(h) === ((n, 1000000L * n / nodes.size)), s"hop $h")
+    // conservation: every node is in exactly one hop row (frontiers
+    // are disjoint by the anti-join; -1 catches the remainder)
+    assert(got.values.map(_._1).sum == nodes.size.toLong)
+    assert(got(0L)._1 == 1L)
+  }
+
+  // ---- ts5 --------------------------------------------------------
+
+  test("ts5: the ACF replays exactly from a local dense-calendar " +
+    "walk, every non-null r sits in [-1, 1], and each lag pairs " +
+    "span - lag days") {
+    val L = operators.WindowOps.TS5_MAX_LAG
+    val days = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(_.getLong(0))
+    val (d0, d1) = (days.min, days.max)
+    val counts = days.groupBy(identity).map { case (d, xs) =>
+      d -> xs.length.toLong
+    }
+    val x = (d0 to d1).map(d => counts.getOrElse(d, 0L))
+    def acf(lag: Int): (Long, Option[Double]) = {
+      val pairs = x.dropRight(lag).zip(x.drop(lag))
+      val n = pairs.length.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum.toDouble,
+        pairs.map(_._2).sum.toDouble)
+      val sxx = pairs.map(p => p._1.toDouble * p._1).sum
+      val syy = pairs.map(p => p._2.toDouble * p._2).sum
+      val sxy = pairs.map(p => p._1.toDouble * p._2).sum
+      val (vx, vy) = (n * sxx - sx * sx, n * syy - sy * sy)
+      val r = if (vx <= 0 || vy <= 0) None
+      else Some(math.floor((n * sxy - sx * sy)
+        / (math.sqrt(vx) * math.sqrt(vy)) * 1000000 + 0.5) / 1000000)
+      (pairs.length.toLong, r)
+    }
+    val got = q("ts5_acf").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(got.keySet === (1L to L).toSet)
+    for (lag <- 1L to L) {
+      assert(got(lag) === acf(lag.toInt), s"lag $lag")
+      // each lag drops exactly `lag` pairs off the dense span
+      assert(got(lag)._1 == (d1 - d0 + 1) - lag, s"lag $lag n_days")
+      got(lag)._2.foreach(r => assert(math.abs(r) <= 1.0, s"lag $lag |r|"))
+    }
+  }
+
+  // ---- pipe7 ------------------------------------------------------
+
+  test("pipe7: the apportionment replays exactly, conserves the " +
+    "budget as an identity, and every quota is within one token of " +
+    "its exact proportional share") {
+    val B = operators.PipelineOps.PIPE7_BUDGET
+    val masses = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+      .groupBy(_._1).map { case (src, xs) => src -> xs.map(_._2).sum }
+    val tot = masses.values.sum
+    val fl = masses.map { case (s0, n) => s0 -> (B * n / tot) }
+    val rem = masses.map { case (s0, n) => s0 -> (B * n % tot) }
+    val short = B - fl.values.sum
+    val topUp = rem.toSeq.sortBy { case (s0, r) => (-r, s0) }
+      .take(short.toInt).map(_._1).toSet
+    val expected = masses.map { case (s0, n) =>
+      s0 -> ((n, fl(s0) + (if (topUp(s0)) 1L else 0L)))
+    }
+    val got = q("pipe7_token_budget").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // the Hamilton identity: quotas sum to the budget EXACTLY
+    assert(got.values.map(_._2).sum == B)
+    // and each source sits within one token of its exact share
+    for ((s0, (_, alloc)) <- got)
+      assert(alloc == fl(s0) || alloc == fl(s0) + 1, s"source $s0")
+  }
+}

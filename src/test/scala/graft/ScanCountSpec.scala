@@ -186,7 +186,11 @@ class ScanCountSpec extends SparkSpec {
       "pipe6_decontam_split" -> ((2, 0)),
       // two-pass by design: MG candidate kernel, then the exact
       // count pass re-scans behind the broadcast semi-join
-      "g9_heavy_hitters" -> ((2, 1)))).toMap
+      "g9_heavy_hitters" -> ((2, 1)),
+      // g11's sketch pass and exact-top pass each re-read the pruned
+      // text projection (the g9 two-pass adjudication, no kernel —
+      // the sketch is a declarative 64-cell agg)
+      "g11_cms_freq" -> ((2, 0)))).toMap
       .withDefaultValue((1, 0))
   }
 
