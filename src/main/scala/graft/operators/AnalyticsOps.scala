@@ -440,12 +440,14 @@ object AnalyticsOps {
     * joins into row loss downstream — and a clean corpus proves
     * itself with four zero rows rather than by assumption.
     *
-    * Scale shape: each edge is one LeftAnti equi-join of the child
-    * key projection against the DISTINCT parent key (j6's shape) —
-    * the anti side aggregates to one row immediately, and the four
-    * audits are independent branches unioned at 4 rows. Key columns
-    * only ever shuffle; at extreme scale each anti-join downgrades
-    * to the j7 bloom-prefilter form with the same semantics. */
+    * Scale shape: each edge pre-aggregates the child to (key, row
+    * count) — map-side combine collapses the exchange to DISTINCT
+    * child keys — then left-joins the DISTINCT parent key and sums
+    * cnt under a null-parent flag; n_rows is Σcnt off the SAME
+    * relation, so no audit re-touches child rows after its one agg.
+    * The four audits are independent branches unioned at 4 rows; at
+    * extreme scale the parent side additionally downgrades to the j7
+    * bloom-prefilter form with the same semantics. */
   private def dq1(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // The fact tables are read ONCE as pruned key projections and
@@ -455,20 +457,27 @@ object AnalyticsOps {
     // audit pay each table's scan exactly once (the r10 probe fix).
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // 3 audits + their counts
+      .persist(StorageLevel.MEMORY_AND_DISK) // 3 audits
     val ord = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"))
       .persist(StorageLevel.MEMORY_AND_DISK) // child + parent + count
+    // Each audit pre-aggregates the child to (key, row-count): the
+    // partial agg combines map-side, so the probe exchange carries
+    // DISTINCT child keys instead of every child row (the ×10 gate
+    // measured the row-level anti-join at 3.1×/decade — this is the
+    // dq1 shuffle-volume fix), and the same aggregated relation
+    // yields n_rows as Σcnt — no separate count branch. The orphan
+    // test becomes a left join + null flag over key-sized sides.
     def audit(edge: String, child: DataFrame, key: String,
-              parent: DataFrame, pkey: String): DataFrame = {
-      val orphans = child.select(col(key).as("k"))
-        .join(parent.select(col(pkey).as("k")).distinct(),
-          Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      child.agg(count(lit(1)).as("n_rows")).crossJoin(orphans)
+              parent: DataFrame, pkey: String): DataFrame =
+      child.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+        .join(parent.select(col(pkey).as("k")).distinct()
+          .withColumn("hit", lit(1L)), Seq("k"), "left")
+        .agg(sum(col("cnt")).as("n_rows"),
+          sum(when(col("hit").isNull, col("cnt")).otherwise(0L))
+            .as("n_orphans"))
         .select(lit(edge).as("fk"), col("n_rows"), col("n_orphans"),
           expr("(1000000 * n_orphans) div n_rows").as("orphan_ppm"))
-    }
     audit("orders.custkey", ord, "o_custkey",
         Tables.customer(s, d), "c_custkey")
       .union(audit("lineitem.orderkey", li, "l_orderkey",
