@@ -488,6 +488,51 @@ object AnalyticsOps {
         Tables.supplier(s, d), "s_suppkey"))
   }
 
+  /** Benford first-digit expectations in exact ppm — floor(log10(1 +
+    * 1/d)·10⁶) adjusted so the nine constants sum to exactly 10⁶;
+    * ONE list shared by the engine and the oracle generator (the
+    * DQ2_COLS anti-drift rule). Constants are data, not libm calls —
+    * the x19/dq3 log-free portability discipline. */
+  private[graft] val DQ4_BENFORD_PPM: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** dq4 — Benford first-digit audit over order totals: observed
+    * leading-digit shares vs the Benford expectation, per digit, with
+    * the signed deviation — the classic fabricated-data / upstream-
+    * generator screen (a synthetic price generator that draws
+    * uniformly, as TPC-H's does, shows up IMMEDIATELY as a fat 1–9
+    * plateau; an organic multiplicative process hugs the curve). The
+    * deviation column is the finding either way — dq2 audits
+    * completeness, dq3 drift, this audits the VALUES' digit process.
+    *
+    * Domain: first digit of the integer part, well-defined because
+    * o_totalprice ≥ 1 (TestDataContractSpec pins the events/orders
+    * value domains); digits absent from the data still report via
+    * the literal digit dimension (n = 0), so the row count is always
+    * 9.
+    *
+    * Scale shape: one pruned scan partial-aggregates to ≤9 digit
+    * keys; the expectation is a 9-row literal relation joined after
+    * the agg. Nothing after the first agg depends on volume. */
+  private def dq4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = Tables.orders(s, d)
+      // explicit floor: DuckDB ROUNDS double→BIGINT casts where the
+      // JVM truncates — 999.5 would flip its leading digit 9 → 1
+      .select(substring(floor(col("o_totalprice")).cast("bigint")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    DQ4_BENFORD_PPM.toDF("digit", "exp_ppm")
+      .join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("tot", sum(col("n")).over(all))
+      .select(col("digit"), col("n"),
+        expr("(1000000 * n) div tot").as("obs_ppm"), col("exp_ppm"),
+        (expr("(1000000 * n) div tot") - col("exp_ppm")).as("dev_ppm"))
+  }
+
   /** ab1 — two-proportion A/B conversion test: users split into two
     * arms by the engine's standard key hash (sm2's convention —
     * deterministic, join-stable, re-run-stable), conversion = "the
@@ -758,10 +803,31 @@ object AnalyticsOps {
     "g5_approx_distinct" -> (g5 _),
     "g7_approx_quantiles" -> (g7 _),
     "g10_hll_merge" -> (g10 _),
-    "g11_cms_freq" -> (g11 _)
+    "g11_cms_freq" -> (g11 _),
+    "dq4_benford" -> (dq4 _)
   )
 
   val oracles: Map[String, String] = Map(
+    // generated from the SAME DQ4_BENFORD_PPM constants; digits with
+    // no rows report through the literal dimension
+    "dq4_benford" -> {
+      val dim = DQ4_BENFORD_PPM.map { case (dg, p) =>
+        s"SELECT $dg AS digit, CAST($p AS BIGINT) AS exp_ppm"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH dim AS (
+        $dim),
+      obs AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+                AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+              count(*) AS n
+              FROM orders GROUP BY 1),
+      j AS (SELECT dim.digit, coalesce(obs.n, 0) AS n, dim.exp_ppm,
+              CAST(sum(coalesce(obs.n, 0)) OVER () AS BIGINT) AS tot
+            FROM dim LEFT JOIN obs ON dim.digit = obs.digit)
+      SELECT digit, n, (1000000 * n) // tot AS obs_ppm, exp_ppm,
+        (1000000 * n) // tot - exp_ppm AS dev_ppm
+      FROM j"""
+    },
     // full mechanism + estimator replay: same seeded-md5 bucket
     // hashes, same 4×16 cell sums, same min-over-rows estimate
     "g11_cms_freq" -> s"""

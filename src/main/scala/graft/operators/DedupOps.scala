@@ -1113,7 +1113,61 @@ object DedupOps {
           col("ta")).otherwise(col("tb")).as("canonical"))
   }
 
+  /** er4's sample size (FIXED — the cls3/s6 rule: a constant probe
+    * set keeps the exhaustive sweep linear at any catalog size) and
+    * the gold Jaro-Winkler threshold. */
+  private[graft] val ER4_SAMPLE_K = 40
+  private[graft] val ER4_JW_MIN = 0.9
+
+  /** er4 — blocking-quality census: er1/er2 ASSUME their
+    * (2nd-name-word, size) blocking key; this MEASURES it — the s6
+    * composition rule applied to entity resolution. A fixed
+    * [[ER4_SAMPLE_K]]-part probe set (hash-ordered, deterministic)
+    * sweeps the ENTIRE catalog exhaustively: gold pairs are those
+    * with Jaro-Winkler ≥ [[ER4_JW_MIN]] (the er2 bit-pinned kernel),
+    * candidate pairs are those sharing the blocking key, and the
+    * report is the two numbers every blocking scheme is judged by —
+    * pair completeness (what fraction of true matches the blocks
+    * keep) and reduction ratio (what fraction of the quadratic the
+    * blocks never score). Directed (probe, other) pairs throughout:
+    * both sides of the census count the same objects by construction.
+    *
+    * Scale shape: ONE catalog scan cross-joined against the
+    * broadcast ≤K-row probe set scores JW + block membership + the
+    * gold∧cand hit inside whole-stage codegen and collapses straight
+    * into a 1-row aggregate — K·N work, the cls3 shape, with nothing
+    * quadratic in the catalog. The probe head is
+    * TakeOrderedAndProject on the key hash. */
+  private def er4(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        element_at(split(col("p_name"), " "), 2).as("noun"))
+    val probe = parts
+      .orderBy(md5Long(col("p_partkey")).asc, col("p_partkey").asc)
+      .limit(ER4_SAMPLE_K)
+      .select(col("p_partkey").as("ka"), col("p_name").as("na"),
+        col("p_size").as("sza"), col("noun").as("nna"))
+    parts.crossJoin(broadcast(probe))
+      .filter(col("p_partkey") =!= col("ka"))
+      .select(
+        (roundFp(jaroWinkler(col("na"), col("p_name")), 6)
+          >= ER4_JW_MIN).as("gold"),
+        (col("nna") === col("noun") &&
+          col("sza") === col("p_size")).as("cand"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("gold"), 1L).otherwise(0L)).as("n_gold"),
+        sum(when(col("cand"), 1L).otherwise(0L)).as("n_cand"),
+        sum(when(col("gold") && col("cand"), 1L).otherwise(0L))
+          .as("n_hit"))
+      .select(col("n_pairs"), col("n_gold"), col("n_cand"), col("n_hit"),
+        expr("CASE WHEN n_gold = 0 THEN NULL " +
+          "ELSE (1000000 * n_hit) div n_gold END").as("completeness_ppm"),
+        expr("(1000000 * (n_pairs - n_cand)) div n_pairs")
+          .as("reduction_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er4_blocking_eval" -> (er4 _),
     "er3_symspell" -> (er3 _),
     "d13_minhash_fidelity" -> (d13 _),
     "leak1_split_leakage" -> (leak1 _),
@@ -1245,6 +1299,36 @@ object DedupOps {
     // record-pair semantics (the engine aggregates to distinct names
     // first — er1's proven equivalence); jw rounded with the portable
     // floor form BEFORE banding so both engines bin the same double
+    // same hash-ordered fixed probe head, bit-pinned JW kernel, and
+    // directed-pair census as the engine
+    "er4_blocking_eval" -> s"""
+      WITH p AS (SELECT p_partkey, p_name, p_size,
+                   string_split(p_name, ' ')[2] AS noun
+                 FROM part),
+      probe AS (SELECT p_partkey AS ka, p_name AS na, p_size AS sza,
+                  noun AS nna
+                FROM p
+                ORDER BY ('0x' || substr(md5(p_partkey::VARCHAR),
+                  1, 15))::BIGINT, p_partkey
+                LIMIT $ER4_SAMPLE_K),
+      sc AS (SELECT
+               floor(jaro_winkler_similarity(na, p_name)*1000000 + 0.5)
+                 /1000000 >= $ER4_JW_MIN AS gold,
+               (nna = noun AND sza = p_size) AS cand
+             FROM p CROSS JOIN probe WHERE p.p_partkey != probe.ka),
+      a AS (SELECT count(*) AS n_pairs,
+              CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_gold,
+              CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_cand,
+              CAST(sum(CASE WHEN gold AND cand THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit
+            FROM sc)
+      SELECT n_pairs, n_gold, n_cand, n_hit,
+        CASE WHEN n_gold = 0 THEN NULL
+          ELSE (1000000 * n_hit) // n_gold END AS completeness_ppm,
+        (1000000 * (n_pairs - n_cand)) // n_pairs AS reduction_ppm
+      FROM a""",
     "er2_jw_block" -> """
       WITH p AS (SELECT p_partkey, p_name, p_size,
                    string_split(p_name, ' ')[2] AS noun

@@ -164,4 +164,68 @@ class Round10cOpsSpec extends SparkSpec {
     for ((s0, (_, alloc)) <- got)
       assert(alloc == fl(s0) || alloc == fl(s0) + 1, s"source $s0")
   }
+
+  // ---- dq4 --------------------------------------------------------
+
+  test("dq4: the Benford audit replays exactly from local digit " +
+    "counts, the expectation constants sum to exactly one million, " +
+    "all nine digits report, and rows conserve the order count") {
+    val consts = operators.AnalyticsOps.DQ4_BENFORD_PPM
+    assert(consts.map(_._2).sum == 1000000L)
+    val prices = Tables.orders(spark, sf)
+      .select(col("o_totalprice")).collect().map(_.getDouble(0))
+    val counts = prices
+      .map(p => math.floor(p).toLong.toString.head.asDigit)
+      .groupBy(identity).map { case (dg, xs) => dg -> xs.length.toLong }
+    val tot = prices.length.toLong
+    val got = q("dq4_benford").collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === (1 to 9).toSet)
+    for ((dg, exp) <- consts) {
+      val n = counts.getOrElse(dg, 0L)
+      val obs = 1000000L * n / tot
+      assert(got(dg) === ((n, obs, exp, obs - exp)), s"digit $dg")
+    }
+    assert(got.values.map(_._1).sum == tot)
+    // TPC-H's uniform price generator is NOT Benford — the audit's
+    // whole point is that this deviation is visible
+    assert(got.values.map(d => math.abs(d._4)).max > 10000,
+      "deviation column no longer detects the uniform generator")
+  }
+
+  // ---- er4 --------------------------------------------------------
+
+  test("er4: the blocking census replays exactly from a local " +
+    "probe-set sweep with the bit-pinned JW kernel, hits never " +
+    "exceed gold or candidates, and both census axes are exercised") {
+    import graft.functions.{JaroWinklerKernel => JW}
+    import graft.functions.Fns.md5LongLocal
+    val K = operators.DedupOps.ER4_SAMPLE_K
+    val minJw = operators.DedupOps.ER4_JW_MIN
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_name"), col("p_size")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    def noun(name: String) = name.split(" ")(1)
+    val probe = parts
+      .sortBy { case (k, _, _) => (md5LongLocal(k.toString), k) }.take(K)
+    var (nPairs, nGold, nCand, nHit) = (0L, 0L, 0L, 0L)
+    for ((ka, na, sza) <- probe; (kb, nb, szb) <- parts if kb != ka) {
+      nPairs += 1
+      val jw = math.floor(JW.similarity(na, nb) * 1000000 + 0.5) / 1000000
+      val gold = jw >= minJw
+      val cand = noun(na) == noun(nb) && sza == szb
+      if (gold) nGold += 1
+      if (cand) nCand += 1
+      if (gold && cand) nHit += 1
+    }
+    val r = q("er4_blocking_eval").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((nPairs, nGold, nCand, nHit)))
+    assert(r.getLong(4) == 1000000L * nHit / nGold)
+    assert(r.getLong(5) == 1000000L * (nPairs - nCand) / nPairs)
+    // the census only measures anything if both axes are inhabited
+    assert(nGold > 0 && nCand > 0)
+    assert(nHit <= nGold && nHit <= nCand)
+  }
 }

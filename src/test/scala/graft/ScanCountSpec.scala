@@ -190,7 +190,10 @@ class ScanCountSpec extends SparkSpec {
       // g11's sketch pass and exact-top pass each re-read the pruned
       // text projection (the g9 two-pass adjudication, no kernel —
       // the sketch is a declarative 64-cell agg)
-      "g11_cms_freq" -> ((2, 0)))).toMap
+      "g11_cms_freq" -> ((2, 0)),
+      // er4's fixed probe head and the catalog sweep are two pruned
+      // part reads (the cls3 probe-set adjudication)
+      "er4_blocking_eval" -> ((2, 0)))).toMap
       .withDefaultValue((1, 0))
   }
 

@@ -124,4 +124,18 @@ class TestDataContractSpec extends SparkSpec {
           "division convention")
     }
   }
+
+  test("orders.o_totalprice >= 1 at every scale factor — dq4's " +
+    "leading digit is the first char of the floored integer part, " +
+    "which only names the Benford significand while values stay " +
+    "above 1; a sub-1 price would need the decimal-scan form") {
+    sfs.foreach { dir =>
+      val minP = Tables.orders(spark, dir)
+        .select(org.apache.spark.sql.functions.expr("min(o_totalprice)"))
+        .collect()(0).getDouble(0)
+      assert(minP >= 1.0,
+        s"$dir orders reach o_totalprice $minP < 1 — dq4's integer-part " +
+          "first digit stops being the Benford significand digit")
+    }
+  }
 }
