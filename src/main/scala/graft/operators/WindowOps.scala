@@ -664,6 +664,50 @@ object WindowOps {
                        * 1000000 + 0.5) / 1000000 END""").as("r"))
   }
 
+  /** w16 — above/below-mean volume streaks (gaps-and-islands): the
+    * dense daily series flagged against its integer calendar mean,
+    * consecutive same-side days grouped into runs by the classic
+    * day − row_number island key, reported per side as run count,
+    * longest run, and total days. This is the run-length view of
+    * drift that w13's CUSUM accumulates and ts5's ACF averages: a
+    * ramping source shows up here as ONE long terminal above-mean
+    * streak (the "how long has it been elevated" question an alert
+    * ticket actually asks). The island trick is also the missing
+    * operator-class exemplar: every sessionization-without-
+    * timestamps problem (consecutive error runs, streak features)
+    * reduces to it.
+    *
+    * Exactness: all integer — counts, the floor-div mean, day
+    * arithmetic; runs are a bijection of the (side, day − rank) key.
+    *
+    * Scale shape: one pruned scan → (day, count) agg (calendar-sized
+    * forever after); the island window partitions the ≤|days| grid
+    * in two and the two aggs collapse to 2 rows. The w12/w13
+    * calendar-bounded discipline end to end. */
+  private def w16(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val byDay = Tables.events(s, d)
+      .select(expr(s"unix_micros(ts) div $W10_DAY_US").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // span agg + grid join
+    val grid = byDay
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .join(byDay.select(col("day"), col("n").as("x")), Seq("day"), "left")
+      .na.fill(0L, Seq("x"))
+    val bySide = Window.partitionBy(col("above")).orderBy(col("day"))
+    grid
+      .withColumn("mu", expr("sum(x) over () div count(1) over ()"))
+      .select(col("day"), (col("x") > col("mu")).as("above"))
+      .withColumn("isl", col("day") - row_number().over(bySide))
+      .groupBy(col("above"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("above"))
+      .agg(count(lit(1)).as("n_runs"), max(col("len")).as("longest_run"),
+        sum(col("len")).as("n_days"))
+  }
+
   /** w13 — CUSUM drift detection over the daily event volume
     * (Page '54): s_d = max(0, s_{d-1} + x_d − μ − k), alarm when the
     * accumulated positive drift clears h = 5k. The sequential
@@ -929,6 +973,7 @@ object WindowOps {
     "w13_cusum" -> (w13 _),
     "ts2_xcorr" -> (ts2 _),
     "ts5_acf" -> (ts5 _),
+    "w16_streaks" -> (w16 _),
     "w12_dow_profile" -> (w12 _),
     "fn2_time_to_convert" -> (fn2 _),
     "ts1_gapfill" -> (ts1 _),
@@ -1131,6 +1176,29 @@ object WindowOps {
                   * sqrt(nd * syy - sy * sy))
                * 1000000 + 0.5) / 1000000 END AS r
       FROM m""",
+    // same dense grid, floor-div mean, and day - row_number islands
+    "w16_streaks" -> s"""
+      WITH c AS (SELECT epoch_us(ts) // $W10_DAY_US AS day,
+                   count(*) AS n
+                 FROM events GROUP BY 1),
+      span AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+      grid AS (SELECT g.day, coalesce(c.n, 0) AS x
+               FROM (SELECT unnest(generate_series(d0, d1)) AS day
+                     FROM span) g
+               LEFT JOIN c ON c.day = g.day),
+      f AS (SELECT day,
+              x > CAST(sum(x) OVER () AS BIGINT) // count(*) OVER ()
+                AS above
+            FROM grid),
+      i AS (SELECT above,
+              day - row_number() OVER (PARTITION BY above ORDER BY day)
+                AS isl
+            FROM f),
+      runs AS (SELECT above, isl, count(*) AS len
+               FROM i GROUP BY 1, 2)
+      SELECT above, count(*) AS n_runs, max(len) AS longest_run,
+        CAST(sum(len) AS BIGINT) AS n_days
+      FROM runs GROUP BY 1""",
     // ts2's dense grid and pinned-float r, self-joined at lags 1..7
     "ts5_acf" -> s"""
       WITH c AS (SELECT epoch_us(ts) // $W10_DAY_US AS day,

@@ -228,4 +228,35 @@ class Round10cOpsSpec extends SparkSpec {
     assert(nGold > 0 && nCand > 0)
     assert(nHit <= nGold && nHit <= nCand)
   }
+
+  // ---- w16 --------------------------------------------------------
+
+  test("w16: the streak census replays exactly from a local run-" +
+    "length walk, conserves the dense calendar, and alternating runs " +
+    "differ by at most one between sides") {
+    val days = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(_.getLong(0))
+    val (d0, d1) = (days.min, days.max)
+    val counts = days.groupBy(identity)
+      .map { case (d, xs) => d -> xs.length.toLong }
+    val x = (d0 to d1).map(d => counts.getOrElse(d, 0L))
+    val mu = x.sum / x.length
+    val sides = x.map(_ > mu)
+    val runs = sides.foldLeft(List.empty[(Boolean, Long)]) {
+      case ((s, n) :: t, v) if s == v => (s, n + 1) :: t
+      case (acc, v) => (v, 1L) :: acc
+    }
+    val expected = runs.groupBy(_._1).map { case (side, rs) =>
+      side -> ((rs.length.toLong, rs.map(_._2).max, rs.map(_._2).sum))
+    }
+    val got = q("w16_streaks").collect()
+      .map(r => r.getBoolean(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // conservation: every dense-calendar day is in exactly one run
+    assert(got.values.map(_._3).sum == (d1 - d0 + 1))
+    // runs alternate sides, so counts differ by at most one
+    assert(math.abs(got(true)._1 - got(false)._1) <= 1)
+  }
 }

@@ -94,22 +94,25 @@ REL_VOLUME_LINEAR = {
     # per-type rolling windows over 10x event rows with a 10x answer
     # — att2's argument (3.3x measured, data-linear by construction)
     "w11_rolling_z",
-    # gr7 — per-round degree semi-joins over the 10x edge list, the
-    # gr5 class exactly: work is Theta(edges)-per-round by
-    # construction (r10 measured 3.08x/decade — meaningfully
-    # sub-linear, but over the quadratic-catcher budget)
-    "gr7_kcore",
 }
 REL_LINEAR_CEILING = 8.0
 # Queries sharing a MEMOIZED one-time build (the co-purchase edge
-# checkpoint): whichever member runs first absorbs the whole build,
-# so per-member ratios scatter run-to-run while the FAMILY SUM is
-# stable. These are thresholded on the summed sf01/x10 times at
-# REL_LINEAR_CEILING instead of individually (r9: member ratios
-# 3.7-8.2x while the family sum sits at 6.0x).
+# checkpoint): whichever member runs first absorbs residual build/
+# cache effects, so per-member ratios scatter run-to-run while the
+# FAMILY SUM is stable. These are thresholded on the summed sf01/x10
+# times at REL_LINEAR_CEILING instead of individually (r9: member
+# ratios 3.7-8.2x while the family sum sat at 6.0x). Membership is
+# ALL coEdges consumers — gr7/gr8 joined the family when they landed
+# in r10. Note the work argument: x10rel replicates parts with key
+# offsets, so the co-purchase graph is 10 DISJOINT COPIES — edge and
+# wedge volume is exactly 10x, and gr3's wedge enumeration (the
+# family's dominant member, ~10.6x measured) is Theta(wedges) by
+# construction; family sub-linearity comes only from shared
+# overheads amortizing.
 REL_SHARED_FAMILY = {
     "co_purchase_graph": ["gr2_triangles", "gr3_link_predict",
-                          "gr4_assortativity", "gr5_communities"],
+                          "gr4_assortativity", "gr5_communities",
+                          "gr7_kcore", "gr8_hop_histogram"],
 }
 # ignore ratio noise on queries this fast at x10 (seconds)
 MIN_SECS = 0.75
