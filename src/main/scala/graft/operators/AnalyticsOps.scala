@@ -782,7 +782,42 @@ object AnalyticsOps {
         col("min_class"),
         expr("(1000000 * n_singletons) div n_rows").as("unique_ppm"))
 
+  /** an6's k ladder — every anonymity threshold a release policy
+    * might pick. */
+  private[graft] val AN6_KS: Seq[Long] = (2L to 10L)
+
+  /** an6 — the suppression-cost curve under an1's quasi-identifiers:
+    * for every k in [[AN6_KS]], how many QI classes survive a direct
+    * k-anonymity cut and how much of the population the sub-k
+    * classes would suppress (no generalization — that's an1's
+    * mechanism; this is the privacy-utility CURVE that justifies
+    * an1's chosen K before any scheme is built, read next to an5's
+    * point risk). Monotone by construction: raising k can only grow
+    * the suppressed share — the spec pins it.
+    *
+    * Scale shape: ONE an1-shaped QI agg collapses the corpus to
+    * |classes| rows; the ladder is a broadcast 9-row cross join and
+    * a ≤9-key re-agg. Nothing after the first agg depends on
+    * volume. */
+  private def an6(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey").cast("long").as("qi_nation"),
+        col("c_mktsegment").as("qi_segment"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(AN6_KS.toDF("k")))
+      .groupBy(col("k"))
+      .agg(sum(when(col("n") >= col("k"), 1L).otherwise(0L))
+        .as("n_classes_ok"),
+        sum(when(col("n") < col("k"), col("n")).otherwise(0L))
+          .as("n_suppressed"),
+        sum(col("n")).as("n_rows"))
+      .select(col("k"), col("n_classes_ok"), col("n_suppressed"),
+        expr("(1000000 * n_suppressed) div n_rows").as("suppressed_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "an6_kanon_curve" -> (an6 _),
     "an5_unique_risk" -> (an5 _),
     "dq3_drift" -> (dq3 _),
     "an4_ldp_freq" -> (an4 _),
@@ -808,6 +843,21 @@ object AnalyticsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // an1's QI classes crossed with the same k ladder
+    "an6_kanon_curve" -> s"""
+      WITH g AS (SELECT CAST(c_nationkey AS BIGINT) AS qi_nation,
+                   c_mktsegment AS qi_segment, count(*) AS n
+                 FROM customer GROUP BY 1, 2),
+      ks AS (SELECT unnest(generate_series(${AN6_KS.head},
+               ${AN6_KS.last})) AS k)
+      SELECT k,
+        CAST(sum(CASE WHEN n >= k THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_classes_ok,
+        CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+          AS n_suppressed,
+        (1000000 * CAST(sum(CASE WHEN n < k THEN n ELSE 0 END)
+          AS BIGINT)) // CAST(sum(n) AS BIGINT) AS suppressed_ppm
+      FROM g CROSS JOIN ks GROUP BY 1""",
     // generated from the SAME DQ4_BENFORD_PPM constants; digits with
     // no rows report through the literal dimension
     "dq4_benford" -> {

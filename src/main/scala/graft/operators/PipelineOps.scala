@@ -465,8 +465,11 @@ object PipelineOps {
   }
 
   /** pipe7's token budget: the target training-mix size the per-source
-    * quotas must sum to EXACTLY. */
-  private[graft] val PIPE7_BUDGET = 1000000L
+    * quotas must sum to EXACTLY. Deliberately well under the corpus
+    * token mass at every sf (≈28k/271k tokens) so pipe8's greedy
+    * cutoff is EXERCISED — a budget the corpus can't fill would make
+    * the fill op select everything and measure nothing. */
+  private[graft] val PIPE7_BUDGET = 10000L
 
   /** pipe7 — token-budget apportionment (Hamilton / largest-remainder):
     * split a fixed [[PIPE7_BUDGET]]-token training budget across
@@ -480,7 +483,7 @@ object PipelineOps {
     * |sources| rounding errors.
     *
     * Exactness/domains: all integer. budget·n_tokens stays inside
-    * BIGINT while the corpus holds < 9.2·10¹² tokens (budget = 10⁶);
+    * BIGINT while the corpus holds < 9.2·10¹⁴ tokens (budget = 10⁴);
     * past that, pre-scale n_tokens by a power of two before the
     * products — remainder ORDER is preserved, which is all the rule
     * consumes (the att2/emb5 domain-pinning convention).
@@ -490,7 +493,13 @@ object PipelineOps {
     * passes over those ≤20 rows (sm6's one-relation window discipline
     * — a separate agg+crossJoin would re-plan the counts subtree per
     * consumer). Nothing after the first agg depends on volume. */
-  private def pipe7(s: SparkSession, d: String): DataFrame = {
+  private def pipe7(s: SparkSession, d: String): DataFrame =
+    pipe7Quotas(s, d)
+
+  /** THE pipe7 quota relation (source, n_tokens, alloc_tokens) —
+    * pipe8 fills exactly these quotas (one definition, two
+    * consumers; the x2Scored anti-drift rule). */
+  private[operators] def pipe7Quotas(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val all = Window.partitionBy()
     val byRem = Window.orderBy(col("rem").desc, col("source").asc)
@@ -507,7 +516,48 @@ object PipelineOps {
           .as("alloc_tokens"))
   }
 
+  /** pipe8 — budget fill: pipe7 decides HOW MANY tokens each source
+    * contributes; this decides WHICH documents — within each source,
+    * docs are taken in (x2 quality DESC, doc_id) order while the
+    * running token sum stays inside the source's quota (greedy
+    * prefix, whole docs only — the knapsack-greedy every mix
+    * assembler ships). Both inputs are the REGISTERED definitions
+    * ([[graft.operators.TextOps.x2Scored]], [[pipe7Quotas]]), so the
+    * fill can never drift from the scores or quotas it claims to
+    * apply. Census per source: docs considered/selected, tokens
+    * used, the quota, and the fill ratio (under-fill is structural —
+    * the greedy stops at the last whole doc that fits).
+    *
+    * Scale shape: one scored scan + the |sources|-row quota
+    * broadcast; the running sum is ONE source-partitioned window
+    * (explicit ROWS frame — no cross-partition state), and the
+    * census partial-aggregates to |sources| rows. The quota pass
+    * adds pipe7's one token-mass scan. */
+  private def pipe8(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    TextOps.x2Scored(s, d)
+      .select(col("doc_id"), col("source"), col("nt"), col("quality"))
+      .withColumn("cum", sum(col("nt")).over(w))
+      .join(broadcast(pipe7Quotas(s, d)
+        .select(col("source"), col("alloc_tokens"))), Seq("source"))
+      .withColumn("keep", col("cum") <= col("alloc_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("keep"), col("nt")).otherwise(0L)).as("tokens_used"),
+        max(col("alloc_tokens")).as("alloc_tokens"))
+      .select(col("source"), col("n_docs"), col("n_selected"),
+        col("tokens_used"), col("alloc_tokens"),
+        expr("CASE WHEN alloc_tokens = 0 THEN NULL " +
+          "ELSE (1000000 * tokens_used) div alloc_tokens END")
+          .as("fill_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe8_budget_fill" -> (pipe8 _),
     "pipe7_token_budget" -> (pipe7 _),
     "pipe6_decontam_split" -> (pipe6 _),
     "pipe5_gopher_rules" -> (pipe5 _),
@@ -566,6 +616,53 @@ object PipelineOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // x2's quality expression and pipe7's quota CTEs verbatim, the
+    // same (quality DESC, doc_id) greedy order with an explicit ROWS
+    // frame, whole-doc prefix fill
+    "pipe8_budget_fill" -> s"""
+      WITH t AS (SELECT doc_id, source, n_chars,
+                   string_split(text, ' ') AS l
+                 FROM documents),
+      b AS (SELECT doc_id, source, len(l)::BIGINT AS nt,
+        floor((floor(least(n_chars / 500.0, 1.0)*1000000 + 0.5)/1000000*0.5
+          + floor(len(list_filter(l, x ->
+              list_contains(${graft.operators.TextOps.inList(graft.operators.TextOps.EN)}, x)))::DOUBLE
+              / len(l)*1000000 + 0.5)/1000000*0.3
+          + least(floor(list_aggregate(list_transform(l, x -> length(x)),
+              'sum')::DOUBLE / len(l)*1000000 + 0.5)/1000000/8.0, 1.0)*0.2)
+          *1000000 + 0.5)/1000000 AS quality
+        FROM t),
+      c AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens
+            FROM b GROUP BY 1),
+      w AS (SELECT source, n_tokens,
+              CAST(sum(n_tokens) OVER () AS BIGINT) AS tot FROM c),
+      f AS (SELECT source, n_tokens,
+              ($PIPE7_BUDGET * n_tokens) // tot AS fl,
+              ($PIPE7_BUDGET * n_tokens) % tot AS rem FROM w),
+      r AS (SELECT f.*,
+              $PIPE7_BUDGET - CAST(sum(fl) OVER () AS BIGINT) AS short,
+              row_number() OVER (ORDER BY rem DESC, source) AS rnk
+            FROM f),
+      qa AS (SELECT source,
+               CAST(fl + CASE WHEN rnk <= short THEN 1 ELSE 0 END
+                 AS BIGINT) AS alloc_tokens
+             FROM r),
+      s AS (SELECT b.source, b.nt, qa.alloc_tokens,
+              sum(b.nt) OVER (PARTITION BY b.source
+                ORDER BY b.quality DESC, b.doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM b JOIN qa USING (source))
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN cum <= alloc_tokens THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_selected,
+        CAST(sum(CASE WHEN cum <= alloc_tokens THEN nt ELSE 0 END)
+          AS BIGINT) AS tokens_used,
+        max(alloc_tokens) AS alloc_tokens,
+        CASE WHEN max(alloc_tokens) = 0 THEN NULL
+          ELSE (1000000 * CAST(sum(CASE WHEN cum <= alloc_tokens
+            THEN nt ELSE 0 END) AS BIGINT)) // max(alloc_tokens) END
+          AS fill_ppm
+      FROM s GROUP BY 1""",
     // same floor quotas, same largest-remainder top-up with the
     // (rem DESC, source) tie order
     "pipe7_token_budget" -> s"""

@@ -50,13 +50,22 @@ object TextOps {
     * Pure per-row double arithmetic, identical accumulation order in
     * the oracle.
     */
-  private def x2(s: SparkSession, d: String): DataFrame = {
+  private def x2(s: SparkSession, d: String): DataFrame =
+    x2Scored(s, d).select(col("doc_id"), col("len_score"),
+      col("stop_ratio"), col("mean_tok_len"), col("quality"))
+
+  /** THE x2 scoring relation, widened with (source, nt) so pipe8's
+    * budget fill orders by the SAME scores — one definition, two
+    * consumers (the nbDocScores anti-drift rule); x2 projects the
+    * extra columns away and Catalyst prunes their cost. */
+  private[operators] def x2Scored(s: SparkSession, d: String): DataFrame = {
     val t = toks(col("text"))
     // roundFp, not round(): these are small-integer ratios whose exact
     // decimal expansions land on .5 boundaries (observed at sf0.1)
     Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars"), t.as("t"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"), col("n_chars"), t.as("t"))
+      .select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("nt"),
         roundFp(least(col("n_chars") / 500.0, lit(1.0)), 6).as("len_score"),
         roundFp(countIn(col("t"), EN).cast("double") / size(col("t")), 6).as("stop_ratio"),
         roundFp(aggregate(col("t"), lit(0L), (acc, x) => acc + length(x))

@@ -664,6 +664,37 @@ object WindowOps {
                        * 1000000 + 0.5) / 1000000 END""").as("r"))
   }
 
+  /** w17 — inter-arrival time histogram: per-user consecutive-event
+    * gaps in µs (the w4 lag shape, (ts, event_id)-ordered), bucketed
+    * by integer log2 (the `length(bin())−1` trick — gr6's for time),
+    * with population shares. This is the ARRIVAL-process diagnostic
+    * the calendar views aggregate away: a human-driven stream shows
+    * the heavy multi-hour tail; a bot or replayed feed collapses
+    * into a few low buckets — the signal retention/session knobs
+    * (w3's 30-min gap, streaming watermark horizons) should be read
+    * from, not guessed. Zero-gap ties (same-µs events) land in
+    * bucket 0 by the bin("0") convention, documented here.
+    *
+    * Scale shape: one pruned scan → ONE user-keyed lag window (the
+    * w4 adjudication) → ≤64-key agg; shares ride a window over the
+    * bucket-sized relation (sm6's one-relation discipline). */
+  private def w17(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tu").asc, col("event_id").asc)
+    val all = Window.partitionBy()
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tu"))
+      .withColumn("gap", col("tu") - lag(col("tu"), 1).over(byUser))
+      .filter(col("gap").isNotNull)
+      .select(expr("CAST(length(bin(gap)) - 1 AS BIGINT)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_gaps"))
+      .withColumn("tot", sum(col("n_gaps")).over(all))
+      .select(col("bucket"), col("n_gaps"),
+        expr("(1000000 * n_gaps) div tot").as("share_ppm"))
+  }
+
   /** w16 — above/below-mean volume streaks (gaps-and-islands): the
     * dense daily series flagged against its integer calendar mean,
     * consecutive same-side days grouped into runs by the classic
@@ -974,6 +1005,7 @@ object WindowOps {
     "ts2_xcorr" -> (ts2 _),
     "ts5_acf" -> (ts5 _),
     "w16_streaks" -> (w16 _),
+    "w17_interarrival" -> (w17 _),
     "w12_dow_profile" -> (w12 _),
     "fn2_time_to_convert" -> (fn2 _),
     "ts1_gapfill" -> (ts1 _),
@@ -1176,6 +1208,20 @@ object WindowOps {
                   * sqrt(nd * syy - sy * sy))
                * 1000000 + 0.5) / 1000000 END AS r
       FROM m""",
+    // same (ts, event_id)-ordered lag, integer-log2 buckets, floor ppm
+    "w17_interarrival" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu
+                 FROM events),
+      g AS (SELECT tu - lag(tu) OVER (PARTITION BY user_id
+              ORDER BY tu, event_id) AS gap
+            FROM e),
+      b AS (SELECT CAST(length(bin(gap)) - 1 AS BIGINT) AS bucket
+            FROM g WHERE gap IS NOT NULL),
+      c AS (SELECT bucket, count(*) AS n_gaps FROM b GROUP BY 1),
+      w AS (SELECT bucket, n_gaps,
+              CAST(sum(n_gaps) OVER () AS BIGINT) AS tot FROM c)
+      SELECT bucket, n_gaps, (1000000 * n_gaps) // tot AS share_ppm
+      FROM w""",
     // same dense grid, floor-div mean, and day - row_number islands
     "w16_streaks" -> s"""
       WITH c AS (SELECT epoch_us(ts) // $W10_DAY_US AS day,

@@ -259,4 +259,94 @@ class Round10cOpsSpec extends SparkSpec {
     // runs alternate sides, so counts differ by at most one
     assert(math.abs(got(true)._1 - got(false)._1) <= 1)
   }
+
+  // ---- pipe8 ------------------------------------------------------
+
+  test("pipe8: the budget fill replays exactly from a local greedy " +
+    "walk over pipe7's quotas in x2-quality order, never overfills " +
+    "a quota, and the cutoff is EXERCISED (some docs are left out)") {
+    val quotas = q("pipe7_token_budget").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val scored = q("x2_quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).length.toLong))
+    val expected = docs.groupBy(_._2).map { case (src, xs) =>
+      val ordered = xs.sortBy { case (id, _, _) => (-scored(id), id) }
+      var (cum, sel, used) = (0L, 0L, 0L)
+      for ((_, _, nt) <- ordered) {
+        cum += nt
+        if (cum <= quotas(src)) { sel += 1; used += nt }
+      }
+      src -> ((xs.length.toLong, sel, used, quotas(src),
+        1000000L * used / quotas(src)))
+    }
+    val got = q("pipe8_budget_fill").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expected)
+    for ((src, (nDocs, sel, used, alloc, _)) <- got) {
+      assert(used <= alloc, s"$src overfilled")
+      assert(sel <= nDocs)
+    }
+    // the greedy cutoff must actually cut: the budget constant is
+    // sized under the corpus mass so selection is a real decision
+    assert(got.values.exists { case (n, sel, _, _, _) => sel < n },
+      "every doc selected everywhere — the budget no longer binds")
+  }
+
+  // ---- an6 --------------------------------------------------------
+
+  test("an6: the suppression curve replays exactly from the QI class " +
+    "sizes and is monotone non-decreasing in k") {
+    val ks = operators.AnalyticsOps.AN6_KS
+    val classes = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).map(_._2.size.toLong).toSeq
+    val pop = classes.sum
+    val got = q("an6_kanon_curve").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === ks.toSet)
+    for (k <- ks) {
+      val ok = classes.count(_ >= k).toLong
+      val sup = classes.filter(_ < k).sum
+      assert(got(k) === ((ok, sup, 1000000L * sup / pop)), s"k=$k")
+    }
+    // monotone: raising k can only suppress more
+    val ordered = ks.map(got(_)._2)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+  }
+
+  // ---- w17 --------------------------------------------------------
+
+  test("w17: the inter-arrival histogram replays exactly from local " +
+    "per-user walks, conserves gaps to events minus users, and " +
+    "shares sum to at most one million") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tu"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = events.groupBy(_._1).values.flatMap { xs =>
+      val ts = xs.sortBy(e => (e._3, e._2)).map(_._3)
+      ts.zip(ts.tail).map { case (a, b) => b - a }
+    }.toSeq
+    def bucket(g: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(
+      math.max(g, 1L))
+    val expected = gaps.groupBy(bucket)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    val tot = gaps.size.toLong
+    val got = q("w17_interarrival").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === expected.keySet)
+    for ((b, n) <- expected)
+      assert(got(b) === ((n, 1000000L * n / tot)), s"bucket $b")
+    // conservation: each user's n events contribute n-1 gaps
+    val nUsers = events.map(_._1).distinct.length
+    assert(tot == events.length - nUsers)
+    assert(got.values.map(_._2).sum <= 1000000L)
+  }
 }

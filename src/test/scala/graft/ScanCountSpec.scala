@@ -193,7 +193,11 @@ class ScanCountSpec extends SparkSpec {
       "g11_cms_freq" -> ((2, 0)),
       // er4's fixed probe head and the catalog sweep are two pruned
       // part reads (the cls3 probe-set adjudication)
-      "er4_blocking_eval" -> ((2, 0)))).toMap
+      "er4_blocking_eval" -> ((2, 0)),
+      // pipe8's scored pass + pipe7's token-mass quota pass (which
+      // reduces to |sources| rows immediately — the voc1/cls1
+      // two-pruned-reads adjudication)
+      "pipe8_budget_fill" -> ((2, 0)))).toMap
       .withDefaultValue((1, 0))
   }
 
