@@ -664,6 +664,64 @@ object WindowOps {
                        * 1000000 + 0.5) / 1000000 END""").as("r"))
   }
 
+  /** ts6 — variance decomposition of the daily volume into trend /
+    * weekly-seasonal / remainder: trend = ts3's integer EWMA
+    * (recurrence verbatim), seasonal = per-weekday truncate-div mean
+    * of the DETRENDED series (w12's (day+4) mod 7 weekday), remainder
+    * = what's left; each component reported as its integer sum of
+    * squares about the calendar mean (trend), about zero (seasonal /
+    * remainder), with shares of the total variation. This is the
+    * "where does the variance live" answer that picks which machinery
+    * matters: a trend-dominant series needs w15/ts4, a
+    * seasonal-dominant one needs w12/w14, a remainder-dominant one is
+    * noise no forecaster will beat (shares are diagnostic ratios —
+    * the components are not orthogonal, so they need not sum to 10⁶).
+    *
+    * Exactness: all integer — counts, the EWMA, truncate-div means
+    * (negative-sum division truncates toward zero identically on
+    * both engines, the measured r10 convention), squares, and
+    * floor-div shares. Domain: each square stays in BIGINT while
+    * |daily deviation| < 3·10⁹ events/day (the pipe7 domain-note
+    * convention).
+    *
+    * Scale shape: ONE pruned scan reduces to (day, count); the
+    * decomposition folds over the dense calendar driver-side (the
+    * w13/ts3/ts4 bounded-state discipline — ~3.7k rows per decade at
+    * ANY corpus volume) and returns a 4-row literal relation. */
+  private def ts6(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .select(expr(s"unix_micros(ts) div $W10_DAY_US").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val days = (daily.keys.min to daily.keys.max).toArray
+    val x = days.map(daily.getOrElse(_, 0L))
+    val mu = x.sum / x.length
+    val t = new Array[Long](x.length)
+    var ema = 0L
+    for (i <- x.indices) {
+      ema = if (i == 0) x(i) else (3L * ema + x(i)) / 4L
+      t(i) = ema
+    }
+    val r = x.indices.map(i => x(i) - t(i))
+    val dow = days.map(dd => ((dd + 4) % 7).toInt)
+    val sDow = r.indices.groupBy(dow(_)).map { case (w, idx) =>
+      w -> idx.map(r).sum / idx.length
+    }
+    val e = x.indices.map(i => r(i) - sDow(dow(i)))
+    def sq(v: Long) = v * v
+    val ssTot = x.map(v => sq(v - mu)).sum
+    val rows = Seq(
+      ("trend", t.map(v => sq(v - mu)).sum),
+      ("seasonal", x.indices.map(i => sq(sDow(dow(i)))).sum),
+      ("remainder", e.map(sq).sum),
+      ("total", ssTot))
+    rows.toDF("component", "ss")
+      .select(col("component"), col("ss"),
+        expr(s"CASE WHEN $ssTot = 0 THEN NULL " +
+          s"ELSE (1000000 * ss) div $ssTot END").as("share_ppm"))
+  }
+
   /** w17 — inter-arrival time histogram: per-user consecutive-event
     * gaps in µs (the w4 lag shape, (ts, event_id)-ordered), bucketed
     * by integer log2 (the `length(bin())−1` trick — gr6's for time),
@@ -1000,6 +1058,7 @@ object WindowOps {
     "w15_holt" -> (w15 _),
     "seq1_transition" -> (seq1 _),
     "ts3_ewma" -> (ts3 _),
+    "ts6_decompose" -> (ts6 _),
     "w14_dow_anomaly" -> (w14 _),
     "w13_cusum" -> (w13 _),
     "ts2_xcorr" -> (ts2 _),
@@ -1117,6 +1176,45 @@ object WindowOps {
       FROM s""",
     // the all-non-negative integer recurrence replayed as a recursive
     // CTE over the same dense calendar (the w13 shape)
+    // ts3's recursive EWMA verbatim, w12's weekday, truncate-div
+    // means on the detrended series, integer squares and floor shares
+    "ts6_decompose" -> s"""
+      WITH RECURSIVE c AS (
+        SELECT epoch_us(ts) // $W10_DAY_US AS day, count(*) AS x
+        FROM events GROUP BY 1),
+      span AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+      grid AS (SELECT g.day, row_number() OVER (ORDER BY g.day) AS rn,
+                 coalesce(c.x, 0) AS x
+               FROM (SELECT unnest(generate_series(d0, d1)) AS day
+                     FROM span) g
+               LEFT JOIN c ON c.day = g.day),
+      s AS (SELECT rn, day, x, x AS ewma FROM grid WHERE rn = 1
+            UNION ALL
+            SELECT g.rn, g.day, g.x, (3 * s.ewma + g.x) // 4
+            FROM s JOIN grid g ON g.rn = s.rn + 1),
+      r AS (SELECT day, x, CAST(ewma AS BIGINT) AS t,
+              x - CAST(ewma AS BIGINT) AS r, (day + 4) % 7 AS dow
+            FROM s),
+      mu AS (SELECT CAST(sum(x) AS BIGINT) // count(*) AS mu FROM r),
+      sd AS (SELECT dow, CAST(sum(r) AS BIGINT) // count(*) AS sdow
+             FROM r GROUP BY 1),
+      j AS (SELECT r.x, r.t, r.r, sd.sdow, mu.mu
+            FROM r JOIN sd USING (dow), mu),
+      a AS (SELECT
+              CAST(sum((t - mu) * (t - mu)) AS BIGINT) AS ss_trend,
+              CAST(sum(sdow * sdow) AS BIGINT) AS ss_seas,
+              CAST(sum((r - sdow) * (r - sdow)) AS BIGINT) AS ss_rem,
+              CAST(sum((x - mu) * (x - mu)) AS BIGINT) AS ss_total
+            FROM j),
+      out AS (
+        SELECT 'trend' AS component, ss_trend AS ss, ss_total FROM a
+        UNION ALL SELECT 'seasonal', ss_seas, ss_total FROM a
+        UNION ALL SELECT 'remainder', ss_rem, ss_total FROM a
+        UNION ALL SELECT 'total', ss_total, ss_total FROM a)
+      SELECT component, ss,
+        CASE WHEN ss_total = 0 THEN NULL
+          ELSE (1000000 * ss) // ss_total END AS share_ppm
+      FROM out""",
     "ts3_ewma" -> s"""
       WITH RECURSIVE c AS (
         SELECT epoch_us(ts) // $W10_DAY_US AS day, count(*) AS x

@@ -349,4 +349,46 @@ class Round10cOpsSpec extends SparkSpec {
     assert(tot == events.length - nUsers)
     assert(got.values.map(_._2).sum <= 1000000L)
   }
+
+  // ---- ts6 --------------------------------------------------------
+
+  test("ts6: the variance decomposition replays exactly from a local " +
+    "EWMA + weekday fold, every component is non-negative, and the " +
+    "total row is the identity") {
+    val days = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(_.getLong(0))
+    val counts = days.groupBy(identity)
+      .map { case (d, xs) => d -> xs.length.toLong }
+    val span = (days.min to days.max).toArray
+    val x = span.map(counts.getOrElse(_, 0L))
+    val mu = x.sum / x.length
+    val t = new Array[Long](x.length)
+    var ema = 0L
+    for (i <- x.indices) {
+      ema = if (i == 0) x(i) else (3L * ema + x(i)) / 4L
+      t(i) = ema
+    }
+    val r = x.indices.map(i => x(i) - t(i))
+    val dow = span.map(dd => ((dd + 4) % 7).toInt)
+    val sDow = r.indices.groupBy(dow(_)).map { case (w, idx) =>
+      w -> idx.map(r).sum / idx.length
+    }
+    def sq(v: Long) = v * v
+    val ssTot = x.map(v => sq(v - mu)).sum
+    val expected = Map(
+      "trend" -> t.map(v => sq(v - mu)).sum,
+      "seasonal" -> x.indices.map(i => sq(sDow(dow(i)))).sum,
+      "remainder" -> x.indices.map(i => sq(r(i) - sDow(dow(i)))).sum,
+      "total" -> ssTot)
+    val got = q("ts6_decompose").collect()
+      .map(row => row.getString(0) -> ((row.getLong(1), row.getLong(2))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    for ((c, ss) <- expected) {
+      assert(got(c) === ((ss, 1000000L * ss / ssTot)), s"component $c")
+      assert(ss >= 0L)
+    }
+    assert(got("total")._2 == 1000000L)
+  }
 }
