@@ -752,4 +752,41 @@ class PlanShapeSpec extends SparkSpec {
     ws.foreach(w => assert(w.partitionSpec.nonEmpty))
     assert(!plan(df).contains("SortMergeJoin"), plan(df))
   }
+
+  test("g11's probe join broadcasts the 64-cell sketch and the exact " +
+    "top-10 head is TakeOrderedAndProject — the sketch never shuffles " +
+    "the token stream a second time") {
+    val p = plan(q("g11_cms_freq"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("er4's catalog sweep is ONE broadcast nested-loop of the " +
+    "fixed probe head (a deliberate K-row broadcast product, the " +
+    "cls3 shape) — and the probe head is TakeOrderedAndProject") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val df = q("er4_blocking_eval")
+    val nl = physical(df)
+      .collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(nl.length == 1, plan(df))
+    assert(plan(df).contains("TakeOrderedAndProject"), plan(df))
+  }
+
+  test("pipe8's quota join is a broadcast and the corpus-side running " +
+    "sum is source-partitioned — the only unpartitioned windows are " +
+    "the quota branch's, which run on the |sources|-row aggregate") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val df = q("pipe8_budget_fill")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val ws = physical(df).collect { case w: WindowExec => w }
+    assert(ws.exists(_.partitionSpec.nonEmpty), p)
+    // any unpartitioned window must sit above an aggregate (the
+    // quota branch) — never directly over the scored corpus
+    ws.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collectFirst { case a: BaseAggregateExec => a }.nonEmpty, p)
+    }
+  }
 }
