@@ -753,6 +753,29 @@ object RetrievalOps {
     * the eval itself is a LeftSemi of the |Q|·3 ranking against the
     * hits-sized match set + a |Q|-key agg — rankings-sized,
     * corpus-independent BY CONSTRUCTION. */
+  /** qr5 — measured recall of champion-list pruning: idx5's pruned
+    * top-3 held against qr1's exhaustive top-3, per the s6 rule that
+    * an approximate operator ships WITH its error harness as data
+    * (s6 does it for the ANN ladder; this does it for lexical
+    * retrieval). Both rankings are the REGISTERED definitions run
+    * as-is, so the recall number cannot drift from the operators it
+    * grades. One row: queries, exhaustive pairs, champion hits,
+    * recall ppm — read beside idx5's |Q|·C·|terms| cost bound, this
+    * is the whole pruning trade on one line.
+    *
+    * Scale shape: the two constituent pipelines (their shapes are
+    * theirs), then a rankings-sized (|Q|·3) left join and a 1-row
+    * agg. */
+  private def qr5(s: SparkSession, d: String): DataFrame =
+    qr1(s, d).select(col("query_id"), col("doc_id"))
+      .join(idx5(s, d).select(col("query_id"), col("doc_id"),
+        lit(1L).as("hit")), Seq("query_id", "doc_id"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("n_queries"), col("n_pairs"), col("n_hit"),
+        expr("(1000000 * n_hit) div n_pairs").as("recall_ppm"))
+
   private def qr3(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val hits = qr1(s, d)
@@ -948,6 +971,7 @@ object RetrievalOps {
     "idx5_champion_topk" -> (idx5 _),
     "voc2_fertility" -> (voc2 _),
     "qr3_mrr" -> (qr3 _),
+    "qr5_champion_recall" -> (qr5 _),
     "idx4_proximity" -> (idx4 _),
     "idx3_phrase" -> (idx3 _),
     "idx2_postings_and" -> (idx2 _),
@@ -1009,6 +1033,42 @@ object RetrievalOps {
                ((n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
                  (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS term_score
              FROM hits JOIN df USING (term) JOIN q USING (term), stats),
+      agg AS (SELECT query_id, doc_id,
+                floor(sum(term_score)*1000000 + 0.5)/1000000 AS score
+              FROM sc GROUP BY 1, 2),
+      r AS (SELECT query_id, doc_id, score, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+            FROM agg)
+      SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 3"""
+
+  /** idx5's oracle, factored out because qr5's recall harness embeds
+    * it verbatim (the QR1_SQL rule — one source of truth). */
+  private val IDX5_SQL = s"""
+      WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+                 FROM (VALUES $qValues) v(query_id, term)),
+      t AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
+                   unnest(string_split(text,' ')) AS term
+            FROM documents),
+      hits AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+               WHERE term IN ($qIn) GROUP BY 1, 2, 3),
+      stats AS (SELECT count(*) AS n,
+                  sum(len(string_split(text,' '))) / count(*) AS avgdl
+                FROM documents),
+      ch AS (SELECT term, doc_id FROM (
+               SELECT term, doc_id, row_number() OVER (PARTITION BY term
+                 ORDER BY tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   DESC, doc_id) AS crk FROM hits, stats)
+             WHERE crk <= $IDX5_CHAMPIONS),
+      cand AS (SELECT DISTINCT q.query_id, ch.doc_id
+               FROM ch JOIN q USING (term)),
+      df AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+      sc AS (SELECT q.query_id, hits.doc_id,
+               ((n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+                 (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS term_score
+             FROM hits JOIN df USING (term) JOIN q USING (term), stats
+             WHERE EXISTS (SELECT 1 FROM cand
+                           WHERE cand.query_id = q.query_id
+                             AND cand.doc_id = hits.doc_id)),
       agg AS (SELECT query_id, doc_id,
                 floor(sum(term_score)*1000000 + 0.5)/1000000 AS score
               FROM sc GROUP BY 1, 2),
@@ -1126,39 +1186,21 @@ object RetrievalOps {
     // qr1's CTE chain with the champion-candidate restriction spliced
     // in; identical BM25 formula text, same (impact desc, doc)
     // champion cut and 6-dp pin
-    "idx5_champion_topk" -> s"""
-      WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
-                 FROM (VALUES $qValues) v(query_id, term)),
-      t AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
-                   unnest(string_split(text,' ')) AS term
-            FROM documents),
-      hits AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
-               WHERE term IN ($qIn) GROUP BY 1, 2, 3),
-      stats AS (SELECT count(*) AS n,
-                  sum(len(string_split(text,' '))) / count(*) AS avgdl
-                FROM documents),
-      ch AS (SELECT term, doc_id FROM (
-               SELECT term, doc_id, row_number() OVER (PARTITION BY term
-                 ORDER BY tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-                   DESC, doc_id) AS crk FROM hits, stats)
-             WHERE crk <= $IDX5_CHAMPIONS),
-      cand AS (SELECT DISTINCT q.query_id, ch.doc_id
-               FROM ch JOIN q USING (term)),
-      df AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
-      sc AS (SELECT q.query_id, hits.doc_id,
-               ((n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
-                 (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS term_score
-             FROM hits JOIN df USING (term) JOIN q USING (term), stats
-             WHERE EXISTS (SELECT 1 FROM cand
-                           WHERE cand.query_id = q.query_id
-                             AND cand.doc_id = hits.doc_id)),
-      agg AS (SELECT query_id, doc_id,
-                floor(sum(term_score)*1000000 + 0.5)/1000000 AS score
-              FROM sc GROUP BY 1, 2),
-      r AS (SELECT query_id, doc_id, score, row_number() OVER (
-              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
-            FROM agg)
-      SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 3""",
+    "idx5_champion_topk" -> IDX5_SQL,
+    // qr1's exhaustive ranking and idx5's champion ranking embedded
+    // verbatim (the qr3 composition rule) — the recall number cannot
+    // drift from the rankings it claims to compare
+    "qr5_champion_recall" -> s"""
+      WITH ex AS ($QR1_SQL),
+      ch AS ($IDX5_SQL)
+      SELECT CAST(count(DISTINCT ex.query_id) AS BIGINT) AS n_queries,
+        count(*) AS n_pairs,
+        CAST(sum(CASE WHEN ch.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_hit,
+        (1000000 * CAST(sum(CASE WHEN ch.doc_id IS NOT NULL
+          THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS recall_ppm
+      FROM ex LEFT JOIN ch ON ex.query_id = ch.query_id
+        AND ex.doc_id = ch.doc_id""",
     // qr1's oracle SQL + idx2's match CTEs embedded verbatim (the
     // s6/rrf1 composition rule) — the eval cannot drift from its parts
     "qr3_mrr" -> s"""

