@@ -1113,6 +1113,64 @@ object DedupOps {
           col("ta")).otherwise(col("tb")).as("canonical"))
   }
 
+  /** d14's probe size — fixed (the er4/cls3 rule), keeping the
+    * exact-Jaccard sweep K·N at any corpus size. */
+  private[graft] val D14_PROBE_K = 20
+
+  /** d14 — the LSH S-curve, measured: for a fixed hash-ordered probe
+    * set swept against the whole signature table, exact Jaccard (over
+    * the stored hashed shingle sets) and the band-collision indicator
+    * are computed per pair, then bucketed by similarity decile and
+    * held against the THEORETICAL curve P(s) = 1 − (1 − s²)⁴ of d2's
+    * 4-band × 2-row scheme (MMDS ch. 3). d13 audits the ESTIMATOR
+    * (minhash agreement vs Jaccard on verified pairs); this audits
+    * the CANDIDATE FILTER itself across the whole similarity range —
+    * observed vs theoretical collision ppm per decile is the number
+    * that justifies (or indicts) the banding scheme's threshold.
+    * Theory values come from explicit multiplication chains (s², q²,
+    * q⁴ — no pow()), so both engines produce bit-identical doubles.
+    *
+    * Scale shape: the probe head is TakeOrderedAndProject over the
+    * memoized signature table (0 corpus scans — the d12
+    * adjudication); the sweep is a K-row broadcast against
+    * signatures with per-pair work bounded by shingle-set size, and
+    * the census partial-aggregates to ≤11 decile keys. */
+  private def d14(s: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(s, d)
+    val probe = sigs
+      .orderBy(md5Long(col("doc_id")).asc, col("doc_id").asc)
+      .limit(D14_PROBE_K)
+      .select(col("doc_id").as("pid"), col("sh").as("psh"),
+        col("mh").as("pmh"))
+    sigs.crossJoin(broadcast(probe))
+      .filter(col("doc_id") =!= col("pid"))
+      .select(
+        expr("""(1000000 * size(array_intersect(sh, psh))) div
+                (size(sh) + size(psh) - size(array_intersect(sh, psh)))""")
+          .as("jac_ppm"),
+        expr("""exists(sequence(0, 3), b ->
+                element_at(mh, b*2+1) = element_at(pmh, b*2+1) AND
+                element_at(mh, b*2+2) = element_at(pmh, b*2+2))""")
+          .as("collide"))
+      .groupBy(expr("jac_ppm div 100000").as("sim_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("collide"), 1L).otherwise(0L)).as("n_collide"))
+      .select(col("sim_decile"), col("n_pairs"), col("n_collide"),
+        expr("(1000000 * n_collide) div n_pairs").as("obs_ppm"),
+        // s = decile midpoint (capped at 1), P = 1 - (1 - s^2)^4 by
+        // explicit multiplication — identical IEEE chains on both
+        // engines
+        expr("""CAST(floor((1.0 - (1.0 - least(sim_decile * 0.1 + 0.05,
+                  1.0) * least(sim_decile * 0.1 + 0.05, 1.0))
+                * (1.0 - least(sim_decile * 0.1 + 0.05, 1.0)
+                  * least(sim_decile * 0.1 + 0.05, 1.0))
+                * (1.0 - least(sim_decile * 0.1 + 0.05, 1.0)
+                  * least(sim_decile * 0.1 + 0.05, 1.0))
+                * (1.0 - least(sim_decile * 0.1 + 0.05, 1.0)
+                  * least(sim_decile * 0.1 + 0.05, 1.0)))
+                * 1000000 + 0.5) AS BIGINT)""").as("theo_ppm"))
+  }
+
   /** er4's sample size (FIXED — the cls3/s6 rule: a constant probe
     * set keeps the exhaustive sweep linear at any catalog size) and
     * the gold Jaro-Winkler threshold. */
@@ -1170,6 +1228,7 @@ object DedupOps {
     "er4_blocking_eval" -> (er4 _),
     "er3_symspell" -> (er3 _),
     "d13_minhash_fidelity" -> (d13 _),
+    "d14_lsh_scurve" -> (d14 _),
     "leak1_split_leakage" -> (leak1 _),
     "d12_containment" -> (d12 _),
     "er2_jw_block" -> (er2 _),
@@ -1465,6 +1524,46 @@ object DedupOps {
     // d2's verified pairs re-joined to their signatures; the
     // estimate counts equal mh positions 1..8, jac enters as the
     // same floor-rounded ppm, the report is a <=9-row floor-div agg
+    // same hashed shingle sets, minhashes, hash-ordered probe head,
+    // integer Jaccard deciles, and the SAME explicit multiplication
+    // chain for the theoretical curve
+    "d14_lsh_scurve" -> s"""
+      WITH t AS ($SHINGLES),
+      m AS (SELECT doc_id,
+              list_distinct(list_transform(sh, s ->
+                ('0x' || substr(md5(s),1,15))::BIGINT)) AS shh,
+              list_transform(generate_series(0,7), k ->
+                list_min(list_transform(sh, s ->
+                  ('0x' || substr(md5(k::VARCHAR || ':' || s),1,15))::BIGINT))) AS mh
+            FROM t WHERE len(sh) > 0),
+      pr AS (SELECT doc_id AS pid, shh AS psh, mh AS pmh FROM m
+             ORDER BY ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT,
+               doc_id
+             LIMIT $D14_PROBE_K),
+      sc AS (SELECT
+               (1000000 * len(list_intersect(m.shh, pr.psh))) //
+                 (len(m.shh) + len(pr.psh)
+                   - len(list_intersect(m.shh, pr.psh))) AS jac_ppm,
+               len(list_filter(generate_series(0,3), b ->
+                 m.mh[2*b+1] = pr.pmh[2*b+1] AND
+                 m.mh[2*b+2] = pr.pmh[2*b+2])) > 0 AS collide
+             FROM m CROSS JOIN pr WHERE m.doc_id != pr.pid),
+      g AS (SELECT jac_ppm // 100000 AS sim_decile, count(*) AS n_pairs,
+              CAST(sum(CASE WHEN collide THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_collide
+            FROM sc GROUP BY 1)
+      SELECT sim_decile, n_pairs, n_collide,
+        (1000000 * n_collide) // n_pairs AS obs_ppm,
+        CAST(floor((1.0 - (1.0 - least(sim_decile * 0.1 + 0.05, 1.0)
+            * least(sim_decile * 0.1 + 0.05, 1.0))
+          * (1.0 - least(sim_decile * 0.1 + 0.05, 1.0)
+            * least(sim_decile * 0.1 + 0.05, 1.0))
+          * (1.0 - least(sim_decile * 0.1 + 0.05, 1.0)
+            * least(sim_decile * 0.1 + 0.05, 1.0))
+          * (1.0 - least(sim_decile * 0.1 + 0.05, 1.0)
+            * least(sim_decile * 0.1 + 0.05, 1.0)))
+          * 1000000 + 0.5) AS BIGINT) AS theo_ppm
+      FROM g""",
     "d13_minhash_fidelity" -> s"""
       WITH t AS ($SHINGLES),
       m AS (SELECT doc_id,

@@ -350,6 +350,55 @@ class Round10cOpsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum <= 1000000L)
   }
 
+  // ---- d14 --------------------------------------------------------
+
+  test("d14: the S-curve census replays exactly from a local " +
+    "shingle/minhash sweep, conserves the probe pairs, and both " +
+    "curve ends are inhabited (random pairs low, planted dups high)") {
+    import graft.functions.Fns.{bigramShinglesLocal, md5LongLocal}
+    val K = operators.DedupOps.D14_PROBE_K
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .flatMap { case (id, text) =>
+        val sh = bigramShinglesLocal(text)
+        if (sh.isEmpty) None
+        else Some((id, sh.map(md5LongLocal).distinct.toSet,
+          Array.tabulate(8)(k => sh.map(x => md5LongLocal(s"$k:$x")).min)))
+      }
+    val probe = docs.sortBy { case (id, _, _) =>
+      (md5LongLocal(id.toString), id)
+    }.take(K)
+    val cells = scala.collection.mutable.HashMap
+      .empty[Long, (Long, Long)].withDefaultValue((0L, 0L))
+    for ((pid, psh, pmh) <- probe; (id, sh2, mh) <- docs if id != pid) {
+      val inter = (sh2 & psh).size.toLong
+      val jac = 1000000L * inter / (sh2.size + psh.size - inter)
+      val collide = (0 until 4).exists(b =>
+        mh(b * 2) == pmh(b * 2) && mh(b * 2 + 1) == pmh(b * 2 + 1))
+      val dec = jac / 100000L
+      val (n, c) = cells(dec)
+      cells(dec) = (n + 1, c + (if (collide) 1L else 0L))
+    }
+    def theo(dec: Long): Long = {
+      val sMid = math.min(dec * 0.1 + 0.05, 1.0)
+      val q = 1.0 - sMid * sMid
+      math.floor((1.0 - q * q * q * q) * 1000000 + 0.5).toLong
+    }
+    val got = q("d14_lsh_scurve").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === cells.keySet.toSet)
+    for ((dec, (n, c)) <- cells)
+      assert(got(dec) === ((n, c, 1000000L * c / n, theo(dec))),
+        s"decile $dec")
+    // conservation: K probes x (docs-with-shingles - 1) directed pairs
+    assert(got.values.map(_._1).sum == K.toLong * (docs.length - 1))
+    // the curve must have both ends to measure anything: a random-
+    // pair mass in the low deciles and the planted near-dups up top
+    assert(got.keySet.min <= 1L && got.keySet.max >= 8L)
+  }
+
   // ---- qr5 --------------------------------------------------------
 
   test("qr5: the recall census replays exactly from the two served " +
