@@ -522,8 +522,13 @@ object GraphOps {
     * percentile threshold uses the proven percentile ≡ quantile_cont
     * pairing (w8/ppl1/g4). */
   private val GR7_SQL: String = {
+    // every s_r is referenced three times (both sides of round r+1's
+    // subgraph-degree join + its census row) — MATERIALIZED, or
+    // DuckDB's CTE inlining expands the edge-build subtree ~2^R-fold
+    // (the d7 min-label lesson; surfaced at sf0.1 as a temp-spill
+    // blow-up in the r10 cross-sf verify)
     val rounds = (1 to GR7_ROUNDS).map { r =>
-      s"""s$r AS (SELECT ed.n FROM ed
+      s"""s$r AS MATERIALIZED (SELECT ed.n FROM ed
            JOIN s${r - 1} x ON ed.n = x.n
            JOIN s${r - 1} y ON ed.m = y.n, kk
            GROUP BY ed.n, kk.k HAVING count(*) >= kk.k)"""
@@ -537,12 +542,12 @@ object GraphOps {
                   FROM lineitem),
       e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM ip a JOIN ip b
             ON a.o = b.o AND a.p < b.p),
-      ed AS (SELECT pa AS n, pb AS m FROM e
+      ed AS MATERIALIZED (SELECT pa AS n, pb AS m FROM e
              UNION ALL SELECT pb AS n, pa AS m FROM e),
       dg AS (SELECT n, count(*) AS deg FROM ed GROUP BY 1),
-      kk AS (SELECT CAST(floor(quantile_cont(deg, $GR7_Q)) AS BIGINT)
-               AS k FROM dg),
-      s0 AS (SELECT n FROM dg),
+      kk AS MATERIALIZED (SELECT CAST(floor(quantile_cont(deg, $GR7_Q))
+               AS BIGINT) AS k FROM dg),
+      s0 AS MATERIALIZED (SELECT n FROM dg),
       $rounds
       $sel"""
   }
@@ -553,11 +558,14 @@ object GraphOps {
     * anti-drift discipline; the unreached row is total minus the
     * frontier sum. */
   private val GR8_SQL: String = {
+    // d_h / v_h are each referenced by round h+1 AND the census —
+    // MATERIALIZED for the same inlining-blow-up reason as GR7_SQL
     val rounds = (1 to GR8_HOPS).map { h =>
-      s"""d$h AS (SELECT DISTINCT s.n AS p FROM sym s
+      s"""d$h AS MATERIALIZED (SELECT DISTINCT s.n AS p FROM sym s
            JOIN d${h - 1} f ON s.w = f.p
            WHERE s.n NOT IN (SELECT p FROM v${h - 1})),
-      v$h AS (SELECT p FROM v${h - 1} UNION SELECT p FROM d$h)"""
+      v$h AS MATERIALIZED (SELECT p FROM v${h - 1}
+           UNION SELECT p FROM d$h)"""
     }.mkString(",\n      ")
     val reachSel = (0 to GR8_HOPS).map { h =>
       s"""SELECT CAST($h AS BIGINT) AS hop,
@@ -570,11 +578,11 @@ object GraphOps {
                   FROM lineitem),
       e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM ip a JOIN ip b
             ON a.o = b.o AND a.p < b.p),
-      sym AS (SELECT pa AS w, pb AS n FROM e
+      sym AS MATERIALIZED (SELECT pa AS w, pb AS n FROM e
               UNION ALL SELECT pb, pa FROM e),
-      nodes AS (SELECT DISTINCT w AS p FROM sym),
-      d0 AS (SELECT min(p) AS p FROM nodes),
-      v0 AS (SELECT p FROM d0),
+      nodes AS MATERIALIZED (SELECT DISTINCT w AS p FROM sym),
+      d0 AS MATERIALIZED (SELECT min(p) AS p FROM nodes),
+      v0 AS MATERIALIZED (SELECT p FROM d0),
       $rounds,
       hist AS (
       $reachSel
