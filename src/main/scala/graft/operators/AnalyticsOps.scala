@@ -488,6 +488,79 @@ object AnalyticsOps {
         Tables.supplier(s, d), "s_suppkey"))
   }
 
+  /** The (table, column-set) entries dq5 profiles — ONE definition
+    * shared by engine and oracle generator (the DQ2_COLS anti-drift
+    * rule). Deliberately a MIX of true keys (uniqueness must hold:
+    * the ingest contract) and dimension columns (duplication is the
+    * point: these cardinalities are what a join planner's statistics
+    * hold). */
+  private[graft] val DQ5_KEYS: Seq[(String, Seq[String])] = Seq(
+    ("customer", Seq("c_custkey")), ("customer", Seq("c_mktsegment")),
+    ("orders", Seq("o_orderkey")), ("orders", Seq("o_custkey")),
+    ("lineitem", Seq("l_orderkey", "l_linenumber")),
+    ("events", Seq("event_id")), ("events", Seq("user_id")),
+    ("documents", Seq("doc_id")), ("documents", Seq("lang")),
+    ("documents", Seq("source")))
+
+  /** dq5 — key-cardinality census: for every [[DQ5_KEYS]] column
+    * set, row count, distinct count, duplicate rows, and uniqueness
+    * ppm — ANALYZE-statistics as a first-class query. Read two ways:
+    * the declared-key rows are the PK-uniqueness half of the
+    * integrity audit (dq1 checks the FK half; a dup_rows > 0 on
+    * c_custkey is an ingest bug), and the dimension rows are the
+    * NDV statistics every join/broadcast/salting decision in this
+    * repo is implicitly tuned by (g6's salt width, j8's skew keys,
+    * sm8's class sizes).
+    *
+    * Scale shape: one pruned scan per audited table computes ALL of
+    * that table's entries in a single aggregate (count + one
+    * distinct-count per column set — Catalyst plans multi-distinct
+    * via one Expand, still a partial+final agg), and a stack
+    * generator unpivots the 1-row result (the dq2 shape). Cost =
+    * |tables| scans, independent of entry count. */
+  private def dq5(s: SparkSession, d: String): DataFrame = {
+    def table(tbl: String): DataFrame = tbl match {
+      case "customer" => Tables.customer(s, d)
+      case "orders" => Tables.orders(s, d)
+      case "lineitem" => Tables.lineitem(s, d)
+      case "events" => Tables.events(s, d)
+      case "documents" => Tables.documents(s, d)
+    }
+    DQ5_KEYS.map(_._1).distinct.map { tbl =>
+      val entries = DQ5_KEYS.filter(_._1 == tbl)
+      val aggs = count(lit(1)).as("n_rows") +:
+        entries.map { case (_, cols) =>
+          countDistinct(col(cols.head), cols.tail.map(col): _*)
+            .as(s"nd_${cols.mkString("_")}")
+        }
+      val stackArgs = entries.map { case (_, cols) =>
+        s"'${cols.mkString(",")}', nd_${cols.mkString("_")}"
+      }.mkString(", ")
+      table(tbl).agg(aggs.head, aggs.tail: _*)
+        .select(col("n_rows"),
+          expr(s"stack(${entries.size}, $stackArgs) " +
+            "AS (key_cols, n_distinct)"))
+        .select(lit(tbl).as("tbl"), col("key_cols"), col("n_rows"),
+          col("n_distinct"),
+          (col("n_rows") - col("n_distinct")).as("dup_rows"),
+          expr("(1000000 * n_distinct) div n_rows").as("uniq_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The dq5 oracle generated from the SAME [[DQ5_KEYS]] list. */
+  private def dq5OracleSql: String =
+    DQ5_KEYS.map { case (tbl, cols) =>
+      val tuple =
+        if (cols.size == 1) cols.head else cols.mkString("(", ", ", ")")
+      s"""SELECT '$tbl' AS tbl, '${cols.mkString(",")}' AS key_cols,
+         count(*) AS n_rows,
+         CAST(count(DISTINCT $tuple) AS BIGINT) AS n_distinct,
+         count(*) - CAST(count(DISTINCT $tuple) AS BIGINT) AS dup_rows,
+         (1000000 * CAST(count(DISTINCT $tuple) AS BIGINT)) // count(*)
+           AS uniq_ppm
+       FROM $tbl"""
+    }.mkString("\nUNION ALL\n")
+
   /** Benford first-digit expectations in exact ppm — floor(log10(1 +
     * 1/d)·10⁶) adjusted so the nine constants sum to exactly 10⁶;
     * ONE list shared by the engine and the oracle generator (the
@@ -839,10 +912,13 @@ object AnalyticsOps {
     "g7_approx_quantiles" -> (g7 _),
     "g10_hll_merge" -> (g10 _),
     "g11_cms_freq" -> (g11 _),
-    "dq4_benford" -> (dq4 _)
+    "dq4_benford" -> (dq4 _),
+    "dq5_cardinality" -> (dq5 _)
   )
 
   val oracles: Map[String, String] = Map(
+    // generated from the SAME DQ5_KEYS census list as the engine
+    "dq5_cardinality" -> dq5OracleSql,
     // an1's QI classes crossed with the same k ladder
     "an6_kanon_curve" -> s"""
       WITH g AS (SELECT CAST(c_nationkey AS BIGINT) AS qi_nation,

@@ -399,6 +399,45 @@ class Round10cOpsSpec extends SparkSpec {
     assert(got.keySet.min <= 1L && got.keySet.max >= 8L)
   }
 
+  // ---- dq5 --------------------------------------------------------
+
+  test("dq5: the cardinality census replays exactly, the declared " +
+    "single-column keys are unique, dimension columns duplicate, and " +
+    "the census CATCHES the generator's non-unique lineitem " +
+    "composite — the finding that proves the audit measures") {
+    val entries = operators.AnalyticsOps.DQ5_KEYS
+    val got = q("dq5_cardinality").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet ===
+      entries.map { case (t, cs) => (t, cs.mkString(",")) }.toSet)
+    for ((tbl, cols) <- entries) {
+      val df = tbl match {
+        case "customer" => Tables.customer(spark, sf)
+        case "orders" => Tables.orders(spark, sf)
+        case "lineitem" => Tables.lineitem(spark, sf)
+        case "events" => Tables.events(spark, sf)
+        case "documents" => Tables.documents(spark, sf)
+      }
+      val rows = df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.toList)
+      val (n, nd) = (rows.length.toLong, rows.distinct.length.toLong)
+      assert(got((tbl, cols.mkString(","))) ===
+        ((n, nd, n - nd, 1000000L * nd / n)), s"$tbl ${cols.mkString(",")}")
+    }
+    // declared single-column keys hold
+    for (k <- Seq(("customer", "c_custkey"), ("orders", "o_orderkey"),
+      ("events", "event_id"), ("documents", "doc_id")))
+      assert(got(k)._3 == 0L, s"$k not unique")
+    // dimensions duplicate (the NDV half is exercised)
+    assert(got(("documents", "lang"))._3 > 0L)
+    // THE FINDING: the synthetic generator does not enforce the
+    // TPC-H composite (l_orderkey, l_linenumber) — if this ever
+    // starts passing uniqueness, the fixture changed; re-read dq5's
+    // doc before "fixing" this assertion
+    assert(got(("lineitem", "l_orderkey,l_linenumber"))._3 > 0L)
+  }
+
   // ---- qr5 --------------------------------------------------------
 
   test("qr5: the recall census replays exactly from the two served " +

@@ -197,7 +197,11 @@ class ScanCountSpec extends SparkSpec {
       // pipe8's scored pass + pipe7's token-mass quota pass (which
       // reduces to |sources| rows immediately — the voc1/cls1
       // two-pruned-reads adjudication)
-      "pipe8_budget_fill" -> ((2, 0)))).toMap
+      "pipe8_budget_fill" -> ((2, 0)),
+      // dq5 audits five tables, one pruned scan each (the dq2
+      // one-agg-per-table adjudication; cost independent of entry
+      // count)
+      "dq5_cardinality" -> ((5, 0)))).toMap
       .withDefaultValue((1, 0))
   }
 
