@@ -1053,7 +1053,15 @@ object SimilarityOps {
     * the bounded km1-style model collect; assignment inlines the
     * centroids as literals and runs at scan speed — the only other
     * exchange is the ≤|labels|²-key confusion agg. */
-  private def cls5(s: SparkSession, d: String): DataFrame = {
+  private def cls5(s: SparkSession, d: String): DataFrame =
+    rocchioAssign(s, d)
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n_vecs"))
+
+  /** THE per-vector Rocchio assignment (vec_id, label, pred) — cls5
+    * takes it into a confusion matrix, al2 reads it as one committee
+    * member (the nbDocScores one-definition rule). */
+  private def rocchioAssign(s: SparkSession, d: String): DataFrame = {
     val cents = Tables.embeddings(s, d)
       .select(col("label").cast("long").as("label"),
         posexplode(expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
@@ -1086,12 +1094,47 @@ object SimilarityOps {
         case (acc, (lbl, dc)) => acc.when(dc === m, lit(lbl))
       }
       .otherwise(lit(pairs.last._1)) // unreachable; keeps pred non-null
-    q.select(col("label"), pred.as("pred"))
-      .groupBy(col("label"), col("pred"))
-      .agg(count(lit(1)).as("n_vecs"))
+    q.select(col("vec_id"), col("label"), pred.as("pred"))
   }
 
+  /** al2 — query-by-committee disagreement census: the two
+    * registered embedding classifiers (cls3's 5-NN on the held-out
+    * query slice, cls5's Rocchio centroids) vote on the same
+    * vectors, and each (knn_pred, rocchio_pred) cell reports its
+    * size and BOTH members' correct counts. This is the committee
+    * upgrade of al1's margin queue (Seung–Opper–Sompolinsky QBC):
+    * al1 asks one model how unsure it is; this asks two structurally
+    * different models where they CONTRADICT. The census REPORTS the
+    * committee premise rather than assuming it — and on the gate
+    * corpus the premise measurably FAILS for kNN (agreement cells
+    * are no more accurate than disagreement cells on a 40-query
+    * slice of synthetic embeddings), which is precisely what one
+    * wants to know before spending a labeling budget on the
+    * disagreement queue.
+    *
+    * Scale shape: cls3's constant-query-slice broadcast shape +
+    * cls5's literal-centroid scan, joined on the ≤|Q| query ids and
+    * collapsed to a ≤|labels|² census. Nothing beyond the members'
+    * own cost plus a rankings-sized join. */
+  private def al2(s: SparkSession, d: String): DataFrame =
+    cls3(s, d)
+      .select(col("qid").as("vec_id"), col("true_label"),
+        col("pred_label").as("knn_pred"))
+      .join(rocchioAssign(s, d)
+        .select(col("vec_id"), col("pred").cast("int").as("rocchio_pred")),
+        Seq("vec_id"))
+      .groupBy(col("knn_pred"), col("rocchio_pred"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("true_label") === col("knn_pred"), 1L)
+          .otherwise(0L)).as("knn_correct"),
+        sum(when(col("true_label") === col("rocchio_pred"), 1L)
+          .otherwise(0L)).as("rocchio_correct"))
+      .select(col("knn_pred"), col("rocchio_pred"),
+        (col("knn_pred") === col("rocchio_pred")).as("agree"),
+        col("n_vecs"), col("knn_correct"), col("rocchio_correct"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "al2_committee" -> (al2 _),
     "cls5_rocchio" -> (cls5 _),
     "emb6_rand_proj" -> (emb6 _),
     "emb5_detop" -> (emb5 _),
@@ -1244,6 +1287,56 @@ object SimilarityOps {
              FROM generate_series(1, 64) t(i)),
       ${(1 to EMB4_ROUNDS).map(emb4RoundSql).mkString(",\n      ")}"""
 
+  /** cls3's oracle, factored out because al2's committee embeds it
+    * verbatim (the QR1_SQL one-source-of-truth rule). */
+  private val CLS3_SQL = s"""
+      WITH e AS (SELECT vec_id, label,
+               list_transform(embedding, x -> x::DOUBLE) AS emb,
+               sqrt(list_sum(list_transform(embedding,
+                 x -> x::DOUBLE * x::DOUBLE))) AS nrm
+             FROM embeddings),
+      sc AS (SELECT q.vec_id AS qid, q.label AS true_label,
+               c.label AS nlabel, c.vec_id AS nid,
+               floor(list_sum(list_transform(generate_series(1,64),
+                 k -> q.emb[k] * c.emb[k])) / (q.nrm * c.nrm)*1000000 + 0.5)/1000000 AS cos
+             FROM e q JOIN e c
+               ON q.vec_id < $CLS3_Q AND c.vec_id >= $CLS3_Q),
+      r AS (SELECT qid, true_label, nlabel, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+                AS rank FROM sc),
+      v AS (SELECT qid, true_label, nlabel, count(*) AS votes
+            FROM r WHERE rank <= $CLS3_K GROUP BY 1, 2, 3),
+      p AS (SELECT qid, true_label, nlabel, votes,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY votes DESC, nlabel) AS vr FROM v)
+      SELECT qid, CAST(true_label AS INT) AS true_label,
+        CAST(nlabel AS INT) AS pred_label, votes
+      FROM p WHERE vr = 1"""
+
+  /** The per-vector Rocchio assignment oracle — cls5's confusion and
+    * al2's committee both restate it (mirrors [[rocchioAssign]]). */
+  private val ROCCHIO_ASSIGN_SQL = s"""
+      WITH e AS (SELECT CAST(label AS BIGINT) AS label, dm.dim AS dim,
+               CAST(floor(embedding[dm.dim]::DOUBLE * 1000 + 0.5) AS BIGINT)
+                 AS qv
+             FROM embeddings, generate_series(1, $DIMS) dm(dim)),
+      c AS (SELECT label AS clabel, dim,
+              CAST(sum(qv) AS BIGINT) // CAST(count(*) AS BIGINT) AS cq
+            FROM e GROUP BY 1, 2),
+      q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+              list_transform(embedding,
+                x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)) AS q
+            FROM embeddings),
+      d AS (SELECT q.vec_id, q.label, c.clabel,
+              CAST(sum((q.q[c.dim] - c.cq) * (q.q[c.dim] - c.cq))
+                AS BIGINT) AS dist2
+            FROM q CROSS JOIN c GROUP BY 1, 2, 3),
+      r AS (SELECT vec_id, label, clabel,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist2, clabel) AS rn
+            FROM d)
+      SELECT vec_id, label, clabel AS pred FROM r WHERE rn = 1"""
+
   private val baseOracles: Map[String, String] = Map(
     // full-square restatement of emb2's exact Gram, the same data-
     // derived power-of-ten shift, and all 32 integer rounds unrolled
@@ -1333,29 +1426,22 @@ object SimilarityOps {
     // same cosine/rank conventions as s1 (rounded cos, (cos desc,
     // nid) tiebreak), then the vote window with the deterministic
     // (votes desc, label) tiebreak
-    "cls3_knn_classify" -> s"""
-      WITH e AS (SELECT vec_id, label,
-               list_transform(embedding, x -> x::DOUBLE) AS emb,
-               sqrt(list_sum(list_transform(embedding,
-                 x -> x::DOUBLE * x::DOUBLE))) AS nrm
-             FROM embeddings),
-      sc AS (SELECT q.vec_id AS qid, q.label AS true_label,
-               c.label AS nlabel, c.vec_id AS nid,
-               floor(list_sum(list_transform(generate_series(1,64),
-                 k -> q.emb[k] * c.emb[k])) / (q.nrm * c.nrm)*1000000 + 0.5)/1000000 AS cos
-             FROM e q JOIN e c
-               ON q.vec_id < $CLS3_Q AND c.vec_id >= $CLS3_Q),
-      r AS (SELECT qid, true_label, nlabel, cos,
-              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
-                AS rank FROM sc),
-      v AS (SELECT qid, true_label, nlabel, count(*) AS votes
-            FROM r WHERE rank <= $CLS3_K GROUP BY 1, 2, 3),
-      p AS (SELECT qid, true_label, nlabel, votes,
-              row_number() OVER (PARTITION BY qid
-                ORDER BY votes DESC, nlabel) AS vr FROM v)
-      SELECT qid, CAST(true_label AS INT) AS true_label,
-        CAST(nlabel AS INT) AS pred_label, votes
-      FROM p WHERE vr = 1""",
+    "cls3_knn_classify" -> CLS3_SQL,
+    // both committee members' oracle SQL embedded verbatim (the
+    // qr5/qr3 composition rule), joined on the held-out query ids
+    "al2_committee" -> s"""
+      WITH k AS ($CLS3_SQL),
+      ra AS ($ROCCHIO_ASSIGN_SQL)
+      SELECT k.pred_label AS knn_pred,
+        CAST(ra.pred AS INT) AS rocchio_pred,
+        k.pred_label = CAST(ra.pred AS INT) AS agree,
+        count(*) AS n_vecs,
+        CAST(sum(CASE WHEN k.true_label = k.pred_label
+          THEN 1 ELSE 0 END) AS BIGINT) AS knn_correct,
+        CAST(sum(CASE WHEN k.true_label = CAST(ra.pred AS INT)
+          THEN 1 ELSE 0 END) AS BIGINT) AS rocchio_correct
+      FROM k JOIN ra ON k.qid = ra.vec_id
+      GROUP BY 1, 2, 3""",
     // 2 GD rounds of the hard-sigmoid logistic trainer from the
     // all-zero model, then the final corpus scoring — every
     // arithmetic step mirrors the engine's exactly (sequential-fold
@@ -1399,27 +1485,9 @@ object SimilarityOps {
     // same integer-thousandths quantization, floor-div centroids, and
     // (dist2, label) argmin tie order
     "cls5_rocchio" -> s"""
-      WITH e AS (SELECT CAST(label AS BIGINT) AS label, dm.dim AS dim,
-               CAST(floor(embedding[dm.dim]::DOUBLE * 1000 + 0.5) AS BIGINT)
-                 AS qv
-             FROM embeddings, generate_series(1, $DIMS) dm(dim)),
-      c AS (SELECT label AS clabel, dim,
-              CAST(sum(qv) AS BIGINT) // CAST(count(*) AS BIGINT) AS cq
-            FROM e GROUP BY 1, 2),
-      q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-              list_transform(embedding,
-                x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)) AS q
-            FROM embeddings),
-      d AS (SELECT q.vec_id, q.label, c.clabel,
-              CAST(sum((q.q[c.dim] - c.cq) * (q.q[c.dim] - c.cq))
-                AS BIGINT) AS dist2
-            FROM q CROSS JOIN c GROUP BY 1, 2, 3),
-      r AS (SELECT vec_id, label, clabel,
-              row_number() OVER (PARTITION BY vec_id
-                ORDER BY dist2, clabel) AS rn
-            FROM d)
-      SELECT label, clabel AS pred, count(*) AS n_vecs
-      FROM r WHERE rn = 1 GROUP BY 1, 2""",
+      WITH ra AS ($ROCCHIO_ASSIGN_SQL)
+      SELECT label, pred, count(*) AS n_vecs
+      FROM ra GROUP BY 1, 2""",
     // same md5-even sign matrix, same integer-thousandths quantization
     "emb6_rand_proj" -> s"""
       WITH sg AS (SELECT i.i AS dim, j.j AS j,

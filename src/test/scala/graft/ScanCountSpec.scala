@@ -201,7 +201,11 @@ class ScanCountSpec extends SparkSpec {
       // dq5 audits five tables, one pruned scan each (the dq2
       // one-agg-per-table adjudication; cost independent of entry
       // count)
-      "dq5_cardinality" -> ((5, 0)))).toMap
+      "dq5_cardinality" -> ((5, 0)),
+      // al2 = cls3's two pruned embedding reads + rocchio's centroid
+      // pass and literal-centroid assignment scan (each member keeps
+      // its own adjudicated shape)
+      "al2_committee" -> ((4, 0)))).toMap
       .withDefaultValue((1, 0))
   }
 
