@@ -49,13 +49,36 @@ object AnalyticsOps {
         roundFp(element_at(col("qs"), 2), 4).as("q50"),
         roundFp(element_at(col("qs"), 3), 4).as("q75"))
 
-  /** g5 — HyperLogLog distinct (the 100 TB form of a1): NO oracle —
-    * sketch implementations differ per engine, so the driver records
-    * the weaker rows-only check; correctness vs exact distinct is
-    * asserted in the spec (rsd bound). */
+  /** Accuracy gate for the sketch verdicts (g5/g7/g10): the estimate
+    * must land within 50 000 ppm (5%) of the exact twin. For g5's
+    * rsd = 0.02 HLL++ and g10's lgK = 12 HLL (RSE ≈ 1.6%) that is a
+    * 2.5–3σ envelope — deterministic per dataset (the sketches are
+    * seed-free), and generous enough to hold at every sf without ever
+    * being vacuous. */
+  private[graft] val SKETCH_BOUND_PPM = 50000L
+
+  /** g5 — HyperLogLog distinct (the 100 TB form of a1), restructured
+    * (VERDICT r10 #1) so the driver machine-checks it: the raw
+    * estimate is engine-specific and can never hash-match another
+    * engine, so the QUERY OUTPUT is the exact twin plus a
+    * deterministic bound VERDICT (estimate within [[SKETCH_BOUND_PPM]]
+    * of exact, 1/0 as BIGINT — the repo's numeric-verdict
+    * convention). The oracle computes the exact side and the literal
+    * verdict; a sketch drifting out of its declared envelope now
+    * breaks the hash instead of hiding behind a rows-only check. The
+    * tighter rsd law stays in the spec (DocumentSinksSpec).
+    *
+    * Scale shape: both aggregates ride ONE partial+final pass over a
+    * single pruned column; at 100 TB a user drops the exact twin and
+    * keeps the sketch — the verdict column is the validation harness,
+    * not the serve path. */
   private def g5(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("exact_parts"),
+        (expr("(1000000 * abs(approx - exact_parts)) div exact_parts")
+          <= SKETCH_BOUND_PPM).cast("long").as("within_bound"))
 
   /** g10's HLL precision (Datasketches lgConfigK: 2^12 buckets,
     * ~1.6% RSE — the warehouse default trade of 4 KB per sketch for
@@ -68,12 +91,15 @@ object AnalyticsOps {
     * events via `hll_union_agg` — the mergeable-sketch contract that
     * makes 100 TB rollup cubes cheap (store one 4 KB sketch per cell;
     * any marginal is a union of sketches, never a re-scan). Output:
-    * per-type estimate vs the exact twin, plus the ALL row whose
-    * estimate comes ONLY from merging the per-type sketches; the spec
-    * pins the union-merge law (merged ≡ one sketch built over
-    * everything) and the error bound. NO oracle — sketch internals
-    * are engine-specific (the g5/g7 policy), so the driver records
-    * the rows-only check and the spec bounds the estimates.
+    * per-type exact twin plus a bound VERDICT on the estimate, with
+    * the ALL row's estimate coming ONLY from merging the per-type
+    * sketches; the spec pins the union-merge law (merged ≡ one sketch
+    * built over everything) and the tighter error bound. Oracle
+    * (VERDICT r10 #1): the raw estimate is engine-specific, so the
+    * output carries `exact` + `within_bound` (estimate within
+    * [[SKETCH_BOUND_PPM]] of exact, 1/0 BIGINT) and the oracle
+    * computes the exact side with the literal verdict — the driver
+    * now machine-checks the sketch's envelope every round.
     *
     * Scale shape: one partial-aggregated groupBy per type (sketches
     * merge map-side — that IS the point), a ≤|types|-row union agg,
@@ -96,8 +122,9 @@ object AnalyticsOps {
         ev.agg(countDistinct(col("user_id")).as("exact"))))
       .select(lit("ALL").as("event_type"), col("est"), col("exact"))
     rows.unionByName(all)
-      .select(col("event_type"), col("est"), col("exact"),
-        expr("(1000000 * abs(est - exact)) div exact").as("abs_err_ppm"))
+      .select(col("event_type"), col("exact"),
+        (expr("(1000000 * abs(est - exact)) div exact")
+          <= SKETCH_BOUND_PPM).cast("long").as("within_bound"))
   }
 
   /** g11's Count-Min geometry: [[CMS_D]] hash rows × [[CMS_W]]
@@ -157,21 +184,40 @@ object AnalyticsOps {
         (col("est") - col("cnt")).as("over_cnt"))
   }
 
+  /** g7's rank envelope: the approx value must lie between the exact
+    * interpolated quantiles at p ± [[G7_EPS]]. approx_percentile with
+    * accuracy 10 000 guarantees rank error ≤ n/10 000 = 0.0001·n, so
+    * a ±0.005 rank window is a 50× slack — deterministic (the sketch
+    * is seed-free) and safe at every sf with n ≥ ~200 rows. */
+  private[graft] val G7_EPS = 0.005
+
   /** g7 — approximate quantiles (the 100 TB form of g4): a fixed-size
     * quantile sketch with declared accuracy, mergeable across
     * partitions — exact percentile holds all values per group, the
-    * sketch holds O(1/ε). NO oracle, same policy as g5: sketch
-    * implementations differ per engine, so the driver records the
-    * rows-only check and the spec bounds the sketch against g4's exact
-    * quartiles. */
-  private def g7(s: SparkSession, d: String): DataFrame =
+    * sketch holds O(1/ε). Restructured for the oracle (VERDICT r10
+    * #1, same policy as g5/g10): sketch values are engine-specific,
+    * so the output is g4's exact quartiles plus ONE bound verdict —
+    * every approx quartile inside its [[G7_EPS]] rank envelope
+    * (exact quantile at p−ε ≤ approx ≤ exact quantile at p+ε, the
+    * rank-not-value bound the spec has always pinned; a value bound
+    * would be distribution-dependent). Both aggs ride one pass; the
+    * nine probe percentiles are one `percentile` call. */
+  private def g7(s: SparkSession, d: String): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.75)
+    val probes = ps.flatMap(p => Seq(p - G7_EPS, p, p + G7_EPS))
     Tables.orders(s, d)
-      .agg(approx_percentile(col("o_totalprice"),
-        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
-      // scalar columns, same contract (and same shape) as g4
-      .select(roundFp(element_at(col("qs"), 1), 4).as("aq25"),
-        roundFp(element_at(col("qs"), 2), 4).as("aq50"),
-        roundFp(element_at(col("qs"), 3), 4).as("aq75"))
+      .agg(percentile(col("o_totalprice"),
+        array(probes.map(lit): _*)).as("qs"),
+        approx_percentile(col("o_totalprice"),
+          array(ps.map(lit): _*), lit(10000)).as("aq"))
+      .select(roundFp(element_at(col("qs"), 2), 4).as("q25"),
+        roundFp(element_at(col("qs"), 5), 4).as("q50"),
+        roundFp(element_at(col("qs"), 8), 4).as("q75"),
+        (1 to 3).map(i => element_at(col("aq"), i)
+          .between(element_at(col("qs"), 3 * i - 2),
+            element_at(col("qs"), 3 * i)))
+          .reduce(_ && _).cast("long").as("within_bound"))
+  }
 
   /** g6 — salted two-stage aggregation: the skew pattern for
     * low-cardinality group keys (5 event types over 100 TB would put
@@ -1198,12 +1244,35 @@ object AnalyticsOps {
     "g9_heavy_hitters" -> """
       SELECT tok, count(*) AS cnt FROM (
         SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-      GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 10"""
-    // g5_approx_distinct, g7_approx_quantiles, g10_hll_merge:
-    // intentionally no oracle (per-engine sketches); accuracy is
-    // spec-bounded against the exact forms instead (g10 additionally
-    // pins the union-merge law). g9 DOES have one: Misra-Gries only
-    // generates candidates; the exact second pass makes the result
-    // oracle-equal.
+      GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 10""",
+    // g5/g7/g10 (the sketch shelf): raw estimates are per-engine and
+    // can never hash-match, so each query outputs its EXACT twin plus
+    // a deterministic bound verdict and the oracle computes the exact
+    // side with the literal verdict — a sketch leaving its declared
+    // envelope breaks the hash (VERDICT r10 #1). The tighter rsd/ε
+    // laws stay in the specs. g9's oracle is exact outright:
+    // Misra-Gries only generates candidates; the exact second pass
+    // makes the result oracle-equal.
+    "g5_approx_distinct" -> """
+      SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        CAST(1 AS BIGINT) AS within_bound
+      FROM lineitem""",
+    "g7_approx_quantiles" -> """
+      WITH qs AS (SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75])
+                    AS q FROM orders)
+      SELECT floor(q[1]*10000 + 0.5)/10000 AS q25,
+             floor(q[2]*10000 + 0.5)/10000 AS q50,
+             floor(q[3]*10000 + 0.5)/10000 AS q75,
+             CAST(1 AS BIGINT) AS within_bound
+      FROM qs""",
+    "g10_hll_merge" -> """
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact,
+        CAST(1 AS BIGINT) AS within_bound
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'ALL' AS event_type,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS exact,
+        CAST(1 AS BIGINT) AS within_bound
+      FROM events"""
   )
 }

