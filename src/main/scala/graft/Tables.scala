@@ -61,21 +61,65 @@ object Tables {
     * (name, length, mtime). Keying a memo on it means a REWRITTEN
     * dataset at the same path gets a fresh build instead of a silently
     * stale checkpoint — the staleness hole a path-only key leaves
-    * open. Driver-side listing of one directory (a few files locally,
-    * one metadata round-trip on a real FS) — never data-sized. Falls
-    * back to 0 for non-local paths Java's File can't list (an
-    * hdfs:// deployment would swap in a FileSystem.listStatus here);
-    * 0 keys still memoize per-path, the pre-stamp behavior. */
+    * open. Listing goes through Hadoop's FileSystem (ADVICE r10), so
+    * hdfs:// / s3a:// deployments get REAL stamps too — one metadata
+    * round-trip, never data-sized. Only when the filesystem itself
+    * errors does it fall back to 0 (path-only memoization, the
+    * pre-stamp behavior) — and logs that degradation ONCE per path so
+    * it can't silently re-open the staleness hole it exists to
+    * close. */
   def versionStamp(dir: String, table: String): Long = {
-    val f = new java.io.File(s"$dir/$table.parquet")
-    val files: Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName)
-      else if (f.isFile) Seq(f)
-      else Seq.empty
-    files.foldLeft(0L) { (h, x) =>
-      31L * (31L * (31L * h + x.getName.hashCode.toLong)
-        + x.length()) + x.lastModified()
+    val pathStr = s"$dir/$table.parquet"
+    try {
+      val path = new org.apache.hadoop.fs.Path(pathStr)
+      val conf = SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      val fs = path.getFileSystem(conf)
+      if (!fs.exists(path)) 0L
+      else {
+        val st = fs.getFileStatus(path)
+        val files =
+          if (st.isDirectory) fs.listStatus(path).sortBy(_.getPath.getName)
+          else Array(st)
+        files.foldLeft(0L) { (h, x) =>
+          31L * (31L * (31L * h + x.getPath.getName.hashCode.toLong)
+            + x.getLen) + x.getModificationTime
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (stampWarned.add(pathStr)) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"versionStamp($pathStr) degraded to 0 (path-only memo " +
+              s"key — in-session rewrites of this path will NOT " +
+              s"invalidate memos): ${e.getClass.getName}: ${e.getMessage}")
+        }
+        0L
     }
+  }
+
+  /** Paths whose [[versionStamp]] already logged its fallback — the
+    * warn-once guard (a memoized query path calls the stamp on every
+    * invocation; one line per path is signal, N lines is noise). */
+  private val stampWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Memo accessor for the version-stamped per-session caches
+    * (GraphOps edgeMemo, DedupOps pairMemo/sigMemo/verdictMemo):
+    * getOrElseUpdate PLUS eviction of superseded stamps (ADVICE r10)
+    * — when a dataset is rewritten in-session, the entry under the
+    * old stamp is dropped so its eagerly-checkpointed blocks become
+    * unreachable and Spark's ContextCleaner unpersists them with the
+    * GC'd RDD, instead of accumulating one dead checkpoint per
+    * rewrite in a long-lived driver. */
+  private[graft] def memoGetOrBuild[V](
+      memo: scala.collection.concurrent.TrieMap[(SparkSession, String, Long), V],
+      s: SparkSession, d: String, stamp: Long)(build: => V): V = {
+    memo.keysIterator
+      .filter(k => k._1 == s && k._2 == d && k._3 != stamp)
+      .foreach(memo.remove)
+    memo.getOrElseUpdate((s, d, stamp), build)
   }
 
   /** Register every table as a temp view so the whole surface is also

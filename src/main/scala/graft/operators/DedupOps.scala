@@ -74,7 +74,8 @@ object DedupOps {
 
   /** Memoized face of [[computeD2Pairs]] — see [[pairMemo]]. */
   private[graft] def d2Pairs(s: SparkSession, d: String): DataFrame =
-    pairMemo.getOrElseUpdate((s, d, Tables.versionStamp(d, "documents")),
+    Tables.memoGetOrBuild(pairMemo, s, d,
+      Tables.versionStamp(d, "documents"))(
       computeD2Pairs(s, d, D2_BROADCAST_MAX_DOCS))
 
   /** The O(N) MinHash signature table (doc_id, sh, mh) — the distinct
@@ -104,7 +105,8 @@ object DedupOps {
   private[graft] def clearSigMemo(): Unit = sigMemo.clear()
 
   private def signatures(s: SparkSession, d: String): DataFrame =
-    sigMemo.getOrElseUpdate((s, d, Tables.versionStamp(d, "documents")),
+    Tables.memoGetOrBuild(sigMemo, s, d,
+      Tables.versionStamp(d, "documents"))(
       buildSignatures(s, d))
 
   private def buildSignatures(s: SparkSession, d: String): DataFrame = {
@@ -736,7 +738,8 @@ object DedupOps {
 
   private def d10(s: SparkSession, d: String): DataFrame =
     // eager checkpoint: verdicts are consumed repeatedly downstream
-    verdictMemo.getOrElseUpdate((s, d, Tables.versionStamp(d, "documents")),
+    Tables.memoGetOrBuild(verdictMemo, s, d,
+      Tables.versionStamp(d, "documents"))(
       d10Plan(s, d).localCheckpoint(true))
 
   /** The lazy d10 plan — split out so PlanShapeSpec can assert the

@@ -63,11 +63,14 @@ object GraphOps {
   /** The distinct part co-purchase edge list (pa < pb) — memoized per
     * (session, path, [[Tables.versionStamp]]): rewriting the dataset
     * at the same path within a session invalidates the entry instead
-    * of serving stale edges (the ADVICE r9 staleness hole). Entries
-    * live for the session — acceptable because they're edge-sized,
-    * and [[clearEdgeMemo]] exists for long-lived drivers. */
+    * of serving stale edges (the ADVICE r9 staleness hole), and
+    * superseded stamps are evicted by [[Tables.memoGetOrBuild]]
+    * (ADVICE r10 — no dead checkpoint per rewrite). Entries live for
+    * the session — acceptable because they're edge-sized, and
+    * [[clearEdgeMemo]] exists for long-lived drivers. */
   private def coEdges(s: SparkSession, d: String): DataFrame =
-    edgeMemo.getOrElseUpdate((s, d, Tables.versionStamp(d, "lineitem")), {
+    Tables.memoGetOrBuild(edgeMemo, s, d,
+      Tables.versionStamp(d, "lineitem")) {
       val ip = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
@@ -77,7 +80,7 @@ object GraphOps {
         .select(col("pa"), col("pb"))
         .distinct()
         .localCheckpoint(true)
-    })
+    }
 
   /** Distinct bipartite edges with both endpoint degrees attached —
     * built once per query, reused by every push round. */

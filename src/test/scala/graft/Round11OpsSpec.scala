@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions: the memo-eviction discipline
+  * ([[Tables.memoGetOrBuild]]), the Hadoop-FS version stamp, and the
+  * g12 CMS width-vs-error curve laws.
+  */
+class Round11OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // ---- versionStamp -----------------------------------------------
+
+  test("versionStamp: real stamp for a local table, changes when the " +
+    "file set is rewritten, and degrades to 0 (without throwing) on " +
+    "an unresolvable path") {
+    val st = Tables.versionStamp(sf, "documents")
+    assert(st != 0L, "existing local table must get a real stamp")
+    // rewrite at a temp path → different stamp (the staleness signal)
+    val dir = java.nio.file.Files.createTempDirectory("stamp").toString
+    val docs = Tables.documents(spark, sf).limit(5)
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val s1 = Tables.versionStamp(dir, "documents")
+    assert(s1 != 0L)
+    Thread.sleep(1100) // mtime granularity can be 1 s
+    docs.limit(3).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val s2 = Tables.versionStamp(dir, "documents")
+    assert(s1 != s2, "rewrite must produce a different stamp")
+    // missing path → 0, unresolvable scheme → 0 via the logged
+    // fallback; both must be silent non-throws
+    assert(Tables.versionStamp(dir, "nope") == 0L)
+    assert(Tables.versionStamp("bogus-scheme://x/y", "t") == 0L)
+  }
+
+  // ---- memoGetOrBuild ---------------------------------------------
+
+  test("memoGetOrBuild: superseded stamps for the same (session, " +
+    "path) are evicted on insert, other paths are untouched, and a " +
+    "repeated call under the same stamp does not rebuild") {
+    val memo = scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String, Long), String]
+    var builds = 0
+    def build(v: String): String = { builds += 1; v }
+    assert(Tables.memoGetOrBuild(memo, spark, "/a", 1L)(build("a1")) == "a1")
+    assert(Tables.memoGetOrBuild(memo, spark, "/b", 7L)(build("b7")) == "b7")
+    // same stamp → memo hit, no rebuild
+    assert(Tables.memoGetOrBuild(memo, spark, "/a", 1L)(build("a1x")) == "a1")
+    assert(builds == 2)
+    // new stamp for /a → rebuild AND the stale stamp-1 entry is gone
+    assert(Tables.memoGetOrBuild(memo, spark, "/a", 2L)(build("a2")) == "a2")
+    assert(builds == 3)
+    assert(memo.keySet == Set((spark, "/a", 2L), (spark, "/b", 7L)),
+      s"stale stamp survived: ${memo.keySet}")
+  }
+}

@@ -138,4 +138,61 @@ class TestDataContractSpec extends SparkSpec {
           "first digit stops being the Benford significand digit")
     }
   }
+
+  test("every dq5-audited key column is non-null at every scale " +
+    "factor — Spark's multi-column countDistinct SKIPS a row if ANY " +
+    "key column is null while DuckDB's count(DISTINCT (a, b)) counts " +
+    "null-bearing tuples; a null key would make engine and oracle " +
+    "diverge silently (ADVICE r10)") {
+    sfs.foreach { dir =>
+      operators.AnalyticsOps.DQ5_KEYS.foreach { case (tbl, cols) =>
+        val nulls = Tables(spark, dir, tbl)
+          .filter(cols.map(org.apache.spark.sql.functions.col(_).isNull)
+            .reduce(_ || _))
+          .count()
+        assert(nulls == 0L,
+          s"$dir $tbl(${cols.mkString(",")}) holds $nulls null-key " +
+            "rows — dq5's countDistinct and the oracle's tuple " +
+            "count(DISTINCT) stop agreeing; null-guard both sides")
+      }
+    }
+  }
+
+  test("documents carries >= 2 distinct langs at every scale factor " +
+    "— an4's randomized-response pick is element_at(others, h % " +
+    "size(others)) and its estimator denominator is 750*(k-1)-250: " +
+    "at k = 1 Spark yields NULL (% 0) where DuckDB hard-errors, and " +
+    "the denominator goes negative — engine and oracle would diverge " +
+    "instead of failing identically (ADVICE r10)") {
+    sfs.foreach { dir =>
+      val k = Tables.documents(spark, dir)
+        .select(org.apache.spark.sql.functions
+          .countDistinct(org.apache.spark.sql.functions.col("lang")))
+        .collect()(0).getLong(0)
+      assert(k >= 2L,
+        s"$dir documents has k=$k langs — an4's randomized-response " +
+          "mechanism degenerates at k=1; add an explicit guard on " +
+          "both engine and oracle before relying on this data")
+    }
+  }
+
+  test("events span >= TS4_HOLDOUT + TS4_SEASON + 1 calendar days at " +
+    "every scale factor — ts4's engine treats out-of-calendar " +
+    "seasonal-naive lags as zero observations while the oracle's " +
+    "grid joins drop those days; a short calendar would make the " +
+    "two diverge (ADVICE r10)") {
+    val need = operators.WindowOps.TS4_HOLDOUT +
+      operators.WindowOps.TS4_SEASON + 1
+    sfs.foreach { dir =>
+      val span = Tables.events(spark, dir)
+        .select(org.apache.spark.sql.functions.expr(
+          "max(unix_micros(ts)) div 86400000000 - " +
+            "min(unix_micros(ts)) div 86400000000 + 1"))
+        .collect()(0).getLong(0)
+      assert(span >= need,
+        s"$dir events span $span days < $need — ts4's train window " +
+          "reaches before the calendar start; restrict both sides " +
+          "to lag-in-calendar days before relying on this data")
+    }
+  }
 }
