@@ -184,6 +184,78 @@ object AnalyticsOps {
         (col("est") - col("cnt")).as("over_cnt"))
   }
 
+  /** g12's configuration sweep: the (depth, width) pairs the error
+    * curve measures — one axis varying depth at g11's width, one
+    * varying width at g11's depth. Widths divide [[G12_WMAX]] so the
+    * whole sweep derives from ONE sketch pass (see [[g12]]). */
+  private[graft] val G12_CFGS =
+    Seq((1, 16), (2, 16), (4, 16), (4, 8), (4, 32), (4, 64))
+  private[graft] val G12_WMAX = 64
+
+  /** g12 — the Count-Min width/depth-vs-error curve (VERDICT r10 #5:
+    * turn g11's geometry from a documented assumption into a measured
+    * number, the an6/d14/er4 discipline): for every [[G12_CFGS]]
+    * (d, w) pair, the total and max over-count on g11's probe set —
+    * the curve a deployment reads to size its sketch (theory: E[over]
+    * ≈ N/w per row, min over d rows tightens tails; the measured rows
+    * show exactly that shape, and the spec pins the monotonicity laws
+    * — over-count non-increasing in both d and w ON THE SAME
+    * STREAM... w-monotonicity only in expectation, so the spec pins
+    * the d-axis law which holds pointwise by min-over-more-rows).
+    *
+    * ONE sketch pass serves the whole sweep: every width in the sweep
+    * divides [[G12_WMAX]], so a width-w cell is the SUM of the
+    * width-64 cells with b64 ≡ b (mod w) — hash once at w = 64,
+    * derive every coarser sketch by re-aggregation ((h mod 64) mod w
+    * = h mod w when w | 64). That is the g10 mergeability contract
+    * on the width axis.
+    *
+    * Scale shape: the token explode ×[[CMS_D]] partial-aggregates to
+    * ≤ D·64 cells map-side (g11's exchange, one extra bucket byte);
+    * everything downstream — config cross, probe coords, the curve
+    * itself — is over ≤ |cells|·|cfgs| broadcast-sized relations.
+    * The exact probe pass is g11's vocab-keyed top-10. */
+  private def g12(s: SparkSession, d: String): DataFrame = {
+    def toksRel = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val cells = toksRel
+      .select(col("tok"),
+        explode(sequence(lit(0L), lit(CMS_D - 1L))).as("r"))
+      .select(col("r"),
+        (md5LongSeeded(col("r"), col("tok")) % G12_WMAX).as("b64"))
+      .groupBy(col("r"), col("b64")).agg(count(lit(1)).as("c"))
+    val cfgs = {
+      import s.implicits._
+      G12_CFGS.toDF("cd", "cw")
+        .select(col("cd").cast("long"), col("cw").cast("long"))
+    }
+    // derive each (d, w) sketch from the width-64 cells
+    val cellsCfg = cells.join(broadcast(cfgs))
+      .filter(col("r") < col("cd"))
+      .groupBy(col("cd"), col("cw"), col("r"),
+        (col("b64") % col("cw")).as("b"))
+      .agg(sum(col("c")).as("c"))
+    val coords = toksRel.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(10)
+      .join(broadcast(cfgs))
+      .select(col("cd"), col("cw"), col("tok"), col("cnt"),
+        explode(sequence(lit(0L), col("cd") - 1)).as("r"))
+      .select(col("cd"), col("cw"), col("tok"), col("cnt"), col("r"),
+        (md5LongSeeded(col("r"), col("tok")) % G12_WMAX % col("cw"))
+          .as("b"))
+    coords.join(broadcast(cellsCfg), Seq("cd", "cw", "r", "b"))
+      .groupBy(col("cd"), col("cw"), col("tok"), col("cnt"))
+      .agg(min(col("c")).as("est"))
+      .groupBy(col("cd").as("d"), col("cw").as("w"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("cnt")).as("sum_cnt"),
+        sum(col("est") - col("cnt")).as("over_total"),
+        max(col("est") - col("cnt")).as("max_over"))
+      .select(col("d"), col("w"), col("n_probes"), col("sum_cnt"),
+        col("over_total"), col("max_over"),
+        expr("(1000000 * over_total) div sum_cnt").as("over_ppm"))
+  }
+
   /** g7's rank envelope: the approx value must lie between the exact
     * interpolated quantiles at p ± [[G7_EPS]]. approx_percentile with
     * accuracy 10 000 guarantees rank error ≤ n/10 000 = 0.0001·n, so
@@ -958,6 +1030,7 @@ object AnalyticsOps {
     "g7_approx_quantiles" -> (g7 _),
     "g10_hll_merge" -> (g10 _),
     "g11_cms_freq" -> (g11 _),
+    "g12_cms_error_curve" -> (g12 _),
     "dq4_benford" -> (dq4 _),
     "dq5_cardinality" -> (dq5 _)
   )
@@ -1273,6 +1346,47 @@ object AnalyticsOps {
       SELECT 'ALL' AS event_type,
         CAST(count(DISTINCT user_id) AS BIGINT) AS exact,
         CAST(1 AS BIGINT) AS within_bound
-      FROM events"""
+      FROM events""",
+    // g12: full mechanism + estimator replay like g11's oracle, with
+    // every coarser width derived from the width-64 cells exactly as
+    // the engine does ((h % 64) % w = h % w when w divides 64)
+    "g12_cms_error_curve" -> {
+      val cfgRows = G12_CFGS
+        .map { case (cd, cw) => s"($cd, $cw)" }.mkString(", ")
+      s"""
+      WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+      cfg(d, w) AS (VALUES $cfgRows),
+      cells AS (SELECT g.r,
+                  ('0x' || substr(md5(g.r::VARCHAR || ':' || tok), 1, 15))
+                    ::BIGINT % $G12_WMAX AS b64,
+                  count(*) AS c
+                FROM t CROSS JOIN generate_series(0, ${CMS_D - 1}) g(r)
+                GROUP BY 1, 2),
+      cc AS (SELECT cfg.d, cfg.w, cells.r, cells.b64 % cfg.w AS b,
+               CAST(sum(c) AS BIGINT) AS c
+             FROM cells CROSS JOIN cfg
+             WHERE cells.r < cfg.d
+             GROUP BY 1, 2, 3, 4),
+      top AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1
+              ORDER BY cnt DESC, tok LIMIT 10),
+      coords AS (SELECT cfg.d, cfg.w, top.tok, top.cnt, g.r,
+                   ('0x' || substr(md5(g.r::VARCHAR || ':' || top.tok),
+                     1, 15))::BIGINT % $G12_WMAX % cfg.w AS b
+                 FROM top CROSS JOIN cfg
+                   CROSS JOIN generate_series(0, ${CMS_D - 1}) g(r)
+                 WHERE g.r < cfg.d),
+      est AS (SELECT d, w, coords.tok, coords.cnt, min(cc.c) AS est
+              FROM coords JOIN cc USING (d, w, r, b)
+              GROUP BY 1, 2, 3, 4)
+      SELECT CAST(d AS BIGINT) AS d, CAST(w AS BIGINT) AS w,
+        CAST(count(*) AS BIGINT) AS n_probes,
+        CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+        CAST(sum(est - cnt) AS BIGINT) AS over_total,
+        CAST(max(est - cnt) AS BIGINT) AS max_over,
+        (1000000 * CAST(sum(est - cnt) AS BIGINT))
+          // CAST(sum(cnt) AS BIGINT) AS over_ppm
+      FROM est GROUP BY 1, 2"""
+    }
   )
 }

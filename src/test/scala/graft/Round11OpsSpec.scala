@@ -55,4 +55,33 @@ class Round11OpsSpec extends SparkSpec {
     assert(memo.keySet == Set((spark, "/a", 2L), (spark, "/b", 7L)),
       s"stale stamp survived: ${memo.keySet}")
   }
+
+  // ---- g12 ----------------------------------------------------------
+
+  test("g12: one curve row per config, one-sided error everywhere, " +
+    "identical probe mass across rows, and over-count pointwise " +
+    "non-increasing along the depth axis (min over MORE hash rows " +
+    "can only tighten — the law that holds per-stream, unlike the " +
+    "width axis which only improves in expectation)") {
+    val rows = q("g12_cms_error_curve").collect()
+      .map(r => (r.getLong(r.fieldIndex("d")), r.getLong(r.fieldIndex("w")))
+        -> ((r.getLong(r.fieldIndex("n_probes")),
+          r.getLong(r.fieldIndex("sum_cnt")),
+          r.getLong(r.fieldIndex("over_total")),
+          r.getLong(r.fieldIndex("max_over"))))).toMap
+    assert(rows.keySet ==
+      operators.AnalyticsOps.G12_CFGS.map { case (a, b) =>
+        (a.toLong, b.toLong) }.toSet)
+    // same probe set measured under every config
+    assert(rows.values.map(v => (v._1, v._2)).toSet.size == 1)
+    rows.foreach { case (cfg, (_, _, over, maxOver)) =>
+      assert(over >= 0L && maxOver >= 0L && over >= maxOver,
+        s"$cfg: one-sided-error law broken (over=$over max=$maxOver)")
+    }
+    // depth axis at w=16: est(d) = min over first d rows, so each
+    // probe's over-count — and hence the total — is non-increasing
+    val byDepth = Seq(1L, 2L, 4L).map(dd => rows((dd, 16L))._3)
+    assert(byDepth == byDepth.sorted.reverse,
+      s"over_total not monotone along depth: $byDepth")
+  }
 }
