@@ -17,16 +17,39 @@ object Bench {
     * test time, not mid-bench. */
   private[graft] def shortKey(name: String): String = name.takeWhile(_ != '_')
 
+  /** `--quick` tier: one representative per operator family — the
+    * pre-split escape valve for when the full surface brushes a
+    * timeout budget (VERDICT r10 #7: have the tier BEFORE it becomes
+    * a forced choice mid-round). Curated, not sampled: each entry is
+    * its family's heaviest REPRESENTATIVE shape (scan+agg, shuffle
+    * join, window, LSH, graph rounds, inverted index, decontam join,
+    * sketch pass, …), so a regression anywhere in the engine moves at
+    * least one quick line. SourceInvariantSpec pins membership ⊆
+    * SparkEntry.queries so a rename can't silently shrink the tier. */
+  private[graft] val quickTier: Set[String] = Set(
+    "a2_group_count", "g1_rollup", "g11_cms_freq", "j2_inner_join",
+    "j8_salted_join", "t1_topk", "u4_union_concat", "w2_rank_per_group",
+    "w10_retention", "r3_interval_overlap", "x10_tfidf", "x8_contamination",
+    "d2_minhash_lsh", "d4_ngram_jaccard", "s3_ann_ivf", "s6_ann_recall",
+    "er1_fuzzy_block", "gr2_triangles", "gr7_kcore", "idx1_inverted",
+    "qr1_batch_bm25", "pipe6_decontam_split", "sm2_split_assign",
+    "ts4_mase_backtest", "an1_kanon", "mm1_media_features",
+    "m4_upsert_latest", "dq1_fk_orphans", "emb3_standardize",
+    "cls1_nb_model", "al1_uncertain_topk", "f1_phone_clean",
+    "r1_asof_join", "bpe1_pair_merge")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
     // warmup: JVM + whole-stage-codegen compile paths
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // Optional args = query names (full or short-key) to bench alone,
-    // for local iteration on one operator. The driver always calls with
-    // no args -> full surface, and only a FULL run may overwrite
-    // BENCH_FULL.json (a partial run must never clobber the record).
-    val wanted = args.toSet
+    // for local iteration on one operator, or `--quick` for the
+    // curated per-family tier. The driver always calls with no args ->
+    // full surface, and only a FULL run may overwrite BENCH_FULL.json
+    // (a partial run must never clobber the record).
+    val wanted =
+      if (args.sameElements(Array("--quick"))) quickTier else args.toSet
     val selected =
       if (wanted.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.toSeq.filter { case (n, _) =>

@@ -70,5 +70,9 @@ class SourceInvariantSpec extends AnyFunSuite {
     // entry would silently become a dangling record in the gate)
     val dangling = SparkEntry.oracleSql.keySet -- names.toSet
     assert(dangling.isEmpty, s"oracleSql keys without a query: $dangling")
+    // the --quick tier must stay a subset of the registered surface —
+    // a rename would otherwise silently shrink the tier to nothing
+    val missing = Bench.quickTier -- names.toSet
+    assert(missing.isEmpty, s"quickTier names without a query: $missing")
   }
 }
