@@ -1065,6 +1065,36 @@ object DedupOps {
         expr("sj div n_pairs").as("mean_jac_ppm"))
   }
 
+  /** d15 — SimHash fidelity report, d13's harness pointed at the
+    * OTHER near-dup sketch (VERDICT r10 #5's measured-assumption
+    * discipline): for every d2-verified near-dup pair, the Hamming
+    * distance between the two docs' d3 fingerprints, bucketed, with
+    * the mean exact Jaccard per bucket — the evidence for choosing a
+    * simhash bit threshold (Charikar 2002 ties expected bit agreement
+    * to vector cosine; whether 16 bits separate THIS corpus's
+    * near-dups from noise is a measurement, not a theorem). Read: a
+    * low-Hamming bucket holding low-Jaccard pairs means 16 bits
+    * under-resolve and d3 needs a wider fingerprint before it can be
+    * trusted as a pre-filter.
+    *
+    * Scale shape: pairs are the MEMOIZED d2 relation and fingerprints
+    * are d3's scan-speed pass (one token explode, partial-agg votes);
+    * the pair join is pairs-sized, the report ≤17 rows. */
+  private def d15(s: SparkSession, d: String): DataFrame = {
+    val fp = d3(s, d)
+    d2Pairs(s, d)
+      .join(fp.select(col("doc_id").as("i"), col("simhash16").as("f_i")),
+        Seq("i"))
+      .join(fp.select(col("doc_id").as("j"), col("simhash16").as("f_j")),
+        Seq("j"))
+      .select(expr("CAST(bit_count(f_i ^ f_j) AS BIGINT)").as("hamming"),
+        expr("CAST(floor(jac * 1000000 + 0.5) AS BIGINT)").as("jac_ppm"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jac_ppm")).as("sj"))
+      .select(col("hamming"), col("n_pairs"),
+        expr("sj div n_pairs").as("mean_jac_ppm"))
+  }
+
   /** er3 — SymSpell candidate generation (Garbe's deletion-
     * neighborhood blocking, the spell-correction / fuzzy-vocabulary
     * half of entity resolution): two terms are within Damerau-
@@ -1232,6 +1262,7 @@ object DedupOps {
     "er3_symspell" -> (er3 _),
     "d13_minhash_fidelity" -> (d13 _),
     "d14_lsh_scurve" -> (d14 _),
+    "d15_simhash_fidelity" -> (d15 _),
     "leak1_split_leakage" -> (leak1 _),
     "d12_containment" -> (d12 _),
     "er2_jw_block" -> (er2 _),
@@ -1594,6 +1625,47 @@ object DedupOps {
           // count(*) AS mean_jac_ppm
       FROM p WHERE jac >= 0.5
       GROUP BY 1""",
+    // d13's pair replay + d3's fingerprint replay, joined: same
+    // verified pairs, same 16-bit simhash, same Hamming buckets
+    "d15_simhash_fidelity" -> s"""
+      WITH t AS ($SHINGLES),
+      m AS (SELECT doc_id,
+              list_distinct(list_transform(sh, s ->
+                ('0x' || substr(md5(s),1,15))::BIGINT)) AS shh,
+              list_transform(generate_series(0,7), k ->
+                list_min(list_transform(sh, s ->
+                  ('0x' || substr(md5(k::VARCHAR || ':' || s),1,15))::BIGINT))) AS mh
+            FROM t),
+      b AS (SELECT doc_id, g.band AS band,
+              mh[2*g.band+1]::VARCHAR || '_' || mh[2*g.band+2]::VARCHAR AS bkey
+            FROM m, generate_series(0,3) g(band)),
+      c AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+            FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey
+              AND x.doc_id < y.doc_id),
+      p AS (SELECT i, j,
+              len(list_intersect(a.shh, bb.shh))::DOUBLE
+                / len(list_distinct(a.shh || bb.shh)) AS jac
+            FROM c JOIN m a ON c.i = a.doc_id JOIN m bb ON c.j = bb.doc_id),
+      e AS (SELECT doc_id,
+              ('0x' || substr(md5(tok),1,15))::BIGINT AS h
+            FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                  FROM documents)),
+      v AS (SELECT doc_id, g.bit AS bit,
+              sum(CASE WHEN (h >> g.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM e, generate_series(0,15) g(bit) GROUP BY doc_id, g.bit),
+      f AS (SELECT doc_id,
+              sum(CASE WHEN v >= 0 THEN CAST(pow(2, bit) AS BIGINT)
+                  ELSE 0 END)::BIGINT AS fp
+            FROM v GROUP BY doc_id),
+      hp AS (SELECT bit_count(xor(fi.fp, fj.fp)) AS hamming,
+               CAST(floor(p.jac*1000000 + 0.5) AS BIGINT) AS jac_ppm
+             FROM p JOIN f fi ON p.i = fi.doc_id
+               JOIN f fj ON p.j = fj.doc_id
+             WHERE p.jac >= 0.5)
+      SELECT CAST(hamming AS BIGINT) AS hamming,
+        count(*)::BIGINT AS n_pairs,
+        CAST(sum(jac_ppm) AS BIGINT) // count(*) AS mean_jac_ppm
+      FROM hp GROUP BY 1""",
     "d2_minhash_lsh" -> s"""
       WITH t AS ($SHINGLES),
       m AS (SELECT doc_id,

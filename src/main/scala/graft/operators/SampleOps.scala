@@ -298,7 +298,47 @@ object SampleOps {
       .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
   }
 
+  /** sm9's sample size. Fixed-size by construction (the s1/cls3
+    * constant-k convention) — a percentage target wouldn't broadcast
+    * at 100 TB and isn't what a budgeted curation pass asks for. */
+  private[graft] val SM9_K = 25
+
+  /** sm9 — weighted sampling without replacement, weight ∝ token
+    * count, in the HASH form that scales (Efraimidis–Spirakis 2006
+    * reduced to integer weights): give every TOKEN an independent
+    * uniform key `md5(doc:pos:wts)` and keep each doc's MINIMUM; the
+    * doc with the overall smallest key is a weight-proportional draw
+    * (P = n_i/N — it's whoever owns the minimum of N uniform keys),
+    * and the K smallest min-keys are the without-replacement sample.
+    * No floats, no RNG, no `pow(u, 1/w)` — the float-free form is
+    * what makes the draw reproducible across runs/retries AND exactly
+    * replayable by the oracle (the SampleOps md5 discipline; an
+    * A-Res implementation with real exponentials could never
+    * hash-match another engine).
+    *
+    * This is the curation primitive behind "sample a 25-doc eval
+    * slice weighted by length" / "pick quality-weighted seeds":
+    * weight by any nonnegative integer by exploding that many keys.
+    *
+    * Scale shape: the token explode partial-aggregates min/count
+    * per doc map-side (scan-speed, no shuffle growth beyond |docs|),
+    * and the top-K is a TakeOrderedAndProject — never a global
+    * sort. */
+  private def sm9(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"),
+        md5Long(concat(col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string"), lit(":wts"))).as("key"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("key")).as("min_key"), count(lit(1)).as("n_tokens"))
+      .orderBy(col("min_key").asc, col("doc_id").asc)
+      .limit(SM9_K)
+      .select(col("doc_id"), col("n_tokens"), col("min_key"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sm9_weighted_sample" -> (sm9 _),
     "sm8_class_balance" -> (sm8 _),
     "dsir1_importance" -> (dsir1 _),
     "sm7_systematic_sample" -> (sm7 _),
@@ -314,6 +354,18 @@ object SampleOps {
     "('0x' || substr(md5(%s::VARCHAR),1,15))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    // same per-token md5 keys (0-based positions), same min-per-doc,
+    // same (min_key, doc_id) top-K order
+    "sm9_weighted_sample" -> s"""
+      WITH l AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+                 FROM documents),
+      k AS (SELECT doc_id, n,
+              list_min(list_transform(generate_series(0, n - 1), p ->
+                ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+                  p::VARCHAR || ':wts'), 1, 15))::BIGINT)) AS min_key
+            FROM l)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, min_key
+      FROM k ORDER BY min_key ASC, doc_id ASC LIMIT $SM9_K""",
     // same md5-order rank, same data-derived min-class k
     "sm8_class_balance" -> """
       WITH d AS (SELECT doc_id, lang FROM documents),

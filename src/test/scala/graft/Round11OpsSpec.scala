@@ -84,4 +84,44 @@ class Round11OpsSpec extends SparkSpec {
     assert(byDepth == byDepth.sorted.reverse,
       s"over_total not monotone along depth: $byDepth")
   }
+
+  // ---- d15 ----------------------------------------------------------
+
+  test("d15: buckets cover exactly the d2-verified pairs, Hamming " +
+    "stays in the 16-bit domain, and every bucket's mean Jaccard " +
+    "respects the >= 0.5 verification floor") {
+    val rows = q("d15_simhash_fidelity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nPairs = operators.DedupOps.d2Pairs(spark, sf).count()
+    assert(rows.map(_._2).sum == nPairs,
+      "fidelity report must cover every verified pair exactly once")
+    rows.foreach { case (h, n, jppm) =>
+      assert(h >= 0L && h <= 16L, s"hamming $h outside 16-bit domain")
+      assert(n > 0L)
+      assert(jppm >= 500000L && jppm <= 1000000L,
+        s"bucket $h mean jac $jppm outside the verified-pair domain")
+    }
+  }
+
+  // ---- sm9 ----------------------------------------------------------
+
+  test("sm9: the weighted draw is exactly the K smallest per-doc " +
+    "min-keys under the declared per-token hash — recomputed from " +
+    "scratch driver-side (mechanism determinism, the SampleOps md5 " +
+    "discipline), with n_tokens matching the whitespace token count") {
+    import graft.functions.Fns
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = docs.map { case (id, text) =>
+      val n = text.split(" ", -1).length
+      val minKey = (0 until n)
+        .map(p => Fns.md5LongLocal(s"$id:$p:wts")).min
+      (minKey, id, n.toLong)
+    }.sortBy(t => (t._1, t._2)).take(operators.SampleOps.SM9_K)
+      .map { case (k, id, n) => (id, n, k) }.toSeq
+    val got = q("sm9_weighted_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
 }

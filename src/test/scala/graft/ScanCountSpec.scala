@@ -187,6 +187,15 @@ class ScanCountSpec extends SparkSpec {
       // two-pass by design: MG candidate kernel, then the exact
       // count pass re-scans behind the broadcast semi-join
       "g9_heavy_hitters" -> ((2, 1)),
+      // g12 shares g11's two-pass shape (sketch cells + exact probe
+      // head) — the whole (d, w) sweep derives from the ONE width-64
+      // cell pass, so widening the sweep never adds a scan
+      "g12_cms_error_curve" -> ((2, 0)),
+      // d15 reads the memoized d2 pair checkpoint (0 FileScans) plus
+      // d3's fingerprint pass over pruned (doc_id, text); the second
+      // scan only appears when the spec session hasn't built the d2
+      // memo yet and the plan inlines the pair pipeline
+      "d15_simhash_fidelity" -> ((2, 0)),
       // g11's sketch pass and exact-top pass each re-read the pruned
       // text projection (the g9 two-pass adjudication, no kernel —
       // the sketch is a declarative 64-cell agg)
