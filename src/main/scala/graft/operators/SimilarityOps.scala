@@ -351,6 +351,60 @@ object SimilarityOps {
     topNeighbors(scored, 3)
   }
 
+  /** s7's quantization steps: uint8 — 255 intervals per dimension,
+    * the standard scalar-quantization grid (4× smaller than float32;
+    * at 100 TB of embeddings the int8 view is a 25 TB scannable
+    * index with NO codebook training, the step below s5's PQ). */
+  private[graft] val SQ_LEVELS = 255.0
+
+  /** s7 — scalar-quantization ANN (the production baseline below
+    * s5's PQ: FAISS's SQ8 / Lucene's int8 HNSW storage layer): every
+    * dimension is affinely mapped to a uint8 code against the
+    * corpus-wide per-dim [min, max], and search ranks by the cosine
+    * of the DEQUANTIZED vectors — so the reported score IS the score
+    * the compressed index can reproduce, and the recall loss (s6 row
+    * `s7_ann_sq`) is exactly the cost of 4× compression. No training,
+    * no codebook — the model is 2·64 doubles.
+    *
+    * The per-dim [mn, mx] model is a bounded driver fetch (64 rows —
+    * the s3 centroid / s5 codebook convention) baked in as literal
+    * arrays so quantize+dequantize+score run in ONE corpus pass with
+    * no join. Quantization is the pinned floor form on both engines
+    * (code = floor((x−mn)·255/(mx−mn) + 0.5); constant dims code 0)
+    * so the oracle replays it bit-for-bit.
+    *
+    * Scale shape: one ≤64-row partial-agg pass for the model, one
+    * corpus scan for the search (broadcast query side, the s1/s2
+    * shape). At 100 TB the stored table IS the int8 codes; this
+    * query's dequantize-on-read is that layout's exact serve path. */
+  private def s7(s: SparkSession, d: String): DataFrame = {
+    val mm = Tables.embeddings(s, d)
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("i")).collect()
+    val mnLit = typedlit(mm.map(_.getDouble(1)).toSeq)
+    val mxLit = typedlit(mm.map(_.getDouble(2)).toSeq)
+    def deq(v: Column): Column =
+      transform(v, (x, i) => {
+        val lo = element_at(mnLit, i + 1)
+        val hi = element_at(mxLit, i + 1)
+        when(hi === lo, lo).otherwise(
+          lo + floor((x - lo) * lit(SQ_LEVELS) / (hi - lo) + lit(0.5))
+            * (hi - lo) / lit(SQ_LEVELS))
+      })
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        deq(col("embedding").cast("array<double>")).as("emb"))
+      .withColumn("nrm", l2Native(col("emb")))
+    topNeighbors(e
+      .join(broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+          col("nrm").as("qnrm"))),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos")), 3)
+  }
+
   // ---- km1: distributed Lloyd's k-means ---------------------------
 
   private val KM_K = 4
@@ -641,6 +695,7 @@ object SimilarityOps {
       .union(row("s3_ann_ivf_np1", s3Probe(s, d, 1)))
       .union(row("s3_ann_ivf", s3(s, d)))
       .union(row("s5_ann_pq", s5(s, d)))
+      .union(row("s7_ann_sq", s7(s, d)))
   }
 
   /** Held-out query slice for cls3: fixed-size by construction
@@ -1150,6 +1205,7 @@ object SimilarityOps {
     "s3_ann_ivf" -> (s3 _),
     "s4_knn_join" -> (s4 _),
     "s5_ann_pq" -> (s5 _),
+    "s7_ann_sq" -> (s7 _),
     "km1_kmeans" -> (km1 _),
     "lr1_logreg" -> (lr1 _)
   )
@@ -1604,7 +1660,36 @@ object SimilarityOps {
               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
             FROM sc)
       SELECT qid, nid, cos, rank FROM r WHERE rank <= 3""",
-    "s3_ann_ivf" -> s3OracleSql(2)
+    "s3_ann_ivf" -> s3OracleSql(2),
+    // SQ mirror: per-dim corpus [mn, mx], the same pinned floor-form
+    // quantize/dequantize, norms and dots over the rebuilt ORDERED
+    // list (list(v ORDER BY d) pins FP addition order to the
+    // engine's left-to-right fold), same (cos desc, nid) top-3
+    "s7_ann_sq" -> s"""
+      WITH e0 AS (SELECT vec_id,
+               list_transform(embedding, x -> x::DOUBLE) AS emb
+             FROM embeddings),
+      mm AS (SELECT g.d AS d, min(emb[g.d]) AS mn, max(emb[g.d]) AS mx
+             FROM e0, generate_series(1,64) g(d) GROUP BY 1),
+      dqv AS (SELECT e0.vec_id, g.d,
+                CASE WHEN mm.mx = mm.mn THEN mm.mn
+                     ELSE mm.mn + floor((e0.emb[g.d] - mm.mn) * 255.0
+                       / (mm.mx - mm.mn) + 0.5) * (mm.mx - mm.mn) / 255.0
+                END AS v
+              FROM e0, generate_series(1,64) g(d)
+                JOIN mm ON mm.d = g.d),
+      q AS (SELECT vec_id, emb,
+              sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+            FROM (SELECT vec_id, list(v ORDER BY d) AS emb
+                  FROM dqv GROUP BY vec_id)),
+      sc AS (SELECT a.vec_id AS qid, c.vec_id AS nid,
+               floor(list_sum(list_transform(generate_series(1,64),
+                 k -> a.emb[k] * c.emb[k])) / (a.nrm * c.nrm)*1000000 + 0.5)/1000000 AS cos
+             FROM q a JOIN q c ON a.vec_id < 10 AND c.vec_id <> a.vec_id),
+      r AS (SELECT qid, nid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+            FROM sc)
+      SELECT qid, nid, cos, rank FROM r WHERE rank <= 3"""
   )
 
   /** The s3 oracle parameterized by probe count — ONE definition so
@@ -1643,6 +1728,7 @@ object SimilarityOps {
       v3 AS (${baseOracles("s3_ann_ivf")}),
       v3n1 AS (${s3OracleSql(1)}),
       v5 AS (${baseOracles("s5_ann_pq")}),
+      v7 AS (${baseOracles("s7_ann_sq")}),
       ex AS (SELECT qid, nid FROM ex0 WHERE rank <= 3),
       p AS (SELECT count(*) AS possible FROM ex)
       SELECT 's2_ann_lsh' AS variant, hits, possible,
@@ -1660,5 +1746,9 @@ object SimilarityOps {
       UNION ALL
       SELECT 's5_ann_pq', hits, possible, (1000000 * hits) // possible FROM
         (SELECT count(*) AS hits FROM v5 JOIN ex USING (qid, nid)
+         WHERE rank <= 3), p
+      UNION ALL
+      SELECT 's7_ann_sq', hits, possible, (1000000 * hits) // possible FROM
+        (SELECT count(*) AS hits FROM v7 JOIN ex USING (qid, nid)
          WHERE rank <= 3), p""")
 }

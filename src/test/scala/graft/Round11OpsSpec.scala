@@ -124,4 +124,35 @@ class Round11OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expect)
   }
+
+  // ---- s7 -----------------------------------------------------------
+
+  test("s7: scalar quantization honors the half-step reconstruction " +
+    "bound (|deq(x) - x| <= (mx - mn)/255/2 per dim — the uint8 grid " +
+    "law), the ranking has the ANN contract shape, and s6 reports " +
+    "the variant") {
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val dims = embs.head._2.length
+    val mn = (0 until dims).map(i => embs.map(_._2(i)).min)
+    val mx = (0 until dims).map(i => embs.map(_._2(i)).max)
+    embs.foreach { case (_, v) =>
+      v.zipWithIndex.foreach { case (x, i) =>
+        val (lo, hi) = (mn(i), mx(i))
+        val deq = if (hi == lo) lo
+          else lo + math.floor((x - lo) * 255.0 / (hi - lo) + 0.5) *
+            (hi - lo) / 255.0
+        assert(math.abs(deq - x) <= (hi - lo) / 255.0 / 2 + 1e-12,
+          s"dim $i: deq $deq vs $x exceeds half-step")
+      }
+    }
+    val r = q("s7_ann_sq").collect()
+    assert(r.length == 30) // 10 queries x top-3
+    assert(r.forall(row => row.getInt(row.fieldIndex("rank")) >= 1 &&
+      row.getInt(row.fieldIndex("rank")) <= 3))
+    val variants = q("s6_ann_recall").collect()
+      .map(_.getString(0)).toSet
+    assert(variants.contains("s7_ann_sq"))
+  }
 }

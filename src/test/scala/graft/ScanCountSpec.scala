@@ -174,11 +174,16 @@ class ScanCountSpec extends SparkSpec {
       // own — the budget is exactly the constituents' sum
       "rrf1_hybrid_fuse" -> ((3, 0)),
       "s5_ann_pq" -> ((4, 1)),
-      // s6 evaluates the registered s2+s3(np2)+s3(np1)+s5 against
+      // s6 evaluates the registered s2+s3(np2)+s3(np1)+s5+s7 against
       // cached s1 ground truth — the budget is the constituents' sum
-      // (2+4+4+4 scans, the s5 kernel) with the exact set persisted;
-      // the np1 row is the recall/cost curve, priced accordingly
-      "s6_ann_recall" -> ((14, 1)),
+      // (2+4+4+4+2 scans, the s5 kernel) with the exact set
+      // persisted; the np1 row is the recall/cost curve, priced
+      // accordingly
+      "s6_ann_recall" -> ((16, 1)),
+      // s7's [mn, mx] model pass + the dequantize-and-score pass —
+      // the g11 two-pruned-reads adjudication (the model pass reduces
+      // to 64 rows immediately)
+      "s7_ann_sq" -> ((2, 0)),
       "x8_contamination" -> ((2, 2)),
       // pipe6 reverses x8's direction with the codegen shingle column
       // (no kernels): train and test splits are two disjoint
