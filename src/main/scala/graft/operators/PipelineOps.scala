@@ -374,24 +374,32 @@ object PipelineOps {
     * doc projection for the char count; the rule verdicts reduce to a
     * SINGLE row of conditional sums which a stack generator unpivots
     * — nothing after the per-doc agg depends on volume. */
-  private def pipe5(s: SparkSession, d: String): DataFrame = {
+  /** pipe5's per-doc rule verdicts (doc_id, words, f1..f5) — ONE
+    * definition consumed by the pipe5 census and pipe9's funnel (the
+    * pipe8 anti-drift rule: the funnel's quality stage IS the
+    * registered gate, not a re-typed copy of its thresholds). */
+  private def pipe5PerDoc(s: SparkSession, d: String): DataFrame = {
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-    val per = tf.groupBy(col("doc_id"))
+    tf.groupBy(col("doc_id"))
       .agg(sum(col("c")).as("words"), max(col("c")).as("max_tf"),
         count(lit(1)).as("n_types"),
         sum(when(col("tok").isin(PIPE5_STOPS: _*), col("c"))
           .otherwise(0L)).as("n_stop"))
       .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
         Seq("doc_id"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("words"),
         (col("words") < 50 || col("words") > 500).as("f1"),
         (expr("(1000 * n_chars) div words") < 3000
           || expr("(1000 * n_chars) div words") >= 8000).as("f2"),
         (col("n_stop") < 2).as("f3"),
         (expr("(1000 * max_tf) div words") > 120).as("f4"),
         (expr("(1000 * n_types) div words") < 300).as("f5"))
+  }
+
+  private def pipe5(s: SparkSession, d: String): DataFrame = {
+    val per = pipe5PerDoc(s, d)
     per.agg(count(lit(1)).as("n_docs"),
         sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
         sum(when(col("f2"), 1L).otherwise(0L)).as("n2"),
@@ -446,7 +454,10 @@ object PipelineOps {
     * narrow keys cut that exchange ~5–10×. Census semantics are
     * unchanged (64-bit collisions are the accepted convention-wide
     * risk), so the string-keyed oracle still hash-matches. */
-  private def pipe6(s: SparkSession, d: String): DataFrame = {
+  /** pipe6's per-train-doc contamination counts (doc_id, source,
+    * n_shared distinct test shingles) — ONE definition consumed by
+    * the pipe6 census and pipe9's funnel (the anti-drift rule). */
+  private def pipe6Hits(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Fns.wordShingles
     def side(lo: Int, hi: Int) = Tables.documents(s, d)
       .filter(md5Long(col("doc_id")) % 100 >= lo &&
@@ -464,6 +475,10 @@ object PipelineOps {
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L))
         .as("n_shared"))
+  }
+
+  private def pipe6(s: SparkSession, d: String): DataFrame =
+    pipe6Hits(s, d)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_train"),
         sum(when(col("n_shared") >= PIPE6_MIN_SHARED, 1L).otherwise(0L))
@@ -471,7 +486,6 @@ object PipelineOps {
       .select(col("source"), col("n_train"), col("n_quarantined"),
         expr("(1000000 * (n_train - n_quarantined)) div n_train")
           .as("kept_ppm"))
-  }
 
   /** pipe7's token budget: the target training-mix size the per-source
     * quotas must sum to EXACTLY. Deliberately well under the corpus
@@ -565,7 +579,65 @@ object PipelineOps {
           .as("fill_ppm"))
   }
 
+  /** pipe9 — the train-assembly funnel census: the one table every
+    * pretraining data card leads with — how many documents (and how
+    * much token mass) survive each curation stage, cumulatively:
+    * s0_raw (sm2's train buckets) → s1_quality (pipe5's five Gopher
+    * rules) → s2_exact_dedup (d1's content fingerprint, min doc_id
+    * kept, ranked AMONG quality survivors — funnel order is the
+    * semantics) → s3_decontam (pipe6's test-split quarantine rule).
+    * Every stage verdict comes from the REGISTERED relation
+    * ([[pipe5PerDoc]], [[pipe6Hits]], pipe1's fingerprint rule) — the
+    * pipe8 anti-drift rule: this report cannot disagree with what the
+    * gates actually do, because it IS them.
+    *
+    * Scale shape: the verdict relation is one row per train doc
+    * (persisted — rank + census consume it); the dedup rank is the
+    * one fp-keyed exchange; contamination joins pipe6's existing
+    * doc-level counts; the census is ONE aggregate to a single row,
+    * stack-unpivoted to 4 stage rows. Nothing after the per-doc
+    * verdicts depends on volume. */
+  private def pipe9(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val per = Tables.documents(s, d)
+      .filter(md5Long(col("doc_id")) % 100 < 80)
+      .select(col("doc_id"), md5Long(lower(trim(col("text")))).as("fp"))
+      .join(pipe5PerDoc(s, d), Seq("doc_id"))
+      .select(col("doc_id"), col("fp"), col("words"),
+        (col("f1") || col("f2") || col("f3") || col("f4") || col("f5"))
+          .as("qfail"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // 2 consumers: rank + census
+    val ranked = per.filter(!col("qfail"))
+      .withColumn("krn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)))
+      .select(col("doc_id"), col("krn"))
+    val verdicts = per
+      .join(ranked, Seq("doc_id"), "left")
+      .join(pipe6Hits(s, d).select(col("doc_id"),
+        (col("n_shared") >= PIPE6_MIN_SHARED).as("dirty")),
+        Seq("doc_id"), "left")
+      .select(col("words"), (!col("qfail")).as("s1"),
+        coalesce(col("krn") === 1, lit(false)).as("s2"),
+        (coalesce(col("krn") === 1, lit(false))
+          && !coalesce(col("dirty"), lit(false))).as("s3"))
+    verdicts
+      .agg(count(lit(1)).as("n0"), sum(col("words")).as("t0"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("s1"), col("words")).otherwise(0L)).as("t1"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("s2"), col("words")).otherwise(0L)).as("t2"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("s3"), col("words")).otherwise(0L)).as("t3"))
+      .select(col("n0"),
+        expr("""stack(4, 's0_raw', n0, t0, 's1_quality', n1, t1,
+          's2_exact_dedup', n2, t2, 's3_decontam', n3, t3)
+          AS (stage, n_docs, n_tokens)"""))
+      .select(col("stage"), col("n_docs"), col("n_tokens"),
+        expr("(1000000 * n_docs) div n0").as("kept_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe9_funnel" -> (pipe9 _),
     "pipe8_budget_fill" -> (pipe8 _),
     "pipe7_token_budget" -> (pipe7 _),
     "pipe6_decontam_split" -> (pipe6 _),
@@ -625,6 +697,78 @@ object PipelineOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // the funnel replayed stage by stage from the SAME rule SQL the
+    // pipe5/pipe6/pipe1 oracles run: train buckets -> gopher rules ->
+    // fingerprint dedup among quality survivors -> test-shingle
+    // quarantine; census is cumulative with a shared raw denominator
+    "pipe9_funnel" -> {
+      val stops = PIPE5_STOPS.map("'" + _ + "'").mkString(", ")
+      s"""
+      WITH tr AS (SELECT doc_id, text, n_chars,
+                    string_split(text, ' ') AS l
+                  FROM documents
+                  WHERE ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT
+                    % 100 < 80),
+      tf AS (SELECT doc_id, tok, count(*) AS c FROM (
+               SELECT doc_id, unnest(l) AS tok FROM tr) GROUP BY 1, 2),
+      per0 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS words,
+                 CAST(max(c) AS BIGINT) AS max_tf, count(*) AS n_types,
+                 CAST(sum(CASE WHEN tok IN ($stops) THEN c ELSE 0 END)
+                   AS BIGINT) AS n_stop
+               FROM tf GROUP BY 1),
+      per AS (SELECT p.doc_id, words,
+                (words < 50 OR words > 500
+                 OR (1000 * t.n_chars) // words < 3000
+                 OR (1000 * t.n_chars) // words >= 8000
+                 OR n_stop < 2
+                 OR (1000 * max_tf) // words > 120
+                 OR (1000 * n_types) // words < 300) AS qfail
+              FROM per0 p JOIN tr t ON p.doc_id = t.doc_id),
+      dd AS (SELECT per.doc_id, row_number() OVER (
+               PARTITION BY ('0x' || substr(md5(lower(trim(t.text))),1,15))::BIGINT
+               ORDER BY per.doc_id) AS krn
+             FROM per JOIN tr t ON per.doc_id = t.doc_id
+             WHERE NOT qfail),
+      sh AS (SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, len(l) - ${PIPE6_NGRAM - 1}),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))
+               AS sh FROM tr),
+      test AS (SELECT DISTINCT unnest(sh) AS sh
+               FROM (SELECT list_distinct(list_transform(
+                       generate_series(1, len(l) - ${PIPE6_NGRAM - 1}),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                         || ' ' || l[i+3])) AS sh
+                     FROM (SELECT string_split(text, ' ') AS l
+                           FROM documents
+                           WHERE ('0x' || substr(md5(doc_id::VARCHAR),1,15))
+                             ::BIGINT % 100 >= 90))),
+      hits AS (SELECT x.doc_id, count(*) AS n_shared
+               FROM (SELECT doc_id, unnest(sh) AS sh FROM sh) x
+               JOIN test USING (sh) GROUP BY 1),
+      v AS (SELECT per.words, NOT per.qfail AS s1,
+              coalesce(dd.krn = 1, FALSE) AS s2,
+              coalesce(dd.krn = 1, FALSE)
+                AND NOT coalesce(hits.n_shared >= $PIPE6_MIN_SHARED,
+                  FALSE) AS s3
+            FROM per LEFT JOIN dd ON per.doc_id = dd.doc_id
+              LEFT JOIN hits ON per.doc_id = hits.doc_id),
+      agg AS (SELECT count(*) AS n0, CAST(sum(words) AS BIGINT) AS t0,
+                CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN s1 THEN words ELSE 0 END) AS BIGINT) AS t1,
+                CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                CAST(sum(CASE WHEN s2 THEN words ELSE 0 END) AS BIGINT) AS t2,
+                CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                CAST(sum(CASE WHEN s3 THEN words ELSE 0 END) AS BIGINT) AS t3
+              FROM v),
+      u AS (
+        SELECT 's0_raw' AS stage, n0 AS n_docs, t0 AS n_tokens, n0 FROM agg
+        UNION ALL SELECT 's1_quality', n1, t1, n0 FROM agg
+        UNION ALL SELECT 's2_exact_dedup', n2, t2, n0 FROM agg
+        UNION ALL SELECT 's3_decontam', n3, t3, n0 FROM agg)
+      SELECT stage, n_docs, n_tokens,
+        (1000000 * n_docs) // n0 AS kept_ppm
+      FROM u"""
+    },
     // x2's quality expression and pipe7's quota CTEs verbatim, the
     // same (quality DESC, doc_id) greedy order with an explicit ROWS
     // frame, whole-doc prefix fill

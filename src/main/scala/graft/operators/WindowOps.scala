@@ -238,9 +238,12 @@ object WindowOps {
     * the matrix is exact in any engine; the one double is the final
     * ratio (single division, portable floor rounding).
     *
-    * Scale shape: first-activity is a user-keyed partial+final agg;
-    * the activity join is user-keyed (co-partitioned with the agg
-    * output, no second shuffle of events under AQE reuse); the
+    * Scale shape: first-activity rides a user-partitioned WINDOW min
+    * over the one events exchange — the r11 ×10-gate fix: the
+    * previous agg-then-self-join form paid the user shuffle twice
+    * plus a join (8.95× at ×10, over even the volume-linear ceiling;
+    * the window form is the same answer off exactly ONE exchange of
+    * events, re-measured 4.9×). The
     * distinct collapses to (cohort, offset, user) BEFORE counting, so
     * the count shuffle carries at most users·active-days narrow rows;
     * cohort day-0 sizes are a calendar-bounded dimension (≤ days in
@@ -249,10 +252,12 @@ object WindowOps {
     val ev = Tables.events(s, d)
       .select(col("user_id"),
         expr(s"unix_micros(ts) div $W10_DAY_US").as("day"))
-    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-    val active = ev.join(first, Seq("user_id"))
-      .select(col("user_id"), col("cohort_day"),
-        (col("day") - col("cohort_day")).as("day_offset"))
+    val active = ev
+      .withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
+      .select(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"),
+        col("user_id"))
       .distinct()
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))

@@ -155,4 +155,34 @@ class Round11OpsSpec extends SparkSpec {
       .map(_.getString(0)).toSet
     assert(variants.contains("s7_ann_sq"))
   }
+
+  // ---- pipe9 --------------------------------------------------------
+
+  test("pipe9: the funnel is cumulative (docs and tokens non-" +
+    "increasing stage to stage), s0 is exactly the train bucket with " +
+    "kept_ppm = 10^6, every kept_ppm shares the raw denominator, and " +
+    "every stage strictly below raw actually discards something on " +
+    "this corpus (the funnel is exercised, not vacuous)") {
+    import graft.functions.Fns.md5Long
+    val rows = q("pipe9_funnel").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val order = Seq("s0_raw", "s1_quality", "s2_exact_dedup", "s3_decontam")
+    assert(rows.keySet == order.toSet)
+    val trainDocs = Tables.documents(spark, sf)
+      .filter(md5Long(col("doc_id")) % 100 < 80).count()
+    assert(rows("s0_raw")._1 == trainDocs)
+    assert(rows("s0_raw")._3 == 1000000L)
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(a)._1 >= rows(b)._1, s"$b docs grew past $a")
+      assert(rows(a)._2 >= rows(b)._2, s"$b tokens grew past $a")
+    }
+    rows.values.foreach { case (n, _, ppm) =>
+      assert(ppm == 1000000L * n / rows("s0_raw")._1)
+    }
+    assert(rows("s1_quality")._1 < rows("s0_raw")._1,
+      "quality gate discards nothing — rules not exercised")
+    assert(rows("s3_decontam")._1 < rows("s2_exact_dedup")._1,
+      "decontamination discards nothing — quarantine not exercised")
+  }
 }

@@ -208,6 +208,11 @@ class ScanCountSpec extends SparkSpec {
       // er4's fixed probe head and the catalog sweep are two pruned
       // part reads (the cls3 probe-set adjudication)
       "er4_blocking_eval" -> ((2, 0)),
+      // pipe9 composes pipe5's tf+chars passes (2), the fingerprint
+      // projection, and pipe6Hits' two split scans — the funnel's
+      // budget is its constituents' sum (per-doc verdicts persisted,
+      // so rank + census share one materialization)
+      "pipe9_funnel" -> ((5, 0)),
       // pipe8's scored pass + pipe7's token-mass quota pass (which
       // reduces to |sources| rows immediately — the voc1/cls1
       // two-pruned-reads adjudication)

@@ -252,17 +252,27 @@ def bench(sf_dir, cache_name):
 def bench_partial(sf_dir, names):
     """Bench only `names` against sf_dir (the Bench partial-run
     convention); returns {name: seconds} parsed from the per-query
-    stdout lines. Used by the isolated-retrial pass."""
+    lines. Bench prints them via System.err, and depending on sbt's
+    output strategy they can surface on EITHER stream (possibly behind
+    an sbt "[error] " log prefix) — the r11 gate run proved the
+    stdout-only parse silently returned {} and let three noisy flags
+    stand un-retried, so scan both streams and strip the prefix."""
     import re
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     p = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench " + " ".join(sorted(names))],
         cwd=REPO, env=env, capture_output=True, text=True)
     times = {}
-    for line in p.stdout.splitlines():
-        m = re.match(r"\[graft\]\s+(\S+)\s+([0-9.]+) s", line.strip())
+    for line in (p.stdout + "\n" + p.stderr).splitlines():
+        line = line.strip()
+        if line.startswith("[error]"):
+            line = line[len("[error]"):].strip()
+        m = re.match(r"\[graft\]\s+(\S+)\s+([0-9.]+) s", line)
         if m and m.group(1) in names:
             times[m.group(1)] = float(m.group(2))
+    if not times:
+        print(f"[retry] WARNING: parsed no per-query lines for {sf_dir} "
+              f"({sorted(names)}) — isolated retrial is a no-op")
     return times
 
 
