@@ -38,6 +38,19 @@ object Bench {
     "cls1_nb_model", "al1_uncertain_topk", "f1_phone_clean",
     "r1_asof_join", "bpe1_pair_merge")
 
+  /** The cross-query one-time memo builds a full run primes and times
+    * as their OWN lines (so member-query timings stay order-
+    * independent): the gr2–gr8 co-purchase edge list and the
+    * pipe5/pipe6/pipe9 per-doc verdict relations (r11 verdict #6).
+    * The gate-coverage spec derives BENCH_X10.json's expected key set
+    * from these names — add a memo here and the gate re-runs or the
+    * suite goes red, by construction. */
+  private[graft] val memoBuilds: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] = Seq(
+    "memo_copurchase_edges" ->
+      ((s, d) => graft.operators.GraphOps.primeEdgeMemo(s, d)),
+    "memo_pipeline_perdoc" ->
+      ((s, d) => graft.operators.PipelineOps.primePipeMemos(s, d)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
@@ -48,8 +61,14 @@ object Bench {
     // curated per-family tier. The driver always calls with no args ->
     // full surface, and only a FULL run may overwrite BENCH_FULL.json
     // (a partial run must never clobber the record).
+    // Flags and names compose: `Bench --quick g5` benches the quick
+    // tier plus g5; an unknown dash-prefixed arg fails loudly instead
+    // of silently becoming a never-matching query name (ADVICE r11).
+    val (flags, names) = args.partition(_.startsWith("-"))
+    val badFlags = flags.filterNot(_ == "--quick")
+    require(badFlags.isEmpty, s"unknown flags: ${badFlags.mkString(",")}")
     val wanted =
-      if (args.sameElements(Array("--quick"))) quickTier else args.toSet
+      if (flags.contains("--quick")) quickTier ++ names else names.toSet
     val selected =
       if (wanted.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.toSeq.filter { case (n, _) =>
@@ -63,13 +82,11 @@ object Bench {
     // the ATTRIBUTION.
     val memoLines: Seq[(String, Double)] =
       if (wanted.nonEmpty) Seq.empty
-      else {
+      else memoBuilds.map { case (name, prime) =>
         val t0 = System.nanoTime()
-        val t = try {
-          graft.operators.GraphOps.primeEdgeMemo(spark, sfDir)
-          (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => -1.0 }
-        Seq("memo_copurchase_edges" -> t)
+        val t = try { prime(spark, sfDir); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+        name -> t
       }
     // two timed runs per query, min reported: single-JVM timings at
     // local[32] carry GC/JIT noise that a second run strips

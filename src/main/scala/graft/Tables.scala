@@ -72,7 +72,12 @@ object Tables {
     val pathStr = s"$dir/$table.parquet"
     try {
       val path = new org.apache.hadoop.fs.Path(pathStr)
+      // getActiveSession is thread-local; a memo hit from a non-Spark
+      // thread must still see spark.hadoop.* (s3a credentials etc.), so
+      // fall through to the JVM-global default session before degrading
+      // to a bare Configuration (ADVICE r11).
       val conf = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
         .map(_.sessionState.newHadoopConf())
         .getOrElse(new org.apache.hadoop.conf.Configuration())
       val fs = path.getFileSystem(conf)
@@ -112,14 +117,24 @@ object Tables {
     * old stamp is dropped so its eagerly-checkpointed blocks become
     * unreachable and Spark's ContextCleaner unpersists them with the
     * GC'd RDD, instead of accumulating one dead checkpoint per
-    * rewrite in a long-lived driver. */
+    * rewrite in a long-lived driver.
+    *
+    * Eviction runs BOTH before and after the getOrElseUpdate: a
+    * concurrent caller still building under a superseded stamp can
+    * re-insert its stale entry between our pre-sweep and insert
+    * (ADVICE r11); the post-sweep catches that re-insertion. Lookups
+    * are always correct regardless (the stamp is in the key) — the
+    * race only concerns reclaiming the dead entry's checkpoint. */
   private[graft] def memoGetOrBuild[V](
       memo: scala.collection.concurrent.TrieMap[(SparkSession, String, Long), V],
       s: SparkSession, d: String, stamp: Long)(build: => V): V = {
-    memo.keysIterator
+    def sweep(): Unit = memo.keysIterator
       .filter(k => k._1 == s && k._2 == d && k._3 != stamp)
       .foreach(memo.remove)
-    memo.getOrElseUpdate((s, d, stamp), build)
+    sweep()
+    val v = memo.getOrElseUpdate((s, d, stamp), build)
+    sweep()
+    v
   }
 
   /** Register every table as a temp view so the whole surface is also

@@ -857,6 +857,57 @@ object DedupOps {
         substring(md5(col("clean")), 1, 16).as("clean_fp"))
   }
 
+  /** d16's width sweep — brackets the served [[D11_SEG]] on both
+    * sides so the curve SHOWS where the knob sits, not just that a
+    * knob exists. */
+  private[graft] val D16_WIDTHS = Seq(5, 10, 20, 40)
+
+  /** d16 — the [[D11_SEG]] segment-width knob MEASURED (VERDICT r11
+    * #7; the g12/d14/d13 measured-assumption pattern): for each
+    * candidate width, how much of the corpus would line-dedup remove?
+    * Narrow segments over-fire (short common phrases collide across
+    * unrelated docs — removed tokens climb), wide segments under-fire
+    * (boilerplate shorter than the window never repeats exactly) —
+    * the curve (width → tokens_removed ppm) is the evidence behind
+    * the served width, refreshable per corpus like CCNet retunes its
+    * paragraph unit per crawl snapshot.
+    *
+    * Scale shape — the whole sweep is ONE corpus scan: every width's
+    * segmentation is emitted in the scan task (segments hash in-task,
+    * only (width, 8-byte key, int len) triples shuffle — the d11
+    * payload discipline), then one (width, h) partial+final agg
+    * computes per-line doc counts and a |widths|-row final agg folds
+    * the census. Σ 1/w bounds the row fan-out at ~0.4 rows/token;
+    * nothing downstream of the first agg depends on corpus size. */
+  private def d16(s: SparkSession, d: String): DataFrame = {
+    val ws = D16_WIDTHS.mkString(",")
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"""flatten(transform(array($ws), w ->
+           |  transform(sequence(0, (size(t) + w - 1) div w - 1), i ->
+           |    struct(CAST(w AS BIGINT) AS w,
+           |           array_join(slice(t, i * w + 1, w), ' ') AS seg,
+           |           CAST(least(w, size(t) - i * w) AS BIGINT)
+           |             AS seg_len))))""".stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.w").as("seg_width"),
+        md5Long(col("x.seg")).as("h"), col("x.seg_len").as("seg_len"))
+      .groupBy(col("seg_width"), col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("occ"),
+        sum(col("seg_len")).as("tok"))
+      .groupBy(col("seg_width"))
+      .agg(sum(col("occ")).as("n_segs"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_bad_lines"),
+        sum(when(col("nd") > 1, col("occ")).otherwise(0L))
+          .as("segs_removed"),
+        sum(col("tok")).as("n_tokens"),
+        sum(when(col("nd") > 1, col("tok")).otherwise(0L))
+          .as("tokens_removed"))
+      .select(col("seg_width"), col("n_segs"), col("n_bad_lines"),
+        col("segs_removed"), col("n_tokens"), col("tokens_removed"),
+        expr("(1000000 * tokens_removed) div n_tokens").as("removed_ppm"))
+  }
+
   /** er1 — blocked fuzzy matching (entity resolution), the record-
     * level sibling of the document dedup family and the scalable
     * generalization of the reference's street-type canonicalization
@@ -1268,6 +1319,7 @@ object DedupOps {
     "er2_jw_block" -> (er2 _),
     "er1_fuzzy_block" -> (er1 _),
     "d11_line_dedup" -> (d11 _),
+    "d16_line_width_curve" -> (d16 _),
     "d10_incremental_dedup" -> (d10 _),
     "d9_substring_spans" -> (d9 _),
     "d6_minhash_udaf" -> (d6 _),
@@ -1444,6 +1496,34 @@ object DedupOps {
                   AND a.p_partkey < b.p_partkey)
       SELECT noun, CAST(dist AS INT) AS dist, count(*) AS n_pairs
       FROM pairs GROUP BY 1, 2""",
+    // the width sweep replayed with the same 60-bit md5 segment keys;
+    // lateral unnest references both t and w (DuckDB laterals may
+    // reference any preceding FROM item, the d11 precedent)
+    "d16_line_width_curve" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      seg AS (SELECT t.doc_id, w.w AS seg_width,
+                ('0x' || substr(md5(array_to_string(
+                   l[(u.i*w.w+1):(u.i*w.w+w.w)], ' ')),1,15))::BIGINT AS h,
+                least(w.w, len(l) - u.i*w.w) AS seg_len
+              FROM t,
+                   (SELECT unnest([${D16_WIDTHS.mkString(",")}]) AS w) w,
+                   unnest(generate_series(0,
+                     (len(l) + w.w - 1) // w.w - 1)) AS u(i)),
+      g AS (SELECT seg_width, h, count(DISTINCT doc_id) AS nd,
+              count(*) AS occ, CAST(sum(seg_len) AS BIGINT) AS tok
+            FROM seg GROUP BY 1, 2)
+      SELECT CAST(seg_width AS BIGINT) AS seg_width,
+        CAST(sum(occ) AS BIGINT) AS n_segs,
+        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_bad_lines,
+        CAST(sum(CASE WHEN nd > 1 THEN occ ELSE 0 END) AS BIGINT)
+          AS segs_removed,
+        CAST(sum(tok) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN nd > 1 THEN tok ELSE 0 END) AS BIGINT)
+          AS tokens_removed,
+        CAST((1000000 * sum(CASE WHEN nd > 1 THEN tok ELSE 0 END))
+          // sum(tok) AS BIGINT) AS removed_ppm
+      FROM g GROUP BY 1""",
     // same 60-bit md5 segment key as the engine, so hash-collision
     // decisions (however unlikely) are identical on both sides
     "d11_line_dedup" -> s"""

@@ -378,7 +378,42 @@ object PipelineOps {
     * definition consumed by the pipe5 census and pipe9's funnel (the
     * pipe8 anti-drift rule: the funnel's quality stage IS the
     * registered gate, not a re-typed copy of its thresholds). */
-  private def pipe5PerDoc(s: SparkSession, d: String): DataFrame = {
+  private def pipe5PerDoc(s: SparkSession, d: String): DataFrame =
+    Tables.memoGetOrBuild(perDocMemo, s, d,
+      Tables.versionStamp(d, "documents"))(
+      computePipe5PerDoc(s, d).localCheckpoint(true))
+
+  /** Per-session memos of the two per-train-doc verdict relations the
+    * composed pipelines share: [[pipe5PerDoc]] (quality flags) feeds
+    * pipe5 AND pipe9; [[pipe6Hits]] (contamination counts) feeds pipe6
+    * AND pipe9 — without the memos pipe9 re-runs the full tokenize+agg
+    * and shingle-probe pipelines just to read verdicts already
+    * computed (VERDICT r11 #6; the gr2–gr8 coEdges discipline). Both
+    * values are eagerly localCheckpoint'ed SIGNATURE-CLASS relations —
+    * one narrow row per doc (id + flags / id + count), never corpus
+    * text — so the blocks are doc-count-sized, survive
+    * `catalog.clearCache()` between bench queries, and free when the
+    * entry drops or the session ends. Version-stamp keyed like
+    * DedupOps.pairMemo: an in-session dataset rewrite invalidates. */
+  private val perDocMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), DataFrame]
+  private val hitsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), DataFrame]
+
+  /** Test/bench hook: drop the shared pipeline memos (cold runs). */
+  private[graft] def clearPipeMemos(): Unit = {
+    perDocMemo.clear(); hitsMemo.clear()
+  }
+
+  /** Bench hook: build the shared per-doc relations up front so the
+    * one-time cost is its own attributed line instead of landing on
+    * whichever of pipe5/pipe6/pipe9 runs first (the
+    * memo_copurchase_edges convention in [[graft.Bench]]). */
+  private[graft] def primePipeMemos(s: SparkSession, d: String): Unit = {
+    pipe5PerDoc(s, d); pipe6Hits(s, d); ()
+  }
+
+  private def computePipe5PerDoc(s: SparkSession, d: String): DataFrame = {
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
@@ -456,8 +491,14 @@ object PipelineOps {
     * risk), so the string-keyed oracle still hash-matches. */
   /** pipe6's per-train-doc contamination counts (doc_id, source,
     * n_shared distinct test shingles) — ONE definition consumed by
-    * the pipe6 census and pipe9's funnel (the anti-drift rule). */
-  private def pipe6Hits(s: SparkSession, d: String): DataFrame = {
+    * the pipe6 census and pipe9's funnel (the anti-drift rule).
+    * Memoized + checkpointed — see [[perDocMemo]]. */
+  private def pipe6Hits(s: SparkSession, d: String): DataFrame =
+    Tables.memoGetOrBuild(hitsMemo, s, d,
+      Tables.versionStamp(d, "documents"))(
+      computePipe6Hits(s, d).localCheckpoint(true))
+
+  private def computePipe6Hits(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Fns.wordShingles
     def side(lo: Int, hi: Int) = Tables.documents(s, d)
       .filter(md5Long(col("doc_id")) % 100 >= lo &&
@@ -591,12 +632,14 @@ object PipelineOps {
     * pipe8 anti-drift rule: this report cannot disagree with what the
     * gates actually do, because it IS them.
     *
-    * Scale shape: the verdict relation is one row per train doc
-    * (persisted — rank + census consume it); the dedup rank is the
-    * one fp-keyed exchange; contamination joins pipe6's existing
-    * doc-level counts; the census is ONE aggregate to a single row,
-    * stack-unpivoted to 4 stage rows. Nothing after the per-doc
-    * verdicts depends on volume. */
+    * Scale shape: the quality and contamination verdicts come from
+    * the MEMOIZED checkpoints ([[perDocMemo]]) shared with
+    * pipe5/pipe6 — pipe9's own work is one fingerprint projection
+    * scan, the fp-keyed dedup-rank exchange, two narrow verdict
+    * joins, and ONE aggregate to a single row stack-unpivoted to 4
+    * stage rows. Nothing after the per-doc verdicts depends on
+    * volume, and the upstream passes are paid once per corpus
+    * version, not once per report. */
   private def pipe9(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val per = Tables.documents(s, d)
@@ -636,7 +679,45 @@ object PipelineOps {
         expr("(1000000 * n_docs) div n0").as("kept_ppm"))
   }
 
+  /** pipe10's threshold sweep upper bound — brackets the served
+    * [[PIPE6_MIN_SHARED]] (=3) from both sides. */
+  private[graft] val PIPE10_MAX_T = 8
+
+  /** pipe10 — the [[PIPE6_MIN_SHARED]] quarantine-threshold knob
+    * MEASURED (VERDICT r11 #7, the g12/d16 measured-assumption
+    * pattern): for every candidate threshold 1..[[PIPE10_MAX_T]], how
+    * many train docs would decontamination quarantine? The curve's
+    * shape is the decision evidence — a cliff below the served value
+    * means the threshold is doing real discrimination (1 shared
+    * shingle is chance, ≥3 is contamination); a flat curve would mean
+    * the knob is dead weight. The served threshold appears as its own
+    * row, so the data card shows WHERE on the curve the pipeline
+    * sits (and the replay spec asserts that row equals pipe6's
+    * census totals — the anti-drift rule, measured edition).
+    *
+    * Scale shape: consumes the MEMOIZED [[pipe6Hits]] checkpoint
+    * (zero corpus scans — the build is paid once, shared with
+    * pipe6/pipe9), folds it to the ≤|distinct n_shared|-row
+    * histogram, and sweeps thresholds over that histogram crossed
+    * with an 8-row literal relation — the whole sweep is
+    * corpus-size-free past the one shared build, the g12 "derive the
+    * sweep from one pass" rule. */
+  private def pipe10(s: SparkSession, d: String): DataFrame = {
+    val hist = pipe6Hits(s, d)
+      .groupBy(col("n_shared")).agg(count(lit(1)).as("nd"))
+    val thr = s.range(1, PIPE10_MAX_T + 1).toDF("min_shared")
+    hist.crossJoin(broadcast(thr))
+      .groupBy(col("min_shared"))
+      .agg(sum(col("nd")).as("n_train"),
+        sum(when(col("n_shared") >= col("min_shared"), col("nd"))
+          .otherwise(0L)).as("n_quarantined"))
+      .select(col("min_shared"), col("n_train"), col("n_quarantined"),
+        expr("(1000000 * n_quarantined) div n_train")
+          .as("quarantined_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe10_decontam_curve" -> (pipe10 _),
     "pipe9_funnel" -> (pipe9 _),
     "pipe8_budget_fill" -> (pipe8 _),
     "pipe7_token_budget" -> (pipe7 _),
@@ -838,6 +919,32 @@ object PipelineOps {
     // x8's bucket CTEs with the direction reversed and the measured
     // 4-gram shingle width; the LEFT-join census keeps shingle-less
     // docs, same ≥3 quarantine rule and ppm floor-division
+    // pipe6's hits CTE swept over thresholds 1..PIPE10_MAX_T — the
+    // engine derives the same sweep from the memoized hits relation
+    "pipe10_decontam_curve" -> s"""
+      WITH s AS (SELECT doc_id, source,
+        ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS bkt,
+        list_distinct(list_transform(
+          generate_series(1, len(l) - ${PIPE6_NGRAM - 1}),
+          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))
+          AS sh
+        FROM (SELECT doc_id, source, string_split(text,' ') AS l
+              FROM documents)),
+      test AS (SELECT DISTINCT unnest(sh) AS sh FROM s WHERE bkt >= 90),
+      tr AS (SELECT doc_id, unnest(sh) AS sh FROM s WHERE bkt < 80),
+      hits AS (SELECT tr.doc_id, count(*) AS n_shared
+               FROM tr JOIN test USING (sh) GROUP BY 1),
+      perdoc AS (SELECT coalesce(hits.n_shared, 0) AS n_shared
+                 FROM s LEFT JOIN hits USING (doc_id) WHERE s.bkt < 80),
+      thr AS (SELECT unnest(generate_series(1, $PIPE10_MAX_T))
+                AS min_shared)
+      SELECT CAST(min_shared AS BIGINT) AS min_shared,
+        count(*) AS n_train,
+        CAST(sum(CASE WHEN n_shared >= min_shared THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_quarantined,
+        CAST((1000000 * sum(CASE WHEN n_shared >= min_shared
+          THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS quarantined_ppm
+      FROM perdoc CROSS JOIN thr GROUP BY 1""",
     "pipe6_decontam_split" -> s"""
       WITH s AS (SELECT doc_id, source,
         ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS bkt,

@@ -1523,15 +1523,25 @@ class NewOpsSpec extends SparkSpec {
     val np1Hits = graft.operators.SimilarityOps.s3Probe(spark, sf, 1)
       .collect().filter(_.getInt(3) <= 3)
       .map(r => (r.getLong(0), r.getLong(1))).count(exact)
-    val expected = Seq("s2_ann_lsh", "s3_ann_ivf", "s5_ann_pq").map { n =>
+    val got = q("s6_ann_recall").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // Derive the variant set from the harness's OWN rows (r11 verdict
+    // #1: a literal list went stale when s7 was wired in). Every
+    // non-probe-curve variant must be a registered query — the rrf1/s6
+    // composition rule — so each row replays against q(name) verbatim;
+    // a harness row with no registered query is itself a failure.
+    val curveRows = Set("s3_ann_ivf_np1")
+    val variants = got.keySet -- curveRows
+    assert(variants.nonEmpty &&
+      variants.forall(SparkEntry.queries.contains),
+      s"s6 emitted unregistered variants: ${variants.filterNot(SparkEntry.queries.contains)}")
+    val expected = variants.map { n =>
       val (h, p) = recallOf(n)
       n -> ((h, p, 1000000L * h / p))
     }.toMap + ("s3_ann_ivf_np1" ->
       ((np1Hits.toLong, exact.size.toLong,
         1000000L * np1Hits / exact.size)))
-    val got = q("s6_ann_recall").collect()
-      .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got === expected)
     assert(got.values.forall { case (h, p, ppm) => h <= p && ppm <= 1000000L })
   }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 additions: the d16 segment-width curve, the pipe10
+  * quarantine-threshold curve (the two remaining unmeasured knobs
+  * from VERDICT r11 #7), and the shared pipe5/pipe6 verdict memos
+  * (VERDICT r11 #6 — pipe9 must read the SAME relations pipe5/pipe6
+  * serve, warm or cold).
+  */
+class Round12OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // ---- d16 ----------------------------------------------------------
+
+  test("d16: one row per swept width, token mass identical across " +
+    "widths (every segmentation covers the corpus exactly once), " +
+    "segment counts strictly decreasing in width, and the served " +
+    "width's row reconciles with d11's per-doc rewrite exactly") {
+    val rows = q("d16_line_width_curve").collect()
+      .map(r => r.getLong(r.fieldIndex("seg_width")) ->
+        ((r.getLong(r.fieldIndex("n_segs")),
+          r.getLong(r.fieldIndex("n_bad_lines")),
+          r.getLong(r.fieldIndex("segs_removed")),
+          r.getLong(r.fieldIndex("n_tokens")),
+          r.getLong(r.fieldIndex("tokens_removed")),
+          r.getLong(r.fieldIndex("removed_ppm"))))).toMap
+    assert(rows.keySet == operators.DedupOps.D16_WIDTHS.map(_.toLong).toSet)
+    // the sweep brackets the served knob — the curve must SHOW where
+    // the pipeline sits, or it measures nothing
+    assert(rows.contains(operators.DedupOps.D11_SEG.toLong))
+    // invariant: every width re-covers the same token mass
+    assert(rows.values.map(_._4).toSet.size == 1,
+      s"token mass differs across widths: ${rows.map { case (w, v) => w -> v._4 }}")
+    // wider segments → strictly fewer of them (corpus has >0 tokens)
+    val byW = rows.toSeq.sortBy(_._1)
+    byW.sliding(2).foreach { case Seq((w1, v1), (w2, v2)) =>
+      assert(v1._1 > v2._1, s"n_segs not decreasing $w1->$w2")
+    case _ => ()
+    }
+    rows.foreach { case (w, (nSegs, nBad, segsRm, nTok, tokRm, ppm)) =>
+      assert(nBad <= nSegs && segsRm <= nSegs && tokRm <= nTok,
+        s"width $w: bounds broken")
+      assert(ppm == 1000000L * tokRm / nTok, s"width $w: ppm drifted")
+    }
+    // the served-width row IS d11, re-aggregated: same segment unit,
+    // same >1-distinct-docs rule — the anti-drift rule for curves
+    val d11 = q("d11_line_dedup")
+      .agg(sum(col("n_segs")), sum(col("n_dropped"))).collect()(0)
+    val served = rows(operators.DedupOps.D11_SEG.toLong)
+    assert(served._1 == d11.getLong(0),
+      s"served-width n_segs ${served._1} != d11 ${d11.getLong(0)}")
+    assert(served._3 == d11.getLong(1),
+      s"served-width segs_removed ${served._3} != d11 ${d11.getLong(1)}")
+  }
+
+  // ---- pipe10 -------------------------------------------------------
+
+  test("pipe10: one row per threshold 1..max, constant train " +
+    "population, quarantine monotonically non-increasing in the " +
+    "threshold, and the served-threshold row equals pipe6's census " +
+    "totals (the anti-drift rule, measured edition)") {
+    val rows = q("pipe10_decontam_curve").collect()
+      .map(r => r.getLong(r.fieldIndex("min_shared")) ->
+        ((r.getLong(r.fieldIndex("n_train")),
+          r.getLong(r.fieldIndex("n_quarantined")),
+          r.getLong(r.fieldIndex("quarantined_ppm"))))).toMap
+    assert(rows.keySet ==
+      (1L to operators.PipelineOps.PIPE10_MAX_T.toLong).toSet)
+    assert(rows.values.map(_._1).toSet.size == 1, "n_train must be constant")
+    (1L until operators.PipelineOps.PIPE10_MAX_T.toLong).foreach { t =>
+      assert(rows(t)._2 >= rows(t + 1)._2,
+        s"quarantine grew from threshold $t to ${t + 1}")
+    }
+    rows.foreach { case (t, (n, quar, ppm)) =>
+      assert(quar <= n && ppm == 1000000L * quar / n, s"row $t inconsistent")
+    }
+    // served threshold row == pipe6's census, summed over sources
+    val p6 = q("pipe6_decontam_split")
+      .agg(sum(col("n_train")), sum(col("n_quarantined"))).collect()(0)
+    val served = rows(operators.PipelineOps.PIPE6_MIN_SHARED.toLong)
+    assert(served._1 == p6.getLong(0) && served._2 == p6.getLong(1),
+      s"pipe10@${operators.PipelineOps.PIPE6_MIN_SHARED} $served != " +
+        s"pipe6 census (${p6.getLong(0)}, ${p6.getLong(1)})")
+  }
+
+  // ---- shared pipe memos -------------------------------------------
+
+  test("pipe memo sharing: pipe9 produces identical output cold " +
+    "(memos just cleared) and warm (memos primed via the Bench hook), " +
+    "and the memoized relations survive catalog.clearCache() — the " +
+    "property that makes the sharing real across bench queries") {
+    operators.PipelineOps.clearPipeMemos()
+    val cold = q("pipe9_funnel").collect().map(_.toString).sorted
+    operators.PipelineOps.clearPipeMemos()
+    operators.PipelineOps.primePipeMemos(spark, sf)
+    spark.catalog.clearCache() // what Bench does between queries
+    val warm = q("pipe9_funnel").collect().map(_.toString).sorted
+    assert(cold.sameElements(warm), "cold/warm pipe9 outputs differ")
+    // warm pipe9 must plan ZERO FileScans beyond its own fingerprint
+    // projection: the constituent passes come from the checkpoints
+    val phys = q("pipe9_funnel").queryExecution.executedPlan
+    val scans = phys.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.length
+    assert(scans <= 1, s"warm pipe9 plans $scans FileScans (memo not used)")
+  }
+}

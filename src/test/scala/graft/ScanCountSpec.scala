@@ -138,9 +138,9 @@ class ScanCountSpec extends SparkSpec {
       // al1 is cal1's window over the same shared nbDocScores 3-pass
       // shape, ending in a TakeOrderedAndProject bottom-K
       "al1_uncertain_topk" -> ((3, 0)),
-      // pipe5's token-stats pass and the n_chars attachment re-read
-      // pruned projections — the cls1/voc1 two-pass adjudication
-      "pipe5_gopher_rules" -> ((2, 0)),
+      // pipe5 aggregates the memoized per-doc verdict checkpoint
+      // (0 FileScans — the d2/d12 memo adjudication); the strict
+      // default covers it
       // sm8's min-class-k agg and the rank window each re-read the
       // 2-column pruned (doc_id, lang) projection — the sm6/sm7 shape
       "sm8_class_balance" -> ((2, 0)),
@@ -185,10 +185,9 @@ class ScanCountSpec extends SparkSpec {
       // to 64 rows immediately)
       "s7_ann_sq" -> ((2, 0)),
       "x8_contamination" -> ((2, 2)),
-      // pipe6 reverses x8's direction with the codegen shingle column
-      // (no kernels): train and test splits are two disjoint
-      // hash-filtered pruned scans
-      "pipe6_decontam_split" -> ((2, 0)),
+      // pipe6 censuses the memoized per-doc hit checkpoint (0
+      // FileScans; the build's two split scans are paid once in the
+      // memo_pipeline_perdoc line) — strict default covers it
       // two-pass by design: MG candidate kernel, then the exact
       // count pass re-scans behind the broadcast semi-join
       "g9_heavy_hitters" -> ((2, 1)),
@@ -208,11 +207,10 @@ class ScanCountSpec extends SparkSpec {
       // er4's fixed probe head and the catalog sweep are two pruned
       // part reads (the cls3 probe-set adjudication)
       "er4_blocking_eval" -> ((2, 0)),
-      // pipe9 composes pipe5's tf+chars passes (2), the fingerprint
-      // projection, and pipe6Hits' two split scans — the funnel's
-      // budget is its constituents' sum (per-doc verdicts persisted,
-      // so rank + census share one materialization)
-      "pipe9_funnel" -> ((5, 0)),
+      // pipe9 joins the memoized pipe5/pipe6 verdict checkpoints —
+      // its ONLY FileScan is the fingerprint projection of the train
+      // split (r11 verdict #6: was 5 scans re-deriving both memos);
+      // strict default covers it
       // pipe8's scored pass + pipe7's token-mass quota pass (which
       // reduces to |sources| rows immediately — the voc1/cls1
       // two-pruned-reads adjudication)

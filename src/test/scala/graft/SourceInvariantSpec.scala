@@ -33,8 +33,12 @@ class SourceInvariantSpec extends AnyFunSuite {
     * narrow relations only, never a corpus projection. DedupOps
     * checkpoints (doc_id, hashed-shingle, minhash) signatures;
     * GraphOps checkpoints the memoized (id, id) co-purchase edge
-    * list (the r9 edge memo — same discipline, graph flavor). */
-  private val checkpointAllowlist = Set("DedupOps.scala", "GraphOps.scala")
+    * list (the r9 edge memo — same discipline, graph flavor);
+    * PipelineOps checkpoints the memoized per-doc verdict relations
+    * (doc_id + quality flags / contamination count — one narrow row
+    * per doc, shared by pipe5/pipe6/pipe9, r11 verdict #6). */
+  private val checkpointAllowlist =
+    Set("DedupOps.scala", "GraphOps.scala", "PipelineOps.scala")
 
   test("localCheckpoint appears only in the signature-class " +
     "allowlist (DedupOps signatures, GraphOps edge memo) — " +
@@ -74,5 +78,44 @@ class SourceInvariantSpec extends AnyFunSuite {
     // a rename would otherwise silently shrink the tier to nothing
     val missing = Bench.quickTier -- names.toSet
     assert(missing.isEmpty, s"quickTier names without a query: $missing")
+  }
+
+  test("BENCH_X10.json covers the FULL registered surface — a query " +
+    "added after the last gate run turns the suite red until " +
+    "tools/scale_probe.py is re-run (r11: pipe9 landed after the " +
+    "probe run and never entered the gate; nothing checked)") {
+    val f = new java.io.File("BENCH_X10.json")
+    assert(f.isFile, "BENCH_X10.json missing — run tools/scale_probe.py run")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    // the gate's ratio map drops a query when it's absent from either
+    // bench record OR failed (-1) — all three cases are coverage holes
+    val expected = SparkEntry.queries.keySet ++ Bench.memoBuilds.map(_._1)
+    for (p <- Seq("x10rel", "x10doc")) {
+      val node = root.path("probes").path(p).path("queries")
+      assert(node.isObject, s"BENCH_X10.json has no probes.$p.queries map")
+      val got = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(node.fieldNames()).asScala.toSet
+      val absent = expected -- got
+      val stale = got -- expected
+      assert(absent.isEmpty && stale.isEmpty,
+        s"$p gate coverage drift — absent from gate: ${absent.toSeq.sorted}" +
+          s"; stale keys in gate: ${stale.toSeq.sorted}")
+    }
+  }
+
+  test("BENCH_X10.json ships adjudicated: every probe watchlist is " +
+    "empty (r11: the record shipped with a 3-entry unadjudicated " +
+    "watchlist after the retrial parser no-op'd — the record of " +
+    "record must never carry open flags)") {
+    val f = new java.io.File("BENCH_X10.json")
+    assert(f.isFile, "BENCH_X10.json missing — run tools/scale_probe.py run")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    for (p <- Seq("x10rel", "x10doc")) {
+      val wl = root.path("probes").path(p).path("watchlist")
+      assert(wl.isArray, s"BENCH_X10.json has no probes.$p.watchlist")
+      assert(wl.size() == 0,
+        s"$p watchlist non-empty: re-run the gate and adjudicate " +
+          s"(isolated retrial) before shipping — ${wl.toString}")
+    }
   }
 }

@@ -264,9 +264,11 @@ def bench_partial(sf_dir, names):
         cwd=REPO, env=env, capture_output=True, text=True)
     times = {}
     for line in (p.stdout + "\n" + p.stderr).splitlines():
-        line = line.strip()
-        if line.startswith("[error]"):
-            line = line[len("[error]"):].strip()
+        # strip ANY sbt log-level prefix ([error]/[info]/[warn]/...):
+        # which level sbt routes Bench's stderr under depends on its
+        # output strategy (ADVICE r11 — the one-literal strip missed
+        # [info]-routed lines)
+        line = re.sub(r"^\[\w+\]\s*", "", line.strip())
         m = re.match(r"\[graft\]\s+(\S+)\s+([0-9.]+) s", line)
         if m and m.group(1) in names:
             times[m.group(1)] = float(m.group(2))
