@@ -63,10 +63,28 @@ object OsmXmlSource {
 
   /** All three record types shaped ([[OsmShape.shape]]) and unioned
     * into the single wide collection with `doc_type` discriminator. */
-  def collection(spark: SparkSession, path: String): DataFrame = {
-    val n = OsmShape.shape(nodes(spark, path), "node")
-    val w = OsmShape.shape(ways(spark, path), "way")
-    val r = OsmShape.shape(relations(spark, path), "relation")
+  def collection(spark: SparkSession, path: String): DataFrame =
+    collection(spark, path, 0)
+
+  /** [[collection]] with the scan's rows REDISTRIBUTED before the
+    * shape stage. Spark's built-in XML source does not split a single
+    * file (a rowTag record may span any byte boundary, so each file
+    * is one partition — verified empirically at any
+    * `maxPartitionBytes`), which makes one planet-scale `.osm` a
+    * single-task pipeline no matter the cluster: parse, shape,
+    * Extended-JSON encode and write would ALL serialize. A
+    * round-robin repartition right after the scan confines the
+    * serial section to the parse alone — shape + encode + write (the
+    * dominant ~4/5 of the pipeline, measured in OsmEtlBench) fan out
+    * to `parts` tasks at the cost of one exchange of the raw rows.
+    * `parts <= 0` keeps the scan partitioning (the fixture/spec
+    * path, where an exchange would be noise). */
+  def collection(spark: SparkSession, path: String, parts: Int): DataFrame = {
+    def spread(df: DataFrame): DataFrame =
+      if (parts > 0) df.repartition(parts) else df
+    val n = OsmShape.shape(spread(nodes(spark, path)), "node")
+    val w = OsmShape.shape(spread(ways(spark, path)), "way")
+    val r = OsmShape.shape(spread(relations(spark, path)), "relation")
     n.unionByName(w, allowMissingColumns = true)
       .unionByName(r, allowMissingColumns = true)
   }
