@@ -413,17 +413,36 @@ object PipelineOps {
     pipe5PerDoc(s, d); pipe6Hits(s, d); ()
   }
 
-  private def computePipe5PerDoc(s: SparkSession, d: String): DataFrame = {
-    val tf = Tables.documents(s, d)
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-    tf.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("words"), max(col("c")).as("max_tf"),
-        count(lit(1)).as("n_types"),
-        sum(when(col("tok").isin(PIPE5_STOPS: _*), col("c"))
-          .otherwise(0L)).as("n_stop"))
-      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
-        Seq("doc_id"))
+  /** The per-doc Gopher statistics IN-ROW (r12 rewrite): the previous
+    * form exploded tokens and aggregated (doc_id, tok) — one
+    * corpus-keyed exchange for the tf counts plus a join back for
+    * n_chars. But every statistic the rules read (words, max tf,
+    * type count, stopword count) is a function of ONE document's
+    * token array, so it computes inside the scan task: sort the
+    * array, mark run boundaries, run lengths = boundary diffs —
+    * max_tf is the max diff, n_types the boundary count. ZERO
+    * exchanges, no join (n_chars rides the same row), scan-speed
+    * narrow — the d11/tok1 "anything that shuffles to tokenize is
+    * wrong" discipline applied to quality scoring. Boundary test
+    * uses a lazy `if` (not OR) so ANSI element_at(srt, 0) can never
+    * evaluate. */
+  private def computePipe5PerDoc(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), toks(col("text")).as("t"))
+      .withColumn("srt", array_sort(col("t")))
+      .withColumn("bnd", expr(
+        """filter(sequence(1, size(srt)),
+          |  i -> if(i = 1, true,
+          |          element_at(srt, i) != element_at(srt, i - 1)))"""
+          .stripMargin))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("t")).cast("long").as("words"),
+        expr("""array_max(zip_with(bnd,
+          |  concat(slice(bnd, 2, size(bnd) - 1), array(size(srt) + 1)),
+          |  (a, b) -> b - a))""".stripMargin).cast("long").as("max_tf"),
+        size(col("bnd")).cast("long").as("n_types"),
+        size(filter(col("t"), x => x.isin(PIPE5_STOPS: _*)))
+          .cast("long").as("n_stop"))
       .select(col("doc_id"), col("words"),
         (col("words") < 50 || col("words") > 500).as("f1"),
         (expr("(1000 * n_chars) div words") < 3000
@@ -431,7 +450,6 @@ object PipelineOps {
         (col("n_stop") < 2).as("f3"),
         (expr("(1000 * max_tf) div words") > 120).as("f4"),
         (expr("(1000 * n_types) div words") < 300).as("f5"))
-  }
 
   private def pipe5(s: SparkSession, d: String): DataFrame = {
     val per = pipe5PerDoc(s, d)
@@ -716,7 +734,54 @@ object PipelineOps {
           .as("quarantined_ppm"))
   }
 
+  /** pk2's sequence-length sweep — brackets pk1's served
+    * [[PACK_BUDGET]] (=2048) from both sides. */
+  private[graft] val PK2_LENS = Seq(256, 1024, 2048, 4096)
+
+  /** pk2 — the context-length planning table (the knob-curve pattern
+    * on pk1's axis): for each candidate sequence length, what does
+    * the corpus cost under the two assembly strategies every trainer
+    * chooses between — PAD (one doc per sequence, split oversized
+    * docs: chunks = Σ ceil(nt/L), waste = unused capacity) vs PACK
+    * (pk1's concat-and-chunk: sequences = ceil(Σnt/L), waste only in
+    * the final sequence)? The pad-waste column is the argument for
+    * packing, quantified per L on THIS corpus — at L=4096 with
+    * ~50-500-token docs, padding burns >80% of capacity while
+    * packing burns ~0 — and the served 2048 appears as its own row
+    * (the d16/pipe10 discipline).
+    *
+    * Scale shape: ONE corpus scan reduces to a single row (count,
+    * Σnt, one conditional ceil-sum per L — all partial-aggregated
+    * map-side), then the |lens|-row stack and the waste arithmetic
+    * are corpus-size-free. All integer (ceil via (n+L-1) div L);
+    * 10⁶·capacity stays inside BIGINT while the corpus holds
+    * < 9.2·10¹² tokens — past that, compute waste in per-mille (the
+    * pipe7 domain-pinning convention). */
+  private def pk2(s: SparkSession, d: String): DataFrame = {
+    val chunkSums = PK2_LENS.map { l =>
+      sum(expr(s"(nt + ${l - 1}) div $l")).as(s"ch$l")
+    }
+    Tables.documents(s, d)
+      .select(size(toks(col("text"))).cast("long").as("nt"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("nt")).as("n_tokens") +: chunkSums): _*)
+      .select(col("n_docs"), col("n_tokens"), expr(
+        s"""stack(${PK2_LENS.size}, ${PK2_LENS.map(l =>
+          s"CAST($l AS BIGINT), ch$l").mkString(", ")})
+           |AS (seq_len, n_chunks)""".stripMargin))
+      .select(col("seq_len"), col("n_docs"), col("n_tokens"),
+        col("n_chunks"),
+        expr("""(1000000 * (n_chunks * seq_len - n_tokens))
+          | div (n_chunks * seq_len)""".stripMargin).as("pad_waste_ppm"),
+        expr("(n_tokens + seq_len - 1) div seq_len").as("packed_seqs"),
+        expr("""(1000000 * (((n_tokens + seq_len - 1) div seq_len)
+          |  * seq_len - n_tokens))
+          | div (((n_tokens + seq_len - 1) div seq_len) * seq_len)"""
+          .stripMargin).as("packed_waste_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pk2_pad_curve" -> (pk2 _),
     "pipe10_decontam_curve" -> (pipe10 _),
     "pipe9_funnel" -> (pipe9 _),
     "pipe8_budget_fill" -> (pipe8 _),
@@ -919,6 +984,27 @@ object PipelineOps {
     // x8's bucket CTEs with the direction reversed and the measured
     // 4-gram shingle width; the LEFT-join census keeps shingle-less
     // docs, same ≥3 quarantine rule and ppm floor-division
+    // one token-count CTE, per-L ceil-sums, UNION-ALL unpivot — the
+    // same integer ceil form ((n + L - 1) // L) as the engine
+    "pk2_pad_curve" -> s"""
+      WITH t AS (SELECT len(string_split(text, ' ')) AS nt FROM documents),
+      c AS (SELECT count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        ${PK2_LENS.map(l =>
+          s"CAST(sum((nt + ${l - 1}) // $l) AS BIGINT) AS ch$l")
+          .mkString(", ")}
+        FROM t),
+      u AS (${PK2_LENS.map(l =>
+        s"SELECT n_docs, n_tokens, CAST($l AS BIGINT) AS seq_len, ch$l AS n_chunks FROM c")
+        .mkString(" UNION ALL ")})
+      SELECT seq_len, n_docs, n_tokens, n_chunks,
+        (1000000 * (n_chunks * seq_len - n_tokens))
+          // (n_chunks * seq_len) AS pad_waste_ppm,
+        (n_tokens + seq_len - 1) // seq_len AS packed_seqs,
+        (1000000 * (((n_tokens + seq_len - 1) // seq_len) * seq_len
+          - n_tokens))
+          // (((n_tokens + seq_len - 1) // seq_len) * seq_len)
+          AS packed_waste_ppm
+      FROM u""",
     // pipe6's hits CTE swept over thresholds 1..PIPE10_MAX_T — the
     // engine derives the same sweep from the memoized hits relation
     "pipe10_decontam_curve" -> s"""

@@ -456,7 +456,13 @@ object RetrievalOps {
     * merged segmentations are identical. `esc` is each dialect's
     * spelling of the char-explode regexp_replace. */
   private def mergeChain(esc: String): String =
-    tok1Merges.foldLeft(s"concat(' ', $esc)") { case (acc, (a, b)) =>
+    mergeChainK(esc, tok1Merges.size)
+
+  /** [[mergeChain]] truncated to the first k merges (rank order IS
+    * merge order) — tok2's sweep variable. k = 0 degenerates to the
+    * raw character segmentation, the curve's exact anchor. */
+  private def mergeChainK(esc: String, k: Int): String =
+    tok1Merges.take(k).foldLeft(s"concat(' ', $esc)") { case (acc, (a, b)) =>
       s"replace($acc, ' $a $b ', ' $a$b ')"
     }
 
@@ -496,6 +502,45 @@ object RetrievalOps {
 
   private def tok1(s: SparkSession, d: String): DataFrame =
     tok1Transform(Tables.documents(s, d))
+
+  /** tok2's merge-budget sweep — 0 (raw chars, the exact 10⁶-ppm
+    * anchor) through the full [[tok1Merges]] table. */
+  private[graft] val TOK2_BUDGETS = Seq(0, 2, 4, 6, 8)
+
+  /** tok2 — the tokenizer merge-budget curve (the d16/pipe10
+    * knob-measurement pattern on bpe1/tok1's axis): corpus token
+    * cost and compression under the FIRST k merges of the frozen
+    * table, for k = 0..8 — the vocabulary-size-vs-compression trade
+    * a tokenizer design reads before committing a merge budget
+    * (every added merge buys strictly non-increasing token count;
+    * the curve shows where the corpus's returns flatten). Rank order
+    * IS merge order (bpe1's count-desc training order), so prefix
+    * budgets are exactly "stop training after k merges".
+    *
+    * Scale shape: ONE corpus scan; all five budget variants evaluate
+    * in the same projection over the same token array (shared-prefix
+    * replace chains inside whole-stage codegen, the tok1 zero-
+    * exchange property), partial-aggregate to a single row, and the
+    * |budgets|-row stack + ppm arithmetic are corpus-size-free. */
+  private def tok2(s: SparkSession, d: String): DataFrame = {
+    val sums = TOK2_BUDGETS.map { k =>
+      val perWord = "size(split(trim(" +
+        mergeChainK("regexp_replace(w, '(.)', '$1 ')", k) + "), ' '))"
+      sum(expr(
+        s"aggregate(transform(t, w -> $perWord), 0L, (acc, x) -> acc + x)"))
+        .as(s"bt$k")
+    }
+    Tables.documents(s, d)
+      .select(toks(col("text")).as("t"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"))
+      .agg(sum(col("nc")).as("n_chars"), sums: _*)
+      .select(col("n_chars"), expr(
+        s"""stack(${TOK2_BUDGETS.size}, ${TOK2_BUDGETS.map(k =>
+          s"CAST($k AS BIGINT), bt$k").mkString(", ")})
+           |AS (n_merges, bpe_tokens)""".stripMargin))
+      .select(col("n_merges"), col("n_chars"), col("bpe_tokens"),
+        expr("(1000000 * n_chars) div bpe_tokens").as("compression_ppm"))
+  }
 
   /** rrf1 — hybrid retrieval fusion: reciprocal-rank-fuse the lexical
     * BM25 ranking (x11, the registered query VERBATIM) with the dense
@@ -978,6 +1023,7 @@ object RetrievalOps {
     "idx1_inverted" -> (idx1 _),
     "rrf1_hybrid_fuse" -> (rrf1 _),
     "tok1_bpe_apply" -> (tok1 _),
+    "tok2_merge_curve" -> (tok2 _),
     "qr1_batch_bm25" -> (qr1 _),
     "voc1_oov_rate" -> (voc1 _),
     "cls1_nb_model" -> (cls1 _),
@@ -1350,6 +1396,25 @@ object RetrievalOps {
     // the replace chain is generated from the SAME MERGES constant as
     // the engine's expression — the vocabularies cannot drift
     "tok1_bpe_apply" -> TOK1_SQL,
+    // each budget's chain generated by the same mergeChainK — prefix
+    // budgets cannot drift from the served table; UNION-ALL unpivot
+    "tok2_merge_curve" -> s"""
+      WITH b AS (SELECT string_split(text, ' ') AS t,
+                   length(replace(text, ' ', '')) AS n_chars
+                 FROM documents),
+      c AS (SELECT CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        ${TOK2_BUDGETS.map(k =>
+          "CAST(sum(list_sum(list_transform(t, w -> " +
+            "len(string_split(trim(" +
+            mergeChainK("""regexp_replace(w, '(.)', '\1 ', 'g')""", k) +
+            "), ' '))))) AS BIGINT) AS bt" + k).mkString(", ")}
+        FROM b),
+      u AS (${TOK2_BUDGETS.map(k =>
+        s"SELECT n_chars, CAST($k AS BIGINT) AS n_merges, bt$k AS bpe_tokens FROM c")
+        .mkString(" UNION ALL ")})
+      SELECT n_merges, n_chars, bpe_tokens,
+        (1000000 * n_chars) // bpe_tokens AS compression_ppm
+      FROM u""",
     // tok1's oracle embedded verbatim (the s6/rrf1 composition rule)
     // + the lang attachment and per-lang roll-up
     "voc2_fertility" -> s"""

@@ -87,6 +87,68 @@ class Round12OpsSpec extends SparkSpec {
         s"pipe6 census (${p6.getLong(0)}, ${p6.getLong(1)})")
   }
 
+  // ---- pk2 ----------------------------------------------------------
+
+  test("pk2: one row per swept length incl. the served 2048, constant " +
+    "doc/token mass, exact integer ceil arithmetic, and packing never " +
+    "wastes more than padding (the law that justifies pk1)") {
+    val rows = q("pk2_pad_curve").collect()
+      .map(r => r.getLong(r.fieldIndex("seq_len")) ->
+        ((r.getLong(r.fieldIndex("n_docs")),
+          r.getLong(r.fieldIndex("n_tokens")),
+          r.getLong(r.fieldIndex("n_chunks")),
+          r.getLong(r.fieldIndex("pad_waste_ppm")),
+          r.getLong(r.fieldIndex("packed_seqs")),
+          r.getLong(r.fieldIndex("packed_waste_ppm"))))).toMap
+    assert(rows.keySet == operators.PipelineOps.PK2_LENS.map(_.toLong).toSet)
+    assert(rows.contains(2048L), "served PACK_BUDGET missing from sweep")
+    assert(rows.values.map(v => (v._1, v._2)).toSet.size == 1)
+    rows.foreach { case (l, (_, nTok, nCh, padW, pSeqs, packW)) =>
+      assert(pSeqs == (nTok + l - 1) / l, s"L=$l packed_seqs wrong")
+      assert(nCh >= pSeqs, s"L=$l chunk count below packed minimum")
+      assert(packW <= padW, s"L=$l packing wastes more than padding")
+      assert(padW == 1000000L * (nCh * l - nTok) / (nCh * l))
+      assert(packW == 1000000L * (pSeqs * l - nTok) / (pSeqs * l))
+    }
+    // waste under padding grows with L on a short-doc corpus — the
+    // table's actual message
+    val byL = rows.toSeq.sortBy(_._1)
+    assert(byL.head._2._4 <= byL.last._2._4,
+      "pad waste did not grow from the smallest to the largest L")
+  }
+
+  // ---- tok2 ---------------------------------------------------------
+
+  test("tok2: one row per merge budget, the 0-merge anchor is exactly " +
+    "raw chars at 10^6 ppm, token count non-increasing in merges, and " +
+    "the full-budget row equals the served tok1 tokenizer's aggregate " +
+    "(the anti-drift rule: the curve's endpoint IS the product)") {
+    val rows = q("tok2_merge_curve").collect()
+      .map(r => r.getLong(r.fieldIndex("n_merges")) ->
+        ((r.getLong(r.fieldIndex("n_chars")),
+          r.getLong(r.fieldIndex("bpe_tokens")),
+          r.getLong(r.fieldIndex("compression_ppm"))))).toMap
+    assert(rows.keySet ==
+      operators.RetrievalOps.TOK2_BUDGETS.map(_.toLong).toSet)
+    assert(rows.values.map(_._1).toSet.size == 1, "n_chars must be constant")
+    val anchor = rows(0L)
+    assert(anchor._2 == anchor._1 && anchor._3 == 1000000L,
+      s"0-merge anchor broken: $anchor")
+    val byK = rows.toSeq.sortBy(_._1)
+    byK.sliding(2).foreach {
+      case Seq((k1, v1), (k2, v2)) =>
+        assert(v2._2 <= v1._2, s"bpe_tokens grew from $k1 to $k2 merges")
+      case _ => ()
+    }
+    // endpoint == the served tokenizer, re-aggregated from tok1
+    val t1 = q("tok1_bpe_apply")
+      .agg(sum(col("n_chars")), sum(col("bpe_tokens"))).collect()(0)
+    val full = rows(operators.RetrievalOps.TOK2_BUDGETS.max.toLong)
+    assert(full._1 == t1.getLong(0) && full._2 == t1.getLong(1),
+      s"full-budget row $full != tok1 aggregate " +
+        s"(${t1.getLong(0)}, ${t1.getLong(1)})")
+  }
+
   // ---- shared pipe memos -------------------------------------------
 
   test("pipe memo sharing: pipe9 produces identical output cold " +
