@@ -80,9 +80,15 @@ object Bench {
     // dependent (the VERDICT r9 watchlist item). The build is real
     // work, so it counts toward the total either way; this only fixes
     // the ATTRIBUTION.
+    // Full runs prime every memo; a partial run primes (and times)
+    // exactly the memo names selected — so the gate's isolated
+    // retrial can re-measure a flagged memo line the same way it
+    // re-measures a query (memo lines are gate-scored entries in
+    // BENCH_X10.json, so they need the same adjudication path).
     val memoLines: Seq[(String, Double)] =
-      if (wanted.nonEmpty) Seq.empty
-      else memoBuilds.map { case (name, prime) =>
+      memoBuilds.filter { case (name, _) =>
+        wanted.isEmpty || wanted.contains(name)
+      }.map { case (name, prime) =>
         val t0 = System.nanoTime()
         val t = try { prime(spark, sfDir); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
@@ -133,9 +139,10 @@ object Bench {
         (fullLine + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () } // read-only cwd must not fail the bench
     else
-      // partial run: per-query times to stdout for local iteration
-      // (never the official record, so length doesn't matter here)
-      results.foreach { case (k, v) => System.err.println(f"[graft]   $k%-28s $v%.3f s") }
+      // partial run: per-query (and per-memo) times for local
+      // iteration and the gate's isolated retrial (never the
+      // official record, so length doesn't matter here)
+      lines.foreach { case (k, v) => System.err.println(f"[graft]   $k%-28s $v%.3f s") }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     if (lines.exists(_._2 < 0)) {
       System.err.println("[graft] bench FAILED queries: " +

@@ -121,11 +121,14 @@ object OsmEtlBench {
     sb.result()
   }
 
-  /** Write the reference-scale .osm; returns (bytes, node, way, rel). */
+  /** Write the reference-scale .osm; returns (bytes, node, way, rel).
+    * Writes to `path.tmp` then renames, so an interrupted run can
+    * never leave a truncated file under the real name (the reuse
+    * check in [[main]] would otherwise trust it forever). */
   private[osm] def generate(path: String, scale: Double = 1.0): (Long, Long, Long, Long) = {
     val (nN, nW, nR) = ((N_NODES * scale).toLong.max(10),
       (N_WAYS * scale).toLong.max(2), (N_RELS * scale).toLong.max(1))
-    val f = new File(path)
+    val f = new File(path + ".tmp")
     Option(f.getParentFile).foreach(_.mkdirs())
     val w = new BufferedWriter(new FileWriter(f), 1 << 20)
     try {
@@ -184,7 +187,28 @@ object OsmEtlBench {
       }
       w.write("</osm>\n")
     } finally w.close()
-    (f.length(), nN, nW, nR)
+    val dest = new File(path)
+    if (dest.exists()) dest.delete()
+    require(f.renameTo(dest), s"rename ${f.getPath} -> $path failed")
+    (dest.length(), nN, nW, nR)
+  }
+
+  /** True only for a file that plausibly IS a completed full-size
+    * generate: big enough AND carrying the closing `</osm>` tag. A
+    * bare size check would trust a truncated file from an
+    * interrupted older run forever (and fail parity on every
+    * subsequent run with no self-heal). */
+  private def looksComplete(path: String): Boolean = {
+    val f = new File(path)
+    f.length() > 10000000L && {
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val tail = new Array[Byte](16)
+        raf.seek(math.max(0L, f.length() - 16))
+        val n = raf.read(tail)
+        n > 0 && new String(tail, 0, n, "UTF-8").contains("</osm>")
+      } finally raf.close()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -193,12 +217,13 @@ object OsmEtlBench {
     val out = s"$dir/dump"
     val spark = GraftSession.local("graft-osm-bench")
     // generate (idempotent: the deterministic generator always makes
-    // the same bytes, so an existing full-size file is reused)
+    // the same bytes, so an existing COMPLETE full-size file is
+    // reused; anything else — absent, truncated, tag-less — is
+    // regenerated)
     val (bytes, nN, nW, nR) =
-      if (new File(xml).length() > 10000000L) {
-        val f = new File(xml)
-        (f.length(), N_NODES.toLong, N_WAYS.toLong, N_RELS.toLong)
-      } else generate(xml)
+      if (looksComplete(xml))
+        (new File(xml).length(), N_NODES.toLong, N_WAYS.toLong, N_RELS.toLong)
+      else generate(xml)
     // The three record types ship as three CONCURRENT write jobs
     // (mongoimport ingests a directory of part-files either way):
     // each type's single-task XML parse is the serial section of its
@@ -257,13 +282,16 @@ object OsmEtlBench {
         s""""relation":${counts.getOrElse("relation", 0L)},"parity":$parity,""" +
         s""""baseline":"14.2 MB/s, 50.3 kdocs/s over 385,777 docs (BASELINE.md row 7)"}"""
     println(line)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("OSM_BENCH.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // record of record: written ONLY on parity (the BENCH_FULL.json
+    // convention — a failed run must never clobber a good record)
+    if (parity)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("OSM_BENCH.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     spark.stop()
     if (!parity) {
       System.err.println(s"[osm-bench] COUNT PARITY FAILED: $counts != " +
-        s"node=$nN way=$nW relation=$nR")
+        s"node=$nN way=$nW relation=$nR — OSM_BENCH.json NOT overwritten")
       sys.exit(1)
     }
   }

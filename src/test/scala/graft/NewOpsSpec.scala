@@ -1526,16 +1526,21 @@ class NewOpsSpec extends SparkSpec {
     val got = q("s6_ann_recall").collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    // Derive the variant set from the harness's OWN rows (r11 verdict
-    // #1: a literal list went stale when s7 was wired in). Every
-    // non-probe-curve variant must be a registered query — the rrf1/s6
-    // composition rule — so each row replays against q(name) verbatim;
-    // a harness row with no registered query is itself a failure.
+    // Derive the variant set from the REGISTRY, not a literal (r11
+    // verdict #1: a re-typed list went stale when s7 was wired in)
+    // and not from s6's own output (r12 review: that form can't see
+    // a variant silently DROPPED from the harness): every registered
+    // approximate ANN query must appear as an s6 row — registering
+    // s8_ann_* without wiring it into the harness fails here, and so
+    // does a harness edit that loses s5's row. s1 is the ground
+    // truth, s6 the harness itself; both excluded by name.
     val curveRows = Set("s3_ann_ivf_np1")
-    val variants = got.keySet -- curveRows
-    assert(variants.nonEmpty &&
-      variants.forall(SparkEntry.queries.contains),
-      s"s6 emitted unregistered variants: ${variants.filterNot(SparkEntry.queries.contains)}")
+    val variants = SparkEntry.queries.keySet
+      .filter(_.matches("s\\d+_ann_.*")) -- Set("s1_ann_brute", "s6_ann_recall")
+    assert(variants.nonEmpty)
+    assert(got.keySet == variants ++ curveRows,
+      s"s6 rows ${got.keySet.toSeq.sorted} != registered ANN variants " +
+        s"${(variants ++ curveRows).toSeq.sorted}")
     val expected = variants.map { n =>
       val (h, p) = recallOf(n)
       n -> ((h, p, 1000000L * h / p))

@@ -163,8 +163,17 @@ class Round12OpsSpec extends SparkSpec {
     val warm = q("pipe9_funnel").collect().map(_.toString).sorted
     assert(cold.sameElements(warm), "cold/warm pipe9 outputs differ")
     // warm pipe9 must plan ZERO FileScans beyond its own fingerprint
-    // projection: the constituent passes come from the checkpoints
-    val phys = q("pipe9_funnel").queryExecution.executedPlan
+    // projection: the constituent passes come from the checkpoints.
+    // Unwrap AdaptiveSparkPlanExec first — under AQE the root is a
+    // LEAF node, so collecting on it directly finds nothing and the
+    // assertion would pass vacuously (the ScanCountSpec.physical
+    // lesson, re-learned in this round's review)
+    val phys = q("pipe9_funnel").queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(phys.collectLeaves().nonEmpty, "unwrapped plan unexpectedly empty")
     val scans = phys.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.length

@@ -33,6 +33,15 @@ class OsmEtlBenchSpec extends SparkSpec {
       .groupBy("doc_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(shaped == Map("node" -> nN, "way" -> nW, "relation" -> nR))
+    // the parts > 0 overload — the library's single-big-file path
+    // (Spark's XML source can't split one file): identical output,
+    // raw rows spread to `parts` partitions per record type BEFORE
+    // the shape stage so encode/write parallelize
+    val spread = OsmXmlSource.collection(spark, s"$dir/a.osm", 3)
+    assert(spread.groupBy("doc_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == shaped)
+    assert(spread.rdd.getNumPartitions == 9, // 3 types x 3 parts
+      s"expected 3x3 partitions, got ${spread.rdd.getNumPartitions}")
   }
 
   test("the generated tag mix exercises the cleaning surface: shaped " +

@@ -264,11 +264,15 @@ def bench_partial(sf_dir, names):
         cwd=REPO, env=env, capture_output=True, text=True)
     times = {}
     for line in (p.stdout + "\n" + p.stderr).splitlines():
-        # strip ANY sbt log-level prefix ([error]/[info]/[warn]/...):
-        # which level sbt routes Bench's stderr under depends on its
-        # output strategy (ADVICE r11 — the one-literal strip missed
-        # [info]-routed lines)
-        line = re.sub(r"^\[\w+\]\s*", "", line.strip())
+        # strip any SBT LOG-LEVEL prefix ([error]/[info]/...): which
+        # level sbt routes Bench's stderr under depends on its output
+        # strategy (ADVICE r11 — the one-literal strip missed
+        # [info]-routed lines). The known-level list matters: a bare
+        # \[\w+\] would also eat Bench's own "[graft]" tag on
+        # unprefixed lines (StdoutOutput passes the child's stderr
+        # through verbatim) and silently no-op the retrial again.
+        line = re.sub(r"^\[(?:error|info|warn|debug|success)\]\s*",
+                      "", line.strip())
         m = re.match(r"\[graft\]\s+(\S+)\s+([0-9.]+) s", line)
         if m and m.group(1) in names:
             times[m.group(1)] = float(m.group(2))
