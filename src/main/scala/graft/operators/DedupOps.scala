@@ -449,6 +449,28 @@ object DedupOps {
   private def d7(s: SparkSession, d: String): DataFrame =
     d7Components(s, d)
 
+  /** d17 — the dedup cluster-size histogram off d7's REGISTERED label
+    * relation (the anti-drift rule): how many near-dup clusters of
+    * each size, how many documents they hold, and each size's share
+    * of the corpus in exact ppm. This is the duplication-concentration
+    * line on a data card — "is dup mass a few giant boilerplate
+    * clusters or a long tail of pairs?" — which decides whether
+    * cluster-level spot checks are even feasible before a dedup run
+    * deletes N% of a 100 TB corpus.
+    *
+    * Scale shape: d7's labels ride the memoized d2 pair table (no new
+    * corpus work beyond the universe scan d7 already pays); both
+    * aggregations reduce over label-space-sized relations, and the
+    * share window runs over the ≤|distinct sizes|-row histogram. */
+  private def d17(s: SparkSession, d: String): DataFrame =
+    d7Components(s, d)
+      .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .withColumn("doc_share_ppm",
+        expr("(1000000 * n_docs) div (sum(n_docs) OVER ())"))
+
   /** d8 — semantic (embedding-space) dedup end-to-end: LSH-bucketed
     * cosine edges ([[SimilarityOps.bucketEdges]], threshold 0.3 —
     * bucket-CONDITIONAL strength: surviving a 6-bit sign-pattern
@@ -1320,6 +1342,7 @@ object DedupOps {
     "er1_fuzzy_block" -> (er1 _),
     "d11_line_dedup" -> (d11 _),
     "d16_line_width_curve" -> (d16 _),
+    "d17_cluster_histogram" -> (d17 _),
     "d10_incremental_dedup" -> (d10 _),
     "d9_substring_spans" -> (d9 _),
     "d6_minhash_udaf" -> (d6 _),
@@ -1417,6 +1440,35 @@ object DedupOps {
       FROM fp f LEFT JOIN ex ON f.doc_id = ex.doc_id
                 LEFT JOIN nr ON f.doc_id = nr.doc_id
       WHERE f.bkt >= 80"""
+
+  /** The d7 component-label SQL, factored out because d17 restates it
+    * as its per-doc CTE — one source of truth for the label oracle
+    * (the TOK1_SQL/D10_SQL convention). */
+  private lazy val D7_SQL = s"""
+      WITH t AS ($SHINGLES),
+      m AS (SELECT doc_id,
+              list_distinct(list_transform(sh, s ->
+                ('0x' || substr(md5(s),1,15))::BIGINT)) AS shh,
+              list_transform(generate_series(0,7), k ->
+                list_min(list_transform(sh, s ->
+                  ('0x' || substr(md5(k::VARCHAR || ':' || s),1,15))::BIGINT))) AS mh
+            FROM t),
+      bb AS (SELECT doc_id, g.band AS band,
+              mh[2*g.band+1]::VARCHAR || '_' || mh[2*g.band+2]::VARCHAR AS bkey
+            FROM m, generate_series(0,3) g(band)),
+      c AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+            FROM bb x JOIN bb y ON x.band = y.band AND x.bkey = y.bkey
+              AND x.doc_id < y.doc_id),
+      p AS (SELECT i, j FROM (
+              SELECT i, j, len(list_intersect(a.shh, b2.shh))::DOUBLE
+                / len(list_distinct(a.shh || b2.shh)) AS jac
+              FROM c JOIN m a ON c.i = a.doc_id JOIN m b2 ON c.j = b2.doc_id)
+            WHERE jac >= 0.5),
+      e AS MATERIALIZED (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+      l0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS l FROM documents),
+      ${minLabelRounds(MIN_LABEL_ROUNDS, "e")},
+      ${minLabelFinal(MIN_LABEL_ROUNDS)}
+      SELECT v AS doc_id, l AS comp FROM fin"""
 
   val oracles: Map[String, String] = Map(
     // same delete-neighborhood join, distinct-pair dedup, exact
@@ -1572,31 +1624,21 @@ object DedupOps {
                 WHERE len(l) >= 8)
       SELECT span, count(*) AS n_docs, min(doc_id) AS first_doc
       FROM spans GROUP BY span HAVING count(*) >= 2""",
-    "d7_dedup_components" -> s"""
-      WITH t AS ($SHINGLES),
-      m AS (SELECT doc_id,
-              list_distinct(list_transform(sh, s ->
-                ('0x' || substr(md5(s),1,15))::BIGINT)) AS shh,
-              list_transform(generate_series(0,7), k ->
-                list_min(list_transform(sh, s ->
-                  ('0x' || substr(md5(k::VARCHAR || ':' || s),1,15))::BIGINT))) AS mh
-            FROM t),
-      bb AS (SELECT doc_id, g.band AS band,
-              mh[2*g.band+1]::VARCHAR || '_' || mh[2*g.band+2]::VARCHAR AS bkey
-            FROM m, generate_series(0,3) g(band)),
-      c AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
-            FROM bb x JOIN bb y ON x.band = y.band AND x.bkey = y.bkey
-              AND x.doc_id < y.doc_id),
-      p AS (SELECT i, j FROM (
-              SELECT i, j, len(list_intersect(a.shh, b2.shh))::DOUBLE
-                / len(list_distinct(a.shh || b2.shh)) AS jac
-              FROM c JOIN m a ON c.i = a.doc_id JOIN m b2 ON c.j = b2.doc_id)
-            WHERE jac >= 0.5),
-      e AS MATERIALIZED (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
-      l0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS l FROM documents),
-      ${minLabelRounds(MIN_LABEL_ROUNDS, "e")},
-      ${minLabelFinal(MIN_LABEL_ROUNDS)}
-      SELECT v AS doc_id, l AS comp FROM fin""",
+    "d7_dedup_components" -> D7_SQL,
+    // d7's label relation re-aggregated to the size histogram; the
+    // share denominator is the same window-over-histogram the engine
+    // runs
+    "d17_cluster_histogram" -> s"""
+      WITH v AS ($D7_SQL),
+      cs AS (SELECT comp, count(*) AS cluster_size FROM v GROUP BY 1),
+      h AS (SELECT cluster_size, count(*) AS n_clusters
+            FROM cs GROUP BY 1)
+      SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters,
+        CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+        (1000000 * CAST(cluster_size * n_clusters AS BIGINT))
+          // CAST(sum(cluster_size * n_clusters) OVER () AS BIGINT)
+          AS doc_share_ppm
+      FROM h""",
     "d6_minhash_udaf" -> s"""
       WITH t AS ($SHINGLES),
       e AS (SELECT source, unnest(sh) AS s FROM t),

@@ -125,6 +125,45 @@ object RetrievalOps {
         expr("(1000000 * oov) div n_tok").as("oov_ppm"))
   }
 
+  /** voc3's vocabulary-size sweep — brackets voc1's served
+    * [[VOCAB_SIZE]] (=16) from both sides. */
+  private[graft] val VOC3_SIZES = Seq(8, 16, 24, 32)
+
+  /** voc3 — the vocabulary-size coverage curve (the d16/pipe10 knob
+    * pattern on voc1's axis): what fraction of all corpus tokens does
+    * a top-V vocabulary cover, for V bracketing the served size? The
+    * Zipf-shaped answer is the sizing evidence behind any fixed-V
+    * tokenizer/vocab decision (voc1 reports the per-doc consequences
+    * of ONE V; this is the curve that CHOSE it), and the served V
+    * appears as its own row.
+    *
+    * Scale shape: ONE corpus scan partial-aggregates to the
+    * vocabulary-sized (term, count) relation; rank, running coverage
+    * and totals are windows over THAT relation (the catalog-sized
+    * window class, never a corpus window), and the sweep is a 4-row
+    * broadcast joined on rank = min(V, |vocab|). Coverage is exact
+    * integer ppm. */
+  private def voc3(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCnt = Window.orderBy(col("c").desc, col("term").asc)
+    val ranked = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(byCnt))
+      .withColumn("cum", sum(col("c")).over(
+        byCnt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("n_terms", max(col("rnk")).over(Window.partitionBy()))
+    val sizes = s.range(0, VOC3_SIZES.size)
+      .select(expr(s"element_at(array(${VOC3_SIZES.mkString(",")}), " +
+        "CAST(id + 1 AS INT))").cast("long").as("vocab_size"))
+    ranked.join(broadcast(sizes),
+        col("rnk") === least(col("vocab_size"), col("n_terms")))
+      .select(col("vocab_size"), col("rnk").cast("long").as("n_terms_used"),
+        col("cum").as("covered_tokens"), col("tot").as("total_tokens"),
+        expr("(1000000 * cum) div tot").as("coverage_ppm"))
+  }
+
   /** cls1 — multinomial Naive-Bayes trainer over (lang → token)
     * counts: per language, the doc-count prior and the top-5 terms by
     * conditional token probability, every probability an exact ppm
@@ -1026,6 +1065,7 @@ object RetrievalOps {
     "tok2_merge_curve" -> (tok2 _),
     "qr1_batch_bm25" -> (qr1 _),
     "voc1_oov_rate" -> (voc1 _),
+    "voc3_coverage_curve" -> (voc3 _),
     "cls1_nb_model" -> (cls1 _),
     "cls2_nb_confusion" -> (cls2 _),
     "cal1_margin_calibration" -> (cal1 _),
@@ -1396,6 +1436,27 @@ object RetrievalOps {
     // the replace chain is generated from the SAME MERGES constant as
     // the engine's expression — the vocabularies cannot drift
     "tok1_bpe_apply" -> TOK1_SQL,
+    // the same (count desc, term) rank + running-coverage windows
+    // over the vocabulary-sized tf relation; V rows join on
+    // rank = least(V, |vocab|)
+    "voc3_coverage_curve" -> s"""
+      WITH tf AS (SELECT term, count(*) AS c FROM (
+              SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents) GROUP BY 1),
+      r AS (SELECT c,
+              row_number() OVER (ORDER BY c DESC, term) AS rnk,
+              sum(c) OVER (ORDER BY c DESC, term
+                ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(c) OVER () AS tot, count(*) OVER () AS n_terms
+            FROM tf),
+      v AS (SELECT unnest([${VOC3_SIZES.mkString(",")}]) AS vs)
+      SELECT CAST(vs AS BIGINT) AS vocab_size,
+        CAST(rnk AS BIGINT) AS n_terms_used,
+        CAST(cum AS BIGINT) AS covered_tokens,
+        CAST(tot AS BIGINT) AS total_tokens,
+        (1000000 * CAST(cum AS BIGINT)) // CAST(tot AS BIGINT)
+          AS coverage_ppm
+      FROM r JOIN v ON r.rnk = least(v.vs, r.n_terms)""",
     // each budget's chain generated by the same mergeChainK — prefix
     // budgets cannot drift from the served table; UNION-ALL unpivot
     "tok2_merge_curve" -> s"""

@@ -377,22 +377,35 @@ object SimilarityOps {
     * corpus scan for the search (broadcast query side, the s1/s2
     * shape). At 100 TB the stored table IS the int8 codes; this
     * query's dequantize-on-read is that layout's exact serve path. */
-  private def s7(s: SparkSession, d: String): DataFrame = {
+  /** The SQ per-dim [min, max] model as literal arrays — one bounded
+    * driver fetch (64 rows), shared by s7's search and emb7's error
+    * curve so the two can never disagree on the grid. */
+  private def sqModel(s: SparkSession, d: String): (Column, Column) = {
     val mm = Tables.embeddings(s, d)
       .select(posexplode(col("embedding").cast("array<double>"))
         .as(Seq("i", "x")))
       .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .orderBy(col("i")).collect()
-    val mnLit = typedlit(mm.map(_.getDouble(1)).toSeq)
-    val mxLit = typedlit(mm.map(_.getDouble(2)).toSeq)
+    (typedlit(mm.map(_.getDouble(1)).toSeq),
+      typedlit(mm.map(_.getDouble(2)).toSeq))
+  }
+
+  /** The pinned floor-form dequantize-of-quantize at `levels` grid
+    * steps over the [[sqModel]] literals — s7 serves it at
+    * [[SQ_LEVELS]]; emb7 sweeps it. */
+  private def sqDeq(mnLit: Column, mxLit: Column, levels: Double)(
+      x: Column, i: Column): Column = {
+    val lo = element_at(mnLit, i + 1)
+    val hi = element_at(mxLit, i + 1)
+    when(hi === lo, lo).otherwise(
+      lo + floor((x - lo) * lit(levels) / (hi - lo) + lit(0.5))
+        * (hi - lo) / lit(levels))
+  }
+
+  private def s7(s: SparkSession, d: String): DataFrame = {
+    val (mnLit, mxLit) = sqModel(s, d)
     def deq(v: Column): Column =
-      transform(v, (x, i) => {
-        val lo = element_at(mnLit, i + 1)
-        val hi = element_at(mxLit, i + 1)
-        when(hi === lo, lo).otherwise(
-          lo + floor((x - lo) * lit(SQ_LEVELS) / (hi - lo) + lit(0.5))
-            * (hi - lo) / lit(SQ_LEVELS))
-      })
+      transform(v, (x, i) => sqDeq(mnLit, mxLit, SQ_LEVELS)(x, i))
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
         deq(col("embedding").cast("array<double>")).as("emb"))
@@ -403,6 +416,58 @@ object SimilarityOps {
           col("nrm").as("qnrm"))),
         col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos")), 3)
+  }
+
+  /** emb7's bit-width sweep: 2^b − 1 grid levels for b ∈ 2..8,
+    * bracketing s7's served 8-bit grid. */
+  private[graft] val EMB7_BITS = Seq(2, 4, 6, 8)
+
+  /** emb7 — the scalar-quantization error curve (the d16/pipe10 knob
+    * pattern on s7's axis): whole-corpus reconstruction error of the
+    * SQ grid at 2/4/6/8 bits per dimension — the compression-vs-
+    * fidelity table an embedding store reads before choosing its code
+    * width (s6 measures 8-bit RECALL; this measures the geometric
+    * error underneath it, for widths s6 doesn't serve). The served
+    * width appears as its own row, and every width uses the SAME
+    * [[sqModel]]/[[sqDeq]] the serving path runs — the anti-drift
+    * rule.
+    *
+    * Exactness: per-element absolute error is floor-quantized to
+    * integer nano-units BEFORE summing (the emb1 quantize-then-sum
+    * convention), so totals are exact longs with no float
+    * accumulation-order dependence, and the oracle replays the
+    * identical expression tree.
+    *
+    * Scale shape: one ≤64-row model pass (shared, driver-held), then
+    * ONE corpus scan evaluates all four widths in-row (4 transforms
+    * over the 64-dim array) and partial-aggregates to a single row;
+    * the 4-row stack and the mean arithmetic are corpus-size-free. */
+  private def emb7(s: SparkSession, d: String): DataFrame = {
+    val (mnLit, mxLit) = sqModel(s, d)
+    def errArr(bits: Int)(v: Column): Column = {
+      val levels = ((1 << bits) - 1).toDouble
+      transform(v, (x, i) =>
+        floor(abs(x - sqDeq(mnLit, mxLit, levels)(x, i)) * lit(1e9)
+          + lit(0.5)).cast("long"))
+    }
+    val perB = EMB7_BITS.flatMap { b =>
+      val arr = errArr(b)(col("emb"))
+      Seq(
+        sum(aggregate(arr, lit(0L), (acc, x) => acc + x)).as(s"s$b"),
+        max(array_max(arr)).as(s"m$b"))
+    }
+    Tables.embeddings(s, d)
+      .select(col("embedding").cast("array<double>").as("emb"))
+      .agg(sum(size(col("emb")).cast("long")).as("n_vals"), perB: _*)
+      .select(col("n_vals"), expr(
+        s"""stack(${EMB7_BITS.size}, ${EMB7_BITS.map(b =>
+          s"CAST($b AS BIGINT), CAST(${(1 << b) - 1} AS BIGINT), s$b, m$b")
+          .mkString(", ")})
+           |AS (bits, levels, sum_abs_err_e9, max_abs_err_e9)"""
+          .stripMargin))
+      .select(col("bits"), col("levels"), col("n_vals"),
+        col("sum_abs_err_e9"), col("max_abs_err_e9"),
+        expr("sum_abs_err_e9 div n_vals").as("mean_abs_err_e9"))
   }
 
   // ---- km1: distributed Lloyd's k-means ---------------------------
@@ -1206,6 +1271,7 @@ object SimilarityOps {
     "s4_knn_join" -> (s4 _),
     "s5_ann_pq" -> (s5 _),
     "s7_ann_sq" -> (s7 _),
+    "emb7_sq_error_curve" -> (emb7 _),
     "km1_kmeans" -> (km1 _),
     "lr1_logreg" -> (lr1 _)
   )
@@ -1661,6 +1727,30 @@ object SimilarityOps {
             FROM sc)
       SELECT qid, nid, cos, rank FROM r WHERE rank <= 3""",
     "s3_ann_ivf" -> s3OracleSql(2),
+    // the same [mn, mx] model and floor-form deq as s7's oracle, per
+    // exact-literal level count; per-element error floor-quantized to
+    // nano-units BEFORE summing, exactly the engine's expression tree
+    "emb7_sq_error_curve" -> s"""
+      WITH e0 AS (SELECT vec_id,
+               list_transform(embedding, x -> x::DOUBLE) AS emb
+             FROM embeddings),
+      mm AS (SELECT g.d AS d, min(emb[g.d]) AS mn, max(emb[g.d]) AS mx
+             FROM e0, generate_series(1,64) g(d) GROUP BY 1),
+      b(bits, lv) AS (VALUES ${EMB7_BITS.map(b =>
+        s"($b, ${(1 << b) - 1}.0)").mkString(", ")}),
+      err AS (SELECT b.bits, b.lv,
+                floor(abs(e0.emb[g.d] -
+                  CASE WHEN mm.mx = mm.mn THEN mm.mn
+                       ELSE mm.mn + floor((e0.emb[g.d] - mm.mn) * b.lv
+                         / (mm.mx - mm.mn) + 0.5) * (mm.mx - mm.mn) / b.lv
+                  END) * 1e9 + 0.5)::BIGINT AS e9
+              FROM e0, generate_series(1,64) g(d)
+                JOIN mm ON mm.d = g.d, b)
+      SELECT CAST(bits AS BIGINT) AS bits, CAST(lv AS BIGINT) AS levels,
+        count(*) AS n_vals, CAST(sum(e9) AS BIGINT) AS sum_abs_err_e9,
+        CAST(max(e9) AS BIGINT) AS max_abs_err_e9,
+        CAST(sum(e9) AS BIGINT) // count(*) AS mean_abs_err_e9
+      FROM err GROUP BY 1, 2""",
     // SQ mirror: per-dim corpus [mn, mx], the same pinned floor-form
     // quantize/dequantize, norms and dots over the rebuilt ORDERED
     // list (list(v ORDER BY d) pins FP addition order to the

@@ -149,6 +149,97 @@ class Round12OpsSpec extends SparkSpec {
         s"(${t1.getLong(0)}, ${t1.getLong(1)})")
   }
 
+  // ---- voc3 ---------------------------------------------------------
+
+  test("voc3: one row per swept V incl. voc1's served 16, coverage " +
+    "monotone in V, and the served row reconciles exactly with voc1's " +
+    "per-doc OOV census (total - covered@16 == sum of voc1 oov)") {
+    val rows = q("voc3_coverage_curve").collect()
+      .map(r => r.getLong(r.fieldIndex("vocab_size")) ->
+        ((r.getLong(r.fieldIndex("n_terms_used")),
+          r.getLong(r.fieldIndex("covered_tokens")),
+          r.getLong(r.fieldIndex("total_tokens")),
+          r.getLong(r.fieldIndex("coverage_ppm"))))).toMap
+    assert(rows.keySet ==
+      operators.RetrievalOps.VOC3_SIZES.map(_.toLong).toSet)
+    assert(rows.contains(16L), "served VOCAB_SIZE missing from sweep")
+    assert(rows.values.map(_._3).toSet.size == 1, "total must be constant")
+    val byV = rows.toSeq.sortBy(_._1)
+    byV.sliding(2).foreach {
+      case Seq((v1, a), (v2, b)) =>
+        assert(b._2 >= a._2, s"coverage shrank from V=$v1 to V=$v2")
+        assert(b._1 >= a._1 && b._1 <= v2, "rank bounds broken")
+      case _ => ()
+    }
+    rows.foreach { case (v, (used, cov, tot, ppm)) =>
+      assert(used <= v && cov <= tot && ppm == 1000000L * cov / tot,
+        s"V=$v row inconsistent")
+    }
+    // anti-drift: voc1 counts the SAME top-16 vocabulary's misses
+    val oov = q("voc1_oov_rate").agg(sum(col("oov")), sum(col("n_tok")))
+      .collect()(0)
+    val served = rows(16L)
+    assert(served._3 == oov.getLong(1), "token totals disagree with voc1")
+    assert(served._3 - served._2 == oov.getLong(0),
+      s"uncovered ${served._3 - served._2} != voc1 oov sum ${oov.getLong(0)}")
+  }
+
+  // ---- d17 ----------------------------------------------------------
+
+  test("d17: the cluster-size histogram reconciles exactly with d7's " +
+    "label relation (every doc in exactly one cluster; shares sum to " +
+    "~1e6 within floor slack) — the anti-drift rule on the dedup axis") {
+    val rows = q("d17_cluster_histogram").collect()
+      .map(r => r.getLong(r.fieldIndex("cluster_size")) ->
+        ((r.getLong(r.fieldIndex("n_clusters")),
+          r.getLong(r.fieldIndex("n_docs")),
+          r.getLong(r.fieldIndex("doc_share_ppm"))))).toMap
+    val labels = q("d7_dedup_components").collect()
+      .map(r => r.getLong(r.fieldIndex("comp")))
+    val expected = labels.groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).map { case (sz, cs) => sz -> cs.size.toLong }
+    assert(rows.view.mapValues(_._1).toMap == expected,
+      s"histogram ${rows.view.mapValues(_._1).toMap} != recomputed $expected")
+    assert(rows.values.map(_._2).sum == labels.length.toLong,
+      "doc mass lost between labels and histogram")
+    val shareSum = rows.values.map(_._3).sum
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - rows.size,
+      s"shares sum $shareSum outside the floor-rounding envelope")
+    rows.foreach { case (sz, (nc, nd, _)) =>
+      assert(nd == sz * nc, s"size $sz: n_docs != size*clusters")
+    }
+  }
+
+  // ---- emb7 ---------------------------------------------------------
+
+  test("emb7: one row per bit width incl. s7's served 8, levels = " +
+    "2^bits - 1, total error strictly decreasing as the grid refines, " +
+    "max >= mean, and n_vals == 64 x corpus vectors") {
+    val rows = q("emb7_sq_error_curve").collect()
+      .map(r => r.getLong(r.fieldIndex("bits")) ->
+        ((r.getLong(r.fieldIndex("levels")),
+          r.getLong(r.fieldIndex("n_vals")),
+          r.getLong(r.fieldIndex("sum_abs_err_e9")),
+          r.getLong(r.fieldIndex("max_abs_err_e9")),
+          r.getLong(r.fieldIndex("mean_abs_err_e9"))))).toMap
+    assert(rows.keySet ==
+      operators.SimilarityOps.EMB7_BITS.map(_.toLong).toSet)
+    assert(rows.contains(8L), "served SQ8 width missing from sweep")
+    val nVecs = Tables.embeddings(spark, sf).count()
+    rows.foreach { case (b, (lv, nv, sumE, maxE, meanE)) =>
+      assert(lv == (1L << b) - 1, s"bits=$b levels wrong")
+      assert(nv == 64L * nVecs, s"bits=$b n_vals wrong")
+      assert(maxE >= meanE && meanE == sumE / nv, s"bits=$b stats broken")
+    }
+    val byB = rows.toSeq.sortBy(_._1)
+    byB.sliding(2).foreach {
+      case Seq((b1, a), (b2, c)) =>
+        assert(c._3 < a._3,
+          s"total error did not decrease from $b1 to $b2 bits")
+      case _ => ()
+    }
+  }
+
   // ---- shared pipe memos -------------------------------------------
 
   test("pipe memo sharing: pipe9 produces identical output cold " +
