@@ -77,9 +77,63 @@ object GeoOps {
         sum(when(col("in_bbox"), 1L).otherwise(0L)).as("bbox_cnt"))
   }
 
+  /** geo3's radius, in deci-degrees — pairs match when their squared
+    * planar distance ≤ R². Integer metric on the synthesized integer
+    * coordinates, so the join predicate and the histogram are exact
+    * in any engine (no haversine trig — a libm sin/cos can differ in
+    * the last ulp across engines, and for a city-extent radius the
+    * planar approximation is the standard production shortcut). */
+  private[graft] val GEO3_R = 2L
+
+  /** geo3 — the NEAR query (the reference's 2d index exists for
+    * exactly this MongoDB `$near`/`$geoWithin` shape; geo1/geo2 cover
+    * its bbox and layout faces): all point PAIRS within radius
+    * [[GEO3_R]], reported as the exact squared-distance histogram
+    * (dist² → n_pairs) — the proximity-density profile a
+    * clustering/conflation pass reads.
+    *
+    * Scale design — never all-pairs (the r3 grid discipline): points
+    * land in R-sized grid cells; ONE side fans out to its 3×3
+    * neighbor cells (9× on integer keys only) and equi-joins the
+    * other side's single home cell, so every qualifying pair is
+    * found EXACTLY ONCE (b's home cell is one of a's nine) — no
+    * claim-cell dedup pass needed, unlike interval overlap. Each
+    * task's pair space is bounded by cell population (at real scale:
+    * AQE skew-split on hot cells); the oid < oid guard keeps pairs
+    * canonical, and the output is the ≤(R²+1)-row histogram. */
+  private def geo3(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Fns.md5Long
+    // hashed placement, NOT geo1's modulo lattice: k%1700 / k%3600
+    // couple through the key (neighbors exist only at key-diffs ≡ ±1
+    // mod lcm — a near-empty histogram); md5-scattering models
+    // organically placed points, and the oracle hashes identically
+    val pts = Tables.orders(s, d).select(
+      col("o_orderkey").as("oid"),
+      (md5Long(col("o_orderkey")) % 1700).as("u"),
+      (md5Long(col("o_orderkey") + 7) % 3600).as("v"))
+      .select(col("oid"), col("u"), col("v"),
+        expr(s"u div $GEO3_R").as("cu"), expr(s"v div $GEO3_R").as("cv"))
+    val probes = pts.select(col("oid").as("a_oid"), col("u").as("a_u"),
+        col("v").as("a_v"),
+        explode(expr("array(-1, 0, 1)")).as("du"), col("cu"), col("cv"))
+      .select(col("a_oid"), col("a_u"), col("a_v"),
+        (col("cu") + col("du")).as("cu"),
+        explode(expr("array(-1, 0, 1)")).as("dv"), col("cv"))
+      .select(col("a_oid"), col("a_u"), col("a_v"), col("cu"),
+        (col("cv") + col("dv")).as("cv"))
+    probes.join(pts, Seq("cu", "cv"))
+      .filter(col("a_oid") < col("oid"))
+      .withColumn("dist2",
+        (col("a_u") - col("u")) * (col("a_u") - col("u")) +
+          (col("a_v") - col("v")) * (col("a_v") - col("v")))
+      .filter(col("dist2") <= GEO3_R * GEO3_R)
+      .groupBy(col("dist2")).agg(count(lit(1)).as("n_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo1_bbox_bin" -> (geo1 _),
-    "geo2_zorder" -> (geo2 _)
+    "geo2_zorder" -> (geo2 _),
+    "geo3_radius_pairs" -> (geo3 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -106,6 +160,28 @@ object GeoOps {
         CAST(sum(CASE WHEN clat BETWEEN 125 AND 145
                    AND clon2 BETWEEN 28 AND 75 THEN 1 ELSE 0 END) AS BIGINT)
           AS bbox_cnt
-      FROM z GROUP BY 1"""
+      FROM z GROUP BY 1""",
+    // the same 3x3-neighbor-cell equi-join shape (each pair found
+    // once via b's home cell), same all-integer squared metric
+    "geo3_radius_pairs" -> s"""
+      WITH p0 AS (SELECT o_orderkey AS oid,
+               ('0x' || substr(md5(o_orderkey::VARCHAR),1,15))::BIGINT
+                 % 1700 AS u,
+               ('0x' || substr(md5((o_orderkey + 7)::VARCHAR),1,15))::BIGINT
+                 % 3600 AS v
+             FROM orders),
+      pts AS (SELECT oid, u, v, u // $GEO3_R AS cu, v // $GEO3_R AS cv
+              FROM p0),
+      probes AS (SELECT oid AS a_oid, u AS a_u, v AS a_v,
+                   cu + gu.du AS cu, cv + gv.dv AS cv
+                 FROM pts,
+                      generate_series(-1, 1) gu(du),
+                      generate_series(-1, 1) gv(dv)),
+      pairs AS (SELECT (p.a_u - b.u) * (p.a_u - b.u)
+                  + (p.a_v - b.v) * (p.a_v - b.v) AS dist2
+                FROM probes p JOIN pts b
+                  ON p.cu = b.cu AND p.cv = b.cv AND p.a_oid < b.oid)
+      SELECT CAST(dist2 AS BIGINT) AS dist2, count(*) AS n_pairs
+      FROM pairs WHERE dist2 <= ${GEO3_R * GEO3_R} GROUP BY 1"""
   )
 }

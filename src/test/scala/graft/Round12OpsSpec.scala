@@ -240,6 +240,33 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- geo3 ---------------------------------------------------------
+
+  test("geo3: the grid-blocked radius join reproduces the brute-force " +
+    "all-pairs histogram exactly (every qualifying pair found exactly " +
+    "once via the 3x3 neighbor fan-out), and dist2 stays within R^2") {
+    import graft.functions.Fns.md5Long
+    val R2 = operators.GeoOps.GEO3_R * operators.GeoOps.GEO3_R
+    val rows = q("geo3_radius_pairs").collect()
+      .map(r => r.getLong(r.fieldIndex("dist2")) ->
+        r.getLong(r.fieldIndex("n_pairs"))).toMap
+    assert(rows.nonEmpty && rows.keySet.forall(d2 => d2 >= 0 && d2 <= R2))
+    // brute force over the same hashed placement (sf0.001: 1.5k pts)
+    val pts = Tables.orders(spark, sf).select(
+      (md5Long(col("o_orderkey")) % 1700).as("u"),
+      (md5Long(col("o_orderkey") + 7) % 3600).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = scala.collection.mutable.Map.empty[Long, Long]
+    for (i <- pts.indices; j <- (i + 1) until pts.length) {
+      val du = pts(i)._1 - pts(j)._1
+      val dv = pts(i)._2 - pts(j)._2
+      val d2 = du * du + dv * dv
+      if (d2 <= R2) brute(d2) = brute.getOrElse(d2, 0L) + 1L
+    }
+    assert(rows == brute.toMap,
+      s"grid-join histogram $rows != brute force ${brute.toMap}")
+  }
+
   // ---- shared pipe memos -------------------------------------------
 
   test("pipe memo sharing: pipe9 produces identical output cold " +

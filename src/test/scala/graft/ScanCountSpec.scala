@@ -70,6 +70,10 @@ class ScanCountSpec extends SparkSpec {
       // filters of the same table — two pruned reads, s1's shape
       // with the held-out split
       "cls3_knn_classify",
+      // geo3's radius self-join reads the 1-column pruned orderkey
+      // projection on both sides (probe fan-out + home cells) — the
+      // j5/gr2 self-join adjudication
+      "geo3_radius_pairs",
       // gr2's co-purchase self-join reads the 2-column pruned
       // (l_orderkey, l_partkey) projection on both sides (the j5
       // self-join adjudication); everything downstream consumes the

@@ -96,6 +96,15 @@ REL_VOLUME_LINEAR = {
     "w11_rolling_z",
 }
 REL_LINEAR_CEILING = 8.0
+# x10rel: ops whose ANSWER is quadratic in point/record DENSITY on a
+# fixed extent (the DOC_OUTPUT_BOUND class, relational flavor):
+#   geo3 — radius pairs over md5-scattered coords on the FIXED
+#     1700x3600 grid: x10 orders = x10 density = ~x100 qualifying
+#     pairs (measured r12: 24,024 -> 2,389,278 = 99.4x), so the 6.3x
+#     time is strongly SUB-linear in pair volume. Any spatial join
+#     pays the pair count; a x10 crawl of a fixed city extent IS
+#     x100 proximity pairs.
+REL_OUTPUT_BOUND = {"geo3_radius_pairs"}
 # Queries sharing a MEMOIZED one-time build (the co-purchase edge
 # checkpoint): whichever member runs first absorbs residual build/
 # cache effects, so per-member ratios scatter run-to-run while the
@@ -287,6 +296,7 @@ def report(retry=False):
     out = {"sf01_total": base["value"], "threshold_rel": REL_THRESHOLD,
            "threshold_doc": DOC_THRESHOLD, "min_secs": MIN_SECS,
            "output_bound_doc": sorted(DOC_OUTPUT_BOUND),
+           "output_bound_rel": sorted(REL_OUTPUT_BOUND),
            "volume_linear_rel": sorted(REL_VOLUME_LINEAR),
            "linear_ceiling_rel": REL_LINEAR_CEILING, "probes": {}}
     flagged = []
@@ -301,7 +311,8 @@ def report(retry=False):
                 continue
             ratio = round(t / t0, 2)
             ratios[name] = {"sf01": t0, "x10": t, "ratio": ratio}
-            exempt = probe == "x10doc" and name in DOC_OUTPUT_BOUND
+            exempt = (probe == "x10doc" and name in DOC_OUTPUT_BOUND) \
+                or (probe == "x10rel" and name in REL_OUTPUT_BOUND)
             if probe == "x10rel" and any(
                     name in m for m in REL_SHARED_FAMILY.values()):
                 continue  # judged as a family sum below
