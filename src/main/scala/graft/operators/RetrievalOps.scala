@@ -137,23 +137,33 @@ object RetrievalOps {
     * of ONE V; this is the curve that CHOSE it), and the served V
     * appears as its own row.
     *
-    * Scale shape: ONE corpus scan partial-aggregates to the
-    * vocabulary-sized (term, count) relation; rank, running coverage
-    * and totals are windows over THAT relation (the catalog-sized
-    * window class, never a corpus window), and the sweep is a 4-row
-    * broadcast joined on rank = min(V, |vocab|). Coverage is exact
-    * integer ppm. */
+    * Scale shape (the x15 head pattern — VERDICT r12 #1 replaced a
+    * full-vocabulary unpartitioned window here, which would have
+    * serialized 10⁸–10⁹ terms through one task's sort at 100 TB):
+    * ONE corpus scan partial-aggregates to the (term, count)
+    * relation; `tot`/`n_terms` come from ONE partial+final aggregate
+    * of that relation, broadcast back as a 1-row dimension; the head
+    * cut is orderBy+limit = TakeOrderedAndProject (per-task heaps,
+    * driver merges max(VOC3_SIZES) rows — never a global sort of the
+    * vocabulary); rank and running coverage are windows over THAT
+    * ≤32-row head, single-partition BY CONSTRUCTION (bounded by the
+    * literal K, not by the data). The sweep is a 4-row broadcast
+    * joined on rank = min(V, |vocab|). Coverage is exact integer
+    * ppm. */
   private def voc3(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byCnt = Window.orderBy(col("c").desc, col("term").asc)
-    val ranked = Tables.documents(s, d)
+    val counts = Tables.documents(s, d)
       .select(explode(toks(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("tot"),
+      count(lit(1)).as("n_terms"))
+    val byCnt = Window.orderBy(col("c").desc, col("term").asc)
+    val ranked = counts
+      .orderBy(col("c").desc, col("term").asc).limit(VOC3_SIZES.max)
       .withColumn("rnk", row_number().over(byCnt))
       .withColumn("cum", sum(col("c")).over(
         byCnt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
-      .withColumn("n_terms", max(col("rnk")).over(Window.partitionBy()))
+      .crossJoin(broadcast(totals))
     val sizes = s.range(0, VOC3_SIZES.size)
       .select(expr(s"element_at(array(${VOC3_SIZES.mkString(",")}), " +
         "CAST(id + 1 AS INT))").cast("long").as("vocab_size"))

@@ -422,17 +422,8 @@ class Round9cOpsSpec extends SparkSpec {
 
   // ---- gr3 --------------------------------------------------------
 
-  /** Spark/DuckDB exact-percentile interpolation replayed. */
-  private def pct(sorted: IndexedSeq[Long], qq: Double): Double = {
-    val pos = qq * (sorted.length - 1)
-    val lo = pos.toInt
-    val frac = pos - lo
-    if (lo + 1 >= sorted.length) sorted(lo).toDouble
-    else sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
-  }
-
-  test("gr3: link prediction replays exactly — quantile witness cap, " +
-    "common-neighbor counts, non-adjacent only, (cnt desc, a, c) " +
+  test("gr3: link prediction replays exactly — wedge-budget witness " +
+    "cap, common-neighbor counts, non-adjacent only, (cnt desc, a, c) " +
     "top-20") {
     val ip = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
@@ -447,9 +438,19 @@ class Round9cOpsSpec extends SparkSpec {
       adj(b) = adj.getOrElse(b, Set.empty) + a
     }
     val degs = adj.view.mapValues(_.size.toLong).toMap
-    val cap = math.floor(pct(
-      degs.values.toIndexedSeq.sorted,
-      operators.GraphOps.GR3_WITNESS_Q)).toLong
+    // independent replay of the wedge-budget cap: largest degree d
+    // with cumulative Σ n·deg·(deg−1) (ascending by deg) within
+    // B·|edges|, floored at the minimum degree
+    val budget = operators.GraphOps.GR3_WEDGE_BUDGET * edges.size.toLong
+    val hist = degs.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    var cum = BigInt(0)
+    var admitted = 0L
+    hist.foreach { case (dg, n) =>
+      cum += BigInt(n) * dg * (dg - 1)
+      if (cum <= BigInt(budget)) admitted = dg
+    }
+    val cap = math.max(admitted, degs.values.min)
     val cn = scala.collection.mutable.Map.empty[(Long, Long), Long]
     adj.foreach { case (w, ns) =>
       if (degs(w) <= cap) {

@@ -77,8 +77,12 @@ DOC_OUTPUT_BOUND = {
 # the decade budget is "meaningfully sub-linear" (time ratio < 8 for
 # a 10x data ratio), not the 3x that catches hidden quadratics in
 # overhead-dominated queries. Reasons, per query (also SCALE.md):
-#   gr2/gr3 — the wedge stream is Θ(data): 21M→210M enumerated
-#     wedges; census/prediction must touch every wedge once.
+#   gr2 — the wedge stream is Θ(data): 21M→210M enumerated
+#     wedges; the census must touch every wedge once. (gr3 left this
+#     set in r13: its wedge-budget witness cap bounds enumerated
+#     wedges to 8·|edges| BY CONSTRUCTION, so it is judged at the
+#     plain 3x threshold via the family sum like every other member —
+#     VERDICT r12 #3.)
 #   gr4/gr5 — strictly edge-linear joins over a 10x edge list (the
 #     shared edge build is memoized; whichever graph query runs
 #     first absorbs the one-time checkpoint).
@@ -88,7 +92,7 @@ DOC_OUTPUT_BOUND = {
 #   r3 — autotuned grid keeps the cell quadratic bounded; the
 #     residual ratio rides the 10x interval count.
 REL_VOLUME_LINEAR = {
-    "gr2_triangles", "gr3_link_predict", "gr4_assortativity",
+    "gr2_triangles", "gr4_assortativity",
     "gr5_communities", "att2_linear_credit", "j8_salted_join",
     "r3_interval_overlap",
     # per-type rolling windows over 10x event rows with a 10x answer
@@ -113,11 +117,11 @@ REL_OUTPUT_BOUND = {"geo3_radius_pairs"}
 # ratios 3.7-8.2x while the family sum sat at 6.0x). Membership is
 # ALL coEdges consumers — gr7/gr8 joined the family when they landed
 # in r10. Note the work argument: x10rel replicates parts with key
-# offsets, so the co-purchase graph is 10 DISJOINT COPIES — edge and
-# wedge volume is exactly 10x, and gr3's wedge enumeration (the
-# family's dominant member, ~10.6x measured) is Theta(wedges) by
-# construction; family sub-linearity comes only from shared
-# overheads amortizing.
+# offsets, so the co-purchase graph is 10 DISJOINT COPIES — edge
+# volume is exactly 10x, and since r13 every member's enumeration is
+# edge-linear or better (gr3's wedge stream is capped at 8·|edges| by
+# its budget-derived witness cap); family sub-linearity comes from
+# shared overheads amortizing.
 REL_SHARED_FAMILY = {
     "co_purchase_graph": ["gr2_triangles", "gr3_link_predict",
                           "gr4_assortativity", "gr5_communities",
