@@ -789,4 +789,98 @@ class PlanShapeSpec extends SparkSpec {
       assert(w.collectFirst { case a: BaseAggregateExec => a }.nonEmpty, p)
     }
   }
+
+  /** Repo-wide ratchet (VERDICT r12 #2): an unpartitioned Window
+    * serializes its ENTIRE input through one task's sort, so it is
+    * only ever acceptable over a relation whose size is bounded by
+    * something other than the corpus — and each such case must say
+    * its bound OUT LOUD below. The map is exact-set-checked in both
+    * directions: a new query sneaking in a full-relation window fails
+    * here the round it lands (the voc3 class — r12's finding, where
+    * the window rode the whole VOCABULARY, which grows with the
+    * corpus), and a whitelist entry whose window disappears goes
+    * stale-red so the list can't rot into a blanket waiver. */
+  private val boundedUnpartitionedWindows: Map[String, String] = Map(
+    "al1_uncertain_topk" -> ("nbDocScores' class-prior total windows " +
+      "over the |langs|-row aggregate"),
+    "an3_tcloseness" -> ("global-EMD windows ride the densified " +
+      "≤|segments|·|priorities| grid (≤25 rows at any corpus size)"),
+    "cal1_margin_calibration" -> ("nbDocScores' class-prior total over " +
+      "the |langs|-row aggregate"),
+    "cls1_nb_model" -> ("prior total over the |langs|-row aggregate"),
+    "cls2_nb_confusion" -> ("model prior total over the |langs|-row " +
+      "aggregate; per-doc windows are doc_id-partitioned"),
+    "cls4_calibrated_filter" -> ("threshold cumsum over the " +
+      "margin-domain aggregate — bounded by the ilog2 score range " +
+      "(~±40 rows), plus nbDocScores' |langs|-row prior"),
+    "d17_cluster_histogram" -> ("share window over the ≤|distinct " +
+      "cluster sizes| histogram: k distinct sizes need k(k+1)/2 ≤ " +
+      "Σ sizes = |docs in clusters| members, so k = O(√docs) narrow rows"),
+    "dq4_benford" -> "total window over the 9-row digit relation",
+    "gr3_link_predict" -> ("wedge-budget cap cumsum over the DEGREE " +
+      "HISTOGRAM: k distinct degrees satisfy k(k+1)/2 ≤ Σdeg = 2m, " +
+      "so ≤2√m two-long rows (~2·10⁶ at 10¹² edges)"),
+    "imp1_loo_impact" -> ("grand totals over the |sources|-row " +
+      "aggregate"),
+    "pipe7_token_budget" -> ("quota windows over the |sources|-row " +
+      "token-mass relation"),
+    "pipe8_budget_fill" -> ("pipe7's quota branch (|sources| rows); " +
+      "the corpus side is source-partitioned — asserted by the pipe8 " +
+      "plan test above"),
+    "rrf1_hybrid_fuse" -> ("rank/fusion windows over the ≤k-row " +
+      "constituent rankings (x11/s1 are top-k by construction)"),
+    "sm6_temperature_mix" -> ("mixture-rate windows over the " +
+      "|sources|-row aggregate"),
+    "sm7_systematic_sample" -> ("exclusive scan over ≤SM7_BUCKETS=1024 " +
+      "bucket totals; per-row cumsum is bucket-partitioned"),
+    "voc3_coverage_curve" -> ("rank/coverage over the " +
+      "max(VOC3_SIZES)=32-row orderBy+limit head (TakeOrderedAndProject)"),
+    "w16_streaks" -> ("calendar-mean window over the dense ≤|days| " +
+      "grid (~365 rows/year at any corpus size)"),
+    "w17_interarrival" -> ("share window over the ≤64-row log2 gap " +
+      "bucket aggregate"),
+    "x15_zipf" -> ("rank window over the X15_TOP-row orderBy+limit " +
+      "head (TakeOrderedAndProject)"))
+
+  test("ratchet: every unpartitioned Window rides a relation with a " +
+    "stated non-corpus bound — exact set match, both directions") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    // persisted subtrees are substituted with InMemoryRelation in the
+    // optimized plan (gr3's cap histogram hides there), so the walk
+    // descends into cachedPlan physical trees too. localCheckpoint'd
+    // memo builds (coEdges, pipe memos) truncate to LogicalRDD and
+    // stay invisible — those builds are hand-audited where defined.
+    def physWins(p: SparkPlan): Int = {
+      val here = p.collect { case w: WindowExec if w.partitionSpec.isEmpty => 1 }.sum
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => physWins(a.executedPlan)
+        case t: InMemoryTableScanExec => physWins(t.relation.cachedPlan)
+      }.sum
+      here + nested
+    }
+    val withWin = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df = fn(spark, sf)
+        val opt = df.queryExecution.optimizedPlan
+        val logical = opt.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => 1
+        }.sum
+        val cached = opt.collect {
+          case r: InMemoryRelation => physWins(r.cachedPlan)
+        }.sum
+        if (logical + cached > 0) Some(name) else None
+    }.toSet
+    val unexplained = withWin -- boundedUnpartitionedWindows.keySet
+    assert(unexplained.isEmpty,
+      s"queries with an unpartitioned Window and NO stated bound: " +
+        s"${unexplained.toSeq.sorted.mkString(", ")}")
+    val stale = boundedUnpartitionedWindows.keySet -- withWin
+    assert(stale.isEmpty,
+      s"whitelist entries whose unpartitioned Window no longer exists " +
+        s"(remove them): ${stale.toSeq.sorted.mkString(", ")}")
+  }
 }
