@@ -41,15 +41,22 @@ object Bench {
   /** The cross-query one-time memo builds a full run primes and times
     * as their OWN lines (so member-query timings stay order-
     * independent): the gr2–gr8 co-purchase edge list and the
-    * pipe5/pipe6/pipe9 per-doc verdict relations (r11 verdict #6).
-    * The gate-coverage spec derives BENCH_X10.json's expected key set
+    * pipe5/pipe6/pipe9/pipe10 per-doc verdict relations (r11 verdict
+    * #6). The middle element is the memo's CONSUMER short-keys: a
+    * partial run (--quick or named queries) that selects any consumer
+    * primes-and-times the memo too, so the build cost appears as its
+    * own line instead of silently landing on (or vanishing from,
+    * under min-of-two) the first consumer's timing — ADVICE r12. The
+    * gate-coverage spec derives BENCH_X10.json's expected key set
     * from these names — add a memo here and the gate re-runs or the
     * suite goes red, by construction. */
-  private[graft] val memoBuilds: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] = Seq(
-    "memo_copurchase_edges" ->
-      ((s, d) => graft.operators.GraphOps.primeEdgeMemo(s, d)),
-    "memo_pipeline_perdoc" ->
-      ((s, d) => graft.operators.PipelineOps.primePipeMemos(s, d)))
+  private[graft] val memoBuilds: Seq[(String, Set[String], (org.apache.spark.sql.SparkSession, String) => Unit)] = Seq(
+    ("memo_copurchase_edges",
+      Set("gr2", "gr3", "gr4", "gr5", "gr6", "gr7", "gr8"),
+      (s, d) => graft.operators.GraphOps.primeEdgeMemo(s, d)),
+    ("memo_pipeline_perdoc",
+      Set("pipe5", "pipe6", "pipe9", "pipe10"),
+      (s, d) => graft.operators.PipelineOps.primePipeMemos(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,14 +88,18 @@ object Bench {
     // work, so it counts toward the total either way; this only fixes
     // the ATTRIBUTION.
     // Full runs prime every memo; a partial run primes (and times)
-    // exactly the memo names selected — so the gate's isolated
-    // retrial can re-measure a flagged memo line the same way it
-    // re-measures a query (memo lines are gate-scored entries in
-    // BENCH_X10.json, so they need the same adjudication path).
+    // the memo names selected PLUS any memo whose consumer family
+    // intersects the selection (ADVICE r12: --quick used to skip the
+    // gr/pipe memo builds, so the first consumer's timed run absorbed
+    // them and quick totals weren't comparable to full totals). The
+    // gate's isolated retrial can still re-measure a flagged memo
+    // line by name, the same way it re-measures a query.
+    val selectedKeys = selected.map { case (n, _) => shortKey(n) }.toSet
     val memoLines: Seq[(String, Double)] =
-      memoBuilds.filter { case (name, _) =>
-        wanted.isEmpty || wanted.contains(name)
-      }.map { case (name, prime) =>
+      memoBuilds.filter { case (name, consumers, _) =>
+        wanted.isEmpty || wanted.contains(name) ||
+          consumers.exists(selectedKeys.contains)
+      }.map { case (name, _, prime) =>
         val t0 = System.nanoTime()
         val t = try { prime(spark, sfDir); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
@@ -101,7 +112,13 @@ object Bench {
       def once(): Double = {
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // time FULL materialization of the query's own plan, not
+          // df.count(): Catalyst prunes every column count() doesn't
+          // need, so a projection-heavy query (cleaning chains,
+          // p1-class selects) was under-measured (VERDICT r12 #3).
+          // toRdd executes the final physical plan and produces each
+          // output row; count() on the RDD forces every partition.
+          fn(spark, sfDir).queryExecution.toRdd.count()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
       }
@@ -135,8 +152,25 @@ object Bench {
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
     if (wanted.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-        (fullLine + "\n").getBytes("UTF-8"))
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+          (fullLine + "\n").getBytes("UTF-8"))
+        // per-round archive (VERDICT r12 #4: BENCH_FULL.json is
+        // overwritten each round, making per-query regression diffs
+        // impossible). The CURRENT round number is max(BENCH_r<N>)+1
+        // — the driver writes BENCH_r<N>.json only after the round.
+        val re = "BENCH_r(\\d+)\\.json".r
+        val ns = Option(new java.io.File(".").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .flatMap(f => f.getName match {
+            case re(n) => Some(n.toInt)
+            case _ => None
+          })
+        if (ns.nonEmpty)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f"BENCH_FULL_r${ns.max + 1}%02d.json"),
+            (fullLine + "\n").getBytes("UTF-8"))
+      }
       catch { case _: Throwable => () } // read-only cwd must not fail the bench
     else
       // partial run: per-query (and per-memo) times for local

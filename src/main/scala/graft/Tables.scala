@@ -124,15 +124,29 @@ object Tables {
     * re-insert its stale entry between our pre-sweep and insert
     * (ADVICE r11); the post-sweep catches that re-insertion. Lookups
     * are always correct regardless (the stamp is in the key) — the
-    * race only concerns reclaiming the dead entry's checkpoint. */
+    * race only concerns reclaiming the dead entry's checkpoint.
+    *
+    * `stamp` is BY-NAME and re-evaluated at each sweep (ADVICE r12):
+    * stamps are hashes, not ordered, so "differs from MY stamp" could
+    * not tell a superseded entry from a SUCCESSOR's — a laggard
+    * caller whose stamp predates a concurrent rewrite would evict the
+    * fresh entry a successor just built. Each sweep instead re-reads
+    * the AUTHORITATIVE stamp from the filesystem (one metadata
+    * round-trip) and protects both it and the caller's own entry; a
+    * laggard's mislabeled entry is then reclaimed by the next
+    * current-stamped caller's sweep, never the other way round. */
   private[graft] def memoGetOrBuild[V](
       memo: scala.collection.concurrent.TrieMap[(SparkSession, String, Long), V],
-      s: SparkSession, d: String, stamp: Long)(build: => V): V = {
-    def sweep(): Unit = memo.keysIterator
-      .filter(k => k._1 == s && k._2 == d && k._3 != stamp)
-      .foreach(memo.remove)
+      s: SparkSession, d: String, stamp: => Long)(build: => V): V = {
+    val mine = stamp
+    def sweep(): Unit = {
+      val live = stamp // versionStamp never throws (degrades to 0)
+      memo.keysIterator
+        .filter(k => k._1 == s && k._2 == d && k._3 != live && k._3 != mine)
+        .foreach(memo.remove)
+    }
     sweep()
-    val v = memo.getOrElseUpdate((s, d, stamp), build)
+    val v = memo.getOrElseUpdate((s, d, mine), build)
     sweep()
     v
   }
