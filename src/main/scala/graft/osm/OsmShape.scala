@@ -66,7 +66,7 @@ object OsmShape {
 
     // F9 key-fix pipeline + the two gnis in-namespace fixes, with the
     // original prefix/depth retained for the dispatch decisions.
-    val fixed = transform(kept, t => {
+    val fixedExpr = transform(kept, t => {
       val k = p(t, "_k"); val v = p(t, "_v")
       val opfx = split(k, ":").getItem(0)
       val isPass = opfx.isin(PassthroughNamespaces: _*)
@@ -77,6 +77,14 @@ object OsmShape {
       struct(k1.as("k"), v1.as("v"), isPass.as("pass"), opfx.as("opfx"),
         size(split(k, ":")).as("odepth"))
     })
+    // Materialize the key-fix pipeline ONCE per row: every tag family
+    // below references `fixed`, and higher-order functions are
+    // CodegenFallback — with the expression inlined, the whole
+    // regex/split forest re-evaluated once PER FAMILY (~8x per row,
+    // measured ~2x the shape stage's cost at reference scale).
+    // CollapseProject keeps the two Projects separate because the
+    // alias is non-cheap and multiply referenced.
+    val fixed = col("__fixed")
 
     def isSubdiv(t: Column): Column =
       !p(t, "pass") && p(t, "odepth") > 1 && p(t, "opfx").isin(SubdivideKeys: _*)
@@ -192,6 +200,6 @@ object OsmShape {
         Seq(when(size(ms) > 0, ms).as("members"))
       case other => sys.error(s"unknown doc_type $other")
     }
-    df.select(common ++ extra: _*)
+    df.withColumn("__fixed", fixedExpr).select(common ++ extra: _*)
   }
 }

@@ -74,4 +74,101 @@ class OsmEtlBenchSpec extends SparkSpec {
     assert(badKey == 0, "problemchars key survived the shape")
     nodes.unpersist()
   }
+
+  // ---- OsmChunk (r13: the parallel-parse ingest path) ---------------
+
+  test("nextBoundary matches only real top-level element starts: " +
+    "<node /<way /<relation with a legal follower — never <nd, never " +
+    "a longer name, never inside plain text bytes") {
+    def find(s: String): Int =
+      OsmChunk.nextBoundary(s.getBytes("UTF-8"), 0, s.length)
+    assert(find("""  <node id="1" lat="0"/>""") == 2)
+    assert(find("  <way>") == 2)
+    assert(find("""  <relation x="y">""") == 2)
+    assert(find("""  <nd ref="5"/>  <tag k="a"/>""") == -1)
+    assert(find("  <nodes>") == -1, "<nodes> matched as <node>")
+    assert(find("  <wayside>") == -1)
+    // attribute values cannot contain raw '<' in well-formed XML, so
+    // no false-positive case exists there; escaped forms don't match
+    assert(find("""  <tag k="x" v="&lt;node sneaky&gt;"/>""") == -1)
+  }
+
+  test("chunked reads are EXACTLY the unchunked reads — same shaped " +
+    "rows per type — and the fragment directory parses as multiple " +
+    "parallel partitions") {
+    val dir = Files.createTempDirectory("osmchunk").toString
+    val xml = s"$dir/d.osm"
+    OsmEtlBench.generate(xml, 0.002) // ~710 nodes / 60 ways / 1 rel
+    val nFrag = OsmChunk.chunk(xml, s"$dir/frags", 5)
+    assert(nFrag >= 2 && nFrag <= 5, s"expected 2..5 fragments, got $nFrag")
+    // fragments bin-pack by size (spark.sql.files.openCostInBytes),
+    // so partitions ≤ fragments; >1 is the parallel-parse evidence a
+    // single unsplittable file can never show
+    val nPart = OsmXmlSource.nodes(spark, s"$dir/frags").rdd.getNumPartitions
+    assert(nPart > 1 && nPart <= nFrag,
+      s"expected 2..$nFrag parse partitions, got $nPart")
+    for (t <- Seq("node", "way", "relation")) {
+      val rd = (p: String) => t match {
+        case "node" => OsmXmlSource.nodes(spark, p)
+        case "way" => OsmXmlSource.ways(spark, p)
+        case _ => OsmXmlSource.relations(spark, p)
+      }
+      val whole = OsmShape.shape(rd(xml), t)
+        .collect().map(_.toString).sorted
+      val parts = OsmShape.shape(rd(s"$dir/frags"), t)
+        .collect().map(_.toString).sorted
+      assert(whole.length == parts.length, s"$t count drifted")
+      assert(whole.sameElements(parts), s"$t content drifted under chunking")
+    }
+  }
+
+  test("chunk handles degenerate inputs: n=1 copies verbatim, n far " +
+    "beyond the element count yields fewer fragments, content intact") {
+    val dir = Files.createTempDirectory("osmchunk2").toString
+    val xml = s"$dir/tiny.osm"
+    OsmEtlBench.generate(xml, 0.0) // generator floors: 10 nodes/2 ways/1 rel
+    assert(OsmChunk.chunk(xml, s"$dir/one", 1) == 1)
+    val orig = Files.readAllBytes(java.nio.file.Paths.get(xml))
+    val copied = Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/one/part-00000.osm"))
+    assert(java.util.Arrays.equals(orig, copied), "n=1 is not a verbatim copy")
+    val many = OsmChunk.chunk(xml, s"$dir/many", 64)
+    assert(many <= 64)
+    assert(OsmXmlSource.nodes(spark, s"$dir/many").count() ==
+      OsmXmlSource.nodes(spark, xml).count())
+    assert(OsmXmlSource.relations(spark, s"$dir/many").count() ==
+      OsmXmlSource.relations(spark, xml).count())
+  }
+
+  test("chunked() memoizes per source version: same stamp reuses the " +
+    "fragment dir; touching the source re-chunks") {
+    val dir = Files.createTempDirectory("osmchunk3").toString
+    val xml = s"$dir/e.osm"
+    OsmEtlBench.generate(xml, 0.001)
+    val out1 = OsmChunk.chunked(xml, 4)
+    val frag = new java.io.File(out1).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val m1 = frag.lastModified()
+    Thread.sleep(1100) // FS mtime resolution
+    assert(OsmChunk.chunked(xml, 4) == out1)
+    assert(frag.lastModified() == m1, "reused dir was rewritten")
+    new java.io.File(xml).setLastModified(System.currentTimeMillis())
+    OsmChunk.chunked(xml, 4)
+    assert(frag.lastModified() != m1 || !frag.exists(),
+      "source touch did not re-chunk")
+  }
+
+  test("looksComplete requires the count-stamped generator header " +
+    "AND the closing tag — a stale or truncated file regenerates") {
+    val dir = Files.createTempDirectory("osmlc").toString
+    val xml = s"$dir/f.osm"
+    val (_, nN, nW, nR) = OsmEtlBench.generate(xml, 0.001)
+    assert(OsmEtlBench.looksComplete(xml, nN, nW, nR))
+    // wrong expected counts (old generator constants) → incomplete
+    assert(!OsmEtlBench.looksComplete(xml, nN + 1, nW, nR))
+    // truncation (lost </osm>) → incomplete even with a valid header
+    val raf = new java.io.RandomAccessFile(xml, "rw")
+    try raf.setLength(raf.length() - 8) finally raf.close()
+    assert(!OsmEtlBench.looksComplete(xml, nN, nW, nR))
+  }
 }
