@@ -56,7 +56,10 @@ object Bench {
       (s, d) => graft.operators.GraphOps.primeEdgeMemo(s, d)),
     ("memo_pipeline_perdoc",
       Set("pipe5", "pipe6", "pipe9", "pipe10"),
-      (s, d) => graft.operators.PipelineOps.primePipeMemos(s, d)))
+      (s, d) => graft.operators.PipelineOps.primePipeMemos(s, d)),
+    ("memo_dedup_sigs",
+      Set("d2", "d7", "d10", "d12", "d13", "d14", "d15", "d17", "leak1"),
+      (s, d) => graft.operators.DedupOps.primeDedupMemos(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -159,17 +162,22 @@ object Bench {
         // overwritten each round, making per-query regression diffs
         // impossible). The CURRENT round number is max(BENCH_r<N>)+1
         // — the driver writes BENCH_r<N>.json only after the round.
-        val re = "BENCH_r(\\d+)\\.json".r
-        val ns = Option(new java.io.File(".").listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .flatMap(f => f.getName match {
-            case re(n) => Some(n.toInt)
-            case _ => None
-          })
-        if (ns.nonEmpty)
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(f"BENCH_FULL_r${ns.max + 1}%02d.json"),
-            (fullLine + "\n").getBytes("UTF-8"))
+        // SPARK_GRAFT_NO_ARCHIVE opts out: scale_probe's x10 benches
+        // save/restore BENCH_FULL.json but must not overwrite the
+        // round archive with probe-dir numbers.
+        if (!sys.env.contains("SPARK_GRAFT_NO_ARCHIVE")) {
+          val re = "BENCH_r(\\d+)\\.json".r
+          val ns = Option(new java.io.File(".").listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .flatMap(f => f.getName match {
+              case re(n) => Some(n.toInt)
+              case _ => None
+            })
+          if (ns.nonEmpty)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(f"BENCH_FULL_r${ns.max + 1}%02d.json"),
+              (fullLine + "\n").getBytes("UTF-8"))
+        }
       }
       catch { case _: Throwable => () } // read-only cwd must not fail the bench
     else

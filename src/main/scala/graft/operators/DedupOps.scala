@@ -164,19 +164,40 @@ object DedupOps {
         element_at(col("mh"), b * 2 + 2).as("m2")))).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.m1"), col("bk.m2"))
 
+  /** Per-session memo of the banded candidate pair table — the LSH
+    * band self-join is byte-identical between d2's Jaccard verify
+    * and d12's containment verify (same bands, same distinct), and
+    * it is the expensive half of both (the signature table's four
+    * plan branches + a distinct over band collisions). Memoized as
+    * its own eager checkpoint of int-pair rows (VERDICT r12 #7:
+    * d12's isolated 1.5 s was mostly this rebuild). */
+  private val candMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), DataFrame]
+
+  /** Test/bench hook: drop memoized candidate tables. */
+  private[graft] def clearCandMemo(): Unit = candMemo.clear()
+
+  /** The distinct banded candidate pairs (i < j) — see [[candMemo]]. */
+  private[graft] def bandedCandidates(s: SparkSession, d: String): DataFrame =
+    Tables.memoGetOrBuild(candMemo, s, d,
+      Tables.versionStamp(d, "documents")) {
+      val bands = bandKeys(signatures(s, d))
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.m1") === col("y.m1") &&
+            col("x.m2") === col("y.m2") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+        .distinct()
+        .localCheckpoint(true)
+    }
+
   private[graft] def computeD2Pairs(s: SparkSession, d: String,
       broadcastMaxDocs: Long): DataFrame = {
     import s.implicits._
-    // the persisted signature table feeds four plan branches (band
-    // x/y, set i/j)
+    // the persisted signature table feeds the set i/j branches; the
+    // band x/y branches live in the memoized candidate checkpoint
     val docs = signatures(s, d)
-    val bands = bandKeys(docs)
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.m1") === col("y.m1") &&
-          col("x.m2") === col("y.m2") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-      .distinct()
+    val cand = bandedCandidates(s, d)
     // exact-Jaccard verification, size-gated (enforced, not advisory):
     // the count below is a metadata-cheap scan of the persisted
     // signature table and decides which physical shape verification
@@ -758,6 +779,20 @@ object DedupOps {
   /** Test/bench hook: drop memoized verdict tables. */
   private[graft] def clearVerdictMemo(): Unit = verdictMemo.clear()
 
+  /** Bench hook: eagerly build the three shared dedup memos —
+    * signatures, the d2 pair table, the d10 verdict table — so their
+    * one-time cost is a bench line of its own (`memo_dedup_sigs`)
+    * instead of landing on whichever of d2/d7/d10/d12/d13/d14/d15/
+    * d17/leak1 runs first (the primeEdgeMemo discipline, VERDICT r12
+    * #7: d12's isolated 1.55 s was mostly this build). */
+  private[graft] def primeDedupMemos(s: SparkSession, d: String): Unit = {
+    signatures(s, d)
+    bandedCandidates(s, d)
+    d2Pairs(s, d)
+    d10(s, d)
+    ()
+  }
+
   private def d10(s: SparkSession, d: String): DataFrame =
     // eager checkpoint: verdicts are consumed repeatedly downstream
     Tables.memoGetOrBuild(verdictMemo, s, d,
@@ -1057,13 +1092,7 @@ object DedupOps {
   private def d12(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = signatures(s, d)
-    val bands = bandKeys(docs)
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.m1") === col("y.m1") &&
-          col("x.m2") === col("y.m2") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-      .distinct()
+    val cand = bandedCandidates(s, d)
     val sigs = docs.select(col("doc_id"), col("sh"))
     cand
       .join(sigs.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")

@@ -152,9 +152,12 @@ object RetrievalOps {
     * ppm. */
   private def voc3(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // vocabulary-sized, two consumers (totals agg + head cut) — the
+    // x12 spillable-persist pattern, so the corpus scans ONCE
     val counts = Tables.documents(s, d)
       .select(explode(toks(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = counts.agg(sum(col("c")).as("tot"),
       count(lit(1)).as("n_terms"))
     val byCnt = Window.orderBy(col("c").desc, col("term").asc)

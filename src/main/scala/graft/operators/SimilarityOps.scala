@@ -182,10 +182,17 @@ object SimilarityOps {
     val q = ranked(corpus.filter(col("vec_id") < 10))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
-        col("nrm").as("qnrm"), col("cid").as("cell"))
+        col("nrm").as("qnrm"), col("cid").as("cell"),
+        col("rn").as("prn"))
+    // prn (the probed cell's rank for this query) rides along so a
+    // MULTI-PROBE candidate set can serve every smaller probe count
+    // by filtering — candidates at nprobe=k are exactly prn <= k.
+    // topNeighbors drops it from served output; s6 uses it to
+    // evaluate np1 and np2 from ONE corpus assignment pass.
     assigned.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos"))
+      .select(col("qid"), col("vec_id").as("nid"), cosPrecomp.as("cos"),
+        col("prn"))
   }
 
   /** s3 with an explicit probe count (s6 reports np=1 beside the
@@ -739,7 +746,11 @@ object SimilarityOps {
     * plans; the ground-truth set (|Q|·3 rows) is persisted for its
     * three consumers and each comparison is a ≤k·|Q|-row LeftSemi +
     * count — evaluation cost is rankings-sized, corpus-independent
-    * BY CONSTRUCTION. */
+    * BY CONSTRUCTION. The two IVF rows (np1, np2) share ONE corpus
+    * assignment pass: the np2 candidate set is persisted and np1 is
+    * its prn=1 slice (candidates at a smaller probe count are a
+    * subset by construction — VERDICT r12 #7, the removable-rebuild
+    * audit). */
   private def s6(s: SparkSession, d: String): DataFrame = {
     val exact = s1(s, d).filter(col("rank") <= 3)
       .select(col("qid"), col("nid"))
@@ -753,12 +764,15 @@ object SimilarityOps {
         .select(lit(name).as("variant"), col("hits"), col("possible"),
           expr("(1000000 * hits) div possible").as("recall_ppm"))
     }
+    val ivfCand = s3Candidates(s, d, S3_NPROBE)
+      .persist(StorageLevel.MEMORY_AND_DISK) // np1 + np2 recall rows
     row("s2_ann_lsh", s2(s, d))
       // the IVF recall/cost curve: the single-probe variant reported
       // beside the served S3_NPROBE=2 form — the knob's value is IN
       // the recall report, not just a claim in a doc
-      .union(row("s3_ann_ivf_np1", s3Probe(s, d, 1)))
-      .union(row("s3_ann_ivf", s3(s, d)))
+      .union(row("s3_ann_ivf_np1",
+        topNeighbors(ivfCand.filter(col("prn") === 1), 3)))
+      .union(row("s3_ann_ivf", topNeighbors(ivfCand, 3)))
       .union(row("s5_ann_pq", s5(s, d)))
       .union(row("s7_ann_sq", s7(s, d)))
   }

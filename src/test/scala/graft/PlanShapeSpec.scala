@@ -790,6 +790,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("voc3's unpartitioned windows ride ONLY the bounded top-K head " +
+    "(VERDICT r12 #1): every empty-partition WindowExec has a " +
+    "TakeOrderedAndProject/GlobalLimit below it, the head is " +
+    "max(VOC3_SIZES) rows, and totals come from an aggregate — " +
+    "never a vocabulary-sized window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec, GlobalLimitExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val df = q("voc3_coverage_curve")
+    val ws = physical(df).collect { case w: WindowExec => w }
+    assert(ws.nonEmpty, plan(df))
+    ws.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val bounded = w.collectFirst {
+        case t: TakeOrderedAndProjectExec => t
+        case l: GlobalLimitExec => l
+      }
+      assert(bounded.nonEmpty,
+        s"unpartitioned window with no limit head below it:\n$w")
+    }
+    // and the head cut itself planned as TakeOrderedAndProject (or a
+    // limit), never a global sort of the vocabulary
+    assert(plan(df).contains("TakeOrderedAndProject") ||
+      physical(df).collectFirst { case l: GlobalLimitExec => l }.nonEmpty,
+      plan(df))
+  }
+
   /** Repo-wide ratchet (VERDICT r12 #2): an unpartitioned Window
     * serializes its ENTIRE input through one task's sort, so it is
     * only ever acceptable over a relation whose size is bounded by

@@ -91,10 +91,28 @@ DOC_OUTPUT_BOUND = {
 #     (r8 verdict: "honest 2-5x per decade" watchlist, not weak).
 #   r3 — autotuned grid keeps the cell quadratic bounded; the
 #     residual ratio rides the 10x interval count.
+#   (r13, with Bench now timing FULL materialization via toRdd —
+#   df.count() used to prune the very projections these queries
+#   exist to produce, hiding their honest linear cost:)
+#   g5 — one partial+final agg pass over 10x rows: HLL hash + the
+#     exact countDistinct twin are both Theta(rows) by definition
+#     (4.12x measured).
+#   dq1 — four FK audits, each a child key-agg + parent left join
+#     over 10x rows; Theta(rows), the shuffles carry distinct keys
+#     (3.42x measured).
+#   j1 — left join + per-customer collect_list: rows AND the answer
+#     are exactly 10x under FK-consistent replication (3.24x).
+#   m3 — the materialized ref_docs ANSWER is |distinct part keys|
+#     rows, 10x by construction; its own scaladoc records the x100
+#     output-bound tail (5.15x measured at x10).
+#   er4 — the blocking census is K·N work by design (fixed probe
+#     head x the full catalog, the cls3 shape); N is 10x (6.0x).
 REL_VOLUME_LINEAR = {
     "gr2_triangles", "gr4_assortativity",
     "gr5_communities", "att2_linear_credit", "j8_salted_join",
     "r3_interval_overlap",
+    "g5_approx_distinct", "dq1_fk_orphans", "j1_lookup_group_array",
+    "m3_materialize_ref_docs", "er4_blocking_eval",
     # per-type rolling windows over 10x event rows with a 10x answer
     # — att2's argument (3.3x measured, data-linear by construction)
     "w11_rolling_z",
@@ -244,7 +262,8 @@ def bench(sf_dir, cache_name):
     saved = None
     if os.path.exists(official):
         saved = open(official).read()
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_NO_ARCHIVE="1")
     print(f"[run] bench {sf_dir} ...")
     p = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                        cwd=REPO, env=env, capture_output=True, text=True)
@@ -271,7 +290,8 @@ def bench_partial(sf_dir, names):
     stdout-only parse silently returned {} and let three noisy flags
     stand un-retried, so scan both streams and strip the prefix."""
     import re
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_NO_ARCHIVE="1")
     p = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench " + " ".join(sorted(names))],
         cwd=REPO, env=env, capture_output=True, text=True)
@@ -390,6 +410,11 @@ def main():
         return 0
     if mode == "report":
         return report()
+    if mode == "report-retry":
+        # recompute from cached bench records but re-measure suspects
+        # in isolation (the `run` retrial path without the 3 full
+        # benches) — for adjudication-list edits between full runs
+        return report(retry=True)
     gen()
     bench(SF_DIR, "bench_sf01.json")
     bench(REL_DIR, "bench_x10rel.json")
