@@ -66,12 +66,28 @@ object Main {
       sys.env.getOrElse("SPARK_GRAFT_MONGO_COLLECTION", "documents"))
     val spark = GraftSession.local("graft-mongo-load")
     try {
-      val docs = OsmXmlSource.collection(spark, args(0))
+      // pre-chunk the (non-splittable) extract so parse + shape +
+      // encode + insert all fan out — the OsmChunk ingest path; a
+      // read-only source directory falls back to the single-file
+      // scan with post-scan redistribution
+      val parts = spark.sparkContext.defaultParallelism
+      val docs =
+        try OsmXmlSource.collection(spark,
+          graft.osm.OsmChunk.chunked(args(0), parts))
+        catch { case scala.util.control.NonFatal(_) =>
+          OsmXmlSource.collection(spark, args(0), parts) }
       val bad = graft.sinks.MongoExtendedJson.invalidFieldNames(docs.schema)
       require(bad.isEmpty,
         s"schema has Mongo-invalid field names: ${bad.mkString(", ")}")
-      cfg.sink.write(docs, path = "", overwrite = true)
-      println(s"[graft] mongo-load: ${docs.count()} docs -> " +
+      // Observation rides the WRITE job itself — no second parse
+      // pass just to report a count (the OsmAudit.withShapeMetrics
+      // pattern)
+      val obs = org.apache.spark.sql.Observation()
+      val observed = docs.observe(obs,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+      cfg.sink.write(observed, path = "", overwrite = true)
+      println(s"[graft] mongo-load: ${obs.get("n_docs")} docs -> " +
         s"${cfg.database}.${cfg.collection}")
     } finally spark.stop()
   }

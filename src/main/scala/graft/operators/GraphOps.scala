@@ -249,13 +249,17 @@ object GraphOps {
     val deg = sym.groupBy(col("w")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK) // cap derivation + witness filter
     val nEdges = e.count()
-    // largest cap whose admitted wedge mass fits the budget; running
-    // sum rides decimal(38,0) so Σ n·deg·(deg−1) can't wrap at any m
+    // largest cap whose admitted wedge mass fits the budget; the
+    // PER-TERM product already rides decimal(38,0) (cast BEFORE the
+    // multiply — a hub of degree ≥ ~3·10⁹, realizable at 10¹² edges,
+    // would wrap the long product n·deg·(deg−1) negative and admit
+    // itself through the budget test), and the running sum inherits
+    // the decimal, mirroring DuckDB's HUGEINT
     val byDeg = org.apache.spark.sql.expressions.Window.orderBy(col("deg").asc)
     val cap = deg.groupBy(col("deg")).agg(count(lit(1)).as("n"))
       .withColumn("wcum",
-        sum((col("n") * col("deg") * (col("deg") - lit(1L)))
-          .cast("decimal(38,0)")).over(byDeg.rowsBetween(
+        sum(col("n").cast("decimal(38,0)") * col("deg") *
+          (col("deg") - lit(1L))).over(byDeg.rowsBetween(
             org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.currentRow)))
       .agg(greatest(

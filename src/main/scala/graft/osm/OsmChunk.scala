@@ -13,52 +13,147 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * the existing per-rowTag reads see N files = N parallel parse
   * tasks. Chunking is a one-time ingest step (the same place a real
   * deployment would convert to parquet): one sequential streamed
-  * pass, FileChannel-to-FileChannel, never data-in-heap.
+  * pass over the bytes to pick cut offsets, then FileChannel
+  * transfers — never data-in-heap.
   *
   * Why splitting at `<node ` / `<way ` / `<relation ` byte patterns
-  * is SAFE in any well-formed OSM XML: (1) raw `<` is illegal inside
-  * attribute values and text (must be `&lt;`), so those byte
-  * sequences can only be element markup; (2) OSM's top-level element
-  * types never nest inside each other (nodes/ways/relations contain
-  * only `nd`/`tag`/`member`), so every such start tag is a top-level
-  * boundary — everything before it is complete elements. The scan
-  * requires a following space/tab/newline/`/`/`>` byte so `<node`
-  * never matches a hypothetical longer name, and `<nd` cannot match
-  * `<node ` at all.
+  * is SAFE in well-formed OSM XML: (1) raw `<` is illegal inside
+  * attribute values and character data (must be `&lt;`), so outside
+  * of comments and CDATA those byte sequences can only be element
+  * markup; (2) comments and CDATA sections — the two lexical scopes
+  * that MAY legally contain raw `<` — are tracked by the scanner's
+  * state machine, and no cut is taken inside them (the r13 review
+  * found the earlier probe-seek scanner could cut a file in half
+  * mid-comment); (3) OSM's top-level element types never nest inside
+  * each other (nodes/ways/relations contain only `nd`/`tag`/
+  * `member`), so every such start tag in scope is a top-level
+  * boundary — everything before it is complete elements. A follower
+  * byte (space/tab/newline/`/`/`>`) is required so `<node` never
+  * matches a longer name, and `<nd` cannot match `<node ` at all.
+  * DTD internal subsets (which may embed markup inside entity
+  * values) are out of scope: a file with `<!DOCTYPE` in its prologue
+  * is copied as ONE fragment rather than risked.
   *
-  * Multi-byte-safe: the patterns and the chars that may follow are
-  * all ASCII, and UTF-8 continuation bytes never collide with ASCII,
-  * so byte-level search is exact regardless of tag-value content. */
+  * Multi-byte-safe: the patterns and follower set are all ASCII, and
+  * UTF-8 continuation bytes never collide with ASCII, so byte-level
+  * search is exact regardless of tag-value content. */
 object OsmChunk {
 
   private val patterns: Seq[Array[Byte]] =
     Seq("<node", "<way", "<relation").map(_.getBytes("US-ASCII"))
+  private val CommentOpen = "<!--".getBytes("US-ASCII")
+  private val CommentClose = "-->".getBytes("US-ASCII")
+  private val CdataOpen = "<![CDATA[".getBytes("US-ASCII")
+  private val CdataClose = "]]>".getBytes("US-ASCII")
+  /** Longest lexeme the scanner must see whole — the buffer overlap. */
+  private val MaxLexeme = CdataOpen.length + 1
 
   private def isBoundaryFollower(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '/' || b == '>'
 
+  private def matchesAt(buf: Array[Byte], i: Int, len: Int,
+      pat: Array[Byte]): Boolean = {
+    if (i + pat.length > len) return false
+    var j = 0
+    while (j < pat.length && buf(i + j) == pat(j)) j += 1
+    j == pat.length
+  }
+
+  /** Is `i` a top-level element start (`<node|way|relation` + legal
+    * follower, fully visible within `len`)? */
+  private def isBoundary(buf: Array[Byte], i: Int, len: Int): Boolean = {
+    var p = 0
+    while (p < patterns.length) {
+      val pat = patterns(p)
+      if (i + pat.length < len && matchesAt(buf, i, len, pat) &&
+        isBoundaryFollower(buf(i + pat.length))) return true
+      p += 1
+    }
+    false
+  }
+
   /** Earliest top-level element start at or after `from` in `buf`
-    * (exclusive of the final pattern-length tail, so a match is
-    * always fully verifiable), or -1. */
+    * (comment/CDATA-blind — the single-window helper the boundary
+    * unit spec exercises; [[findCuts]] is the stateful scanner the
+    * chunker actually uses), or -1. */
   private[osm] def nextBoundary(buf: Array[Byte], from: Int, len: Int): Int = {
     var i = math.max(from, 0)
     while (i < len) {
-      if (buf(i) == '<') {
-        var p = 0
-        while (p < patterns.length) {
-          val pat = patterns(p)
-          if (i + pat.length < len) {
-            var j = 1
-            while (j < pat.length && buf(i + j) == pat(j)) j += 1
-            if (j == pat.length && isBoundaryFollower(buf(i + pat.length)))
-              return i
-          }
-          p += 1
-        }
-      }
+      if (buf(i) == '<' && isBoundary(buf, i, len)) return i
       i += 1
     }
     -1
+  }
+
+  /** ONE sequential pass over the file: for each ascending target
+    * offset, the first top-level element start AT OR AFTER it that is
+    * not inside a comment or CDATA section. The full scan (rather
+    * than probe-seeks) is the soundness price — a probe landing
+    * inside `<!-- ... -->` cannot know it without left context; the
+    * scan is O(bytes) exactly like the copy that follows. */
+  private[osm] def findCuts(in: String, targets: Seq[Long]): Seq[Long] = {
+    if (targets.isEmpty) return Nil
+    val raf = new RandomAccessFile(in, "r")
+    try {
+      val len = raf.length()
+      val B = 4 << 20
+      val buf = new Array[Byte](B)
+      val cuts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var base = 0L
+      var state = 0 // 0 = markup/text, 1 = comment, 2 = CDATA
+      var ti = 0
+      while (base < len && ti < targets.length) {
+        raf.seek(base)
+        var want = 0
+        while (want < B && want >= 0) {
+          val r = raf.read(buf, want, B - want)
+          if (r <= 0) { want = -want - 1 } else want += r // -x-1 = done marker
+        }
+        if (want < 0) want = -want - 1
+        val atEof = base + want >= len
+        // stop the scan MaxLexeme short of the buffer end (unless at
+        // EOF) so every lexeme match is decided with full visibility
+        val scanEnd = if (atEof) want else math.max(want - MaxLexeme, 0)
+        var i = 0
+        while (i < scanEnd && ti < targets.length) {
+          state match {
+            case 0 =>
+              if (buf(i) == '<') {
+                if (matchesAt(buf, i, want, CommentOpen)) {
+                  state = 1; i += CommentOpen.length
+                } else if (matchesAt(buf, i, want, CdataOpen)) {
+                  state = 2; i += CdataOpen.length
+                } else {
+                  if (isBoundary(buf, i, want)) {
+                    val off = base + i
+                    if (off >= targets(ti) &&
+                      (cuts.isEmpty || off > cuts.last)) {
+                      cuts += off
+                      while (ti < targets.length && targets(ti) <= off)
+                        ti += 1
+                    }
+                  }
+                  i += 1
+                }
+              } else i += 1
+            case 1 =>
+              if (matchesAt(buf, i, want, CommentClose)) {
+                state = 0; i += CommentClose.length
+              } else i += 1
+            case 2 =>
+              if (matchesAt(buf, i, want, CdataClose)) {
+                state = 0; i += CdataClose.length
+              } else i += 1
+          }
+        }
+        // consume exactly the bytes the scanner decided on (i may
+        // overshoot scanEnd after a lexeme jump — that is fine, the
+        // bytes up to i are consumed under the correct state)
+        base += math.max(i, if (atEof) want else scanEnd)
+        if (atEof && ti >= 0) base = math.max(base, len) // EOF: done
+      }
+      cuts.toSeq
+    } finally raf.close()
   }
 
   private val header =
@@ -66,40 +161,42 @@ object OsmChunk {
       .getBytes("UTF-8")
   private val footer = "</osm>\n".getBytes("UTF-8")
 
+  /** Does the file's prologue carry a DTD? (First 4 KiB is ample — a
+    * DOCTYPE is only legal before the root element.) */
+  private def hasDoctype(in: String): Boolean = {
+    val raf = new RandomAccessFile(in, "r")
+    try {
+      val head = new Array[Byte](4096)
+      val n = raf.read(head)
+      n > 0 && new String(head, 0, n, "UTF-8").contains("<!DOCTYPE")
+    } finally raf.close()
+  }
+
   /** Split `in` into ≤ `n` well-formed `.osm` fragment files under
-    * `outDir` (created/cleared), returning the fragment count.
-    * Fragment k>0 gets a synthetic header; fragment k<last gets the
-    * closing tag appended; byte content is otherwise the original,
-    * sliced at top-level element starts found near the n evenly
-    * spaced probe offsets (duplicate probe resolutions collapse, so
-    * a small file may yield fewer fragments than asked). */
+    * `outDir` (created, or cleared if already a directory), returning
+    * the fragment count. Fragment k>0 gets a synthetic header;
+    * fragment k<last gets the closing tag appended; byte content is
+    * otherwise the original, sliced at top-level element starts found
+    * at/after the n evenly spaced target offsets (duplicate target
+    * resolutions collapse, so a small file may yield fewer fragments
+    * than asked; a DOCTYPE-carrying file copies as one fragment). */
   def chunk(in: String, outDir: String, n: Int): Int = {
     require(n >= 1, s"fragment count must be >= 1, got $n")
     val dir = new File(outDir)
-    if (dir.exists()) dir.listFiles().foreach(_.delete()) else dir.mkdirs()
+    if (dir.isFile)
+      sys.error(s"chunk output path $outDir exists as a regular file")
+    if (dir.exists()) {
+      dir.listFiles().foreach { f =>
+        require(f.delete(), s"could not clear stale ${f.getPath}")
+      }
+    } else require(dir.mkdirs(), s"could not create $outDir")
     val raf = new RandomAccessFile(in, "r")
     try {
       val len = raf.length()
-      // probe window: a split point must appear within one window of
-      // the probe offset or the probe is skipped (elements are tiny
-      // next to this — a 4 MiB window holds thousands of them)
-      val window = 4 << 20
-      val buf = new Array[Byte](window)
-      val cuts = scala.collection.mutable.ArrayBuffer[Long](0L)
-      var k = 1
-      while (k < n) {
-        val probe = len * k / n
-        if (probe > cuts.last) {
-          raf.seek(probe)
-          val got = raf.read(buf)
-          if (got > 0) {
-            val b = nextBoundary(buf, 0, got)
-            if (b >= 0 && probe + b > cuts.last) cuts += (probe + b)
-          }
-        }
-        k += 1
-      }
-      cuts += len
+      val targets = (1 until n).map(k => len * k / n).distinct
+      val mids =
+        if (hasDoctype(in)) Nil else findCuts(in, targets)
+      val cuts = 0L +: mids :+ len
       val src = raf.getChannel
       var i = 0
       while (i < cuts.length - 1) {

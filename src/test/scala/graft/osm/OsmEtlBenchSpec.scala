@@ -122,6 +122,77 @@ class OsmEtlBenchSpec extends SparkSpec {
     }
   }
 
+  test("the scanner never cuts inside a comment or CDATA section — " +
+    "fake element markup embedded there (legal raw '<') cannot " +
+    "become a fragment boundary, and chunked == unchunked holds") {
+    val dir = Files.createTempDirectory("osmcmt").toString
+    val xml = s"$dir/cmt.osm"
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<osm version=\"0.6\">\n"
+    for (i <- 0 until 40)
+      sb ++= s"""  <node id="$i" lat="1.0" lon="2.0" version="1" changeset="1" timestamp="2015-01-01T00:00:00Z" user="u" uid="1"/>\n"""
+    // a comment big enough that several evenly spaced targets land
+    // INSIDE it, stuffed with decoy element starts
+    sb ++= "  <!--\n"
+    for (i <- 0 until 2000)
+      sb ++= s"""    <node id="fake$i" lat="9" lon="9"/> <way> <relation>\n"""
+    sb ++= "  -->\n"
+    sb ++= "  <![CDATA[ <node id=\"alsofake\"/> <way ]]>\n"
+    for (i <- 40 until 80)
+      sb ++= s"""  <node id="$i" lat="1.0" lon="2.0" version="1" changeset="1" timestamp="2015-01-01T00:00:00Z" user="u" uid="1"/>\n"""
+    sb ++= s"""  <way id="900" version="1" changeset="1" timestamp="2015-01-01T00:00:00Z" user="u" uid="1">\n    <nd ref="1"/>\n    <tag k="highway" v="x"/>\n  </way>\n"""
+    sb ++= "</osm>\n"
+    Files.write(java.nio.file.Paths.get(xml), sb.toString.getBytes("UTF-8"))
+    val nFrag = OsmChunk.chunk(xml, s"$dir/frags", 16)
+    assert(nFrag >= 2, s"expected multiple fragments, got $nFrag")
+    // no fragment may contain an unbalanced comment/CDATA: every
+    // fragment must itself parse — count equality proves it
+    assert(OsmXmlSource.nodes(spark, s"$dir/frags").count() == 80,
+      "node count drifted under comment/CDATA chunking")
+    assert(OsmXmlSource.ways(spark, s"$dir/frags").count() == 1)
+    val whole = OsmShape.shape(OsmXmlSource.nodes(spark, xml), "node")
+      .collect().map(_.toString).sorted
+    val parts = OsmShape.shape(OsmXmlSource.nodes(spark, s"$dir/frags"), "node")
+      .collect().map(_.toString).sorted
+    assert(whole.sameElements(parts), "content drifted")
+    // and the cut offsets themselves avoid the comment span
+    val bytes = sb.toString.getBytes("UTF-8")
+    val cmtFrom = sb.indexOf("<!--"); val cmtTo = sb.indexOf("-->") + 3
+    val cuts = OsmChunk.findCuts(xml, (1 until 16).map(k =>
+      bytes.length.toLong * k / 16))
+    assert(cuts.nonEmpty)
+    cuts.foreach(c => assert(c < cmtFrom || c >= cmtTo,
+      s"cut $c inside the comment span [$cmtFrom,$cmtTo)"))
+  }
+
+  test("a DOCTYPE-carrying file (DTD internal subsets may embed " +
+    "markup) is copied as ONE fragment rather than risked") {
+    val dir = Files.createTempDirectory("osmdtd").toString
+    val xml = s"$dir/dtd.osm"
+    val content = "<?xml version=\"1.0\"?>\n<!DOCTYPE osm [ <!ENTITY e \"x\"> ]>\n" +
+      "<osm version=\"0.6\">\n" +
+      (0 until 50).map(i =>
+        s"""  <node id="$i" lat="1" lon="2" version="1" changeset="1" timestamp="2015-01-01T00:00:00Z" user="u" uid="1"/>""").mkString("\n") +
+      "\n</osm>\n"
+    Files.write(java.nio.file.Paths.get(xml), content.getBytes("UTF-8"))
+    assert(OsmChunk.chunk(xml, s"$dir/frags", 8) == 1)
+    val orig = Files.readAllBytes(java.nio.file.Paths.get(xml))
+    val copied = Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/frags/part-00000.osm"))
+    assert(java.util.Arrays.equals(orig, copied))
+  }
+
+  test("chunk refuses a regular file at the output path and reports " +
+    "stale-fragment deletion failures loudly") {
+    val dir = Files.createTempDirectory("osmclr").toString
+    val xml = s"$dir/g.osm"
+    OsmEtlBench.generate(xml, 0.0)
+    Files.write(java.nio.file.Paths.get(s"$dir/occupied"), "x".getBytes)
+    val ex = intercept[RuntimeException](
+      OsmChunk.chunk(xml, s"$dir/occupied", 2))
+    assert(ex.getMessage.contains("regular file"))
+  }
+
   test("chunk handles degenerate inputs: n=1 copies verbatim, n far " +
     "beyond the element count yields fewer fragments, content intact") {
     val dir = Files.createTempDirectory("osmchunk2").toString
