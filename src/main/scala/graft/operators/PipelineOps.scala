@@ -517,19 +517,33 @@ object PipelineOps {
       computePipe6Hits(s, d).localCheckpoint(true))
 
   private def computePipe6Hits(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.Fns.wordShingles
+    import s.implicits._
+    import graft.functions.Fns.{md5LongLocal, wordShinglesLocal}
+    // shingle + hash in a TYPED KERNEL, not the declarative
+    // wordShingles HOF: n-gram construction and md5 over every train
+    // token window is pure dense hashing, which interpreted
+    // higher-order expressions evaluate ~10× slower (the
+    // buildSignatures boundary, measured again here r13: the HOF form
+    // was 5.2 s of the 6.7 s memo line at sf0.1). Local mirrors keep
+    // byte-lockstep with the oracle SQL's string md5.
     def side(lo: Int, hi: Int) = Tables.documents(s, d)
       .filter(md5Long(col("doc_id")) % 100 >= lo &&
         md5Long(col("doc_id")) % 100 < hi)
-      .select(col("doc_id"), col("source"),
-        wordShingles(toks(col("text")), PIPE6_NGRAM).as("sh"))
+      .select(col("doc_id"), col("source"), col("text"))
+      // kernel stages declare their parallelism (the buildSignatures
+      // rule: a narrow parquet scan would serialize the hashing)
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        (id, src,
+          wordShinglesLocal(text, PIPE6_NGRAM).map(md5LongLocal).toArray)
+      })
+      .toDF("doc_id", "source", "shk")
     val testSh = side(90, 100)
-      .select(explode(col("sh")).as("sh"))
-      .select(md5Long(col("sh")).as("shk")).distinct()
+      .select(explode(col("shk")).as("shk")).distinct()
     side(0, 80)
       .select(col("doc_id"), col("source"),
-        explode_outer(col("sh")).as("sh"))
-      .select(col("doc_id"), col("source"), md5Long(col("sh")).as("shk"))
+        explode_outer(col("shk")).as("shk"))
       .join(testSh.withColumn("hit", lit(1L)), Seq("shk"), "left")
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L))
