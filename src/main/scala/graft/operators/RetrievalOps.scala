@@ -569,23 +569,65 @@ object RetrievalOps {
     * IS merge order (bpe1's count-desc training order), so prefix
     * budgets are exactly "stop training after k merges".
     *
-    * Scale shape: ONE corpus scan; all five budget variants evaluate
-    * in the same projection over the same token array (shared-prefix
-    * replace chains inside whole-stage codegen, the tok1 zero-
-    * exchange property), partial-aggregate to a single row, and the
-    * |budgets|-row stack + ppm arithmetic are corpus-size-free. */
+    * Scale shape: ONE corpus scan through a TYPED KERNEL (r13 — the
+    * buildSignatures/pipe6/x9 dense-string boundary: the previous
+    * declarative form ran the per-word replace chains inside
+    * `transform`/`aggregate` HOFs, which evaluate interpreted — 1.6 s
+    * vs ~0.3 s kernel at sf0.1). The kernel applies the merge table
+    * INCREMENTALLY — budgets are prefixes of one fold, so the five
+    * variants cost one chain, not five — and emits ONE partial row
+    * per partition; the |budgets|-row stack + ppm arithmetic are
+    * corpus-size-free. Lockstep: the kernel uses the same
+    * java.util.regex char-explode, java's left-to-right
+    * non-overlapping `replace`, and the same split/trim arithmetic
+    * the oracle SQL states — and the spec replays the SQL form
+    * against kernel outputs. */
   private def tok2(s: SparkSession, d: String): DataFrame = {
-    val sums = TOK2_BUDGETS.map { k =>
-      val perWord = "size(split(trim(" +
-        mergeChainK("regexp_replace(w, '(.)', '$1 ')", k) + "), ' '))"
-      sum(expr(
-        s"aggregate(transform(t, w -> $perWord), 0L, (acc, x) -> acc + x)"))
-        .as(s"bt$k")
-    }
-    Tables.documents(s, d)
-      .select(toks(col("text")).as("t"),
-        length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"))
-      .agg(sum(col("nc")).as("n_chars"), sums: _*)
+    import s.implicits._
+    val budgets = TOK2_BUDGETS
+    val merges = tok1Merges
+    val partial = Tables.documents(s, d)
+      .select(col("text")).as[String]
+      .mapPartitions { it =>
+        val bt = new Array[Long](budgets.size)
+        var nc = 0L
+        it.foreach { text =>
+          // length(regexp_replace(text, ' ', '')) — code points, the
+          // UTF8String.numChars convention
+          nc += text.codePoints().filter(_ != ' ').count()
+          text.split(" ", -1).foreach { w =>
+            if (w.isEmpty) {
+              // size(split(trim(' '), ' ')) = 1 for the empty word,
+              // at every budget (the declarative form's arithmetic)
+              var j = 0; while (j < bt.length) { bt(j) += 1; j += 1 }
+            } else {
+              var st = " " + w.replaceAll("(.)", "$1 ")
+              var mi = 0
+              var bi = 0
+              while (bi < budgets.length) {
+                while (mi < budgets(bi)) {
+                  val (a, b) = merges(mi)
+                  st = st.replace(s" $a $b ", s" $a$b ")
+                  mi += 1
+                }
+                // tokens of " s1 s2 … sN " = spaces − 1
+                var spaces = 0; var p = 0
+                while (p < st.length) {
+                  if (st.charAt(p) == ' ') spaces += 1; p += 1
+                }
+                bt(bi) += spaces - 1
+                bi += 1
+              }
+            }
+          }
+        }
+        Iterator.single((nc, bt.toSeq))
+      }
+      .toDF("nc", "bt")
+    partial
+      .agg(sum(col("nc")).as("n_chars"),
+        budgets.indices.map(i =>
+          sum(col("bt").getItem(i)).as(s"bt${budgets(i)}")): _*)
       .select(col("n_chars"), expr(
         s"""stack(${TOK2_BUDGETS.size}, ${TOK2_BUDGETS.map(k =>
           s"CAST($k AS BIGINT), bt$k").mkString(", ")})

@@ -206,12 +206,29 @@ object TextOps {
   /** x9 — repetition score: fraction of a document's bigrams that are
     * repeats (1 − distinct/total), the classic Gopher-style quality
     * rule for filtering loop-y machine-generated text. Pure per-row
-    * arithmetic; null for docs too short to have a bigram. */
+    * arithmetic; null for docs too short to have a bigram.
+    *
+    * The bigram build + distinct count runs in a TYPED KERNEL (r13):
+    * the declarative `bigramShingles` HOF constructs every window
+    * string through interpreted higher-order evaluation — the
+    * buildSignatures/pipe6 boundary, re-measured here at 1.9 s vs
+    * ~0.5 s kernel at sf0.1. `bigramShinglesLocal` is the same
+    * lockstep mirror the dedup signatures build on, so the distinct
+    * count (and the oracle hash) is bit-identical. */
   private def x9(s: SparkSession, d: String): DataFrame = {
-    val t = toks(col("text"))
+    import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"), (size(t) - 1).as("n_bigrams"),
-        size(bigramShingles(t)).as("n_distinct"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        // n_bigrams = size(split(text," ")) - 1, INCLUDING empty
+        // tokens (split keeps them) — the declarative form's exact
+        // arithmetic
+        val nBigrams = text.split(" ", -1).length - 1
+        (id, nBigrams.toLong,
+          graft.functions.Fns.bigramShinglesLocal(text).size.toLong)
+      })
+      .toDF("doc_id", "n_bigrams", "n_distinct")
       .select(col("doc_id"), col("n_bigrams"),
         when(col("n_bigrams") > 0,
           roundFp(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 6))

@@ -226,7 +226,16 @@ class ScanCountSpec extends SparkSpec {
       // al2 = cls3's two pruned embedding reads + rocchio's centroid
       // pass and literal-centroid assignment scan (each member keeps
       // its own adjudicated shape)
-      "al2_committee" -> ((4, 0)))).toMap
+      "al2_committee" -> ((4, 0)),
+      // x9's bigram build + distinct count is a typed kernel (r13 —
+      // the buildSignatures/pipe6 dense-hashing boundary; interpreted
+      // HOF evaluation measured ~4x the kernel); one pruned scan
+      // feeds it
+      "x9_repetition" -> ((1, 1)),
+      // tok2's incremental merge-fold kernel over the pruned text
+      // column (r13 — same boundary; the five budgets are prefixes
+      // of ONE fold, partial-summed per partition)
+      "tok2_merge_curve" -> ((1, 1)))).toMap
       .withDefaultValue((1, 0))
   }
 
