@@ -104,6 +104,11 @@ object DedupOps {
     * cold timing runs). */
   private[graft] def clearSigMemo(): Unit = sigMemo.clear()
 
+  /** Probe/bench hook: build just the signature memo. */
+  private[graft] def primeSigOnly(s: SparkSession, d: String): Unit = {
+    signatures(s, d); ()
+  }
+
   private def signatures(s: SparkSession, d: String): DataFrame =
     Tables.memoGetOrBuild(sigMemo, s, d,
       Tables.versionStamp(d, "documents"))(

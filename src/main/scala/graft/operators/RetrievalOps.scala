@@ -533,24 +533,56 @@ object RetrievalOps {
     * pass is deployed (it's embarrassingly parallel; anything that
     * shuffles to tokenize is wrong). */
   /** tok1's per-word token count as a SQL expression over variable
-    * `w` — exposed so the spec can replay it on fixture words. */
+    * `w` — exposed so the spec can replay it on fixture words (and
+    * assert the kernel below never drifts from the SQL the oracle
+    * states). */
   private[graft] val tok1PerWord: String =
     "size(split(trim(" + mergeChain("regexp_replace(w, '(.)', '$1 ')") + "), ' '))"
 
+  /** [[tok1PerWord]] as a local kernel function — java.util.regex
+    * char-explode, java's left-to-right non-overlapping `replace`,
+    * the same split/trim arithmetic (empty word → 1, the
+    * split('')=[''] convention). Shared by the tok1 kernel and spec
+    * replays. */
+  private[graft] def tok1PerWordLocal(w: String): Long =
+    if (w.isEmpty) 1L
+    else {
+      var st = " " + w.replaceAll("(.)", "$1 ")
+      tok1Merges.foreach { case (a, b) =>
+        st = st.replace(s" $a $b ", s" $a$b ")
+      }
+      var spaces = 0L; var p = 0
+      while (p < st.length) { if (st.charAt(p) == ' ') spaces += 1; p += 1 }
+      spaces - 1L // tokens of " s1 s2 … sN " = spaces − 1
+    }
+
   /** The tok1 transform over any (doc_id, text) relation — stateless
     * and per-row, so it runs UNCHANGED as a streaming projection
-    * (spec-proven MemoryStream parity, the ck1 pattern). */
-  private[graft] def tok1Transform(docs: DataFrame): DataFrame =
+    * (spec-proven MemoryStream parity, the ck1 pattern). The merge
+    * chain runs in a TYPED KERNEL (r13 — the pipe6/x9/tok2 boundary:
+    * the per-word replace chain inside `transform`/`aggregate` HOFs
+    * evaluated interpreted), in byte-lockstep with [[tok1PerWord]]
+    * via the shared regex engine. */
+  private[graft] def tok1Transform(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     docs
-      .select(col("doc_id"), toks(col("text")).as("t"),
-        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"))
-      .select(col("doc_id"),
-        size(col("t")).cast("long").as("ws_tokens"),
-        col("n_chars"),
-        expr(s"aggregate(transform(t, w -> $tok1PerWord), 0L, (acc, x) -> acc + x)")
-          .as("bpe_tokens"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val words = text.split(" ", -1)
+        // length(regexp_replace(text, ' ', '')) — code points
+        var nc = 0L
+        val cps = text.codePoints().iterator()
+        while (cps.hasNext) if (cps.next() != ' ') nc += 1
+        var bpe = 0L
+        words.foreach(w => bpe += tok1PerWordLocal(w))
+        (id, words.length.toLong, nc, bpe)
+      })
+      .toDF("doc_id", "ws_tokens", "n_chars", "bpe_tokens")
       .withColumn("compression",
         roundFp(col("n_chars").cast("double") / col("bpe_tokens"), 6))
+  }
 
   private def tok1(s: SparkSession, d: String): DataFrame =
     tok1Transform(Tables.documents(s, d))

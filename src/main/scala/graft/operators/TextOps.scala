@@ -482,16 +482,36 @@ object TextOps {
     * explode — buys a constant factor; the declarative form keeps
     * whole-stage codegen and the oracle. */
   private def x14(s: SparkSession, d: String): DataFrame = {
-    val chars = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")))).as("i"))
-      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
-    chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_uniq"),
-        sum(col("cnt") * col("cnt")).as("sq"),
-        max(col("cnt")).as("mx"),
-        sum(col("cnt")).as("len"))
+    import s.implicits._
+    // per-doc char histogram in a TYPED KERNEL (r13): the previous
+    // form exploded every character into (doc, ch) rows and paid a
+    // corpus-chars-keyed agg — but every statistic is a function of
+    // ONE document's own histogram, so it computes in-task with ZERO
+    // exchanges (the pipe5PerDoc in-row discipline). Char identity =
+    // substring(text, i, 1) = one CODE POINT (UTF8String convention),
+    // matched here by iterating code points.
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val h = new java.util.HashMap[Integer, Long]()
+        val it = text.codePoints().iterator()
+        var len = 0L
+        while (it.hasNext) {
+          val cp = it.next()
+          h.merge(cp, 1L, (a, b) => a + b)
+          len += 1
+        }
+        var sq = 0L; var mx = 0L
+        val vs = h.values().iterator()
+        while (vs.hasNext) {
+          val c = vs.next()
+          sq += c * c
+          if (c > mx) mx = c
+        }
+        (id, h.size.toLong, sq, mx, len)
+      })
+      .toDF("doc_id", "n_uniq", "sq", "mx", "len")
       .select(col("doc_id"), col("n_uniq"),
         roundFp(col("sq").cast("double") /
           (col("len").cast("double") * col("len").cast("double")), 6)

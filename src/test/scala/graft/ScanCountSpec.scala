@@ -148,9 +148,10 @@ class ScanCountSpec extends SparkSpec {
       // sm8's min-class-k agg and the rank window each re-read the
       // 2-column pruned (doc_id, lang) projection — the sm6/sm7 shape
       "sm8_class_balance" -> ((2, 0)),
-      // voc2 composes registered tok1 (1 scan) with the 2-column
-      // pruned lang attachment — the constituents'-sum rule
-      "voc2_fertility" -> ((2, 0)),
+      // voc2 composes registered tok1 (1 scan + its merge kernel,
+      // r13) with the 2-column pruned lang attachment — the
+      // constituents'-sum rule
+      "voc2_fertility" -> ((2, 1)),
       // x21's doc-list left join re-reads the 1-column pruned
       // projection beside the gram build (the voc1 adjudication)
       "x21_dup_ngrams" -> ((2, 0)),
@@ -170,9 +171,10 @@ class ScanCountSpec extends SparkSpec {
       "fn1_funnel" -> ((3, 0)),
       "s3_ann_ivf" -> ((4, 0)),
       // pipe4 composes registered dsir1 (cached tf → 0-1 scans),
-      // d11 (1 rewrite scan + cached segs) and tok1 (1 scan); the
-      // measured tree is 2 FileScans — the constituents' sum
-      "pipe4_domain_tilt" -> ((2, 0)),
+      // d11 (1 rewrite scan + cached segs) and tok1 (1 scan + its
+      // merge kernel, r13); the measured tree is 2 FileScans — the
+      // constituents' sum
+      "pipe4_domain_tilt" -> ((2, 1)),
       // rrf1 composes the registered x11 (1 scan + cached hits) and
       // s1 (2 embedding scans) verbatim; fusion adds NO scan of its
       // own — the budget is exactly the constituents' sum
@@ -235,7 +237,14 @@ class ScanCountSpec extends SparkSpec {
       // tok2's incremental merge-fold kernel over the pruned text
       // column (r13 — same boundary; the five budgets are prefixes
       // of ONE fold, partial-summed per partition)
-      "tok2_merge_curve" -> ((1, 1)))).toMap
+      "tok2_merge_curve" -> ((1, 1)),
+      // x14's per-doc char histogram is a zero-exchange kernel (r13
+      // — the pipe5PerDoc in-row discipline: the old explode paid a
+      // corpus-chars agg for a per-row statistic)
+      "x14_char_stats" -> ((1, 1)),
+      // tok1's merge chain is the shared tok1PerWordLocal kernel
+      // (r13 — the pipe6/x9/tok2 boundary), one pruned scan
+      "tok1_bpe_apply" -> ((1, 1)))).toMap
       .withDefaultValue((1, 0))
   }
 
