@@ -68,14 +68,23 @@ object Main {
     try {
       // pre-chunk the (non-splittable) extract so parse + shape +
       // encode + insert all fan out — the OsmChunk ingest path; a
-      // read-only source directory falls back to the single-file
-      // scan with post-scan redistribution
+      // read-only source directory OR a single-fragment result (a
+      // DOCTYPE-carrying file copies whole rather than risk a cut)
+      // falls back to the single-file scan with post-scan
+      // redistribution, so the pipeline never serializes end-to-end
       val parts = spark.sparkContext.defaultParallelism
-      val docs =
-        try OsmXmlSource.collection(spark,
-          graft.osm.OsmChunk.chunked(args(0), parts))
-        catch { case scala.util.control.NonFatal(_) =>
-          OsmXmlSource.collection(spark, args(0), parts) }
+      val docs = {
+        val frag =
+          try {
+            val dir = graft.osm.OsmChunk.chunked(args(0), parts)
+            val n = Option(new java.io.File(dir).listFiles())
+              .getOrElse(Array.empty[java.io.File])
+              .count(_.getName.startsWith("part-"))
+            if (n > 1) Some(dir) else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        frag.map(OsmXmlSource.collection(spark, _))
+          .getOrElse(OsmXmlSource.collection(spark, args(0), parts))
+      }
       val bad = graft.sinks.MongoExtendedJson.invalidFieldNames(docs.schema)
       require(bad.isEmpty,
         s"schema has Mongo-invalid field names: ${bad.mkString(", ")}")

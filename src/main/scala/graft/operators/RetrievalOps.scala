@@ -539,17 +539,32 @@ object RetrievalOps {
   private[graft] val tok1PerWord: String =
     "size(split(trim(" + mergeChain("regexp_replace(w, '(.)', '$1 ')") + "), ' '))"
 
+  /** The char-explode pattern, compiled ONCE: the kernels call it per
+    * word per doc, and Pattern.compile per invocation is millions of
+    * redundant compiles per corpus scan (r13 review). Same regex the
+    * SQL form states, same engine. */
+  private val CharExplode = java.util.regex.Pattern.compile("(.)")
+
+  /** [[tok1Merges]] as precomputed replace literals (" a b ", " ab ")
+    * — one allocation per JVM, not one per word per merge. */
+  private val MergeLits: IndexedSeq[(String, String)] =
+    tok1Merges.toIndexedSeq.map { case (a, b) => (s" $a $b ", s" $a$b ") }
+
   /** [[tok1PerWord]] as a local kernel function — java.util.regex
     * char-explode, java's left-to-right non-overlapping `replace`,
     * the same split/trim arithmetic (empty word → 1, the
     * split('')=[''] convention). Shared by the tok1 kernel and spec
-    * replays. */
+    * replays; Round13OpsSpec asserts it equal to the SQL form on
+    * edge-word fixtures so the kernel can never drift from what the
+    * oracle states. */
   private[graft] def tok1PerWordLocal(w: String): Long =
     if (w.isEmpty) 1L
     else {
-      var st = " " + w.replaceAll("(.)", "$1 ")
-      tok1Merges.foreach { case (a, b) =>
-        st = st.replace(s" $a $b ", s" $a$b ")
+      var st = " " + CharExplode.matcher(w).replaceAll("$1 ")
+      var m = 0
+      while (m < MergeLits.length) {
+        st = st.replace(MergeLits(m)._1, MergeLits(m)._2)
+        m += 1
       }
       var spaces = 0L; var p = 0
       while (p < st.length) { if (st.charAt(p) == ' ') spaces += 1; p += 1 }
@@ -617,7 +632,12 @@ object RetrievalOps {
   private def tok2(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val budgets = TOK2_BUDGETS
-    val merges = tok1Merges
+    // the incremental fold below NEVER rewinds the merge index, so
+    // budgets must ascend — an out-of-order list would silently
+    // report the previous budget's counts (r13 review)
+    require(budgets == budgets.sorted,
+      s"TOK2_BUDGETS must be ascending, got $budgets")
+    val merges = MergeLits
     val partial = Tables.documents(s, d)
       .select(col("text")).as[String]
       .mapPartitions { it =>
@@ -633,13 +653,12 @@ object RetrievalOps {
               // at every budget (the declarative form's arithmetic)
               var j = 0; while (j < bt.length) { bt(j) += 1; j += 1 }
             } else {
-              var st = " " + w.replaceAll("(.)", "$1 ")
+              var st = " " + CharExplode.matcher(w).replaceAll("$1 ")
               var mi = 0
               var bi = 0
               while (bi < budgets.length) {
                 while (mi < budgets(bi)) {
-                  val (a, b) = merges(mi)
-                  st = st.replace(s" $a $b ", s" $a$b ")
+                  st = st.replace(merges(mi)._1, merges(mi)._2)
                   mi += 1
                 }
                 // tokens of " s1 s2 … sN " = spaces − 1

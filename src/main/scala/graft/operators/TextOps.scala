@@ -489,11 +489,18 @@ object TextOps {
     // ONE document's own histogram, so it computes in-task with ZERO
     // exchanges (the pipe5PerDoc in-row discipline). Char identity =
     // substring(text, i, 1) = one CODE POINT (UTF8String convention),
-    // matched here by iterating code points.
+    // matched here by iterating code points. An EMPTY text emits no
+    // row — exactly the oracle's generate_series(1, 0) = ∅ semantics
+    // (the old declarative form actually diverged there: Spark's
+    // sequence(1, 0) DESCENDS, fabricating two ''-char rows; no green
+    // corpus contains an empty doc, but the kernel closes the latent
+    // cross-engine drift rather than reproducing it — and dividing
+    // 0/0 through roundFp would floor a NaN to 0, the guard class
+    // roundFp's doc forbids).
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
+      .mapPartitions(_.flatMap { case (id, text) =>
         val h = new java.util.HashMap[Integer, Long]()
         val it = text.codePoints().iterator()
         var len = 0L
@@ -509,7 +516,7 @@ object TextOps {
           sq += c * c
           if (c > mx) mx = c
         }
-        (id, h.size.toLong, sq, mx, len)
+        if (len == 0) None else Some((id, h.size.toLong, sq, mx, len))
       })
       .toDF("doc_id", "n_uniq", "sq", "mx", "len")
       .select(col("doc_id"), col("n_uniq"),

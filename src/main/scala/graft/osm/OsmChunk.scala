@@ -150,7 +150,7 @@ object OsmChunk {
         // overshoot scanEnd after a lexeme jump — that is fine, the
         // bytes up to i are consumed under the correct state)
         base += math.max(i, if (atEof) want else scanEnd)
-        if (atEof && ti >= 0) base = math.max(base, len) // EOF: done
+        if (atEof) base = math.max(base, len) // nothing past EOF
       }
       cuts.toSeq
     } finally raf.close()
@@ -161,14 +161,47 @@ object OsmChunk {
       .getBytes("UTF-8")
   private val footer = "</osm>\n".getBytes("UTF-8")
 
-  /** Does the file's prologue carry a DTD? (First 4 KiB is ample — a
-    * DOCTYPE is only legal before the root element.) */
-  private def hasDoctype(in: String): Boolean = {
+  /** Does the file's prologue carry a DTD? A DOCTYPE is only legal
+    * BEFORE the root element, so the scan reads until the first
+    * UNCOMMENTED `<osm` root start (a commented-out DOCTYPE is
+    * harmless — [[findCuts]] skips comments), answering true the
+    * moment an uncommented `<!DOCTYPE` appears first. The prologue is
+    * read in full up to a 16 MiB cap (legal prologues are
+    * comments/PIs/whitespace — a fixed 4 KiB window missed any
+    * DOCTYPE behind a long comment, r13 review); past the cap the
+    * answer is conservatively TRUE (single-fragment copy, never a
+    * risked cut). */
+  private[osm] def hasDoctype(in: String): Boolean = {
     val raf = new RandomAccessFile(in, "r")
     try {
-      val head = new Array[Byte](4096)
-      val n = raf.read(head)
-      n > 0 && new String(head, 0, n, "UTF-8").contains("<!DOCTYPE")
+      val cap = 16 << 20
+      val n = math.min(raf.length(), cap.toLong).toInt
+      val buf = new Array[Byte](n)
+      var got = 0
+      while (got < n) {
+        val r = raf.read(buf, got, n - got)
+        if (r <= 0) return true // unreadable prologue: be conservative
+        got += r
+      }
+      val doctype = "<!DOCTYPE".getBytes("US-ASCII")
+      val root = "<osm".getBytes("US-ASCII")
+      var i = 0
+      var inComment = false
+      while (i < n) {
+        if (inComment) {
+          if (matchesAt(buf, i, n, CommentClose)) { inComment = false; i += 3 }
+          else i += 1
+        } else if (buf(i) == '<') {
+          if (matchesAt(buf, i, n, CommentOpen)) { inComment = true; i += 4 }
+          else if (matchesAt(buf, i, n, doctype)) return true
+          else if (matchesAt(buf, i, n, root) &&
+            i + root.length < n && isBoundaryFollower(buf(i + root.length)))
+            return false // root reached, no DTD before it
+          else i += 1
+        } else i += 1
+      }
+      // prologue longer than the cap (or no root found): conservative
+      raf.length() > n
     } finally raf.close()
   }
 

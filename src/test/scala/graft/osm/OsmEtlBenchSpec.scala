@@ -242,4 +242,31 @@ class OsmEtlBenchSpec extends SparkSpec {
     try raf.setLength(raf.length() - 8) finally raf.close()
     assert(!OsmEtlBench.looksComplete(xml, nN, nW, nR))
   }
+  // ---- hasDoctype prologue scan (r13 review #4) ----------------------
+
+  test("hasDoctype finds a DTD behind a prologue comment longer than " +
+    "any fixed window, ignores a commented-out DOCTYPE, and stops at " +
+    "the root") {
+    val dir = java.nio.file.Files.createTempDirectory("osmdtd2").toString
+    def write(name: String, content: String): String = {
+      val p = s"$dir/$name"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        content.getBytes("UTF-8"))
+      p
+    }
+    val pad = "x" * 8192
+    val longPrologueDtd = write("a.osm",
+      s"<?xml version=\"1.0\"?>\n<!-- $pad -->\n" +
+        "<!DOCTYPE osm [ <!ENTITY e \"<node sneaky/>\"> ]>\n" +
+        "<osm version=\"0.6\">\n  <node id=\"1\" lat=\"1\" lon=\"2\"/>\n</osm>\n")
+    assert(OsmChunk.hasDoctype(longPrologueDtd),
+      "DTD behind an 8 KiB comment missed")
+    val commentedDtd = write("b.osm",
+      "<?xml version=\"1.0\"?>\n<!-- <!DOCTYPE osm [ ]> -->\n" +
+        "<osm version=\"0.6\">\n  <node id=\"1\" lat=\"1\" lon=\"2\"/>\n</osm>\n")
+    assert(!OsmChunk.hasDoctype(commentedDtd),
+      "commented-out DOCTYPE treated as live")
+    // and the chunker actually single-fragments the live-DTD file
+    assert(OsmChunk.chunk(longPrologueDtd, s"$dir/frags", 8) == 1)
+  }
 }
