@@ -165,6 +165,56 @@ class OsmEtlBenchSpec extends SparkSpec {
       s"cut $c inside the comment span [$cmtFrom,$cmtTo)"))
   }
 
+  test("property sweep: 20 seeded-random interleavings of elements, " +
+    "decoy-stuffed comments and CDATA, chunked at n = 2/3/7/16 — " +
+    "every (file, n) pair parses to the unchunked counts exactly") {
+    val dir = Files.createTempDirectory("osmprop").toString
+    // splitmix64 — deterministic, no java.util.Random state
+    var z = 0x9e3779b97f4a7c15L
+    def rnd(m: Int): Int = {
+      z += 0x9e3779b97f4a7c15L
+      var x = z
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      (((x ^ (x >>> 31)) >>> 8) % m).toInt
+    }
+    for (f <- 0 until 20) {
+      val sb = new StringBuilder
+      sb ++= "<?xml version=\"1.0\"?>\n<osm version=\"0.6\">\n"
+      var (nN, nW, nR) = (0, 0, 0)
+      for (_ <- 0 until (20 + rnd(60))) rnd(10) match {
+        case 0 | 1 | 2 | 3 | 4 =>
+          sb ++= s"""  <node id="${nN + 1000}" lat="1" lon="2"/>\n"""
+          nN += 1
+        case 5 | 6 =>
+          sb ++= s"""  <way id="${nW + 5000}"><nd ref="1000"/><tag k="highway" v="x"/></way>\n"""
+          nW += 1
+        case 7 =>
+          sb ++= s"""  <relation id="${nR + 9000}"><member type="node" ref="1000" role=""/></relation>\n"""
+          nR += 1
+        case 8 =>
+          sb ++= "  <!-- decoy " +
+            ("<node id=\"f\" lat=\"9\"/> <way> <relation> " * (1 + rnd(12))) +
+            "-->\n"
+        case _ =>
+          sb ++= "  <![CDATA[ decoy <node/> <way " +
+            ("x" * rnd(64)) + " ]]>\n"
+      }
+      sb ++= "</osm>\n"
+      val xml = s"$dir/p$f.osm"
+      Files.write(java.nio.file.Paths.get(xml), sb.toString.getBytes("UTF-8"))
+      for (n <- Seq(2, 3, 7, 16)) {
+        OsmChunk.chunk(xml, s"$dir/f$f-$n", n)
+        assert(OsmXmlSource.nodes(spark, s"$dir/f$f-$n").count() == nN,
+          s"file $f n=$n: node count drifted")
+        assert(OsmXmlSource.ways(spark, s"$dir/f$f-$n").count() == nW,
+          s"file $f n=$n: way count drifted")
+        assert(OsmXmlSource.relations(spark, s"$dir/f$f-$n").count() == nR,
+          s"file $f n=$n: relation count drifted")
+      }
+    }
+  }
+
   test("a DOCTYPE-carrying file (DTD internal subsets may embed " +
     "markup) is copied as ONE fragment rather than risked") {
     val dir = Files.createTempDirectory("osmdtd").toString
