@@ -31,7 +31,7 @@ object Main {
     val Array(xmlPath, outDir) = args
     val spark = GraftSession.local("graft-osm")
 
-    val docs = OsmXmlSource.collection(spark, xmlPath).cache()
+    val docs = readCollection(spark, xmlPath).cache()
 
     JsonLinesSink.write(docs, s"$outDir/docs_jsonl")
     ParquetSink.write(docs, s"$outDir/docs_parquet")
@@ -52,6 +52,28 @@ object Main {
     spark.stop()
   }
 
+  /** The shaped collection with a parallel parse: pre-chunk the
+    * (non-splittable) extract so parse + shape + downstream all fan
+    * out — the OsmChunk ingest path, shared by the dump flow and
+    * mongo-load. A read-only source directory OR a single-fragment
+    * result (a DOCTYPE-carrying file copies whole rather than risk a
+    * cut) falls back to the single-file scan with post-scan
+    * redistribution, so the pipeline never serializes end-to-end. */
+  private def readCollection(spark: org.apache.spark.sql.SparkSession,
+      xmlPath: String): org.apache.spark.sql.DataFrame = {
+    val parts = spark.sparkContext.defaultParallelism
+    val frag =
+      try {
+        val dir = graft.osm.OsmChunk.chunked(xmlPath, parts)
+        val n = Option(new java.io.File(dir).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .count(_.getName.startsWith("part-"))
+        if (n > 1) Some(dir) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    frag.map(OsmXmlSource.collection(spark, _))
+      .getOrElse(OsmXmlSource.collection(spark, xmlPath, parts))
+  }
+
   /** The live-connector load path. Separated so a misconfigured env
     * fails BEFORE a SparkSession spins up (MongoSinkConfig's
     * requires), and the actual write is exactly the library's
@@ -66,25 +88,7 @@ object Main {
       sys.env.getOrElse("SPARK_GRAFT_MONGO_COLLECTION", "documents"))
     val spark = GraftSession.local("graft-mongo-load")
     try {
-      // pre-chunk the (non-splittable) extract so parse + shape +
-      // encode + insert all fan out — the OsmChunk ingest path; a
-      // read-only source directory OR a single-fragment result (a
-      // DOCTYPE-carrying file copies whole rather than risk a cut)
-      // falls back to the single-file scan with post-scan
-      // redistribution, so the pipeline never serializes end-to-end
-      val parts = spark.sparkContext.defaultParallelism
-      val docs = {
-        val frag =
-          try {
-            val dir = graft.osm.OsmChunk.chunked(args(0), parts)
-            val n = Option(new java.io.File(dir).listFiles())
-              .getOrElse(Array.empty[java.io.File])
-              .count(_.getName.startsWith("part-"))
-            if (n > 1) Some(dir) else None
-          } catch { case scala.util.control.NonFatal(_) => None }
-        frag.map(OsmXmlSource.collection(spark, _))
-          .getOrElse(OsmXmlSource.collection(spark, args(0), parts))
-      }
+      val docs = readCollection(spark, args(0))
       val bad = graft.sinks.MongoExtendedJson.invalidFieldNames(docs.schema)
       require(bad.isEmpty,
         s"schema has Mongo-invalid field names: ${bad.mkString(", ")}")
