@@ -236,6 +236,21 @@ class Round9OpsSpec extends SparkSpec {
     assert(nTri > 0 && gcc > 0.0 && gcc <= 1.0)
   }
 
+  test("gr2's kernel bloom probe replays Spark's xxhash64(a, b) " +
+    "exactly (seed 42, per-long fold) — a drift here would be bloom " +
+    "FALSE NEGATIVES, i.e. silently undercounted triangles") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val pairs = Seq((1L, 2L), (0L, 0L), (-5L, 7L),
+      (Long.MinValue, Long.MaxValue), (123456789L, 987654321L))
+    val viaSql = spark.createDataFrame(pairs).toDF("a", "b")
+      .select(xxhash64(col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    val viaKernel = pairs.map { case (a, b) =>
+      XXH64.hashLong(b, XXH64.hashLong(a, 42L))
+    }
+    assert(viaKernel === viaSql)
+  }
+
   // ---- w10 --------------------------------------------------------
 
   test("w10: the retention matrix equals a plain-Scala replay " +

@@ -74,11 +74,6 @@ class ScanCountSpec extends SparkSpec {
       // projection on both sides (probe fan-out + home cells) — the
       // j5/gr2 self-join adjudication
       "geo3_radius_pairs",
-      // gr2's co-purchase self-join reads the 2-column pruned
-      // (l_orderkey, l_partkey) projection on both sides (the j5
-      // self-join adjudication); everything downstream consumes the
-      // persisted edge/degree/directed relations
-      "gr2_triangles",
       // gr4 builds the same co-purchase edge set (2 pruned reads);
       // the degree agg and moment joins consume the persisted edges
       "gr4_assortativity",
@@ -244,7 +239,14 @@ class ScanCountSpec extends SparkSpec {
       "x14_char_stats" -> ((1, 1)),
       // tok1's merge chain is the shared tok1PerWordLocal kernel
       // (r13 — the pipe6/x9/tok2 boundary), one pruned scan
-      "tok1_bpe_apply" -> ((1, 1)))).toMap
+      "tok1_bpe_apply" -> ((1, 1)),
+      // gr2 consumes the memoized edge/degree/bloom artifacts (0
+      // FileScans once the memo exists; 2 pruned lineitem reads when
+      // this spec's session builds it inline) plus its r14 wedge-
+      // enumeration kernel — per-pair hashing + bloom probes are the
+      // d2/tok2 dense-work boundary, ~4-10× faster as a JIT'd loop
+      // than as interpreted join+filter rows
+      "gr2_triangles" -> ((2, 1)))).toMap
       .withDefaultValue((1, 0))
   }
 
