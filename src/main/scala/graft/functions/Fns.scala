@@ -116,6 +116,21 @@ object Fns {
     floor(c * p + 0.5) / p
   }
 
+  /** JVM-side mirror of the `lower(trim(text))` normalization the
+    * content-fingerprint contract uses (d1/d10/pipe1 and their DuckDB
+    * oracles): Spark's `trim` strips ASCII SPACE only (never \t/\n —
+    * deliberately NOT java's String.trim), and `lower` takes
+    * UTF8String's lowercase (plain case mapping on ASCII). Lives here
+    * so the kernel fingerprint (buildSignatures) and the expression
+    * form can never drift — equality is spec-pinned in FnsSpec. */
+  def lowerTrimLocal(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b).toLowerCase(java.util.Locale.ROOT)
+  }
+
   /** Whitespace tokens of a text column. */
   def toks(text: Column): Column = split(text, " ")
 

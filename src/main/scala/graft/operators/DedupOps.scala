@@ -123,15 +123,26 @@ object DedupOps {
       .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions { it =>
-        it.flatMap { case (id, text) =>
+        it.map { case (id, text) =>
+          // the exact-dedup content fingerprint rides the SAME kernel
+          // pass (r14 — d10's verdict build used to re-scan documents
+          // and re-md5 the full text just for this column; one extra
+          // md5 per doc here is noise next to the per-shingle minhash
+          // work). lowerTrimLocal/md5LongLocal are the spec-pinned
+          // lockstep mirrors of the md5Long(lower(trim(text)))
+          // expression the d1/d10 oracles replay.
+          val fp = md5LongLocal(lowerTrimLocal(text))
           // distinct bigram shingles (shared kernel tokenizer,
           // Fns.bigramShinglesLocal — in lockstep with the SHINGLES
-          // oracle SQL). Shingle-less docs are dropped: they have no
-          // signature (the oracle's NULL minhashes never band-join) —
-          // emitting a sentinel would collide every such doc in every
-          // band.
+          // oracle SQL). Shingle-less docs carry NULL minhashes: a
+          // null band key never equi-joins (the oracle's NULL
+          // minhashes never band-join either), so they can never
+          // become candidates — while their fingerprint row still
+          // exists for the exact-dup face. sh stays an EMPTY array
+          // (never null): d2's broadcast verify path materializes
+          // every doc's shingle set.
           val sh = bigramShinglesLocal(text)
-          if (sh.isEmpty) None
+          if (sh.isEmpty) (id, Array.empty[Long], null: Array[Long], fp)
           else {
             val mh = Array.tabulate(8) { k =>
               var min = Long.MaxValue
@@ -149,11 +160,11 @@ object DedupOps {
             // engine and oracle identically). This cuts the
             // checkpointed payload ~10× and the verify-path shuffle
             // with it — the strings never leave this kernel.
-            Some((id, sh.map(md5LongLocal).distinct, mh))
+            (id, sh.map(md5LongLocal).distinct.toArray, mh, fp)
           }
         }
       }
-      .toDF("doc_id", "sh", "mh")
+      .toDF("doc_id", "sh", "mh", "content_fp")
       .localCheckpoint(true)
   }
 
@@ -791,11 +802,20 @@ object DedupOps {
     * d17/leak1 runs first (the primeEdgeMemo discipline, VERDICT r12
     * #7: d12's isolated 1.55 s was mostly this build). */
   private[graft] def primeDedupMemos(s: SparkSession, d: String): Unit = {
-    signatures(s, d)
-    bandedCandidates(s, d)
-    d2Pairs(s, d)
-    d10(s, d)
-    ()
+    // per-step stderr timings: the memo line is the single largest
+    // bench entry, so its internal split must stay measurable
+    // (VERDICT r13 #6) — these lines ride stderr like the partial-run
+    // report and never touch the stdout JSON contract
+    def step(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      System.err.println(
+        f"[graft]   memo_dedup_sigs/$name%-16s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    step("signatures") { signatures(s, d); () }
+    step("candidates") { bandedCandidates(s, d); () }
+    step("d2_pairs") { d2Pairs(s, d); () }
+    step("d10_verdicts") { d10(s, d); () }
   }
 
   private def d10(s: SparkSession, d: String): DataFrame =
@@ -806,29 +826,64 @@ object DedupOps {
 
   /** The lazy d10 plan — split out so PlanShapeSpec can assert the
     * PRE-checkpoint physical plan (after localCheckpoint the plan is
-    * just an RDD scan). */
-  private[graft] def d10Plan(s: SparkSession, d: String): DataFrame = {
+    * just an RDD scan). By default the near-verdicts REUSE the
+    * memoized d2 pair table when this session has already built it
+    * (the production premise: a pipeline materializes the corpus pair
+    * table once per corpus version, and the ingest batch's cross-
+    * partition verdicts are then a pair-sized FILTER of it — the
+    * directional candidates are exactly d2's cross-split pairs, same
+    * bands, same verify kernel, same threshold, so re-banding and
+    * re-scoring them was pure rework; measured 2.45 s → the fps pass
+    * only at sf0.1, VERDICT r13 #6). The PURE-INGEST regime — no pair
+    * table in this session — keeps the directional band join:
+    * building a corpus×corpus relation to answer an incremental batch
+    * is exactly the work d10 exists to avoid. The two derivations are
+    * row-identical by the spec-pinned d10/d2 consistency law
+    * (NewOpsSpec: "directional banding loses no cross-split pair and
+    * invents none"). */
+  private[graft] def d10Plan(s: SparkSession, d: String): DataFrame =
+    d10Plan(s, d, reusePairs =
+      pairMemo.contains((s, d, Tables.versionStamp(d, "documents"))))
+
+  private[graft] def d10Plan(s: SparkSession, d: String,
+      reusePairs: Boolean): DataFrame = {
     import s.implicits._
     def pct = md5Long(col("doc_id")) % 100
-    val sigs = signatures(s, d)
-    val cand = bandKeys(sigs.filter(pct >= 80)).as("x")
-      .join(bandKeys(sigs.filter(pct < 80)).as("y"),
-        col("x.band") === col("y.band") && col("x.m1") === col("y.m1") &&
-          col("x.m2") === col("y.m2"))
-      .select(col("x.doc_id").as("inc"), col("y.doc_id").as("ref"))
-      .distinct()
-    val near = cand
-      .join(sigs.select(col("doc_id").as("inc"), col("sh").as("sh_i")), "inc")
-      .join(sigs.select(col("doc_id").as("ref"), col("sh").as("sh_j")), "ref")
-      .select(col("inc"), col("ref"), col("sh_i"), col("sh_j"))
-      .as[(Long, Long, Seq[Long], Seq[Long])]
-      .mapPartitions(_.flatMap { case (i, j, shi, shj) =>
-        scorePair(i, shi.toSet, j, shj.toSet)
-      })
-      .toDF("doc_id", "ref", "jac")
-      .select(col("doc_id")).distinct()
-    val fps = Tables.documents(s, d)
-      .select(col("doc_id"), md5Long(lower(trim(col("text")))).as("content_fp"))
+    val near =
+      if (reusePairs) {
+        val pi = md5Long(col("i")) % 100
+        val pj = md5Long(col("j")) % 100
+        d2Pairs(s, d)
+          .select(when(pi >= 80 && pj < 80, col("i"))
+            .when(pj >= 80 && pi < 80, col("j")).as("doc_id"))
+          .filter(col("doc_id").isNotNull)
+          .distinct()
+      } else {
+        val sigs = signatures(s, d)
+        val cand = bandKeys(sigs.filter(pct >= 80)).as("x")
+          .join(bandKeys(sigs.filter(pct < 80)).as("y"),
+            col("x.band") === col("y.band") && col("x.m1") === col("y.m1") &&
+              col("x.m2") === col("y.m2"))
+          .select(col("x.doc_id").as("inc"), col("y.doc_id").as("ref"))
+          .distinct()
+        cand
+          .join(sigs.select(col("doc_id").as("inc"), col("sh").as("sh_i")), "inc")
+          .join(sigs.select(col("doc_id").as("ref"), col("sh").as("sh_j")), "ref")
+          .select(col("inc"), col("ref"), col("sh_i"), col("sh_j"))
+          .as[(Long, Long, Seq[Long], Seq[Long])]
+          .mapPartitions(_.flatMap { case (i, j, shi, shj) =>
+            scorePair(i, shi.toSet, j, shj.toSet)
+          })
+          .toDF("doc_id", "ref", "jac")
+          .select(col("doc_id")).distinct()
+      }
+    // the fingerprint table feeds THREE branches (exact probe side,
+    // reference side, and the verdict base); it rides the signature
+    // checkpoint's content_fp column (r14 — computed in the same
+    // kernel pass that shingles the text; this used to be a separate
+    // documents scan + full-text md5 expression, ~1.2 s at sf0.1,
+    // re-planned per branch)
+    val fps = signatures(s, d).select(col("doc_id"), col("content_fp"))
     val exact = fps.filter(pct >= 80)
       .join(fps.filter(pct < 80).select(col("content_fp")).distinct(),
         Seq("content_fp"), "left_semi")

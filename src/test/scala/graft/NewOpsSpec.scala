@@ -1178,10 +1178,16 @@ class NewOpsSpec extends SparkSpec {
   test("d10/d2 consistency law: the 'near' verdicts are EXACTLY the " +
     "incoming endpoints of d2's corpus-wide pairs whose partner is in " +
     "the reference split — directional banding loses no cross-split " +
-    "pair and invents none") {
+    "pair and invents none, so the r14 pair-memo reuse path is exact") {
     import graft.functions.Fns.md5LongLocal
     def isIncoming(id: Long): Boolean = md5LongLocal(id.toString) % 100 >= 80
-    val near = q("d10_incremental_dedup").collect()
+    // force the DIRECTIONAL band join (the pure-ingest face) — the
+    // registered query may take the pair-memo reuse path, which this
+    // law exists to justify, so testing it against d2Pairs alone
+    // would be circular
+    val directional = graft.operators.DedupOps
+      .d10Plan(spark, sf, reusePairs = false).collect()
+    val near = directional
       .collect { case r if r.getString(1) == "near" => r.getLong(0) }.toSet
     val pairs = graft.operators.DedupOps.d2Pairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -1190,6 +1196,11 @@ class NewOpsSpec extends SparkSpec {
         (if (isIncoming(j) && !isIncoming(i)) Seq(j) else Nil)
     }.toSet
     assert(near == expected, s"near=$near expected=$expected")
+    // and the two d10 derivations are row-identical end to end
+    val reused = graft.operators.DedupOps
+      .d10Plan(spark, sf, reusePairs = true).collect()
+    assert(directional.map(r => (r.getLong(0), r.getString(1))).sorted
+      === reused.map(r => (r.getLong(0), r.getString(1))).sorted)
   }
 
   test("d9: every reported span really is a verbatim token window of " +

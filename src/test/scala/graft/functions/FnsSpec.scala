@@ -17,6 +17,22 @@ class FnsSpec extends SparkSpec {
     assert(viaExpr == inputs.map(md5LongLocal))
   }
 
+  test("lowerTrimLocal is bit-identical to the lower(trim(text)) " +
+    "expression — the content-fingerprint normalization d1/d10's " +
+    "kernel fingerprint replays (space-only trim, never \\t/\\n)") {
+    import org.apache.spark.sql.functions.{lower, trim}
+    val inputs = Seq("", " ", "  Hello World  ", "MIXED case",
+      "\ttab kept\t", " \n newline kept \n ", "ÀÉÎ Ünïcode", "a  b ",
+      "I İ ı") // dotted/dotless I: locale-sensitive lowercase corner
+    val viaExpr = inputs.toDF("v").select(lower(trim(col("v"))))
+      .as[String].collect().toSeq
+    assert(viaExpr == inputs.map(lowerTrimLocal))
+    // and the composed fingerprint matches the expression form
+    val fpExpr = inputs.toDF("v").select(md5Long(lower(trim(col("v")))))
+      .as[Long].collect().toSeq
+    assert(fpExpr == inputs.map(v => md5LongLocal(lowerTrimLocal(v))))
+  }
+
   test("dotN equals sequential HOF dot bit-for-bit") {
     val a = Seq((Array(1.0, 2.5, -3.25, 0.125), Array(4.0, -1.5, 2.0, 8.0)))
     val df = a.toDF("x", "y")
