@@ -108,8 +108,16 @@ object Bench {
         catch { case _: Throwable => -1.0 }
         name -> t
       }
-    // two timed runs per query, min reported: single-JVM timings at
-    // local[32] carry GC/JIT noise that a second run strips
+    // THREE timed runs per query, min reported, spread recorded:
+    // single-JVM timings at local[32] carry GC/JIT/box-load noise
+    // (VERDICT r13 #2: the driver's record diverged ~10% from the
+    // same-HEAD gate run, with s1-s3 reading 5× — min-of-2 still let
+    // one loaded window own a query's number). The per-query relative
+    // spread (max-min)/min across the three runs goes to BENCH_FULL
+    // as its own map, so a round-over-round diff can tell a real
+    // regression (stable spread, moved min) from box noise (spread
+    // comparable to the delta). Memo builds stay single-shot — a
+    // second prime hits the memo, so only their first run is real.
     val results = selected.sortBy(_._1).map { case (name, fn) =>
       // a failed query reports -1, never a (fast) bogus elapsed time
       def once(): Double = {
@@ -125,15 +133,16 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
       }
-      val (a, b) = (once(), once())
-      val t = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      val runs = Seq(once(), once(), once())
+      val t = if (runs.exists(_ < 0)) -1.0 else runs.min
+      val spread = if (t <= 0) -1.0 else (runs.max - t) / t
       // cached tables some operators persist are per-query scratch
       spark.catalog.clearCache()
-      name -> t
+      (name, t, spread)
     }
     // any failed query (-1) poisons the headline: a smaller-is-better
     // total must never look BETTER because a query crashed
-    val lines = memoLines ++ results
+    val lines = memoLines ++ results.map { case (n, t, _) => (n, t) }
     val total =
       if (lines.exists(_._2 < 0)) -1.0 else lines.map(_._2).sum
     // The stdout JSON line must fit the driver's 2000-char stdout tail
@@ -152,31 +161,48 @@ object Bench {
         shortKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.mkString(","))
     val fullQs = lines.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // per-query relative spread across the 3 timed runs — the
+    // variance record VERDICT r13 #2 asked for (memo lines are
+    // single-shot builds and carry no spread entry)
+    val spreads = results.map { case (k, _, sp) =>
+      "\"" + k + "\":" + f"$sp%.2f" }.mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$fullQs,"spread":$spreads,"sf":"$sfDir"}"""
     if (wanted.isEmpty)
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
           (fullLine + "\n").getBytes("UTF-8"))
         // per-round archive (VERDICT r12 #4: BENCH_FULL.json is
         // overwritten each round, making per-query regression diffs
-        // impossible). The CURRENT round number is max(BENCH_r<N>)+1
-        // — the driver writes BENCH_r<N>.json only after the round.
+        // impossible). The round number comes from SPARK_GRAFT_ROUND
+        // when set (ADVICE r13: the max+1 heuristic can mislabel when
+        // a BENCH_r<N>.json lands between runs, and silently archives
+        // NOTHING on a fresh checkout); the fallback stays
+        // max(BENCH_r<N>)+1, and a skipped archive now says so.
         // SPARK_GRAFT_NO_ARCHIVE opts out: scale_probe's x10 benches
         // save/restore BENCH_FULL.json but must not overwrite the
         // round archive with probe-dir numbers.
         if (!sys.env.contains("SPARK_GRAFT_NO_ARCHIVE")) {
-          val re = "BENCH_r(\\d+)\\.json".r
-          val ns = Option(new java.io.File(".").listFiles())
-            .getOrElse(Array.empty[java.io.File])
-            .flatMap(f => f.getName match {
-              case re(n) => Some(n.toInt)
-              case _ => None
-            })
-          if (ns.nonEmpty)
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(f"BENCH_FULL_r${ns.max + 1}%02d.json"),
-              (fullLine + "\n").getBytes("UTF-8"))
+          val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+            .orElse {
+              val re = "BENCH_r(\\d+)\\.json".r
+              val ns = Option(new java.io.File(".").listFiles())
+                .getOrElse(Array.empty[java.io.File])
+                .flatMap(f => f.getName match {
+                  case re(n) => Some(n.toInt)
+                  case _ => None
+                })
+              if (ns.isEmpty) None else Some(ns.max + 1)
+            }
+          round match {
+            case Some(n) =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(f"BENCH_FULL_r$n%02d.json"),
+                (fullLine + "\n").getBytes("UTF-8"))
+            case None =>
+              System.err.println("[graft] round archive SKIPPED: no " +
+                "SPARK_GRAFT_ROUND and no BENCH_r<N>.json to infer from")
+          }
         }
       }
       catch { case _: Throwable => () } // read-only cwd must not fail the bench
