@@ -733,8 +733,11 @@ object GraphOps {
       SELECT c AS custkey, CAST(r_c AS BIGINT) AS rank_u FROM r2""",
     // same wedge-budget witness cap and anti-join; the bloom split
     // is invisible to semantics (the exact join settles every hit).
-    // DuckDB's window SUM over BIGINT rides HUGEINT, mirroring the
-    // engine's decimal(38,0) — both exceed any realizable Σ deg²
+    // The per-term product n·deg·(deg−1) is cast to HUGEINT BEFORE
+    // multiplying (ADVICE r13: DuckDB's window SUM widens to HUGEINT,
+    // but the TERM itself evaluated in BIGINT and would error on a
+    // ≥3·10⁹-degree hub before the sum ever saw it) — now genuinely
+    // symmetric with the engine's cast-before-multiply decimal(38,0)
     "gr3_link_predict" -> s"""
       WITH ip AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                   FROM lineitem),
@@ -744,7 +747,7 @@ object GraphOps {
               UNION ALL SELECT pb, pa FROM e),
       dg AS (SELECT w, count(*) AS deg FROM sym GROUP BY 1),
       ecnt AS (SELECT count(*) AS m FROM e),
-      hc AS (SELECT deg, sum(n * deg * (deg - 1)) OVER
+      hc AS (SELECT deg, sum(n::HUGEINT * deg * (deg - 1)) OVER
                (ORDER BY deg ROWS BETWEEN UNBOUNDED PRECEDING
                 AND CURRENT ROW) AS wcum
              FROM (SELECT deg, count(*) AS n FROM dg GROUP BY 1)),

@@ -19,12 +19,14 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * Why splitting at `<node ` / `<way ` / `<relation ` byte patterns
   * is SAFE in well-formed OSM XML: (1) raw `<` is illegal inside
   * attribute values and character data (must be `&lt;`), so outside
-  * of comments and CDATA those byte sequences can only be element
-  * markup; (2) comments and CDATA sections — the two lexical scopes
-  * that MAY legally contain raw `<` — are tracked by the scanner's
-  * state machine, and no cut is taken inside them (the r13 review
-  * found the earlier probe-seek scanner could cut a file in half
-  * mid-comment); (3) OSM's top-level element types never nest inside
+  * of comments, CDATA and processing instructions those byte
+  * sequences can only be element markup; (2) comments, CDATA
+  * sections and PIs (`<? … ?>`) — the lexical scopes that MAY
+  * legally contain raw `<` — are tracked by the scanner's state
+  * machine, and no cut is taken inside them (the r13 review found
+  * the earlier probe-seek scanner could cut a file in half
+  * mid-comment; the r13 ADVICE added the PI state); (3) OSM's
+  * top-level element types never nest inside
   * each other (nodes/ways/relations contain only `nd`/`tag`/
   * `member`), so every such start tag in scope is a top-level
   * boundary — everything before it is complete elements. A follower
@@ -39,12 +41,21 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * search is exact regardless of tag-value content. */
 object OsmChunk {
 
+  /** Splitting-algorithm format version, folded into the reuse stamp
+    * (ADVICE r13: a fragment directory produced by an older chunker
+    * was trusted forever on (length, mtime, n) alone — an algorithm
+    * fix must invalidate existing directories). Bump on ANY change to
+    * the cut scanner or fragment framing. v2 = PI-aware scanner. */
+  private[osm] val FormatVersion = 2
+
   private val patterns: Seq[Array[Byte]] =
     Seq("<node", "<way", "<relation").map(_.getBytes("US-ASCII"))
   private val CommentOpen = "<!--".getBytes("US-ASCII")
   private val CommentClose = "-->".getBytes("US-ASCII")
   private val CdataOpen = "<![CDATA[".getBytes("US-ASCII")
   private val CdataClose = "]]>".getBytes("US-ASCII")
+  private val PiOpen = "<?".getBytes("US-ASCII")
+  private val PiClose = "?>".getBytes("US-ASCII")
   /** Longest lexeme the scanner must see whole — the buffer overlap. */
   private val MaxLexeme = CdataOpen.length + 1
 
@@ -100,7 +111,7 @@ object OsmChunk {
       val buf = new Array[Byte](B)
       val cuts = scala.collection.mutable.ArrayBuffer.empty[Long]
       var base = 0L
-      var state = 0 // 0 = markup/text, 1 = comment, 2 = CDATA
+      var state = 0 // 0 = markup/text, 1 = comment, 2 = CDATA, 3 = PI
       var ti = 0
       while (base < len && ti < targets.length) {
         raf.seek(base)
@@ -123,6 +134,11 @@ object OsmChunk {
                   state = 1; i += CommentOpen.length
                 } else if (matchesAt(buf, i, want, CdataOpen)) {
                   state = 2; i += CdataOpen.length
+                } else if (matchesAt(buf, i, want, PiOpen)) {
+                  // processing instructions (<? … ?>) may legally
+                  // contain raw '<' in their content (ADVICE r13 —
+                  // the xml declaration is also lexed here, harmless)
+                  state = 3; i += PiOpen.length
                 } else {
                   if (isBoundary(buf, i, want)) {
                     val off = base + i
@@ -143,6 +159,10 @@ object OsmChunk {
             case 2 =>
               if (matchesAt(buf, i, want, CdataClose)) {
                 state = 0; i += CdataClose.length
+              } else i += 1
+            case 3 =>
+              if (matchesAt(buf, i, want, PiClose)) {
+                state = 0; i += PiClose.length
               } else i += 1
           }
         }
@@ -259,7 +279,8 @@ object OsmChunk {
     val src = new File(in)
     val outDir = in + s".chunks$n"
     val stampFile = Paths.get(outDir, "_SOURCE_STAMP")
-    val stamp = s"${src.length()}:${src.lastModified()}:$n"
+    val stamp =
+      s"v$FormatVersion:${src.length()}:${src.lastModified()}:$n"
     val fresh = Files.exists(stampFile) &&
       new String(Files.readAllBytes(stampFile), "UTF-8") == stamp
     if (!fresh) {

