@@ -118,6 +118,11 @@ object Bench {
     // regression (stable spread, moved min) from box noise (spread
     // comparable to the delta). Memo builds stay single-shot — a
     // second prime hits the memo, so only their first run is real.
+    // SPARK_GRAFT_BENCH_RUNS overrides the per-query run count (the
+    // x100 probe uses 2 — at 60M-row inputs a third run buys little
+    // precision for a lot of wall; official records keep the default)
+    val nRuns = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3))
     val results = selected.sortBy(_._1).map { case (name, fn) =>
       // a failed query reports -1, never a (fast) bogus elapsed time
       def once(): Double = {
@@ -133,7 +138,7 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
       }
-      val runs = Seq(once(), once(), once())
+      val runs = Seq.fill(nRuns)(once())
       val t = if (runs.exists(_ < 0)) -1.0 else runs.min
       val spread = if (t <= 0) -1.0 else (runs.max - t) / t
       // cached tables some operators persist are per-query scratch

@@ -73,9 +73,18 @@ object AnalyticsOps {
     * keeps the sketch — the verdict column is the validation harness,
     * not the serve path. */
   private def g5(s: SparkSession, d: String): DataFrame =
+    // distinct FIRST, then both aggregates over the distinct keys: a
+    // distinct agg NEXT TO a plain agg plans an Expand that doubles
+    // the input rows before the exchange — measured 9.6× on the
+    // second decade of the ×100 probe (60M rows → 120M expanded).
+    // The HLL sketch of a set equals the sketch of the multiset
+    // (duplicate insertions hit the same registers), so estimate and
+    // exact twin are unchanged; the plan is now partial+final
+    // distinct (map-side combine on the key) + a 1-row agg.
     Tables.lineitem(s, d)
+      .select(col("l_partkey")).distinct()
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        count(lit(1)).as("exact_parts"))
       .select(col("exact_parts"),
         (expr("(1000000 * abs(approx - exact_parts)) div exact_parts")
           <= SKETCH_BOUND_PPM).cast("long").as("within_bound"))

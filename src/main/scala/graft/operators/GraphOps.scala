@@ -107,11 +107,24 @@ object GraphOps {
       val deg = e.select(explode(array(col("pa"), col("pb"))).as("p"))
         .groupBy(col("p")).agg(count(lit(1)).as("deg"))
         .localCheckpoint(true)
-      val bf = e
-        .agg(expr(s"bloom_filter_agg(xxhash64(pa, pb), ${math.max(n, 1L)}L)")
-          .as("bf"))
-        .head().getAs[Array[Byte]](0)
-      EdgeArtifacts(e, n, deg, bf)
+      // the sketch build is one distributed aggregation (no key
+      // collect), via stat.bloomFilter so bits are sized optimally
+      // from (n, fpp). CAUTION, measured by the r14 ×100 probe: every
+      // bloom build in Spark 4 (stat.bloomFilter delegates to
+      // bloom_filter_agg) silently CLAMPS its sketch at
+      // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits
+      // — at the 64M-bit default a 120M-edge filter saturates to
+      // fpp ≈ 1 and prunes NOTHING (gr2's closing join ate all 4.1B
+      // wedges, 608 s). GraftSession raises both caps; past even the
+      // raised cap a bloom degrades gracefully (less pruning, never
+      // wrong answers — the exact join decides), which is the
+      // documented 10¹²-edge posture in SCALE.md.
+      val bfFilter = e
+        .select(xxhash64(col("pa"), col("pb")).as("k"))
+        .stat.bloomFilter("k", math.max(n, 1L), 0.03)
+      val bos = new java.io.ByteArrayOutputStream()
+      bfFilter.writeTo(bos)
+      EdgeArtifacts(e, n, deg, bos.toByteArray)
     }
 
   private def coEdges(s: SparkSession, d: String): DataFrame =
@@ -247,9 +260,15 @@ object GraphOps {
       }
     // closing join must be INNER, not semi: distinct wedges sharing
     // the same (b,c) from different u are DIFFERENT triangles, and
-    // the directed edge set is unique-keyed so inner cannot duplicate
+    // the directed edge set is unique-keyed so inner cannot duplicate.
+    // SHUFFLE_HASH on the edge side: the surviving-wedge probe side
+    // is the larger relation by construction (bloom hits ≈ triangles
+    // + fpp·wedges), and a sort-merge join would SORT it — the ×100
+    // probe measured the sort dominating; hashing the edge side
+    // streams the probe side unsorted.
     val triCount = hits.toDF("b", "c")
-      .join(dir.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+      .join(dir.select(col("u").as("b"), col("v").as("c"))
+        .hint("shuffle_hash"), Seq("b", "c"))
       .agg(count(lit(1)).as("n_triangles"))
     val census = deg.agg(
       count(lit(1)).as("n_nodes"),
