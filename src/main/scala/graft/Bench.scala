@@ -121,8 +121,16 @@ object Bench {
     // SPARK_GRAFT_BENCH_RUNS overrides the per-query run count (the
     // x100 probe uses 2 — at 60M-row inputs a third run buys little
     // precision for a lot of wall; official records keep the default)
+    // malformed values fail LOUDLY before any query runs (ADVICE r14:
+    // a bare .toInt inside the run loop would crash mid-bench; worse,
+    // a malformed ROUND inside the archive's catch-all silently
+    // skipped the round archive)
     val nRuns = math.max(1,
-      sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3))
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").map { v =>
+        require(scala.util.Try(v.toInt).isSuccess,
+          s"SPARK_GRAFT_BENCH_RUNS is not an int: '$v'")
+        v.toInt
+      }.getOrElse(3))
     val results = selected.sortBy(_._1).map { case (name, fn) =>
       // a failed query reports -1, never a (fast) bogus elapsed time
       def once(): Double = {
@@ -188,8 +196,15 @@ object Bench {
         // save/restore BENCH_FULL.json but must not overwrite the
         // round archive with probe-dir numbers.
         if (!sys.env.contains("SPARK_GRAFT_NO_ARCHIVE")) {
-          val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
-            .orElse {
+          // an unparsable SPARK_GRAFT_ROUND routes to the explicit
+          // SKIPPED message — never the max+1 inference (which could
+          // mislabel) and never a throw inside this catch-all (ADVICE
+          // r14: the throw silently skipped the archive, defeating
+          // the "a skipped archive says so" rule)
+          val round = sys.env.get("SPARK_GRAFT_ROUND") match {
+            case Some(v) => scala.util.Try(v.toInt).toOption
+              .toRight(s"SPARK_GRAFT_ROUND is not an int: '$v'")
+            case None =>
               val re = "BENCH_r(\\d+)\\.json".r
               val ns = Option(new java.io.File(".").listFiles())
                 .getOrElse(Array.empty[java.io.File])
@@ -197,16 +212,17 @@ object Bench {
                   case re(n) => Some(n.toInt)
                   case _ => None
                 })
-              if (ns.isEmpty) None else Some(ns.max + 1)
-            }
+              if (ns.isEmpty)
+                Left("no SPARK_GRAFT_ROUND and no BENCH_r<N>.json to infer from")
+              else Right(ns.max + 1)
+          }
           round match {
-            case Some(n) =>
+            case Right(n) =>
               java.nio.file.Files.write(
                 java.nio.file.Paths.get(f"BENCH_FULL_r$n%02d.json"),
                 (fullLine + "\n").getBytes("UTF-8"))
-            case None =>
-              System.err.println("[graft] round archive SKIPPED: no " +
-                "SPARK_GRAFT_ROUND and no BENCH_r<N>.json to infer from")
+            case Left(why) =>
+              System.err.println(s"[graft] round archive SKIPPED: $why")
           }
         }
       }

@@ -128,7 +128,15 @@ object Fns {
     var b = s.length
     while (a < b && s.charAt(a) == ' ') a += 1
     while (b > a && s.charAt(b - 1) == ' ') b -= 1
-    s.substring(a, b).toLowerCase(java.util.Locale.ROOT)
+    // lowercase through UTF8String, NOT String.toLowerCase: Spark's
+    // lower() evaluates UTF8String.toLowerCase, and a JVM-default-
+    // locale lowercase would drift on tr_TR-style boxes ('I' -> 'ı',
+    // not 'i') — the kernel content fingerprint would silently
+    // diverge from the lower(trim(text)) expression the oracles
+    // replay (ADVICE r14; FnsSpec's equality pin only ran on
+    // ROOT-like locales)
+    org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(a, b))
+      .toLowerCase.toString
   }
 
   /** Whitespace tokens of a text column. */

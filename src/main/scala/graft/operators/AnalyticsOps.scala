@@ -80,9 +80,14 @@ object AnalyticsOps {
     // The HLL sketch of a set equals the sketch of the multiset
     // (duplicate insertions hit the same registers), so estimate and
     // exact twin are unchanged; the plan is now partial+final
-    // distinct (map-side combine on the key) + a 1-row agg.
+    // distinct (map-side combine on the key) + a 1-row agg. The
+    // isNotNull keeps the rewrite EXACTLY equivalent to the
+    // aggregate-distinct form it replaced (ADVICE r14: countDistinct
+    // ignores NULL, count(lit(1)) over distinct() would count a NULL
+    // row — benign on this non-null FK, pinned anyway).
     Tables.lineitem(s, d)
-      .select(col("l_partkey")).distinct()
+      .select(col("l_partkey")).filter(col("l_partkey").isNotNull)
+      .distinct()
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
         count(lit(1)).as("exact_parts"))
       .select(col("exact_parts"),

@@ -91,22 +91,37 @@ object GraphOps {
   private def artifacts(s: SparkSession, d: String): EdgeArtifacts =
     Tables.memoGetOrBuild(edgeMemo, s, d,
       Tables.versionStamp(d, "lineitem")) {
+      // per-step stderr timings, the primeDedupMemos discipline
+      // (VERDICT r14 #1): the memo line is the graph family's largest
+      // bench entry and the ×100 probe's one over-ceiling number rode
+      // an unattributed internal step — keep the split measurable
+      def step[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[graft]   memo_copurchase/$name%-12s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
       val ip = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      val e = ip.select(col("o"), col("p").as("pa"))
-        .join(ip.select(col("o"), col("p").as("pb")), Seq("o"))
-        .filter(col("pa") < col("pb"))
-        .select(col("pa"), col("pb"))
-        .distinct()
-        .localCheckpoint(true)
+      val e = step("edges") {
+        ip.select(col("o"), col("p").as("pa"))
+          .join(ip.select(col("o"), col("p").as("pb")), Seq("o"))
+          .filter(col("pa") < col("pb"))
+          .select(col("pa"), col("pb"))
+          .distinct()
+          .localCheckpoint(true)
+      }
       // the census count is one in-memory pass over the fresh
       // checkpoint; it then sizes the bloom, so neither consumers nor
       // the sketch ever re-count the relation (VERDICT r13 #1)
-      val n = e.count()
-      val deg = e.select(explode(array(col("pa"), col("pb"))).as("p"))
-        .groupBy(col("p")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
+      val n = step("count")(e.count())
+      val deg = step("degrees") {
+        e.select(explode(array(col("pa"), col("pb"))).as("p"))
+          .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+          .localCheckpoint(true)
+      }
       // the sketch build is one distributed aggregation (no key
       // collect), via stat.bloomFilter so bits are sized optimally
       // from (n, fpp). CAUTION, measured by the r14 ×100 probe: every
@@ -119,12 +134,29 @@ object GraphOps {
       // raised cap a bloom degrades gracefully (less pruning, never
       // wrong answers — the exact join decides), which is the
       // documented 10¹²-edge posture in SCALE.md.
-      val bfFilter = e
-        .select(xxhash64(col("pa"), col("pb")).as("k"))
-        .stat.bloomFilter("k", math.max(n, 1L), 0.03)
-      val bos = new java.io.ByteArrayOutputStream()
-      bfFilter.writeTo(bos)
-      EdgeArtifacts(e, n, deg, bos.toByteArray)
+      val bf = step("bloom") {
+        // cap the PARTIAL-sketch count (r15, measured by the per-step
+        // profile at ×100): every scan task materializes its own
+        // full-size partial sketch — optimalNumOfBits(n, 0.03)/8
+        // bytes, ~110 MB at 120M edges — so 32 tasks allocated,
+        // serialized, shuffled and OR-merged 3.5 GB for ONE final
+        // 110 MB filter (48.9 s, ≈ the whole edge build). The
+        // checkpointed blocks coalesce WITHOUT a shuffle; one task
+        // per ~16M keys keeps the putLong scan parallel (~50 ns/key
+        // ⇒ ≤ ~1 s/task) while merge volume stops growing with the
+        // partition count. At sf ladders this collapses to one task —
+        // correct, the sketch is ~1 MB there.
+        val nParts = math.max(1L, math.min(
+          s.sparkContext.defaultParallelism.toLong,
+          (math.max(n, 1L) + (16L << 20) - 1) / (16L << 20))).toInt
+        val bfFilter = e.coalesce(nParts)
+          .select(xxhash64(col("pa"), col("pb")).as("k"))
+          .stat.bloomFilter("k", math.max(n, 1L), 0.03)
+        val bos = new java.io.ByteArrayOutputStream()
+        bfFilter.writeTo(bos)
+        bos.toByteArray
+      }
+      EdgeArtifacts(e, n, deg, bf)
     }
 
   private def coEdges(s: SparkSession, d: String): DataFrame =
@@ -358,10 +390,19 @@ object GraphOps {
         deg.crossJoin(broadcast(cap)).filter(col("deg") <= col("cap"))
           .select(col("w")), Seq("w"))
       .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the wedge join
+    // persist the counted candidates BEFORE the bloom split (r15, the
+    // gr3 regression bisect): the definite and settled branches are
+    // both downstream of this aggregate, and nothing guaranteed the
+    // two branches shared its exchange — the formatted plan showed
+    // the ENTIRE wedge self-join + groupBy running twice (two
+    // separate SortMergeJoin subtrees), i.e. the budgeted wedge
+    // stream enumerated once per branch. One materialization, both
+    // filters read it memory-locally.
     val cn = wit.as("x")
       .join(wit.as("y"), col("x.w") === col("y.w") && col("x.n") < col("y.n"))
       .select(col("x.n").as("a"), col("y.n").as("c"))
       .groupBy(col("a"), col("c")).agg(count(lit(1)).as("cn"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val isMaybeEdge = call_function("might_contain", lit(art.bloom),
       xxhash64(col("a"), col("c")))
     val definite = cn.filter(!isMaybeEdge)

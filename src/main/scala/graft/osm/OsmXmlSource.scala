@@ -76,11 +76,33 @@ object OsmXmlSource {
     * chunk (DOCTYPE prologue → one fragment; or an unwritable source
     * directory — the stamped sibling dir needs write access) keeps
     * the single-file scan but fans the raw rows out post-scan, so
-    * the pipeline never serializes end-to-end. */
+    * the pipeline never serializes end-to-end.
+    *
+    * NON-local paths (ADVICE r14: `File.isFile` is false for
+    * `hdfs://…`/`s3a://…`, which used to return (path, 0) — a large
+    * remote single-file `.osm` got neither chunking nor the post-scan
+    * fan-out, serializing the whole pipeline into the one XML parse
+    * task) are probed through their own Hadoop FileSystem: a remote
+    * SINGLE FILE over the threshold keeps the single-file scan (the
+    * chunker is a local-FS pre-pass) but fans out post-scan; a remote
+    * directory is already N files = N parse tasks and passes through;
+    * an unprobeable path (globs, dead namenodes) keeps the fan-out —
+    * on an already-parallel scan the redistribution costs one narrow
+    * raw-row exchange, on a single file it is the ONLY parallelism. */
   private[osm] def resolveChunked(spark: SparkSession, path: String,
       threshold: Long): (String, Int) = {
     val f = new java.io.File(path)
-    if (!f.isFile || f.length() <= threshold) (path, 0)
+    if (!f.isFile && !f.isDirectory) {
+      val parts = spark.sparkContext.defaultParallelism
+      try {
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val st = fs.getFileStatus(hp)
+        if (st.isFile && st.getLen > threshold) (path, parts) else (path, 0)
+      } catch {
+        case scala.util.control.NonFatal(_) => (path, parts)
+      }
+    } else if (!f.isFile || f.length() <= threshold) (path, 0)
     else {
       val parts = spark.sparkContext.defaultParallelism
       try {

@@ -118,4 +118,19 @@ class SourceInvariantSpec extends AnyFunSuite {
           s"(isolated retrial) before shipping — ${wl.toString}")
     }
   }
+
+  test("BENCH_X100.json ships adjudicated: the second-decade " +
+    "watchlist is empty (VERDICT r14 #7: the r14 close committed a " +
+    "non-empty x100 watchlist silently — run100's nonzero exit " +
+    "existed but nothing in the close discipline consumed it; now " +
+    "the suite goes red until tools/scale_probe.py run100 clears)") {
+    val f = new java.io.File("BENCH_X100.json")
+    assert(f.isFile, "BENCH_X100.json missing — run tools/scale_probe.py run100")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    val wl = root.path("watchlist")
+    assert(wl.isArray, "BENCH_X100.json has no watchlist")
+    assert(wl.size() == 0,
+      "x100 watchlist non-empty: name and cut the super-linear step " +
+        s"(or adjudicate in SCALE.md), then re-run run100 — ${wl.toString}")
+  }
 }

@@ -33,6 +33,33 @@ class FnsSpec extends SparkSpec {
     assert(fpExpr == inputs.map(v => md5LongLocal(lowerTrimLocal(v))))
   }
 
+  test("lowerTrimLocal agrees with UTF8String.toLowerCase under a " +
+    "tr_TR default locale (ADVICE r14): Spark's lower() delegates to " +
+    "UTF8String — which is itself JVM-default-locale sensitive on " +
+    "the dotted-I family — so the kernel mirror must route through " +
+    "the SAME code path, never String.toLowerCase(ROOT)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      for (v <- Seq("I", "TITLE I", "İstanbul MIX I", "  I  ")) {
+        val viaUtf8 = org.apache.spark.unsafe.types.UTF8String
+          .fromString(v.replaceAll("^ +| +$", "")).toLowerCase.toString
+        assert(lowerTrimLocal(v) == viaUtf8,
+          s"kernel mirror drifted from UTF8String on '$v' under tr_TR")
+      }
+      // the exact drift the old String.toLowerCase(ROOT) mirror had:
+      // UTF8String's all-ASCII fast path is locale-blind ('I' -> 'i'
+      // always), but a string CONTAINING non-ASCII takes the slow
+      // path (String.toLowerCase under the DEFAULT locale), where
+      // tr_TR maps ASCII 'I' to dotless 'ı' (U+0131) — a
+      // ROOT-pinned mirror would return 'i' here and the fingerprint
+      // would silently diverge from the expression
+      assert(lowerTrimLocal("I") == "i") // fast path: locale-blind
+      assert(lowerTrimLocal("İx I") == "İx I".toLowerCase) // slow path
+      assert(lowerTrimLocal("İx I").last == 'ı')
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("dotN equals sequential HOF dot bit-for-bit") {
     val a = Seq((Array(1.0, 2.5, -3.25, 0.125), Array(4.0, -1.5, 2.0, 8.0)))
     val df = a.toDF("x", "y")

@@ -386,6 +386,34 @@ class OsmEtlBenchSpec extends SparkSpec {
       .collect().map(_.toString).sorted.sameElements(whole))
   }
 
+  test("resolveChunked probes NON-local paths through Hadoop instead " +
+    "of java.io.File (ADVICE r14): an over-threshold remote single " +
+    "file keeps the post-scan fan-out, an under-threshold one and a " +
+    "remote directory pass through, an unprobeable path keeps the " +
+    "fan-out") {
+    val par = spark.sparkContext.defaultParallelism
+    val dir = Files.createTempDirectory("osmremote").toString
+    val f = s"$dir/r.osm"
+    Files.write(java.nio.file.Paths.get(f),
+      ("<osm version=\"0.6\"><node id=\"1\" lat=\"1\" lon=\"2\"/>" +
+        "</osm>").getBytes("UTF-8"))
+    // file:// URIs are not java.io.File paths, so they exercise the
+    // Hadoop-probe branch with deterministic local statuses
+    val (po, po_n) = OsmXmlSource.resolveChunked(spark, s"file://$f", 16)
+    assert(po == s"file://$f" && po_n == par,
+      s"over-threshold remote file must fan out, got ($po, $po_n)")
+    val (pu, pu_n) =
+      OsmXmlSource.resolveChunked(spark, s"file://$f", Long.MaxValue)
+    assert(pu == s"file://$f" && pu_n == 0)
+    val (pd, pd_n) = OsmXmlSource.resolveChunked(spark, s"file://$dir", 16)
+    assert(pd == s"file://$dir" && pd_n == 0,
+      s"remote directory is already N parse tasks, got ($pd, $pd_n)")
+    val ghost = s"file://$dir/nope.osm"
+    val (pg, pg_n) = OsmXmlSource.resolveChunked(spark, ghost, 16)
+    assert(pg == ghost && pg_n == par,
+      s"unprobeable path must keep the fan-out, got ($pg, $pg_n)")
+  }
+
   test("looksComplete requires the count-stamped generator header " +
     "AND the closing tag — a stale or truncated file regenerates") {
     val dir = Files.createTempDirectory("osmlc").toString

@@ -455,10 +455,13 @@ def report(retry=False):
 # part), events kept at x10 (r3's cell quadratic is already
 # characterized), corpus tables unchanged (dedup/text operators don't
 # scale on a relational probe). Judged on the SECOND-decade ratio
-# t(x100)/t(x10) with the SAME class discipline as the x10 gate:
-# 3.0 plain / 8.0 volume-linear / output-bound exempt / co-purchase
-# family summed. Scratch experiment: BENCH_X100.json is the record;
-# the driver's gates still run on the driver's testdata.
+# t(x100)/t(x10) with the same CLASS STRUCTURE as the x10 gate but
+# the DEC2_* thresholds (ADVICE r14: this comment used to repeat the
+# first-decade numbers): 8.0 plain / 10.0 volume-linear / 12.0
+# co-purchase family sum / output-bound exempt — rationale at the
+# DEC2_THRESHOLD / DEC2_FAMILY_CEILING blocks above. Scratch
+# experiment: BENCH_X100.json is the record; the driver's gates still
+# run on the driver's testdata.
 X100_DIR = os.path.join(SCALE_DIR, "x100rel")
 X100_RECORD = os.path.join(REPO, "BENCH_X100.json")
 # the ten most expensive relational families at sf0.1 + their
