@@ -45,7 +45,10 @@ object OsmChunk {
     * (ADVICE r13: a fragment directory produced by an older chunker
     * was trusted forever on (length, mtime, n) alone — an algorithm
     * fix must invalidate existing directories). Bump on ANY change to
-    * the cut scanner or fragment framing. v2 = PI-aware scanner. */
+    * the cut scanner's CUT POSITIONS or the fragment framing — a
+    * pure-throughput rewrite that provably preserves cuts (the r15
+    * skip-scan form, pinned cut-identical by the chunk-parity sweep)
+    * does not. v2 = PI-aware scanner. */
   private[osm] val FormatVersion = 2
 
   private val patterns: Seq[Array[Byte]] =
@@ -125,11 +128,20 @@ object OsmChunk {
         // stop the scan MaxLexeme short of the buffer end (unless at
         // EOF) so every lexeme match is decided with full visibility
         val scanEnd = if (atEof) want else math.max(want - MaxLexeme, 0)
+        // Each state's lexeme can only begin at ONE byte value
+        // ('<' / '-' / ']' / '?'), so the hot path is a tight
+        // skip-scan to that byte — identical cuts to the per-byte
+        // dispatch this replaces, but the 99% of bytes that are
+        // neither markup-start nor close-candidate cost one compare
+        // each (measured: the dispatch form scanned at ~210 MB/s,
+        // pinning a 100 GB planet file's serial section at ~8 min;
+        // this form is memory-bound).
         var i = 0
         while (i < scanEnd && ti < targets.length) {
           state match {
             case 0 =>
-              if (buf(i) == '<') {
+              while (i < scanEnd && buf(i) != '<') i += 1
+              if (i < scanEnd) {
                 if (matchesAt(buf, i, want, CommentOpen)) {
                   state = 1; i += CommentOpen.length
                 } else if (matchesAt(buf, i, want, CdataOpen)) {
@@ -151,19 +163,28 @@ object OsmChunk {
                   }
                   i += 1
                 }
-              } else i += 1
+              }
             case 1 =>
-              if (matchesAt(buf, i, want, CommentClose)) {
-                state = 0; i += CommentClose.length
-              } else i += 1
+              while (i < scanEnd && buf(i) != '-') i += 1
+              if (i < scanEnd) {
+                if (matchesAt(buf, i, want, CommentClose)) {
+                  state = 0; i += CommentClose.length
+                } else i += 1
+              }
             case 2 =>
-              if (matchesAt(buf, i, want, CdataClose)) {
-                state = 0; i += CdataClose.length
-              } else i += 1
+              while (i < scanEnd && buf(i) != ']') i += 1
+              if (i < scanEnd) {
+                if (matchesAt(buf, i, want, CdataClose)) {
+                  state = 0; i += CdataClose.length
+                } else i += 1
+              }
             case 3 =>
-              if (matchesAt(buf, i, want, PiClose)) {
-                state = 0; i += PiClose.length
-              } else i += 1
+              while (i < scanEnd && buf(i) != '?') i += 1
+              if (i < scanEnd) {
+                if (matchesAt(buf, i, want, PiClose)) {
+                  state = 0; i += PiClose.length
+                } else i += 1
+              }
           }
         }
         // consume exactly the bytes the scanner decided on (i may

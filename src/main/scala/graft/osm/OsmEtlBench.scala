@@ -255,7 +255,14 @@ object OsmEtlBench {
       import ExecutionContext.Implicits.global
       val parts = Runtime.getRuntime.availableProcessors()
       val in = inXml + ".chunks"
+      // per-step stderr timing (the memo_copurchase discipline): the
+      // timed span has two serial sections — the single-threaded cut
+      // scan and the parallel parse+shape+encode+write jobs — and a
+      // wall regression must be attributable to one of them
+      val tc = System.nanoTime()
       OsmChunk.chunk(inXml, in, parts)
+      System.err.println(
+        f"[graft]   osm_etl/chunk    ${(System.nanoTime() - tc) / 1e9}%.3f s")
       // no repartition: the fragment scan already carries ~|cores|
       // partitions, so an exchange of the raw rows would be pure cost
       // (the repartition earned its exchange only when the scan was
@@ -268,7 +275,10 @@ object OsmEtlBench {
         MongoImportSink.write(OsmShape.shape(mk(), t), s"$outDir/$t",
           overwrite = true)
       } }
-      Await.result(Future.sequence(jobs), 30.minutes); ()
+      val tj = System.nanoTime()
+      Await.result(Future.sequence(jobs), 30.minutes)
+      System.err.println(
+        f"[graft]   osm_etl/jobs     ${(System.nanoTime() - tj) / 1e9}%.3f s")
     }
     // untimed warmup on a 200-element sample (JVM/codegen compile —
     // same schemas and plan shape as the timed run, so the generated
@@ -276,10 +286,20 @@ object OsmEtlBench {
     val warm = s"$dir/warm.osm"
     generate(warm, 0.0005)
     etl(warm, s"$dir/warm_dump")
-    // the timed span: read + shape + Extended-JSON encode + write
-    val t0 = System.nanoTime()
-    etl(xml, out)
-    val secs = (System.nanoTime() - t0) / 1e9
+    // the timed span: read + shape + Extended-JSON encode + write.
+    // min-of-3 with a recorded spread — the graft.Bench convention
+    // (r15: a single-shot record made the headline hostage to box
+    // state; the baseline's mongoimport is a warm native binary, so
+    // the engine's best-of-warm is the like-for-like figure). Every
+    // run re-chunks (chunk(), not the memoizing chunked()) so the
+    // measured span never silently drops the serial section.
+    val runs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      etl(xml, out)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val secs = runs.min
+    val spread = runs.max - runs.min
     // cell-36 parity: docs out per type == elements generated per
     // type; same pass totals the dump bytes (the baseline's 14.2 MB/s
     // is measured over the JSON being IMPORTED, so the output-side
@@ -299,7 +319,7 @@ object OsmEtlBench {
     val parity = counts == Map("node" -> nN, "way" -> nW, "relation" -> nR)
     val mb = bytes / 1e6
     val line =
-      f"""{"metric":"osm_etl","input_bytes":$bytes,"output_bytes":$outBytes,"docs":$docs,"secs":$secs%.2f,""" +
+      f"""{"metric":"osm_etl","input_bytes":$bytes,"output_bytes":$outBytes,"docs":$docs,"secs":$secs%.2f,"spread":$spread%.2f,""" +
         f""""input_mb_per_sec":${mb / secs}%.1f,"output_mb_per_sec":${outBytes / 1e6 / secs}%.1f,""" +
         f""""kdocs_per_sec":${docs / secs / 1000}%.1f,""" +
         s""""node":${counts.getOrElse("node", 0L)},"way":${counts.getOrElse("way", 0L)},""" +
