@@ -65,7 +65,7 @@ object GraphOps {
     * materializes once per graph build — the d2 signature-memo
     * discipline — and all are edge-/node-sized, never corpus-sized. */
   private case class EdgeArtifacts(edges: DataFrame, nEdges: Long,
-      degrees: DataFrame, bloom: Array[Byte])
+      degrees: DataFrame, bloom: Array[Byte], symEdges: DataFrame)
 
   /** Test/bench hook: drop memoized edge lists (cold-run timing). */
   private[graft] def clearEdgeMemo(): Unit = edgeMemo.clear()
@@ -102,14 +102,35 @@ object GraphOps {
           f"[graft]   memo_copurchase/$name%-12s ${(System.nanoTime() - t0) / 1e9}%.3f s")
         r
       }
-      val ip = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
+      // Per-order bucket-collect, not self-join (r15): the join form
+      // paid an exchange for the (o, p) distinct, a second (reused)
+      // exchange on o for the self-join, and an SMJ between the
+      // copies — but an order's co-purchase pairs are a function of
+      // ONE order's part set, so collect_set(p) dedups in-agg and the
+      // pair enumeration runs in the kernel: one exchange of the
+      // narrow lineitem projection total (edges step 4.16 → ~1.9 s at
+      // sf0.1; at ×100 this deletes a 60M-row exchange + sort). Pair
+      // sets are identical: sorted-ascending enumeration ⟺ pa < pb,
+      // and the cross-order distinct below is unchanged. Skew parity
+      // with the join form: an order's pairs landed on one partition
+      // there too (same key), and TPC-H-shaped orders are ≤7 items.
+      // Contrast with the dedup-candidates NO-GO (SCALE.md): there
+      // the buckets were singletons and no exchange was deleted.
       val e = step("edges") {
-        ip.select(col("o"), col("p").as("pa"))
-          .join(ip.select(col("o"), col("p").as("pb")), Seq("o"))
-          .filter(col("pa") < col("pb"))
-          .select(col("pa"), col("pb"))
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .groupBy(col("o")).agg(collect_set(col("p")).as("ps"))
+          .filter(size(col("ps")) > 1)
+          .select(col("ps")).as[Seq[Long]]
+          .mapPartitions(_.flatMap { ps =>
+            val a = ps.toArray
+            java.util.Arrays.sort(a)
+            a.indices.iterator.flatMap { x =>
+              (x + 1 until a.length).iterator.map(y => (a(x), a(y)))
+            }
+          })
+          .toDF("pa", "pb")
           .distinct()
           .localCheckpoint(true)
       }
@@ -156,7 +177,20 @@ object GraphOps {
         bfFilter.writeTo(bos)
         bos.toByteArray
       }
-      EdgeArtifacts(e, n, deg, bf)
+      // the SYMMETRIC orientation as shared state (r15): gr3's wedge
+      // stream and gr5/gr7/gr8's round loops all consume both edge
+      // orientations, and each used to union + persist its own copy —
+      // three separate materializations of the same 2·|E| relation in
+      // one suite run. One checkpoint here (derived from the edge
+      // checkpoint in-memory, no shuffle) is priced on the memo line
+      // like the rest; consumers alias (u, v) to their local names
+      // for free.
+      val sym = step("sym") {
+        e.select(col("pa").as("u"), col("pb").as("v"))
+          .union(e.select(col("pb").as("u"), col("pa").as("v")))
+          .localCheckpoint(true)
+      }
+      EdgeArtifacts(e, n, deg, bf, sym)
     }
 
   private def coEdges(s: SparkSession, d: String): DataFrame =
@@ -363,9 +397,8 @@ object GraphOps {
     * TakeOrderedAndProject — never a global sort. */
   private def gr3(s: SparkSession, d: String): DataFrame = {
     val art = artifacts(s, d) // memoized: edges + count + degrees + bloom
-    val e = art.edges
-    val sym = e.select(col("pa").as("w"), col("pb").as("n"))
-      .union(e.select(col("pb").as("w"), col("pa").as("n")))
+    val sym = art.symEdges
+      .select(col("u").as("w"), col("v").as("n"))
     val deg = art.degrees.select(col("p").as("w"), col("deg"))
     val nEdges = art.nEdges
     // largest cap whose admitted wedge mass fits the budget; the
@@ -407,8 +440,8 @@ object GraphOps {
       xxhash64(col("a"), col("c")))
     val definite = cn.filter(!isMaybeEdge)
     val settled = cn.filter(isMaybeEdge)
-      .join(e.select(col("pa").as("a"), col("pb").as("c")), Seq("a", "c"),
-        "left_anti")
+      .join(art.edges.select(col("pa").as("a"), col("pb").as("c")),
+        Seq("a", "c"), "left_anti")
     definite.union(settled)
       .orderBy(col("cn").desc, col("a").asc, col("c").asc)
       .limit(GR3_TOP)
@@ -492,10 +525,10 @@ object GraphOps {
   private def gr5(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val art = artifacts(s, d)
-    val e = art.edges
-    val sym = e.select(col("pa").as("v"), col("pb").as("n"))
-      .union(e.select(col("pb").as("v"), col("pa").as("n")))
-      .persist(StorageLevel.MEMORY_AND_DISK) // one scan per LPA round
+    // memoized symmetric checkpoint — one scan per LPA round, shared
+    // with gr3/gr7/gr8 instead of a per-query union + persist
+    val sym = art.symEdges
+      .select(col("u").as("v"), col("v").as("n"))
     // node ids come from the memoized degree table (already distinct)
     var labels = art.degrees.select(col("p").as("v"), col("p").as("l"))
     for (_ <- 1 to GR5_ROUNDS) {
@@ -568,15 +601,24 @@ object GraphOps {
   private def gr7(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val art = artifacts(s, d)
-    val e = art.edges
-    val ed = e.select(col("pa").as("n"), col("pb").as("m"))
-      .union(e.select(col("pb").as("n"), col("pa").as("m")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // memoized symmetric checkpoint — one scan per peel round, shared
+    // with gr3/gr5/gr8 instead of a per-query union + persist
+    val ed = art.symEdges
+      .select(col("u").as("n"), col("v").as("m"))
     val deg = art.degrees.select(col("p").as("n"), col("deg"))
     val k = deg
       .agg(expr(s"CAST(floor(percentile(deg, $GR7_Q)) AS BIGINT)"))
       .head().getLong(0) // 1-row scalar fetch: loop control is driver-side
-    var cur = deg.select(col("n")).localCheckpoint(true)
+    // per-round sets ride persist + count, not an eager checkpoint +
+    // count (r15): the count MATERIALIZES the persisted set, so every
+    // round costs one job instead of two, and the loop's fixpoint
+    // count comes free with the materialization. Lineage depth is
+    // bounded by GR7_ROUNDS over checkpointed inputs — cluster-safe
+    // (a lost partition recomputes from the edge checkpoint), unlike
+    // executor-pinned checkpoint blocks. The superseded round's set
+    // unpersists once its successor is materialized.
+    var cur = deg.select(col("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var prev = cur.count()
     val census = Seq.newBuilder[(Long, Long, Long)]
     census += ((0L, k, prev))
@@ -590,16 +632,17 @@ object GraphOps {
           .groupBy(col("n")).agg(count(lit(1)).as("d"))
           .filter(col("d") >= k)
           .select(col("n"))
-          .localCheckpoint(true)
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val cnt = nxt.count()
         fixed = cnt == prev // monotone ⊆: equal counts ⟺ equal sets
+        cur.unpersist(false)
         cur = nxt
         prev = cnt
       }
       census += ((r.toLong, k, prev))
       r += 1
     }
-    ed.unpersist()
+    cur.unpersist(false)
     census.result().toDF("peel_round", "k", "n_nodes")
   }
 
@@ -631,17 +674,24 @@ object GraphOps {
   private def gr8(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val art = artifacts(s, d)
-    val e = art.edges
-    val sym = e.select(col("pa").as("w"), col("pb").as("n"))
-      .union(e.select(col("pb").as("w"), col("pa").as("n")))
-      .persist(StorageLevel.MEMORY_AND_DISK) // one scan per BFS round
+    // memoized symmetric checkpoint — one scan per BFS round, shared
+    // with gr3/gr5/gr7 instead of a per-query union + persist
+    val sym = art.symEdges
+      .select(col("u").as("w"), col("v").as("n"))
     // node ids come from the memoized (already distinct, checkpointed)
     // degree table — the census + landmark are one 2-agg pass over it
     val nodes = art.degrees.select(col("p"))
     val r0 = nodes.agg(count(lit(1)), min(col("p"))).head()
     val tot = r0.getLong(0)
     val lm = r0.getLong(1)
-    var visited = s.createDataset(Seq(lm)).toDF("p").localCheckpoint(true)
+    // frontier/visited ride persist, not eager checkpoints (r15, the
+    // gr7 discipline): the frontier's count materializes it in the
+    // same job, and the UNIONED visited set stays lazy — the next
+    // hop's anti-join materializes it as a side effect — so a hop
+    // costs one job instead of three. Sets are node-sized; lineage
+    // is bounded by GR8_HOPS over the edge checkpoint.
+    var visited = s.createDataset(Seq(lm)).toDF("p")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = visited
     var reached = 1L
     val census = Seq.newBuilder[(Long, Long)]
@@ -650,14 +700,14 @@ object GraphOps {
       val nxt = sym.join(frontier.select(col("p").as("w")), Seq("w"))
         .select(col("n").as("p")).distinct()
         .join(visited, Seq("p"), "left_anti")
-        .localCheckpoint(true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val cnt = nxt.count()
       census += ((h.toLong, cnt))
-      visited = visited.union(nxt).localCheckpoint(true)
+      visited = visited.union(nxt)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       frontier = nxt
       reached += cnt
     }
-    sym.unpersist()
     (census.result() :+ ((-1L, tot - reached)))
       .toDF("hop", "n_nodes")
       .select(col("hop"), col("n_nodes"),

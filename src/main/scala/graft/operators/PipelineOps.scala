@@ -410,46 +410,72 @@ object PipelineOps {
     * whichever of pipe5/pipe6/pipe9 runs first (the
     * memo_copurchase_edges convention in [[graft.Bench]]). */
   private[graft] def primePipeMemos(s: SparkSession, d: String): Unit = {
-    pipe5PerDoc(s, d); pipe6Hits(s, d); ()
+    // per-step stderr timings — the memo_copurchase/memo_dedup_sigs
+    // discipline: a memo line's internal split must stay measurable
+    def step(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      System.err.println(
+        f"[graft]   memo_pipeline/$name%-12s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    step("pipe5_perdoc") { pipe5PerDoc(s, d); () }
+    step("pipe6_hits") { pipe6Hits(s, d); () }
   }
 
-  /** The per-doc Gopher statistics IN-ROW (r12 rewrite): the previous
-    * form exploded tokens and aggregated (doc_id, tok) — one
-    * corpus-keyed exchange for the tf counts plus a join back for
-    * n_chars. But every statistic the rules read (words, max tf,
+  /** The per-doc Gopher statistics IN the scan kernel (r15; the r12
+    * in-row HOF form before it, the exploded (doc_id, tok) exchange
+    * before that): every statistic the rules read (words, max tf,
     * type count, stopword count) is a function of ONE document's
-    * token array, so it computes inside the scan task: sort the
-    * array, mark run boundaries, run lengths = boundary diffs —
-    * max_tf is the max diff, n_types the boundary count. ZERO
-    * exchanges, no join (n_chars rides the same row), scan-speed
-    * narrow — the d11/tok1 "anything that shuffles to tokenize is
-    * wrong" discipline applied to quality scoring. Boundary test
-    * uses a lazy `if` (not OR) so ANSI element_at(srt, 0) can never
-    * evaluate. */
-  private def computePipe5PerDoc(s: SparkSession, d: String): DataFrame =
+    * token list, so it computes inside the scan task — ZERO
+    * exchanges, no join (n_chars rides the same row). The r12 form
+    * already had that plan shape but spelled the token-run census in
+    * higher-order expressions (array_sort + filter + zip_with), and
+    * HOFs are CodegenFallback — interpreted per row, measured 1.9 s
+    * of the memo line at sf0.1; one hash-count pass per doc in a
+    * typed kernel is the x9/x14/tok2 boundary applied here (→
+    * ~0.3 s). Arithmetic mirrors the oracle exactly: token = split
+    * on single space KEEPING empties (both engines), flags via Long
+    * `div` — words ≥ 1 always (split never returns an empty list),
+    * so the divisions cannot throw. The declarative twin is pinned
+    * row-identical in PipeKernelLawSpec. */
+  private[graft] def computePipe5PerDoc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stops = PIPE5_STOPS.toArray
     Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars"), toks(col("text")).as("t"))
-      .withColumn("srt", array_sort(col("t")))
-      .withColumn("bnd", expr(
-        """filter(sequence(1, size(srt)),
-          |  i -> if(i = 1, true,
-          |          element_at(srt, i) != element_at(srt, i - 1)))"""
-          .stripMargin))
-      .select(col("doc_id"), col("n_chars"),
-        size(col("t")).cast("long").as("words"),
-        expr("""array_max(zip_with(bnd,
-          |  concat(slice(bnd, 2, size(bnd) - 1), array(size(srt) + 1)),
-          |  (a, b) -> b - a))""".stripMargin).cast("long").as("max_tf"),
-        size(col("bnd")).cast("long").as("n_types"),
-        size(filter(col("t"), x => x.isin(PIPE5_STOPS: _*)))
-          .cast("long").as("n_stop"))
-      .select(col("doc_id"), col("words"),
-        (col("words") < 50 || col("words") > 500).as("f1"),
-        (expr("(1000 * n_chars) div words") < 3000
-          || expr("(1000 * n_chars) div words") >= 8000).as("f2"),
-        (col("n_stop") < 2).as("f3"),
-        (expr("(1000 * max_tf) div words") > 120).as("f4"),
-        (expr("(1000 * n_types) div words") < 300).as("f5"))
+      .select(col("doc_id"), col("n_chars"), col("text"))
+      // kernel stages declare their parallelism (the buildSignatures
+      // rule: a narrow parquet scan would serialize the hashing)
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, Long, String)]
+      .mapPartitions(_.map { case (id, nChars, text) =>
+        val t = text.split(" ", -1)
+        val tf = new java.util.HashMap[String, Long](t.length * 2)
+        var i = 0
+        while (i < t.length) {
+          tf.merge(t(i), 1L, (a, b) => a + b); i += 1
+        }
+        val words = t.length.toLong
+        var maxTf = 0L
+        val it = tf.values().iterator()
+        while (it.hasNext) {
+          val c = it.next(); if (c > maxTf) maxTf = c
+        }
+        var nStop = 0L
+        var sIdx = 0
+        while (sIdx < stops.length) {
+          nStop += tf.getOrDefault(stops(sIdx), 0L); sIdx += 1
+        }
+        val nTypes = tf.size.toLong
+        val mwl = 1000L * nChars / words
+        (id, words,
+          words < 50 || words > 500,
+          mwl < 3000 || mwl >= 8000,
+          nStop < 2,
+          1000L * maxTf / words > 120,
+          1000L * nTypes / words < 300)
+      })
+      .toDF("doc_id", "words", "f1", "f2", "f3", "f4", "f5")
+  }
 
   private def pipe5(s: SparkSession, d: String): DataFrame = {
     val per = pipe5PerDoc(s, d)
@@ -482,6 +508,13 @@ object PipelineOps {
     * measurement (the GPT-3/PaLM decontamination convention). */
   private[graft] val PIPE6_NGRAM = 4
   private[graft] val PIPE6_MIN_SHARED = 3
+
+  /** Broadcast gate for pipe6's kernel contamination probe: the test
+    * split's distinct shingle keys collect + broadcast only under
+    * this many longs (8M × 8 B = 64 MB — the GraftSession broadcast
+    * posture). Int because it bounds a limit(): the probe collects at
+    * most max+1 keys, so the driver never holds an ungated set. */
+  private[graft] val PIPE6_BROADCAST_MAX_KEYS: Int = 8 << 20
 
   /** pipe6 — decontaminated split: x8 ANSWERS "which eval docs leak
     * into train"; this op ACTS on the reverse direction — quarantine
@@ -541,13 +574,44 @@ object PipelineOps {
       .toDF("doc_id", "source", "shk")
     val testSh = side(90, 100)
       .select(explode(col("shk")).as("shk")).distinct()
-    side(0, 80)
-      .select(col("doc_id"), col("source"),
-        explode_outer(col("shk")).as("shk"))
-      .join(testSh.withColumn("hit", lit(1L)), Seq("shk"), "left")
-      .groupBy(col("doc_id"), col("source"))
-      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L))
-        .as("n_shared"))
+    // Two physical shapes of one algorithm, size-gated (the d2/d5
+    // enforced-gate discipline). The per-doc contamination count is a
+    // function of ONE doc's (distinct — wordShinglesLocal dedups,
+    // matching the oracle's list_distinct) shingle set and the test
+    // split's distinct key SET, so when that set fits an executor it
+    // broadcasts as a sorted long array and every train doc scores
+    // IN the scan kernel — zero exchanges, no explode, no re-group
+    // (r15: the explode/join/groupBy form shuffled ~|train shingles|
+    // rows to recompute a per-doc scalar). The limit(max+1) probe
+    // bounds driver memory BEFORE the collect: past the gate — a
+    // 100 TB corpus's test split — the explode/join/groupBy form
+    // runs unchanged.
+    val probe = testSh.as[(Long)]
+      .limit(PIPE6_BROADCAST_MAX_KEYS + 1).collect()
+    if (probe.length <= PIPE6_BROADCAST_MAX_KEYS) {
+      java.util.Arrays.sort(probe)
+      val bc = s.sparkContext.broadcast(probe)
+      side(0, 80).as[(Long, String, Seq[Long])]
+        .mapPartitions { it =>
+          val ks = bc.value
+          it.map { case (id, src, shk) =>
+            var n = 0L
+            shk.foreach { k =>
+              if (java.util.Arrays.binarySearch(ks, k) >= 0) n += 1
+            }
+            (id, src, n)
+          }
+        }
+        .toDF("doc_id", "source", "n_shared")
+    } else {
+      side(0, 80)
+        .select(col("doc_id"), col("source"),
+          explode_outer(col("shk")).as("shk"))
+        .join(testSh.withColumn("hit", lit(1L)), Seq("shk"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L))
+          .as("n_shared"))
+    }
   }
 
   private def pipe6(s: SparkSession, d: String): DataFrame =
