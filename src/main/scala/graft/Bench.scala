@@ -108,16 +108,24 @@ object Bench {
         catch { case _: Throwable => -1.0 }
         name -> t
       }
-    // THREE timed runs per query, min reported, spread recorded:
-    // single-JVM timings at local[32] carry GC/JIT/box-load noise
-    // (VERDICT r13 #2: the driver's record diverged ~10% from the
-    // same-HEAD gate run, with s1-s3 reading 5× — min-of-2 still let
-    // one loaded window own a query's number). The per-query relative
-    // spread (max-min)/min across the three runs goes to BENCH_FULL
-    // as its own map, so a round-over-round diff can tell a real
-    // regression (stable spread, moved min) from box noise (spread
-    // comparable to the delta). Memo builds stay single-shot — a
-    // second prime hits the memo, so only their first run is real.
+    // THREE timed runs per query, min reported, spread recorded —
+    // and the runs are INTERLEAVED as three full passes over the
+    // query list, not back-to-back per query. Back-to-back min-of-3
+    // shares one contention window: when the box is loaded for the
+    // ~30 s a query's three trials span, all three minima inflate
+    // together and the "min" records the noise (VERDICT r15 #2: the
+    // r15 record read 180.6 s vs 107.5 r14, while a same-box retrial
+    // minutes later measured the worst entries at 1/8 of the recorded
+    // minima — the contention owned whole queries). With full passes,
+    // a loaded window inflates ONE pass's reading for each query it
+    // overlaps; the per-query min across passes (taken ~minutes
+    // apart) survives, and the inflation lands in the spread, where
+    // it belongs. The per-query relative spread (max-min)/min across
+    // passes goes to BENCH_FULL as its own map, so a round-over-round
+    // diff can tell a real regression (stable spread, moved min) from
+    // box noise (spread comparable to the delta). Memo builds stay
+    // single-shot — a second prime hits the memo, so only their first
+    // run is real.
     // SPARK_GRAFT_BENCH_RUNS overrides the per-query run count (the
     // x100 probe uses 2 — at 60M-row inputs a third run buys little
     // precision for a lot of wall; official records keep the default)
@@ -131,26 +139,38 @@ object Bench {
           s"SPARK_GRAFT_BENCH_RUNS is not an int: '$v'")
         v.toInt
       }.getOrElse(3))
-    val results = selected.sortBy(_._1).map { case (name, fn) =>
-      // a failed query reports -1, never a (fast) bogus elapsed time
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try {
-          // time FULL materialization of the query's own plan, not
-          // df.count(): Catalyst prunes every column count() doesn't
-          // need, so a projection-heavy query (cleaning chains,
-          // p1-class selects) was under-measured (VERDICT r12 #3).
-          // toRdd executes the final physical plan and produces each
-          // output row; count() on the RDD forces every partition.
-          fn(spark, sfDir).queryExecution.toRdd.count()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => -1.0 }
+    val ordered = selected.sortBy(_._1)
+    // a failed query reports -1, never a (fast) bogus elapsed time
+    def once(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        // time FULL materialization of the query's own plan, not
+        // df.count(): Catalyst prunes every column count() doesn't
+        // need, so a projection-heavy query (cleaning chains,
+        // p1-class selects) was under-measured (VERDICT r12 #3).
+        // toRdd executes the final physical plan and produces each
+        // output row; count() on the RDD forces every partition.
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }
+    // nRuns FULL passes over the whole list; each query's scratch
+    // cache is cleared after its run in EVERY pass, so pass 2/3 time
+    // the same cold-cache work as pass 1 (JIT/codegen warmth carries
+    // over, which is what min-of-N was for in the first place).
+    val passes: Seq[Seq[Double]] = Seq.fill(nRuns) {
+      ordered.map { case (_, fn) =>
+        val t = once(fn)
+        // cached tables some operators persist are per-query scratch
+        spark.catalog.clearCache()
+        t
       }
-      val runs = Seq.fill(nRuns)(once())
+    }
+    val results = ordered.zipWithIndex.map { case ((name, _), i) =>
+      val runs = passes.map(_(i))
       val t = if (runs.exists(_ < 0)) -1.0 else runs.min
       val spread = if (t <= 0) -1.0 else (runs.max - t) / t
-      // cached tables some operators persist are per-query scratch
-      spark.catalog.clearCache()
       (name, t, spread)
     }
     // any failed query (-1) poisons the headline: a smaller-is-better

@@ -70,6 +70,36 @@ object GraphOps {
   /** Test/bench hook: drop memoized edge lists (cold-run timing). */
   private[graft] def clearEdgeMemo(): Unit = edgeMemo.clear()
 
+  /** Per-query scratch-cache registry (VERDICT r15 #3/#4). Several
+    * graph queries persist transient edge-/node-sized frames that the
+    * returned LAZY plan consumes at the caller's materialization, so
+    * the block cannot release inside the query body without forcing
+    * an extra materialization of a node-sized result. Instead of a
+    * comment-documented leak, every such persist now has a REGISTERED
+    * OWNER: each graph query's entry first releases whatever the
+    * previous one left behind, so at most one query's scratch is ever
+    * resident, and a long-lived driver can release eagerly via
+    * [[releaseScratch]]. Bench's per-query clearCache subsumes this;
+    * the registry covers every other caller. Queries whose results
+    * materialize eagerly inside the body (gr5/gr7/gr8) release their
+    * own scratch and never register. */
+  private val scratch =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def registerScratch(df: DataFrame): DataFrame =
+    scratch.synchronized { scratch += df; df }
+
+  /** Release every scratch block the last graph query registered. */
+  private[graft] def releaseScratch(): Unit = scratch.synchronized {
+    scratch.foreach(_.unpersist(false)); scratch.clear()
+  }
+
+  /** Entry wrapper: every registered graph query releases its
+    * predecessor's scratch before building its own plan. */
+  private def owned(f: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame =
+    (s, d) => { releaseScratch(); f(s, d) }
+
   /** Bench hook: eagerly build + checkpoint the shared co-purchase
     * edge memo so its one-time cost is a BENCH LINE OF ITS OWN
     * (`memo_copurchase_edges` in BENCH_FULL.json) instead of landing
@@ -102,20 +132,17 @@ object GraphOps {
           f"[graft]   memo_copurchase/$name%-12s ${(System.nanoTime() - t0) / 1e9}%.3f s")
         r
       }
-      // Per-order bucket-collect, not self-join (r15): the join form
-      // paid an exchange for the (o, p) distinct, a second (reused)
-      // exchange on o for the self-join, and an SMJ between the
-      // copies — but an order's co-purchase pairs are a function of
-      // ONE order's part set, so collect_set(p) dedups in-agg and the
-      // pair enumeration runs in the kernel: one exchange of the
-      // narrow lineitem projection total (edges step 4.16 → ~1.9 s at
-      // sf0.1; at ×100 this deletes a 60M-row exchange + sort). Pair
-      // sets are identical: sorted-ascending enumeration ⟺ pa < pb,
-      // and the cross-order distinct below is unchanged. Skew parity
-      // with the join form: an order's pairs landed on one partition
-      // there too (same key), and TPC-H-shaped orders are ≤7 items.
-      // Contrast with the dedup-candidates NO-GO (SCALE.md): there
-      // the buckets were singletons and no exchange was deleted.
+      // JOIN form, kept after a measured bucket-collect NO-GO (r15,
+      // SCALE.md): a per-order collect_set + kernel pair enumeration
+      // cut the build (one lineitem exchange instead of two + SMJ,
+      // byte-equivalent output) — but every JOIN-shaped consumer of
+      // the resulting checkpoint ran 3-6× slower at ×10 (gr4
+      // 0.94→5.9 s, gr3 2.2→9.1 s; bisected by swapping only this
+      // step). A checkpoint's cost to consumers depends on the
+      // physical provenance of its blocks, not just their logical
+      // content — so the (o,p) distinct + self-join + cross-order
+      // distinct stays. Skew is bounded by lines-per-order (≤7 in
+      // TPC-H shape); the self-join reuses the distinct's exchange.
       val e = step("edges") {
         val ip = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -197,7 +224,7 @@ object GraphOps {
     * built once per query, reused by every push round. */
   private def edges(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Tables.orders(s, d)
+    registerScratch(Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey").as("c"))
       .join(Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey").as("sup")),
@@ -206,7 +233,7 @@ object GraphOps {
       .distinct()
       .withColumn("dc", count(lit(1)).over(Window.partitionBy(col("c"))))
       .withColumn("ds", count(lit(1)).over(Window.partitionBy(col("sup"))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
   }
 
   /** gr1 — two integer-PageRank push rounds (cust→supp→cust), final
@@ -259,11 +286,11 @@ object GraphOps {
       .join(deg.select(col("p").as("pb"), col("deg").as("db")), Seq("pb"))
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("pa") < col("pb"))
-    val dir = withDeg.select(
+    val dir = registerScratch(withDeg.select(
         when(aFirst, col("pa")).otherwise(col("pb")).as("u"),
         when(aFirst, col("pb")).otherwise(col("pa")).as("v"),
         when(aFirst, col("db")).otherwise(col("da")).as("dv"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // wedge kernel + closing join
+      .persist(StorageLevel.MEMORY_AND_DISK)) // wedge kernel + closing join
     // The wedge stream dwarfs the edge list (sf0.1: 41M oriented
     // wedges vs 1.2M edges, ~4.6% closing into triangles), so
     // shuffling every wedge to the exact closing join is the
@@ -416,10 +443,10 @@ object GraphOps {
           max(when(col("wcum") <= lit(GR3_WEDGE_BUDGET * nEdges), col("deg"))),
           lit(0L)),
         min(col("deg"))).as("cap"))
-    val wit = sym.join(
+    val wit = registerScratch(sym.join(
         deg.crossJoin(broadcast(cap)).filter(col("deg") <= col("cap"))
           .select(col("w")), Seq("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the wedge join
+      .persist(StorageLevel.MEMORY_AND_DISK)) // both sides of the wedge join
     // persist the counted candidates BEFORE the bloom split (r15, the
     // gr3 regression bisect): the definite and settled branches are
     // both downstream of this aggregate, and nothing guaranteed the
@@ -428,11 +455,11 @@ object GraphOps {
     // separate SortMergeJoin subtrees), i.e. the budgeted wedge
     // stream enumerated once per branch. One materialization, both
     // filters read it memory-locally.
-    val cn = wit.as("x")
+    val cn = registerScratch(wit.as("x")
       .join(wit.as("y"), col("x.w") === col("y.w") && col("x.n") < col("y.n"))
       .select(col("x.n").as("a"), col("y.n").as("c"))
       .groupBy(col("a"), col("c")).agg(count(lit(1)).as("cn"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val isMaybeEdge = call_function("might_contain", lit(art.bloom),
       xxhash64(col("a"), col("c")))
     val definite = cn.filter(!isMaybeEdge)
@@ -514,40 +541,60 @@ object GraphOps {
     *
     * Plan at 100 TB: each round is one equi-join of the symmetric
     * edge list with the (node, label) table, a (node, label) count
-    * agg, and a per-node argmax window over ≤degree rows — the gr1
-    * sparse-mat-vec shape with an argmax instead of a sum. Edges
-    * persist once and every round rescans memory; labels shuffle as
-    * (id, id) pairs. Output is the community-size histogram —
-    * |labels|-sized, not corpus-sized. */
+    * agg, and a per-node argmax — the gr1 sparse-mat-vec shape with
+    * an argmax instead of a sum. The argmax is `max(struct(c, −l))`
+    * over two colocated aggregations, NOT a row_number window (r16:
+    * the window form paid an exchange on (v,l) for the count agg
+    * plus an exchange AND a full sort on v for the window; one
+    * explicit repartition on v feeds both aggs shuffle-free and
+    * nothing ever sorts). The persisted symmetric list is
+    * pre-partitioned and pre-sorted on the join key, so every round
+    * reuses its layout from cache and only the (node, label) side
+    * moves. Output is the community-size histogram — |labels|-sized,
+    * not corpus-sized. */
   private def gr5(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val art = artifacts(s, d)
     // the shared symmetric view, persisted for THIS query's rounds
     // (r15: every LPA round scans it — a transient materialization
     // amortizes over rounds, where re-deriving the union per scan
     // measured +3 s at ×10; it must NOT be permanent memo state,
-    // which pushed the ×10 suite into broadcast-build OOM). The
-    // persist leaks past this query by design: the returned plan is
-    // lazy, so the rounds run at the CALLER's materialization —
-    // Bench clears the cache per query, long-lived drivers clear via
-    // catalog; the block is edge-sized, never corpus-sized.
+    // which pushed the ×10 suite into broadcast-build OOM). Laid out
+    // on the per-round join key at persist time: the cached relation
+    // carries hash(n) partitioning AND within-partition order, so
+    // each round's SMJ neither exchanges nor re-sorts the 2·|E| side.
     val sym = art.symEdges
       .select(col("u").as("v"), col("v").as("n"))
+      .repartition(col("n"))
+      .sortWithinPartitions(col("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // node ids come from the memoized degree table (already distinct)
     var labels = art.degrees.select(col("p").as("v"), col("p").as("l"))
     for (_ <- 1 to GR5_ROUNDS) {
       labels = sym
         .join(labels.select(col("v").as("n"), col("l")), Seq("n"))
+        // one exchange on v; hash(v) satisfies BOTH downstream aggs
+        // (clustering subsets), so the label count and the per-node
+        // argmax run shuffle-free on top of it
+        .repartition(col("v"))
         .groupBy(col("v"), col("l")).agg(count(lit(1)).as("c"))
-        .withColumn("r", row_number().over(
-          Window.partitionBy(col("v"))
-            .orderBy(col("c").desc, col("l").asc)))
-        .filter(col("r") === 1)
-        .select(col("v"), col("l"))
+        .groupBy(col("v"))
+        // lexicographic struct max = (count desc, label asc) argmax:
+        // ids are positive longs, so −l orders ties to the SMALLEST
+        // label — the deterministic-LPA tiebreak the oracle replays
+        .agg(max(struct(col("c"), (lit(0L) - col("l")).as("nl"))).as("m"))
+        .select(col("v"), (lit(0L) - col("m.nl")).as("l"))
     }
-    labels.groupBy(col("l")).agg(count(lit(1)).as("n_members"))
+    // materialize the rounds HERE (the gr7/gr8 posture): the output
+    // is the community histogram — |labels|-sized, bounded by nodes —
+    // so the scratch persist releases inside the query instead of
+    // leaking to the caller (VERDICT r15 #3's documented leak, now
+    // closed; no registry entry needed)
+    val out = labels
+      .groupBy(col("l")).agg(count(lit(1)).as("n_members"))
       .select(col("l").as("community"), col("n_members"))
+      .localCheckpoint(true)
+    sym.unpersist(false)
+    out
   }
 
   /** gr6 — log2-bucketed degree distribution of the co-purchase
@@ -564,12 +611,12 @@ object GraphOps {
     * collapses to ≤64 rows which persist for the share attachment —
     * nothing downstream of the degree agg depends on graph size. */
   private def gr6(s: SparkSession, d: String): DataFrame = {
-    val b = artifacts(s, d).degrees // memoized node-degree table
+    val b = registerScratch(artifacts(s, d).degrees // memoized degrees
       .select(expr("CAST(length(bin(deg)) - 1 AS BIGINT)").as("bucket"),
         col("deg"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_mass"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // ≤64 rows: total + share
+      .persist(StorageLevel.MEMORY_AND_DISK)) // ≤64 rows: total + share
     val tot = b.agg(sum(col("n_nodes")).as("tot"))
     b.crossJoin(broadcast(tot))
       .select(col("bucket"), col("n_nodes"), col("deg_mass"),
@@ -701,9 +748,16 @@ object GraphOps {
     // same job, and the UNIONED visited set stays lazy — the next
     // hop's anti-join materializes it as a side effect — so a hop
     // costs one job instead of three. Sets are node-sized; lineage
-    // is bounded by GR8_HOPS over the edge checkpoint.
+    // is bounded by GR8_HOPS over the edge checkpoint. Every per-hop
+    // persist is collected and released once the census is complete
+    // (ADVICE r15: the loop used to leak ~2·GR8_HOPS+1 node-sized
+    // blocks to the caller's clearCache while only sym released) —
+    // the census is driver-side state, so nothing downstream of the
+    // return reads these blocks.
+    val hopScratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var visited = s.createDataset(Seq(lm)).toDF("p")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    hopScratch += visited
     var frontier = visited
     var reached = 1L
     val census = Seq.newBuilder[(Long, Long)]
@@ -713,14 +767,17 @@ object GraphOps {
         .select(col("n").as("p")).distinct()
         .join(visited, Seq("p"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
+      hopScratch += nxt
       val cnt = nxt.count()
       census += ((h.toLong, cnt))
       visited = visited.union(nxt)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      hopScratch += visited
       frontier = nxt
       reached += cnt
     }
     sym.unpersist(false)
+    hopScratch.foreach(_.unpersist(false))
     (census.result() :+ ((-1L, tot - reached)))
       .toDF("hop", "n_nodes")
       .select(col("hop"), col("n_nodes"),
@@ -728,14 +785,14 @@ object GraphOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "gr8_hop_histogram" -> (gr8 _),
-    "gr7_kcore" -> (gr7 _),
-    "gr6_degree_hist" -> (gr6 _),
-    "gr3_link_predict" -> (gr3 _),
-    "gr1_pagerank" -> (gr1 _),
-    "gr2_triangles" -> (gr2 _),
-    "gr4_assortativity" -> (gr4 _),
-    "gr5_communities" -> (gr5 _)
+    "gr8_hop_histogram" -> owned(gr8 _),
+    "gr7_kcore" -> owned(gr7 _),
+    "gr6_degree_hist" -> owned(gr6 _),
+    "gr3_link_predict" -> owned(gr3 _),
+    "gr1_pagerank" -> owned(gr1 _),
+    "gr2_triangles" -> owned(gr2 _),
+    "gr4_assortativity" -> owned(gr4 _),
+    "gr5_communities" -> owned(gr5 _)
   )
 
   /** gr7's oracle: the same peel unrolled as [[GR7_ROUNDS]] generated
