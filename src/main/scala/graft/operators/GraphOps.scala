@@ -143,10 +143,20 @@ object GraphOps {
       // content — so the (o,p) distinct + self-join + cross-order
       // distinct stays. Skew is bounded by lines-per-order (≤7 in
       // TPC-H shape); the self-join reuses the distinct's exchange.
+      // r16: the (o,p) pre-distinct is gone — it was redundant (the
+      // cross-order distinct below dedupes every duplicate pair the
+      // raw join can emit, and pa < pb already drops self-pairs from
+      // a twice-listed part), and it cost a full hash(o,p) exchange +
+      // aggregation of the lineitem projection BEFORE the join's own
+      // hash(o) exchange. Two exchanges remain: one on o (written
+      // once, read by both self-join sides via exchange reuse) and
+      // the final pair distinct — at ×100 this deletes a 60M-row
+      // exchange + agg. Pair volume is unchanged in practice:
+      // per-order duplicate parts are rare in TPC-H shape, and the
+      // cross-order duplicates the final distinct removes dominate.
       val e = step("edges") {
         val ip = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
         ip.select(col("o"), col("p").as("pa"))
           .join(ip.select(col("o"), col("p").as("pb")), Seq("o"))
           .filter(col("pa") < col("pb"))
@@ -443,21 +453,63 @@ object GraphOps {
           max(when(col("wcum") <= lit(GR3_WEDGE_BUDGET * nEdges), col("deg"))),
           lit(0L)),
         min(col("deg"))).as("cap"))
-    val wit = registerScratch(sym.join(
+    val wit = sym.join(
         deg.crossJoin(broadcast(cap)).filter(col("deg") <= col("cap"))
           .select(col("w")), Seq("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)) // both sides of the wedge join
+    // wedge enumeration IN a typed kernel (r16 — gr2's r14 pattern
+    // applied to the center-anchored stream): one exchange of the
+    // admitted (w, n) rows on w, per-witness neighbor arrays built
+    // from the in-partition sort, i<j pairs emitted through a LAZY
+    // iterator (a witness's pair fan-out is capped by the budget but
+    // never buffered). The r15 SMJ self-join paid the same exchange
+    // plus two sorted probe sides and interpreted join rows — the
+    // d2/mmr1 kernel boundary again. Rows arrive (w, n) ascending, so
+    // pairs are born a < c and each (a, c) counts once per witness —
+    // exactly the join form's x.n < y.n semantics. wit itself is
+    // consumed ONCE (both pair sides come from the same neighbor
+    // array), so its r15 persist is gone with the second consumer.
+    import s.implicits._
+    val wedges = wit
+      .repartition(col("w"))
+      .sortWithinPartitions(col("w"), col("n"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[Iterator[(Long, Long)]] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): Iterator[(Long, Long)] = {
+            var n = 0
+            var vs = new Array[Long](8)
+            val w = rows.head._1
+            while (rows.hasNext && rows.head._1 == w) {
+              if (n == vs.length) vs = java.util.Arrays.copyOf(vs, n * 2)
+              vs(n) = rows.next()._2; n += 1
+            }
+            if (n < 2) Iterator.empty
+            else new Iterator[(Long, Long)] {
+              private var i = 0
+              private var j = 1
+              private val m = n
+              private val a = vs
+              def hasNext: Boolean = i < m - 1
+              def next(): (Long, Long) = {
+                val p = (a(i), a(j))
+                j += 1
+                if (j == m) { i += 1; j = i + 1 }
+                p
+              }
+            }
+          }
+        }.flatten
+      }
+      .toDF("a", "c")
     // persist the counted candidates BEFORE the bloom split (r15, the
     // gr3 regression bisect): the definite and settled branches are
     // both downstream of this aggregate, and nothing guaranteed the
     // two branches shared its exchange — the formatted plan showed
-    // the ENTIRE wedge self-join + groupBy running twice (two
-    // separate SortMergeJoin subtrees), i.e. the budgeted wedge
-    // stream enumerated once per branch. One materialization, both
-    // filters read it memory-locally.
-    val cn = registerScratch(wit.as("x")
-      .join(wit.as("y"), col("x.w") === col("y.w") && col("x.n") < col("y.n"))
-      .select(col("x.n").as("a"), col("y.n").as("c"))
+    // the entire wedge stream enumerated once per branch. One
+    // materialization, both filters read it memory-locally.
+    val cn = registerScratch(wedges
       .groupBy(col("a"), col("c")).agg(count(lit(1)).as("cn"))
       .persist(StorageLevel.MEMORY_AND_DISK))
     val isMaybeEdge = call_function("might_contain", lit(art.bloom),

@@ -426,8 +426,15 @@ object PipelineOps {
     * in-row HOF form before it, the exploded (doc_id, tok) exchange
     * before that): every statistic the rules read (words, max tf,
     * type count, stopword count) is a function of ONE document's
-    * token list, so it computes inside the scan task — ZERO
-    * exchanges, no join (n_chars rides the same row). The r12 form
+    * token list, so it computes inside the scan task — no join
+    * (n_chars rides the same row) and no exchange EXCEPT one
+    * conditional round-robin spread when the parquet scan itself
+    * carries fewer splits than the executor count (the sf-ladder
+    * files are a single split; hashing would serialize on one task).
+    * At corpus scale the scan has thousands of splits, the condition
+    * never fires, and the kernel tokenizes shuffle-free — the
+    * d11/tok1 "never shuffle to tokenize" discipline (ADVICE r15:
+    * the unconditional repartition contradicted it). The r12 form
     * already had that plan shape but spelled the token-run census in
     * higher-order expressions (array_sort + filter + zip_with), and
     * HOFs are CodegenFallback — interpreted per row, measured 1.9 s
@@ -441,11 +448,17 @@ object PipelineOps {
   private[graft] def computePipe5PerDoc(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val stops = PIPE5_STOPS.toArray
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"), col("text"))
-      // kernel stages declare their parallelism (the buildSignatures
-      // rule: a narrow parquet scan would serialize the hashing)
-      .repartition(s.sparkContext.defaultParallelism)
+    // kernel stages declare their parallelism (the buildSignatures
+    // rule: a narrow parquet scan would serialize the hashing) — but
+    // ONLY when the scan can't already feed it: a corpus-scale scan
+    // carries ≥ defaultParallelism splits and must not pay a
+    // corpus-sized round-robin exchange of full document text
+    val par = s.sparkContext.defaultParallelism
+    val spreadOut =
+      if (base.rdd.getNumPartitions >= par) base else base.repartition(par)
+    spreadOut
       .as[(Long, Long, String)]
       .mapPartitions(_.map { case (id, nChars, text) =>
         val t = text.split(" ", -1)
@@ -547,9 +560,17 @@ object PipelineOps {
   private def pipe6Hits(s: SparkSession, d: String): DataFrame =
     Tables.memoGetOrBuild(hitsMemo, s, d,
       Tables.versionStamp(d, "documents"))(
-      computePipe6Hits(s, d).localCheckpoint(true))
+      computePipe6Hits(s, d))
 
+  /** Returns the per-doc hit relation ALREADY eagerly checkpointed:
+    * the gate scratch (the persisted test-shingle set, the broadcast
+    * key array) releases in here, right after the checkpoint
+    * materializes — releasing in the memo wrapper would leak it when
+    * a caller reaches this directly (ADVICE r15: the broadcast was
+    * never destroyed — up to 64 MB per executor for the session —
+    * and the fallback path recomputed the test distinct twice). */
   private def computePipe6Hits(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     import s.implicits._
     import graft.functions.Fns.{md5LongLocal, wordShinglesLocal}
     // shingle + hash in a TYPED KERNEL, not the declarative
@@ -559,21 +580,35 @@ object PipelineOps {
     // buildSignatures boundary, measured again here r13: the HOF form
     // was 5.2 s of the 6.7 s memo line at sf0.1). Local mirrors keep
     // byte-lockstep with the oracle SQL's string md5.
-    def side(lo: Int, hi: Int) = Tables.documents(s, d)
-      .filter(md5Long(col("doc_id")) % 100 >= lo &&
-        md5Long(col("doc_id")) % 100 < hi)
-      .select(col("doc_id"), col("source"), col("text"))
+    def side(lo: Int, hi: Int) = {
+      val base = Tables.documents(s, d)
+        .filter(md5Long(col("doc_id")) % 100 >= lo &&
+          md5Long(col("doc_id")) % 100 < hi)
+        .select(col("doc_id"), col("source"), col("text"))
       // kernel stages declare their parallelism (the buildSignatures
-      // rule: a narrow parquet scan would serialize the hashing)
-      .repartition(s.sparkContext.defaultParallelism)
-      .as[(Long, String, String)]
-      .mapPartitions(_.map { case (id, src, text) =>
-        (id, src,
-          wordShinglesLocal(text, PIPE6_NGRAM).map(md5LongLocal).toArray)
-      })
-      .toDF("doc_id", "source", "shk")
+      // rule: a narrow parquet scan would serialize the hashing) —
+      // but only when the scan can't already feed it (the pipe5
+      // conditional-spread rule: a corpus-scale scan carries enough
+      // splits and must not round-robin full document text)
+      val par = s.sparkContext.defaultParallelism
+      val spread =
+        if (base.rdd.getNumPartitions >= par) base
+        else base.repartition(par)
+      spread
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, src, text) =>
+          (id, src,
+            wordShinglesLocal(text, PIPE6_NGRAM).map(md5LongLocal).toArray)
+        })
+        .toDF("doc_id", "source", "shk")
+    }
+    // the test split's distinct shingle keys, persisted across gate
+    // probe + whichever branch runs (ADVICE r15: the limit-probe
+    // path materialized this distinct once for the collect and the
+    // past-the-gate path recomputed it for the join)
     val testSh = side(90, 100)
       .select(explode(col("shk")).as("shk")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Two physical shapes of one algorithm, size-gated (the d2/d5
     // enforced-gate discipline). The per-doc contamination count is a
     // function of ONE doc's (distinct — wordShinglesLocal dedups,
@@ -582,36 +617,45 @@ object PipelineOps {
     // broadcasts as a sorted long array and every train doc scores
     // IN the scan kernel — zero exchanges, no explode, no re-group
     // (r15: the explode/join/groupBy form shuffled ~|train shingles|
-    // rows to recompute a per-doc scalar). The limit(max+1) probe
-    // bounds driver memory BEFORE the collect: past the gate — a
-    // 100 TB corpus's test split — the explode/join/groupBy form
-    // runs unchanged.
-    val probe = testSh.as[(Long)]
-      .limit(PIPE6_BROADCAST_MAX_KEYS + 1).collect()
-    if (probe.length <= PIPE6_BROADCAST_MAX_KEYS) {
-      java.util.Arrays.sort(probe)
-      val bc = s.sparkContext.broadcast(probe)
-      side(0, 80).as[(Long, String, Seq[Long])]
-        .mapPartitions { it =>
-          val ks = bc.value
-          it.map { case (id, src, shk) =>
-            var n = 0L
-            shk.foreach { k =>
-              if (java.util.Arrays.binarySearch(ks, k) >= 0) n += 1
+    // rows to recompute a per-doc scalar). The count gate bounds
+    // driver memory BEFORE any collect: past the gate — a 100 TB
+    // corpus's test split — the explode/join/groupBy form runs
+    // unchanged and nothing key-sized ever reaches the driver.
+    val nKeys = testSh.count() // also materializes the persist
+    val hits =
+      if (nKeys <= PIPE6_BROADCAST_MAX_KEYS) {
+        val probe = testSh.as[Long].collect() // cache read, gated size
+        java.util.Arrays.sort(probe)
+        val bc = s.sparkContext.broadcast(probe)
+        val out = side(0, 80).as[(Long, String, Seq[Long])]
+          .mapPartitions { it =>
+            val ks = bc.value
+            it.map { case (id, src, shk) =>
+              var n = 0L
+              shk.foreach { k =>
+                if (java.util.Arrays.binarySearch(ks, k) >= 0) n += 1
+              }
+              (id, src, n)
             }
-            (id, src, n)
           }
-        }
-        .toDF("doc_id", "source", "n_shared")
-    } else {
-      side(0, 80)
-        .select(col("doc_id"), col("source"),
-          explode_outer(col("shk")).as("shk"))
-        .join(testSh.withColumn("hit", lit(1L)), Seq("shk"), "left")
-        .groupBy(col("doc_id"), col("source"))
-        .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L))
-          .as("n_shared"))
-    }
+          .toDF("doc_id", "source", "n_shared")
+          .localCheckpoint(true)
+        // the checkpoint owns the blocks now; the 64 MB key array
+        // must not outlive the build on every executor
+        bc.destroy()
+        out
+      } else {
+        side(0, 80)
+          .select(col("doc_id"), col("source"),
+            explode_outer(col("shk")).as("shk"))
+          .join(testSh.withColumn("hit", lit(1L)), Seq("shk"), "left")
+          .groupBy(col("doc_id"), col("source"))
+          .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L))
+            .as("n_shared"))
+          .localCheckpoint(true)
+      }
+    testSh.unpersist(false)
+    hits
   }
 
   private def pipe6(s: SparkSession, d: String): DataFrame =

@@ -34,6 +34,29 @@ object JsonLinesSink extends DocumentSink {
     df.write.mode(mode(overwrite)).json(path)
 }
 
+/** The reference's `pretty=True` branch (clean_and_write.py:413-417):
+  * each document rendered as INDENTED multi-line JSON, records
+  * separated by a newline — the human-inspection output. The
+  * reference's own load path runs `pretty=False` (main.ipynb cell
+  * 29), which is [[JsonLinesSink]]; this sink closes the last
+  * unported §2 cell. Spark's json writer is strictly
+  * one-line-per-record, so the pretty form renders per row through
+  * `to_json(..., pretty)` (codegen'd Jackson, no UDF) and writes as
+  * text — partition-parallel like every other sink, one concatenated
+  * pretty stream per task file, byte-layout matching the reference's
+  * appended `json.dumps(el, indent=2) + "\n"` records. Documented
+  * deviation: Jackson's pretty printer separates keys with " : "
+  * where Python's json.dumps uses ": " — whitespace only, invisible
+  * to any JSON consumer (the round-trip spec parses both). */
+object PrettyJsonSink extends DocumentSink {
+  override def write(df: DataFrame, path: String, overwrite: Boolean): Unit = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    df.select(to_json(struct(df.columns.map(col): _*),
+        Map("pretty" -> "true")).as("value"))
+      .write.mode(mode(overwrite)).text(path)
+  }
+}
+
 object ParquetSink extends DocumentSink {
   override def write(df: DataFrame, path: String, overwrite: Boolean): Unit =
     df.write.mode(mode(overwrite)).parquet(path)

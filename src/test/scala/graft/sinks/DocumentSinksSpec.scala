@@ -27,6 +27,45 @@ class DocumentSinksSpec extends SparkSpec {
     assert(lanes == 2L)
   }
 
+  test("pretty JSON sink (write_el pretty=True): records are indented " +
+    "multi-line JSON and parse back identical to the JSONL output") {
+    val docs = OsmXmlSource.collection(spark,
+      getClass.getResource("/mini.osm").getPath)
+    val pretty = Files.createTempDirectory("graft-pretty").toString
+    val plain = Files.createTempDirectory("graft-plain").toString
+    PrettyJsonSink.write(docs, pretty)
+    JsonLinesSink.write(docs, plain)
+    def partFiles(dir: String) = new java.io.File(dir).listFiles
+      .filter(f => f.getName.startsWith("part-") &&
+        !f.getName.endsWith(".crc"))
+    // the pretty stream really is multi-line per record: more text
+    // lines than documents, and indented continuation lines
+    val prettyText = partFiles(pretty)
+      .map(f => new String(Files.readAllBytes(f.toPath), "UTF-8"))
+      .mkString
+    assert(prettyText.linesIterator.size > docs.count(),
+      "pretty records should span multiple lines")
+    assert(prettyText.linesIterator.exists(_.startsWith("  \"")),
+      "pretty records should carry 2-space indentation")
+    // concatenated-object streams parse with Jackson's readValues —
+    // the same tolerance any JSON consumer of the reference's
+    // pretty=True files needs; both sinks must yield the SAME set of
+    // canonical documents
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val om = new ObjectMapper()
+    def parseAll(dir: String): Set[String] = partFiles(dir).flatMap { f =>
+      val it = om.readerFor(classOf[JsonNode])
+        .readValues[JsonNode](f)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) buf += it.next().toString // canonical one-line
+      buf
+    }.toSet
+    val p = parseAll(pretty)
+    assert(p.size == docs.count())
+    assert(p == parseAll(plain),
+      "pretty and JSONL sinks must carry identical documents")
+  }
+
   test("parquet sink preserves the exact schema") {
     val docs = OsmXmlSource.collection(spark,
       getClass.getResource("/mini.osm").getPath)
