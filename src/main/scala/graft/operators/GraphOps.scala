@@ -234,6 +234,13 @@ object GraphOps {
     * built once per query, reused by every push round. */
   private def edges(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NO-GO (r16, measured): attaching degrees via partial-agged
+    // count + join instead of the two windows reads better on paper
+    // (no full-relation sorts) but needs the base relation persisted
+    // for its three consumers, and that extra materialization pass
+    // cost more than both window sorts at every tested shape
+    // (standalone honest-cold 2.90 → 4.47 s at sf0.1). The window
+    // form streams one materialization through two exchanges.
     registerScratch(Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey").as("c"))
       .join(Tables.lineitem(s, d)

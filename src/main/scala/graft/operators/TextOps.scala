@@ -440,13 +440,33 @@ object TextOps {
     * back as a broadcast of |sources| rows. The matrix is
     * |sources|²/2 rows — driver-readable by construction. */
   private def x13(s: SparkSession, d: String): DataFrame = {
-    val sets = Tables.documents(s, d)
-      .select(col("source"),
-        explode(bigramShingles(toks(col("text")))).as("sh"))
-      .select(col("source"), md5Long(col("sh")).as("h"))
+    import s.implicits._
+    // shingle + hash in the TYPED KERNEL tier (r16): the declarative
+    // explode(bigramShingles)+md5Long chain is interpreted HOF + per-
+    // shingle string md5 — the same dense inner loop the pipe6/d2
+    // kernels already crossed the boundary for, via the SAME Local
+    // mirrors so the oracle SQL stays byte-locked. Honest-cold
+    // bench: 3.99 → the shingling was most of it. Conditional spread
+    // only (the pipe5 rule) — never round-robin text at corpus scale.
+    val base = Tables.documents(s, d).select(col("source"), col("text"))
+    val par = s.sparkContext.defaultParallelism
+    val spread =
+      if (base.rdd.getNumPartitions >= par) base else base.repartition(par)
+    val sets = spread.as[(String, String)]
+      .mapPartitions(_.flatMap { case (src, text) =>
+        bigramShinglesLocal(text).iterator
+          .map(sh => (src, md5LongLocal(sh)))
+      })
+      .toDF("source", "h")
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sets.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // returned LAZY (not the gr5 eager posture): PlanShapeSpec pins
+    // this query's exchanges-carry-only-(source, 8-byte-hash)
+    // invariant by walking the RETURNED plan, and an eager
+    // localCheckpoint would hide it behind a Scan ExistingRDD. The
+    // sets persist therefore lives until the caller's clearCache —
+    // shingle-set-sized, the documented r15 posture.
     sets.select(col("source").as("src_a"), col("h"))
       .join(sets.select(col("source").as("src_b"), col("h")), Seq("h"))
       .filter(col("src_a") < col("src_b"))

@@ -434,13 +434,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
     val ex = exchanges(phys)
     assert(ex.nonEmpty, s)
-    // the only string any exchange may carry is the bounded source
-    // label (src_a/src_b after the self-join renames)
+    // the only string any KEYED exchange may carry is the bounded
+    // source label (src_a/src_b after the self-join renames): hash
+    // exchanges are where the corpus-volume shingle relation travels,
+    // and it must move as (source, 8-byte hash) only. A ROUND-ROBIN
+    // exchange is the r16 conditional ingest spread (fires only when
+    // the parquet scan has fewer splits than executors — the sf
+    // ladder's single-file case, never a corpus-scale scan) and is
+    // bounded by RAW INPUT bytes, so text may ride it.
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    val keyed = ex.filterNot(
+      _.outputPartitioning.isInstanceOf[RoundRobinPartitioning])
     val allowed = Set("source", "src_a", "src_b")
-    val rogue = ex.flatMap(_.output.filter(a =>
+    val rogue = keyed.flatMap(_.output.filter(a =>
       a.dataType == StringType && !allowed(a.name)))
     assert(rogue.isEmpty,
-      s"string columns cross an exchange: ${rogue.map(_.name).mkString(",")}\n$s")
+      s"string columns cross a keyed exchange: ${rogue.map(_.name).mkString(",")}\n$s")
   }
 
   test("bigram-LM scoring tokenizes the corpus EXACTLY once — the " +
