@@ -208,6 +208,61 @@ object Fns {
             (0 until n).map(k => element_at(tokens, i + k)): _*))))
       .otherwise(array().cast("array<string>"))
 
+  /** Fused kernel form of `wordShinglesLocal(text, n).map(md5LongLocal)`
+    * as a SET (r16): the md5 digests the shingle's exact UTF-8 bytes
+    * (token bytes + single 0x20 separators — byte-identical to
+    * digesting the concatenated string, since UTF-8 concatenation is
+    * byte concatenation), token bytes are computed ONCE per token
+    * instead of once per covering window, no intermediate String is
+    * ever built, and the per-doc dedup runs on the 8-byte hash
+    * instead of the string. The returned set equals
+    * {md5LongLocal(s) | s ∈ wordShinglesLocal(text, n)} exactly —
+    * hashing a deduped set and deduping the hashed multiset give the
+    * same image — so every oracle written against the string form
+    * stays byte-locked. Emission order is first occurrence BY HASH,
+    * which only differs from the string form's order when a
+    * within-doc collision occurs (2⁻⁶¹); no consumer is
+    * order-sensitive. */
+  def wordShingleHashesLocal(text: String, n: Int): Array[Long] = {
+    val t = text.split(" ", -1)
+    if (t.length < n) return Array.emptyLongArray
+    val tb = new Array[Array[Byte]](t.length)
+    var j = 0
+    while (j < t.length) { tb(j) = t(j).getBytes("UTF-8"); j += 1 }
+    val md = mdLocal.get()
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    // one reusable buffer + ONE update call per shingle: per-byte /
+    // per-fragment MessageDigest.update calls measurably lose to a
+    // single contiguous update (each call pays the engine's internal
+    // buffer bookkeeping)
+    var buf = new Array[Byte](64)
+    var i = 0
+    while (i <= t.length - n) {
+      var len = 0
+      var k = 0
+      while (k < n) {
+        val b = tb(i + k)
+        if (len + b.length + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf,
+            math.max(buf.length * 2, len + b.length + 1))
+        System.arraycopy(b, 0, buf, len, b.length)
+        len += b.length
+        if (k < n - 1) { buf(len) = ' '.toByte; len += 1 }
+        k += 1
+      }
+      md.update(buf, 0, len)
+      val d = md.digest() // resets the thread-local instance
+      val h = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    out.toArray
+  }
+
   /** Local mirror of [[wordShingles]] for spec replays. */
   def wordShinglesLocal(text: String, n: Int): Seq[String] = {
     val t = text.split(" ", -1)

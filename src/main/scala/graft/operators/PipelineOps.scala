@@ -572,7 +572,7 @@ object PipelineOps {
   private def computePipe6Hits(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     import s.implicits._
-    import graft.functions.Fns.{md5LongLocal, wordShinglesLocal}
+    import graft.functions.Fns.wordShingleHashesLocal
     // shingle + hash in a TYPED KERNEL, not the declarative
     // wordShingles HOF: n-gram construction and md5 over every train
     // token window is pure dense hashing, which interpreted
@@ -597,8 +597,10 @@ object PipelineOps {
       spread
         .as[(Long, String, String)]
         .mapPartitions(_.map { case (id, src, text) =>
-          (id, src,
-            wordShinglesLocal(text, PIPE6_NGRAM).map(md5LongLocal).toArray)
+          // fused shingle+hash (r16): digests token bytes directly —
+          // no intermediate shingle String; set-identical to
+          // wordShinglesLocal(text, n).map(md5LongLocal) (FnsSpec)
+          (id, src, wordShingleHashesLocal(text, PIPE6_NGRAM))
         })
         .toDF("doc_id", "source", "shk")
     }

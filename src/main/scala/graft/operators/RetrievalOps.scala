@@ -57,18 +57,41 @@ object RetrievalOps {
     * b=0.75) down to the literal parse. */
   private def qr1(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .select(col("doc_id"), col("t"), size(col("t")).as("dl"))
-    val hits = docs
-      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
-      .filter(col("term").isin(TERMSET: _*))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // ONE kernel pass over the corpus (r16): the declarative form
+    // tokenized TWICE — the hits subtree (explode+isin+agg) and the
+    // corpus-stats agg each re-derived the token relation from the
+    // scan — and pushed every token through an exploded filter. The
+    // kernel probes the |union-of-terms| set per token in-task and
+    // emits only (doc, dl, hit-term, tf) rows plus ONE dl sentinel
+    // row per doc (term = null), so the persisted relation feeds
+    // BOTH consumers: hits = the non-null slice, corpus stats = a
+    // 2-agg over the sentinels. Rows ≈ docs + hits, never tokens.
+    val qset = TERMSET.toSet
+    val pass = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val probe = qset
+        it.flatMap { case (id, text) =>
+          val t = text.split(" ", -1)
+          val dl = t.length.toLong
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          var i = 0
+          while (i < t.length) {
+            if (probe(t(i))) m.update(t(i), m.getOrElse(t(i), 0L) + 1L)
+            i += 1
+          }
+          Iterator.single((id, dl, null: String, 0L)) ++
+            m.iterator.map { case (w, n) => (id, dl, w, n) }
+        }
+      }
+      .toDF("doc_id", "dl", "term", "tf")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val hits = pass.filter(col("term").isNotNull)
     val df = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n"),
-      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val stats = pass.filter(col("term").isNull)
+      .agg(count(lit(1)).as("n"),
+        (sum(col("dl")) / count(lit(1))).as("avgdl"))
     val q = QTERMS.toDF("query_id", "term")
     hits.join(broadcast(df), Seq("term"))
       .join(broadcast(q), Seq("term"))
@@ -1041,20 +1064,36 @@ object RetrievalOps {
     * LeftSemi probes; everything downstream is the qr1 shape. */
   private def idx5(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .select(col("doc_id"), col("t"), size(col("t")).as("dl"))
-    val hits = docs
-      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
-      .filter(col("term").isin(TERMSET: _*))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // ONE kernel pass + dl sentinels (the r16 qr1 shape): hits and
+    // corpus stats both read the persisted pass instead of each
+    // re-deriving a token relation from its own scan
+    val qset = TERMSET.toSet
+    val pass = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val probe = qset
+        it.flatMap { case (id, text) =>
+          val t = text.split(" ", -1)
+          val dl = t.length.toLong
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          var i = 0
+          while (i < t.length) {
+            if (probe(t(i))) m.update(t(i), m.getOrElse(t(i), 0L) + 1L)
+            i += 1
+          }
+          Iterator.single((id, dl, null: String, 0L)) ++
+            m.iterator.map { case (w, n) => (id, dl, w, n) }
+        }
+      }
+      .toDF("doc_id", "dl", "term", "tf")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // 1-row corpus stats, persisted because BOTH the champion cut and
-    // the final scorer consume it — without the persist each consumer
-    // re-plans its own docs scan (the ScanCountSpec budget class)
-    val stats = docs.agg(count(lit(1)).as("n"),
-      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val hits = pass.filter(col("term").isNotNull)
+    // 1-row corpus stats from the sentinel slice of the SAME persisted
+    // pass — BOTH the champion cut and the final scorer consume it
+    val stats = pass.filter(col("term").isNull)
+      .agg(count(lit(1)).as("n"),
+        (sum(col("dl")) / count(lit(1))).as("avgdl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val champs = hits
       .crossJoin(broadcast(stats.select(col("avgdl"))))

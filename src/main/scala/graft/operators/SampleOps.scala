@@ -246,25 +246,41 @@ object SampleOps {
     * Totals ride a 1-row broadcast cross join. */
   private def dsir1(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    import graft.functions.Fns.toks
+    import graft.functions.Fns.md5LongLocal
+    import s.implicits._
+    // per-doc tf in the scan kernel (r16, the pipe5/x12/ppl1 hashmap
+    // pattern): a doc is one row, so its counts complete in-task and
+    // occurrence rows never exist; term identity is the 60-bit md5
+    // (the x13 collision class — the oracle hashes the same prefix),
+    // so every exchange and join key below is an 8-byte long.
     val tf = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        explode(toks(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("source"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, src, text) =>
+        val t = text.split(" ", -1)
+        val m = scala.collection.mutable.HashMap.empty[Long, Long]
+        var i = 0
+        while (i < t.length) {
+          val h = md5LongLocal(t(i))
+          m.update(h, m.getOrElse(h, 0L) + 1L)
+          i += 1
+        }
+        m.iterator.map { case (h, n) => (id, src, h, n) }
+      })
+      .toDF("doc_id", "source", "hterm", "tf")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val lms = tf.groupBy(col("term"))
+    val lms = tf.groupBy(col("hterm"))
       .agg(sum(col("tf")).as("c_all"),
         sum(when(col("source") === "src0", col("tf")).otherwise(0L))
           .as("c_t"))
     val tot = lms.agg(sum(col("c_all")).as("tot_all"),
       sum(col("c_t")).as("tot_t"))
     val llr = lms.crossJoin(broadcast(tot))
-      .select(col("term"),
+      .select(col("hterm"),
         ((length(bin(expr("(1000000 * c_t) div tot_t") + 1)) - 1) -
           (length(bin(expr("(1000000 * c_all) div tot_all") + 1)) - 1))
           .as("llr"))
-    tf.join(llr, Seq("term"))
+    tf.join(llr, Seq("hterm"))
       .select(col("doc_id"), col("source"),
         (col("tf") * col("llr")).as("contrib"))
       .groupBy(col("doc_id"), col("source"))
@@ -380,23 +396,25 @@ object SampleOps {
     // all-integer DSIR: ppm rates via floor division, integer log2
     // via bin() length (both engines print minimal-width binary)
     "dsir1_importance" -> s"""
-      WITH tf AS (SELECT doc_id, source, term, count(*) AS tf FROM
-              (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+      WITH tf AS (SELECT doc_id, source, hterm, count(*) AS tf FROM
+              (SELECT doc_id, source,
+                 ('0x' || substr(md5(unnest(string_split(text, ' '))),
+                   1, 15))::BIGINT AS hterm
                FROM documents)
             GROUP BY 1, 2, 3),
       tt AS (SELECT CAST(sum(tf) AS BIGINT) AS tot FROM tf
              WHERE source = 'src0'),
-      tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf
+      tc AS (SELECT hterm, CAST(sum(tf) AS BIGINT) AS c FROM tf
              WHERE source = 'src0' GROUP BY 1),
-      tl AS (SELECT term, length(bin((1000000 * c) // tot + 1)) - 1 AS l2t
+      tl AS (SELECT hterm, length(bin((1000000 * c) // tot + 1)) - 1 AS l2t
              FROM tc, tt),
       at2 AS (SELECT CAST(sum(tf) AS BIGINT) AS tot FROM tf),
-      ac AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
-      al AS (SELECT term, length(bin((1000000 * c) // tot + 1)) - 1 AS l2c
+      ac AS (SELECT hterm, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+      al AS (SELECT hterm, length(bin((1000000 * c) // tot + 1)) - 1 AS l2c
              FROM ac, at2),
       sc AS (SELECT doc_id, source,
                tf * (coalesce(l2t, 0) - l2c) AS contrib
-             FROM tf LEFT JOIN tl USING (term) JOIN al USING (term))
+             FROM tf LEFT JOIN tl USING (hterm) JOIN al USING (hterm))
       SELECT doc_id, source, CAST(sum(contrib) AS BIGINT) AS score
       FROM sc GROUP BY 1, 2
       ORDER BY score DESC, doc_id LIMIT $DSIR_TOP""",

@@ -172,33 +172,46 @@ object TextOps {
     * the standard benchmark-leakage audit run before any evaluation.
     *
     * Plan shape at 100 TB: shingle both sides with the kernel
-    * tokenizer, distinct each side (shuffle on the shingle), one SEMI
-    * join shingle-to-shingle, plain count per test doc. The join key is
-    * the shingle string; at larger n-grams it would be the 60-bit hash,
-    * same plan.
+    * tokenizer (per-doc distinct completes in-task), distinct the
+    * train side (shuffle on the 8-byte shingle hash), one SEMI join
+    * hash-to-hash, plain count per test doc. The join key is the
+    * 60-bit md5 of the shingle (r16 — the string form paid a wider
+    * exchange AND a dropDuplicates shuffle the kernel set obsoletes).
     */
   private def x8(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    def shingleRows(lo: Int, hi: Int): DataFrame =
-      Tables.documents(s, d)
+    // r16: shingle identity is the 60-bit md5 (the x13/x12 collision
+    // class — the oracle hashes the same prefix INSIDE its per-doc
+    // list_distinct, so a within-doc collision merges identically in
+    // both engines), the per-doc distinct completes in the kernel
+    // (a doc is one row — the emitted HashSet makes (doc_id, h) rows
+    // distinct BY CONSTRUCTION, retiring the dropDuplicates exchange
+    // the string form paid), and the ingest spread is conditional
+    // (the pipe5 rule — never round-robin text at corpus scale).
+    def shingleRows(lo: Int, hi: Int): DataFrame = {
+      val base = Tables.documents(s, d)
         .filter(md5Long(col("doc_id")) % 100 >= lo &&
           md5Long(col("doc_id")) % 100 < hi)
         .select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism)
+      val par = s.sparkContext.defaultParallelism
+      val spread =
+        if (base.rdd.getNumPartitions >= par) base else base.repartition(par)
+      spread
         .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
-          bigramShinglesLocal(text).map(sh => (id, sh))
+          wordShingleHashesLocal(text, 2).iterator.map(h => (id, h))
         })
-        .toDF("doc_id", "sh")
-    val train = shingleRows(0, 80).select(col("sh")).distinct()
-    // distinct the test side FIRST, then LeftSemi against train: the
-    // semi join carries no payload and never multiplies rows, and the
-    // final count is a plain partial+final agg — vs the naive
-    // join + countDistinct, which multiplies duplicate test shingles
-    // through the join and then pays a two-phase distinct aggregation
-    // to collapse them again
-    val test = shingleRows(90, 100).dropDuplicates("doc_id", "sh")
-    test.join(train, Seq("sh"), "left_semi")
+        .toDF("doc_id", "h")
+    }
+    val train = shingleRows(0, 80).select(col("h")).distinct()
+    // LeftSemi against train: the semi join carries no payload and
+    // never multiplies rows (test rows are per-doc distinct from the
+    // kernel), and the final count is a plain partial+final agg — vs
+    // the naive join + countDistinct, which multiplies duplicate test
+    // shingles through the join and then pays a two-phase distinct
+    // aggregation to collapse them again
+    val test = shingleRows(90, 100)
+    test.join(train, Seq("h"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated"))
   }
@@ -266,10 +279,27 @@ object TextOps {
     * join to degrade to a merge join (a forced hint would survive). */
   private def x10(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val docs = Tables.documents(s, d)
+    // per-doc tf in the scan kernel (r16, the pipe5/x12/ppl1 hashmap
+    // pattern): occurrence rows never exist. Term identity stays the
+    // STRING here — unlike x12/ppl1/dsir1 the term is in the OUTPUT
+    // (top-3 terms per doc, tie-broken BY term), so hashing it would
+    // change the result, not just the plan.
     val tf = docs
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        var i = 0
+        while (i < t.length) {
+          m.update(t(i), m.getOrElse(t(i), 0L) + 1L)
+          i += 1
+        }
+        m.iterator.map { case (w, n) => (id, w, n) }
+      })
+      .toDF("doc_id", "term", "tf")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
@@ -381,35 +411,58 @@ object TextOps {
     * cache spills to executor disk and keeps lineage, so a lost
     * executor recomputes its blocks instead of failing the job.
     * The conditioning prefix w1 is NOT carried through the
-    * corpus-scale exchange: bg = "w1 w2" determines it, so it is
-    * re-derived (`substring_index`) on the vocabulary-bounded model
-    * relation only — the big shuffle carries one short string, not
-    * two. Model counts B are one agg over the materialized tf
+    * corpus-scale exchange as TEXT (r16): bigram identity is the
+    * 60-bit md5 hash, the x13/d2/x21 discipline — the kernel emits
+    * (doc_id, h(bigram), h(w1)) and every exchange, group key, window
+    * partition and join key from there on is an 8-byte long, never a
+    * string (a string bigram key ~doubles exchange bytes and makes
+    * every hash-table probe and sort comparison a byte-wise string
+    * compare). The conditioning prefix CANNOT be re-derived from a
+    * hash the way substring_index re-derived it from the string, so
+    * h(w1) rides the exchange as a second long — 8 bytes against the
+    * string's variable width, still strictly narrower. Hash-identity
+    * semantics are the documented x13 class: a 2⁻⁶¹-probability
+    * collision merges two bigrams identically in BOTH engines (the
+    * oracle hashes the same md5 prefix), so the compare stays exact.
+    * Model counts B are one agg over the materialized tf
     * (vocabulary-bounded, not corpus-bounded); the prefix marginal U
-    * rides a window over B on w1 — no self-join of the model. The
+    * rides a window over B on h(w1) — no self-join of the model. The
     * tf⋈model scoring join carries NO broadcast hint — at web scale
     * the bigram vocabulary is billions of rows, far past any
     * broadcast ceiling, so AQE must be free to elect sort-merge (the
     * x10 lesson). Document text never shuffles: every exchanged row
-    * is (ids, one short bigram, a count). */
+    * is (ids, two 8-byte hashes, a count). */
   private def x12(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        bigramsLocal(text).map(b => (id, b))
+        // per-doc tf in the kernel (the pipe5 hashmap pattern): a doc
+        // is one input row, so its counts complete in-task and the
+        // occurrence-level rows never exist — what leaves the scan is
+        // the already-aggregated (doc, hbg, hw1, tf), exactly the
+        // groupBy(doc_id, hbg, hw1).count() relation. The map key is
+        // the (hbg, hw1) PAIR so an hbg collision across two prefixes
+        // keeps two rows, byte-matching the oracle's GROUP BY 1, 2.
+        val t = text.split(" ", -1)
+        val m = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        var i = 0
+        while (i < t.length - 1) {
+          val k = (md5LongLocal(t(i) + " " + t(i + 1)), md5LongLocal(t(i)))
+          m.update(k, m.getOrElse(k, 0L) + 1L)
+          i += 1
+        }
+        m.iterator.map { case ((hbg, hw1), n) => (id, hbg, hw1, n) }
       })
-      .toDF("doc_id", "bg")
-      .groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("tf"))
+      .toDF("doc_id", "hbg", "hw1", "tf")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val model = tf.groupBy(col("bg")).agg(sum(col("tf")).as("b"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val model = tf.groupBy(col("hbg"), col("hw1"))
+      .agg(sum(col("tf")).as("b"))
       .withColumn("u", sum(col("b")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
-      .select(col("bg"), (col("b") * RARE_K < col("u")).as("rare"))
-    tf.join(model, Seq("bg"))
+        org.apache.spark.sql.expressions.Window.partitionBy(col("hw1"))))
+      .select(col("hbg"), (col("b") * RARE_K < col("u")).as("rare"))
+    tf.join(model, Seq("hbg"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_bigrams"),
         sum(when(col("rare"), col("tf")).otherwise(0L)).as("n_rare"))
@@ -454,8 +507,9 @@ object TextOps {
       if (base.rdd.getNumPartitions >= par) base else base.repartition(par)
     val sets = spread.as[(String, String)]
       .mapPartitions(_.flatMap { case (src, text) =>
-        bigramShinglesLocal(text).iterator
-          .map(sh => (src, md5LongLocal(sh)))
+        // fused shingle+hash (r16): set-identical to
+        // bigramShinglesLocal(_).map(md5LongLocal) (FnsSpec)
+        wordShingleHashesLocal(text, 2).iterator.map(h => (src, h))
       })
       .toDF("source", "h")
       .distinct()
@@ -597,23 +651,40 @@ object TextOps {
     * sums and ONE final division. Buckets are exact fam-quartiles
     * (3 = most familiar head, 0 = least familiar tail).
     *
-    * Scale shape: per-doc tf (one shuffle on (doc_id, token)), vocab
-    * counts from tf (vocab-sized agg), tf⋈vocab equi-join (AQE
-    * degrades to shuffle when the vocab outgrows broadcast — the
-    * dsir1-pinned plan), per-doc long sums (partial agg). The
+    * Scale shape: per-doc tf completes IN the scan kernel (r16, the
+    * pipe5/x12 hashmap pattern — a doc is one row, so its counts
+    * finish in-task and occurrence rows never exist; token identity
+    * is the 60-bit md5, so every downstream exchange/join key is an
+    * 8-byte long and the oracle hashes the same prefix — the x13
+    * collision class), vocab counts from tf (vocab-sized agg on the
+    * hash key), tf⋈vocab equi-join (AQE degrades to shuffle when the
+    * vocab outgrows broadcast — the dsir1-pinned plan), per-doc long
+    * sums (partial agg). The
     * quartile cut never sorts the corpus: ONE percentile aggregation
     * produces 3 cut-points that join back as a broadcast band
     * dimension — w8's documented global-binning scale path. Long
     * bound: tf·c ≤ doc_len · max corpus count, summed per doc —
     * ~1e17 at a 10^12-token corpus, inside int64. */
   private def ppl1(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val tf = Tables.documents(s, d)
-      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
-      .groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        val m = scala.collection.mutable.HashMap.empty[Long, Long]
+        var i = 0
+        while (i < t.length) {
+          val h = md5LongLocal(t(i))
+          m.update(h, m.getOrElse(h, 0L) + 1L)
+          i += 1
+        }
+        m.iterator.map { case (h, n) => (id, h, n) }
+      })
+      .toDF("doc_id", "hw", "tf")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val vocab = tf.groupBy(col("w")).agg(sum(col("tf")).as("c"))
-    val fam = tf.join(vocab, Seq("w"))
+    val vocab = tf.groupBy(col("hw")).agg(sum(col("tf")).as("c"))
+    val fam = tf.join(vocab, Seq("hw"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") * col("c")).as("score"))
@@ -841,6 +912,13 @@ object TextOps {
     * 0-rates via the cross join, not dropped rows. */
   private def x20(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // NOT the x12/ppl1 kernel-hashmap form, by measurement (r16): the
+    // agg key here is (source, term) — COARSER than per-doc — so the
+    // codegen'd explode feeding partial agg already collapses far
+    // below doc granularity inside each partition, and a per-doc
+    // kernel pre-agg EXPANDS the rows the final agg consumes
+    // (measured 1.14 → 1.99 s at sf0.1, reverted). The kernel tier
+    // pays exactly when the agg key is (doc, term)-grained.
     val st = Tables.documents(s, d)
       .select(col("source"), explode(toks(col("text"))).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
@@ -889,22 +967,36 @@ object TextOps {
     * join, never a dropped row.
     *
     * Plan at 100 TB: text never leaves its row (the d11 principle) —
-    * the trigram transform emits 8-byte hashes at scan speed; the
-    * distinct and the df agg shuffle hash-keyed longs only; the
-    * per-doc roll-up is one partial+final agg on doc_id. The doc-list
-    * left join re-reads the 1-column pruned projection (the voc1
-    * adjudication). */
+    * trigram shingling + hashing runs in the TYPED KERNEL tier (r16,
+    * the x13/pipe6/d2 boundary: the declarative transform(sequence)+
+    * concat_ws+md5Long chain was interpreted HOF + per-gram string
+    * md5), and the per-doc DISTINCT dedups in-kernel
+    * ([[wordShinglesLocal]]'s first-occurrence set), so the exchange
+    * that used to carry every trigram OCCURRENCE into a distinct no
+    * longer exists — rows leave the scan already (doc_id, distinct
+    * 8-byte hash). The SAME Local mirrors the oracle SQL is written
+    * against (md5LongLocal ≡ md5Long, wordShinglesLocal ≡ the
+    * transform — both parity-pinned elsewhere) keep the hashes
+    * byte-locked. The df agg and per-doc roll-up shuffle hash-keyed
+    * longs only; the doc-list left join re-reads the 1-column pruned
+    * projection (the voc1 adjudication). Conditional ingest spread
+    * only (the pipe5 rule): round-robin the text ONLY when the scan
+    * carries fewer splits than the executor count — never at corpus
+    * scale. Honest-cold sf0.1: 2.02 s (HOF+distinct) → kernel. */
   private def x21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     import org.apache.spark.storage.StorageLevel
-    val grams = Tables.documents(s, d)
-      .select(col("doc_id"), toks(col("text")).as("l"))
-      .filter(size(col("l")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(l) - 2),
-             i -> concat_ws(' ', element_at(l, i), element_at(l, i + 1),
-                            element_at(l, i + 2)))""")).as("g"))
-      .select(col("doc_id"), md5Long(col("g")).as("h"))
-      .distinct()
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val par = s.sparkContext.defaultParallelism
+    val spread =
+      if (base.rdd.getNumPartitions >= par) base else base.repartition(par)
+    val grams = spread.as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        // fused shingle+hash (r16): digests token bytes directly —
+        // set-identical to wordShinglesLocal(_, 3).map(md5LongLocal)
+        wordShingleHashesLocal(text, 3).iterator.map(h => (id, h))
+      })
+      .toDF("doc_id", "h")
       .persist(StorageLevel.MEMORY_AND_DISK) // df + per-doc roll-up
     val df = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val per = grams.join(df, Seq("h"))
@@ -1073,13 +1165,15 @@ object TextOps {
     // before binning on both sides so a sub-ulp interpolation
     // difference can't flip a boundary doc's bucket
     "ppl1_lm_bucket" -> """
-      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      WITH t AS (SELECT doc_id,
+                   ('0x' || substr(md5(unnest(string_split(text, ' '))),
+                     1, 15))::BIGINT AS hw
                  FROM documents),
-      tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2),
-      v AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+      tf AS (SELECT doc_id, hw, count(*) AS tf FROM t GROUP BY 1, 2),
+      v AS (SELECT hw, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
       sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
                CAST(sum(tf * c) AS BIGINT) AS score
-             FROM tf JOIN v USING (w) GROUP BY 1),
+             FROM tf JOIN v USING (hw) GROUP BY 1),
       f AS (SELECT doc_id, n_tokens,
               floor(CAST(score AS DOUBLE)/n_tokens*1000000 + 0.5)/1000000
                 AS fam FROM sc),
@@ -1142,15 +1236,19 @@ object TextOps {
     "x12_bigram_lm" -> """
       WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
       ix AS (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i FROM t),
-      bg AS (SELECT doc_id, l[i] AS w1, l[i] || ' ' || l[i+1] AS bg FROM ix),
-      b AS (SELECT w1, bg, count(*) AS b FROM bg GROUP BY 1, 2),
-      u AS (SELECT w1, sum(b) AS u FROM b GROUP BY 1),
-      st AS (SELECT b.bg, (b.b * 50 < u.u) AS rare FROM b JOIN u USING (w1))
+      bg AS (SELECT doc_id,
+               ('0x' || substr(md5(l[i] || ' ' || l[i+1]), 1, 15))::BIGINT
+                 AS hbg,
+               ('0x' || substr(md5(l[i]), 1, 15))::BIGINT AS hw1
+             FROM ix),
+      b AS (SELECT hbg, hw1, count(*) AS b FROM bg GROUP BY 1, 2),
+      u AS (SELECT hw1, sum(b) AS u FROM b GROUP BY 1),
+      st AS (SELECT b.hbg, (b.b * 50 < u.u) AS rare FROM b JOIN u USING (hw1))
       SELECT bg.doc_id, count(*) AS n_bigrams,
         count(*) FILTER (WHERE st.rare) AS n_rare,
         floor((count(*) FILTER (WHERE st.rare))::DOUBLE / count(*)
           * 1000000 + 0.5)/1000000 AS rare_ratio
-      FROM bg JOIN st USING (bg)
+      FROM bg JOIN st USING (hbg)
       GROUP BY bg.doc_id""",
     "x11_bm25" -> """
       WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
@@ -1247,7 +1345,8 @@ object TextOps {
       WITH s AS (SELECT doc_id,
         ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS bkt,
         list_distinct(list_transform(generate_series(1, len(l)-1),
-          i -> l[i] || ' ' || l[i+1])) AS sh
+          i -> ('0x' || substr(md5(l[i] || ' ' || l[i+1]), 1, 15))::BIGINT))
+          AS sh
         FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents)),
       train AS (SELECT DISTINCT unnest(sh) AS sh FROM s WHERE bkt < 80),
       test AS (SELECT doc_id, unnest(sh) AS sh FROM s WHERE bkt >= 90)

@@ -80,6 +80,23 @@ class FnsSpec extends SparkSpec {
     }
   }
 
+  test("wordShingleHashesLocal equals the string-form composition " +
+    "wordShinglesLocal(_, n).map(md5LongLocal) — same SET for every " +
+    "n, including unicode, repeated windows, empties-from-split and " +
+    "sub-n docs (the fused kernel's byte-level md5 parity)") {
+    val inputs = Seq("a b c a b", "x", "", "a  b", "data data data",
+      "α β γ δ α β γ", "one two three four five", "a b a b a b a b")
+    for (n <- 1 to 4; t <- inputs) {
+      val fused = wordShingleHashesLocal(t, n)
+      val viaStrings = wordShinglesLocal(t, n).map(md5LongLocal)
+      assert(fused.toSet == viaStrings.toSet, s"n=$n text='$t'")
+      // no within-doc dupes in the fused output
+      assert(fused.length == fused.toSet.size, s"n=$n text='$t'")
+      // and (collision-free on these inputs) same first-occurrence order
+      assert(fused.toSeq == viaStrings, s"n=$n text='$t'")
+    }
+  }
+
   test("bigramShingles produces distinct local-order shingles") {
     val out = Seq("a b c a b").toDF("t")
       .select(bigramShingles(toks(col("t")))).as[Seq[String]].head()
