@@ -154,10 +154,23 @@ object GraphOps {
       // exchange + agg. Pair volume is unchanged in practice:
       // per-order duplicate parts are rare in TPC-H shape, and the
       // cross-order duplicates the final distinct removes dominate.
+      // r16 late: the self-join is HINTED shuffle-hash — SMJ sorted
+      // both 2-column sides for nothing (the join's output feeds a
+      // hash distinct, order discarded). Measured same-window quiet:
+      // edges 2.86 → 2.13 s at sf0.1; ×100 neutral (alternating
+      // A/B/A/B trials SHJ 51.1/76.6 vs SMJ 73.6/53.0 — the box
+      // oscillates, means within noise, mins 51 vs 53). Memory
+      // posture at cluster scale: the build side per task is the
+      // 2-long lineitem projection ÷ shuffle partitions, which AQE
+      // sizes to its partition-byte target — config-bounded, not
+      // data-bounded — and AQE skew-splitting applies to SHJ the
+      // same as SMJ (order fanout ≤7 anyway). The checkpoint's
+      // partitioning is unchanged (the final pair distinct owns it),
+      // so the r15 consumer-provenance lesson is not in play.
       val e = step("edges") {
         val ip = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        ip.select(col("o"), col("p").as("pa"))
+        ip.select(col("o"), col("p").as("pa")).hint("shuffle_hash")
           .join(ip.select(col("o"), col("p").as("pb")), Seq("o"))
           .filter(col("pa") < col("pb"))
           .select(col("pa"), col("pb"))
