@@ -58,6 +58,17 @@ object GraftSession {
         (64L * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec logs a "No Partition Defined ... may cause serious
+    // performance degradation" WARN per unpartitioned window — every
+    // such site in this engine runs over a relation bounded by
+    // literals or aggregate grain, never corpus volume (documented
+    // per site; VERDICT r15/r16 re-audited all nine), so the warning
+    // is noise that buried the bench record's per-query tail under
+    // hundreds of repeats (VERDICT r16 #5). Silence exactly this
+    // logger; anything else at WARN still surfaces.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 }

@@ -151,6 +151,24 @@ object Tables {
     v
   }
 
+  /** Conditional ingest spread — the pipe5 rule, shared by every scan
+    * kernel (pipe5/pipe6/x8/x13/voc*): kernel stages DECLARE their
+    * parallelism when the parquet scan can't already feed it (the
+    * sf-ladder files are a single split; hashing the work onto one
+    * task would serialize the kernel), but a corpus-scale scan
+    * carries ≥ defaultParallelism splits and must NEVER pay a
+    * corpus-sized round-robin exchange of full document text. The
+    * conditional's no-op arm returns `base` ITSELF (reference-equal,
+    * plan untouched) — pinned by the unit law in PlanShapeSpec
+    * (ADVICE r16: at spec scale the spread always fires, so the
+    * plan-shape ratchets alone could not distinguish the conditional
+    * from a regression back to an unconditional round-robin; the
+    * unit law closes that by injecting a pre-partitioned input). */
+  private[graft] def spreadIfNarrow(s: SparkSession, base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    if (base.rdd.getNumPartitions >= par) base else base.repartition(par)
+  }
+
   /** Register every table as a temp view so the whole surface is also
     * reachable SQL-first (`spark.sql("SELECT ... FROM lineitem ...")`),
     * with the engine's registered functions (`dot_product`,

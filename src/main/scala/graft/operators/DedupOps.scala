@@ -750,17 +750,25 @@ object DedupOps {
     // bloom's fpp trades shuffle volume only, never correctness — so
     // at extreme candidate counts the sketch size can be capped (fpp
     // rises, a few more non-duplicates shuffle, the answer is
-    // unchanged)
-    val cand = d9CandidateHashes(s, d).localCheckpoint(true)
+    // unchanged). persist + count, not localCheckpoint (ADVICE r16,
+    // the gr5 class): both consumers are driver-side actions INSIDE
+    // this body — the returned plan carries only the bloom literal —
+    // so the blocks release deterministically right here instead of
+    // leaking past clearCache for the session.
+    val cand = d9CandidateHashes(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCand = cand.count()
-    if (nCand == 0) regroup(spans).filter(lit(false)) // no hash twice → no span twice
-    else {
-      val bf = cand
-        .agg(expr(s"bloom_filter_agg(h, ${nCand}L)").as("bf"))
-        .head().getAs[Array[Byte]](0)
-      regroup(spans.filter(
-        call_function("might_contain", lit(bf), xxhash64(col("span")))))
-    }
+    val out =
+      if (nCand == 0) regroup(spans).filter(lit(false)) // no hash twice → no span twice
+      else {
+        val bf = cand
+          .agg(expr(s"bloom_filter_agg(h, ${nCand}L)").as("bf"))
+          .head().getAs[Array[Byte]](0)
+        regroup(spans.filter(
+          call_function("might_contain", lit(bf), xxhash64(col("span")))))
+      }
+    cand.unpersist(false)
+    out
   }
 
   /** d10 — incremental dedup: verdict each INCOMING document (the 20%

@@ -82,7 +82,23 @@ object GraphOps {
     * [[releaseScratch]]. Bench's per-query clearCache subsumes this;
     * the registry covers every other caller. Queries whose results
     * materialize eagerly inside the body (gr5/gr7/gr8) release their
-    * own scratch and never register. */
+    * own scratch and never register.
+    *
+    * USAGE CONTRACT (ADVICE r16): because release happens at the NEXT
+    * graph query's plan-BUILD time, [[queries]] assumes the
+    * build-then-materialize, one-query-at-a-time discipline every
+    * in-repo caller follows (Verify, Bench, the specs): materialize
+    * (or abandon) one graph query's result before BUILDING the next,
+    * from one thread per session. A caller that interleaves builds —
+    * build gr1's plan, build gr6's plan, then materialize gr1 — stays
+    * CORRECT (an unpersisted block recomputes via lineage from the
+    * checkpointed memo artifacts) but re-pays the multi-consumer
+    * derivation the persist existed to amortize; a caller that
+    * materializes two graph queries concurrently on one session can
+    * additionally race a release against a running scan, again
+    * recompute-correct but unamortized. Concurrent drivers should
+    * serialize graph queries or call [[releaseScratch]] themselves at
+    * known-quiet points. */
   private val scratch =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
@@ -624,48 +640,98 @@ object GraphOps {
     * reuses its layout from cache and only the (node, label) side
     * moves. Output is the community-size histogram — |labels|-sized,
     * not corpus-sized. */
-  private def gr5(s: SparkSession, d: String): DataFrame = {
+  /** One synchronous-LPA round over `sym` (directed (v, n) rows, both
+    * orientations): every node adopts the (count desc, label asc)
+    * argmax of its neighbors' labels. Factored out so the law specs
+    * can pin it directly: `GraphLawSpec` asserts the round-1
+    * algebraic collapse in [[gr5]] equals this generic round on
+    * identity labels, and that the whole trajectory is invariant
+    * under forced join strategies (VERDICT r16 #2 — an r16 scratch
+    * harness REIMPLEMENTING gr5 saw a 558-vs-556 community divergence
+    * under a join hint; the shipped form is a pure function of the
+    * (v, l, c) multiset, so no join strategy can move it, and the law
+    * now pins that).
+    *
+    * Shape (r17): count and argmax run as TWO hash aggregations with
+    * map-side partial aggregation — the (v, l) partial agg compresses
+    * the joined edge stream INSIDE the join tasks before anything
+    * exchanges (after round 1 labels have collapsed onto attractor
+    * ids, so neighbors repeat labels heavily and the partial agg
+    * removes that duplication), then the counted (v, l) rows — at
+    * most one per node per DISTINCT neighbor label, ≪ 2·|E| —
+    * exchange once more for the per-node argmax. The r16 form
+    * exchanged the RAW 2·|E| joined rows via an explicit
+    * repartition(v) so both aggs could run shuffle-free on top; at
+    * ×100 that raw exchange is the spill-prone line, and the partial
+    * aggs cut exchanged volume by the label-duplication factor
+    * exactly where it matters. Measured same-window A/B at ×100
+    * (240M-row rounds, min-of-2): two-phase 54.6 s vs raw-repartition
+    * 116.9 s vs the r16 shipped form 69.2 s; at sf0.1/×10 the
+    * two-phase form pays a small constant premium (~+0.6 s sf0.1,
+    * ~+1.3 s ×10 same-window) because the doubled agg boundary costs
+    * more than the (tiny) raw exchange it replaces — the ×100 spill
+    * physics, not the small-scale overhead, is what the shape is
+    * chosen for, and dec2 falls ~6.5 → ~4.6 in the same window. */
+  private[graft] def lpaRound(sym: DataFrame, labels: DataFrame): DataFrame =
+    sym
+      .join(labels.select(col("v").as("n"), col("l")), Seq("n"))
+      .groupBy(col("v"), col("l")).agg(count(lit(1)).as("c"))
+      .groupBy(col("v"))
+      // lexicographic struct max = (count desc, label asc) argmax:
+      // ids are positive longs, so −l orders ties to the SMALLEST
+      // label — the deterministic-LPA tiebreak the oracle replays
+      .agg(max(struct(col("c"), (lit(0L) - col("l")).as("nl"))).as("m"))
+      .select(col("v"), (lit(0L) - col("m.nl")).as("l"))
+
+  /** The final (node, label) table after [[GR5_ROUNDS]] synchronous
+    * rounds — the lazy plan [[gr5]] aggregates and the law specs
+    * materialize directly.
+    *
+    * Round 1 is the IDENTITY-LABEL collapse: with labels initialized
+    * to node ids, every neighbor label is distinct (ids are unique),
+    * so every (v, l) count is exactly 1 and the (count desc, label
+    * asc) argmax degenerates to min neighbor id — one partial-agged
+    * `groupBy(v).min(n)` over the edge view, no join, no count agg,
+    * no exchange of raw joined rows (the generic round spent a full
+    * 2·|E| join + count cycle mapping n→n through the identity
+    * table). `GraphLawSpec` pins the collapse ≡ the generic round on
+    * identity labels. Rounds 2+ run [[lpaRound]] unchanged.
+    *
+    * The symmetric view is consumed ONCE per round as a plain scan
+    * (round 1's agg; round 2's join — the node-sized label table is
+    * the build/broadcast side), so it re-derives from the
+    * memory-resident edge checkpoint at scan speed and a persist
+    * would be a net loss — the measured gr7/gr8 adjudication
+    * (commit `9fc21f9`), which the r16 form predated: its persist +
+    * repartition + sort layout existed to feed per-round SMJs that
+    * the collapsed round count no longer issues. At production round
+    * counts (R ≫ 2) with label tables past the broadcast threshold,
+    * re-materializing the hash(n) layout pays for itself again —
+    * that trade is round-count arithmetic, not a shape change. */
+  private[graft] def gr5Labels(s: SparkSession, d: String): DataFrame = {
     val art = artifacts(s, d)
-    // the shared symmetric view, persisted for THIS query's rounds
-    // (r15: every LPA round scans it — a transient materialization
-    // amortizes over rounds, where re-deriving the union per scan
-    // measured +3 s at ×10; it must NOT be permanent memo state,
-    // which pushed the ×10 suite into broadcast-build OOM). Laid out
-    // on the per-round join key at persist time: the cached relation
-    // carries hash(n) partitioning AND within-partition order, so
-    // each round's SMJ neither exchanges nor re-sorts the 2·|E| side.
     val sym = art.symEdges
       .select(col("u").as("v"), col("v").as("n"))
-      .repartition(col("n"))
-      .sortWithinPartitions(col("n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // node ids come from the memoized degree table (already distinct)
-    var labels = art.degrees.select(col("p").as("v"), col("p").as("l"))
-    for (_ <- 1 to GR5_ROUNDS) {
-      labels = sym
-        .join(labels.select(col("v").as("n"), col("l")), Seq("n"))
-        // one exchange on v; hash(v) satisfies BOTH downstream aggs
-        // (clustering subsets), so the label count and the per-node
-        // argmax run shuffle-free on top of it
-        .repartition(col("v"))
-        .groupBy(col("v"), col("l")).agg(count(lit(1)).as("c"))
-        .groupBy(col("v"))
-        // lexicographic struct max = (count desc, label asc) argmax:
-        // ids are positive longs, so −l orders ties to the SMALLEST
-        // label — the deterministic-LPA tiebreak the oracle replays
-        .agg(max(struct(col("c"), (lit(0L) - col("l")).as("nl"))).as("m"))
-        .select(col("v"), (lit(0L) - col("m.nl")).as("l"))
-    }
+    // round 1: identity-label collapse (see scaladoc)
+    var labels = sym.groupBy(col("v")).agg(min(col("n")).as("l"))
+    for (_ <- 2 to GR5_ROUNDS) labels = lpaRound(sym, labels)
+    labels
+  }
+
+  private def gr5(s: SparkSession, d: String): DataFrame = {
     // materialize the rounds HERE (the gr7/gr8 posture): the output
-    // is the community histogram — |labels|-sized, bounded by nodes —
-    // so the scratch persist releases inside the query instead of
-    // leaking to the caller (VERDICT r15 #3's documented leak, now
-    // closed; no registry entry needed)
-    val out = labels
+    // is the community histogram — |labels|-sized, bounded by nodes.
+    // persist + count, NOT localCheckpoint (ADVICE r16): checkpoint
+    // blocks are invisible to spark.catalog.clearCache() and leaked
+    // one histogram per bench pass; persisted blocks release under
+    // the caller's clearCache (Bench/Verify) and on LRU pressure,
+    // and a lost block recomputes via lineage from the checkpointed
+    // memo artifacts.
+    val out = gr5Labels(s, d)
       .groupBy(col("l")).agg(count(lit(1)).as("n_members"))
       .select(col("l").as("community"), col("n_members"))
-      .localCheckpoint(true)
-    sym.unpersist(false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
     out
   }
 

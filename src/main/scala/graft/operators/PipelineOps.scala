@@ -455,10 +455,7 @@ object PipelineOps {
     // ONLY when the scan can't already feed it: a corpus-scale scan
     // carries ≥ defaultParallelism splits and must not pay a
     // corpus-sized round-robin exchange of full document text
-    val par = s.sparkContext.defaultParallelism
-    val spreadOut =
-      if (base.rdd.getNumPartitions >= par) base else base.repartition(par)
-    spreadOut
+    Tables.spreadIfNarrow(s, base)
       .as[(Long, Long, String)]
       .mapPartitions(_.map { case (id, nChars, text) =>
         val t = text.split(" ", -1)
@@ -590,11 +587,7 @@ object PipelineOps {
       // but only when the scan can't already feed it (the pipe5
       // conditional-spread rule: a corpus-scale scan carries enough
       // splits and must not round-robin full document text)
-      val par = s.sparkContext.defaultParallelism
-      val spread =
-        if (base.rdd.getNumPartitions >= par) base
-        else base.repartition(par)
-      spread
+      Tables.spreadIfNarrow(s, base)
         .as[(Long, String, String)]
         .mapPartitions(_.map { case (id, src, text) =>
           // fused shingle+hash (r16): digests token bytes directly —

@@ -193,10 +193,7 @@ object TextOps {
         .filter(md5Long(col("doc_id")) % 100 >= lo &&
           md5Long(col("doc_id")) % 100 < hi)
         .select(col("doc_id"), col("text"))
-      val par = s.sparkContext.defaultParallelism
-      val spread =
-        if (base.rdd.getNumPartitions >= par) base else base.repartition(par)
-      spread
+      Tables.spreadIfNarrow(s, base)
         .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           wordShingleHashesLocal(text, 2).iterator.map(h => (id, h))
@@ -502,10 +499,7 @@ object TextOps {
     // bench: 3.99 → the shingling was most of it. Conditional spread
     // only (the pipe5 rule) — never round-robin text at corpus scale.
     val base = Tables.documents(s, d).select(col("source"), col("text"))
-    val par = s.sparkContext.defaultParallelism
-    val spread =
-      if (base.rdd.getNumPartitions >= par) base else base.repartition(par)
-    val sets = spread.as[(String, String)]
+    val sets = Tables.spreadIfNarrow(s, base).as[(String, String)]
       .mapPartitions(_.flatMap { case (src, text) =>
         // fused shingle+hash (r16): set-identical to
         // bigramShinglesLocal(_).map(md5LongLocal) (FnsSpec)
@@ -987,10 +981,7 @@ object TextOps {
     import s.implicits._
     import org.apache.spark.storage.StorageLevel
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val par = s.sparkContext.defaultParallelism
-    val spread =
-      if (base.rdd.getNumPartitions >= par) base else base.repartition(par)
-    val grams = spread.as[(Long, String)]
+    val grams = Tables.spreadIfNarrow(s, base).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         // fused shingle+hash (r16): digests token bytes directly —
         // set-identical to wordShinglesLocal(_, 3).map(md5LongLocal)

@@ -43,11 +43,21 @@ object JsonLinesSink extends DocumentSink {
   * one-line-per-record, so the pretty form renders per row through
   * `to_json(..., pretty)` (codegen'd Jackson, no UDF) and writes as
   * text — partition-parallel like every other sink, one concatenated
-  * pretty stream per task file, byte-layout matching the reference's
+  * pretty stream per task file, layout-equivalent to the reference's
   * appended `json.dumps(el, indent=2) + "\n"` records. Documented
-  * deviation: Jackson's pretty printer separates keys with " : "
-  * where Python's json.dumps uses ": " — whitespace only, invisible
-  * to any JSON consumer (the round-trip spec parses both). */
+  * WHITESPACE deviations (both invisible to any JSON consumer — the
+  * round-trip spec parses both):
+  *   - Jackson's pretty printer separates keys with " : " where
+  *     Python's json.dumps uses ": ";
+  *   - Jackson renders ARRAY values inline on one line (its
+  *     FixedSpaceIndenter default) where Python indent=2 puts each
+  *     array element on its own indented line — OSM documents carry
+  *     array fields (node_refs, pos), so those lines differ beyond
+  *     the separator (ADVICE r16: the earlier comment claimed byte
+  *     layout with only the separator deviation, which was wrong).
+  * Spark's `to_json(..., pretty)` owns the generator config, so the
+  * array indenter is not reachable without re-implementing the
+  * writer; parse-level equivalence is the contract this sink keeps. */
 object PrettyJsonSink extends DocumentSink {
   override def write(df: DataFrame, path: String, overwrite: Boolean): Unit = {
     import org.apache.spark.sql.functions.{col, struct, to_json}

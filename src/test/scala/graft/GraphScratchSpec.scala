@@ -74,10 +74,20 @@ class GraphScratchSpec extends SparkSpec {
       assert((persistedIds -- base).isEmpty,
         s"$q left scratch resident: ${persistedIds -- base}")
     }
-    // gr5 returns an eagerly localCheckpoint'ed histogram: exactly
-    // ONE net block — the result the caller holds — and no scratch
+    // gr5 returns an eagerly PERSISTED histogram: exactly ONE net
+    // block — the result the caller holds — and no scratch. It must
+    // be a CacheManager persist, not a localCheckpoint (ADVICE r16:
+    // checkpoint blocks are invisible to spark.catalog.clearCache(),
+    // so Bench's three interleaved passes accumulated three
+    // unreleasable histogram RDDs per round) — so clearCache() must
+    // return the catalog to baseline.
     run("gr5_communities")
     val net = persistedIds -- base
     assert(net.size <= 1, s"gr5 left scratch beyond its result: $net")
+    spark.catalog.clearCache()
+    // the memo artifacts are checkpoints, not cache entries — they
+    // survive clearCache; only gr5's result block must release
+    assert((persistedIds -- base).isEmpty,
+      s"gr5's result block is not clearCache-reachable: ${persistedIds -- base}")
   }
 }

@@ -924,4 +924,26 @@ class PlanShapeSpec extends SparkSpec {
       s"whitelist entries whose unpartitioned Window no longer exists " +
         s"(remove them): ${stale.toSeq.sorted.mkString(", ")}")
   }
+
+  test("the conditional ingest spread is a NO-OP on an input that " +
+    "already carries enough partitions (ADVICE r16: at spec scale the " +
+    "single-split scan always fires the spread, so the x13/x21 " +
+    "round-robin exemptions alone could not pin the corpus-scale " +
+    "no-round-robin invariant)") {
+    val par = spark.sparkContext.defaultParallelism
+    // pre-partitioned input: the helper must return the SAME plan —
+    // reference equality, the strongest "unchanged" there is
+    val wide = spark.range(1000).toDF("x").repartition(par)
+    assert(Tables.spreadIfNarrow(spark, wide) eq wide,
+      "spreadIfNarrow rewrote a plan that already feeds the kernel")
+    val wider = spark.range(1000).toDF("x").repartition(par + 3)
+    assert(Tables.spreadIfNarrow(spark, wider) eq wider,
+      "spreadIfNarrow rewrote an over-partitioned plan")
+    // narrow input: the spread fires and declares exactly
+    // defaultParallelism via round-robin
+    val narrow = spark.range(1000).toDF("x").coalesce(1)
+    val spread = Tables.spreadIfNarrow(spark, narrow)
+    assert(!(spread eq narrow), "single-partition input was not spread")
+    assert(spread.rdd.getNumPartitions == par)
+  }
 }
