@@ -39,12 +39,20 @@ class ScratchLeakSpec extends SparkSpec {
 
   /** Queries whose lazy plans leave (clearable, bounded) scratch
     * persists at the caller — discovered by exhaustive audit at r16
-    * and pinned exactly. The graph family is ABSENT because its
-    * scratch has a registered owner (released before this spec
-    * counts); gr5/gr7/gr8/pipe6-class queries are absent because they
-    * materialize eagerly and release in-query. */
+    * and pinned exactly. The graph family's INTERNAL scratch is
+    * absent because it has a registered owner (released before this
+    * spec counts); gr7/gr8/pipe6-class queries are absent because
+    * they materialize eagerly and release in-query. gr5 is PRESENT
+    * as of r17: its eagerly-materialized result rides a persist
+    * (ADVICE r16 — a localCheckpoint here was invisible to
+    * clearCache and leaked per bench pass), and unlike gr7/gr8's
+    * constant-bounded outputs the community histogram is
+    * |labels|-sized (node-bounded, too big to collect on principle),
+    * so the block stays for the caller's clearCache — exactly what
+    * this list exists to pin. */
   private val scratchQueries: Set[String] = Set(
     "an1_kanon", "an3_tcloseness", "an4_ldp_freq", "att2_linear_credit",
+    "gr5_communities",
     "cls4_calibrated_filter", "cur1_curriculum", "d11_line_dedup",
     "dq1_fk_orphans", "dq3_drift", "dsir1_importance",
     "emb4_top_direction", "emb5_detop", "er1_fuzzy_block",
