@@ -250,7 +250,7 @@ object SimilarityOps {
     * bit-identical doubles before the portable round. */
   private def pqModel(s: SparkSession, d: String)
       : (Array[Array[Array[Double]]], Array[Array[Double]],
-         Map[Long, Seq[Seq[Double]]]) = {
+         Map[Long, Seq[Seq[Double]]], Map[Long, Seq[Double]]) = {
     import s.implicits._
     val vecs = Tables.embeddings(s, d)
       .filter(col("vec_id") < math.max(PQ_KS, 10).toLong)
@@ -276,7 +276,7 @@ object SimilarityOps {
         }
       }
     }.toMap
-    (cents, cn2, dt)
+    (cents, cn2, dt, vecs)
   }
 
   /** PQ-encode the corpus: per subspace, the centroid minimizing the
@@ -333,7 +333,7 @@ object SimilarityOps {
     * read to the matching files). Reported cosines are therefore
     * exact; only WHICH ids make the shortlist is approximate. */
   private def s5(s: SparkSession, d: String): DataFrame = {
-    val (cents, cn2, dt) = pqModel(s, d)
+    val (cents, cn2, dt, _) = pqModel(s, d)
     val (q, corpus) = queriesAndCorpus(s, d)
     val dtLit = typedlit(dt)
     val adc = pqEncode(s, corpus, cents, cn2)
@@ -356,6 +356,205 @@ object SimilarityOps {
         col("nrm").as("qnrm"))), "qid")
       .select(col("qid"), col("nid"), cosPrecomp.as("cos"))
     topNeighbors(scored, 3)
+  }
+
+  // ---- s8: IVF-PQ — the composed scale path ------------------------
+
+  /** floor-half-up to 6 places — the driver/kernel twin of
+    * [[graft.functions.Fns.roundFp]] at the cosine contract's width. */
+  private def round6local(x: Double): Double =
+    math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Sequential-sum L2 norm — the kernel twin of [[l2Native]]
+    * (sqrt of [[DotProduct]]'s left-to-right fold, same IEEE ops). */
+  private def nrmLocal(v: Array[Double]): Double = {
+    var ss = 0.0
+    var k = 0
+    while (k < v.length) { ss += v(k) * v(k); k += 1 }
+    math.sqrt(ss)
+  }
+
+  /** One fused corpus pass emitting every vector's coarse IVF cell AND
+    * its PQ code — the index build of [[s8]]. Both models ride the task
+    * closure as literals (4 coarse centroids ≈ 2 KB, 8×16 codebooks ≈
+    * 8 KB — the s5/s7 bounded-model convention), so the build is
+    * scan-speed: no join, no window, no exchange of anything
+    * corpus-sized. Compare s3's assignment, which pays a corpus×4
+    * centroid-join and a row_number window (an exchange of 4·|corpus|
+    * rows) to compute the SAME cells — correct, but the join form
+    * exists there to share plan shape with the query side; an index
+    * build at 100 TB wants the model shipped to the scan, and
+    * [[IvfPqSpec]] pins this form row-identical to the declarative
+    * model-as-join twin so the two can never drift.
+    *
+    * FP contracts mirrored exactly (the oracle replays both): the
+    * coarse cell is argmax of floor-round-6 cosine (ties to the
+    * smallest centroid id, NaN greatest — zero-norm vectors score NaN
+    * like [[cosPrecomp]]); the code entry per subspace is the strict
+    * argmin of the round-9 expanded score, exactly [[pqEncode]]'s
+    * loop. All accumulations are sequential left-to-right — the
+    * [[DotProduct]] order. */
+  private def ivfpqEncode(s: SparkSession, corpus: DataFrame,
+      centEmb: Array[Array[Double]], centNrm: Array[Double],
+      cents: Array[Array[Array[Double]]],
+      cn2: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    corpus.select(col("vec_id"), col("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, emb) =>
+        val v = emb.toArray
+        val nrm = nrmLocal(v)
+        var cell = 0
+        var bestCos = 0.0
+        var c = 0
+        while (c < centEmb.length) {
+          val ce = centEmb(c)
+          var dot = 0.0
+          var k = 0
+          while (k < v.length) { dot += v(k) * ce(k); k += 1 }
+          val prod = centNrm(c) * nrm
+          val cos =
+            if (prod == 0.0) Double.NaN else round6local(dot / prod)
+          // NaN-greatest, strict-greater keeps the smallest cid on ties
+          if (c == 0 || java.lang.Double.compare(cos, bestCos) > 0) {
+            bestCos = cos; cell = c
+          }
+          c += 1
+        }
+        val code = Array.tabulate(PQ_M) { m =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var cc = 0
+          while (cc < PQ_KS) {
+            val cent = cents(m)(cc)
+            var dot = 0.0
+            var k = 0
+            while (k < PQ_SUB) { dot += v(m * PQ_SUB + k) * cent(k); k += 1 }
+            val dd = round9local(cn2(m)(cc) - 2.0 * dot)
+            if (dd < bestD) { bestD = dd; best = cc }
+            cc += 1
+          }
+          best
+        }
+        (id, cell, code.toSeq)
+      })
+      .toDF("nid", "cell", "code")
+  }
+
+  /** The probed (qid, cell) pairs for the 10 query vectors, computed on
+    * the driver from the [[pqModel]] fetch (10×4 cosines ≈ nothing —
+    * the query side of an IVF index is model-sized by definition).
+    * Same argsort contract as s3's query branch: cosine desc with NaN
+    * greatest, ties to the smallest centroid id, top [[S3_NPROBE]]. */
+  private def s8QueryCells(vecs: Map[Long, Seq[Double]]): Seq[(Long, Int)] = {
+    val centEmb = Array.tabulate(4)(c => vecs(c.toLong).toArray)
+    val centNrm = centEmb.map(nrmLocal)
+    (0L until 10L).flatMap { qid =>
+      val q = vecs(qid).toArray
+      val qn = nrmLocal(q)
+      (0 until 4).map { c =>
+        val ce = centEmb(c)
+        var dot = 0.0
+        var k = 0
+        while (k < q.length) { dot += ce(k) * q(k); k += 1 }
+        val prod = centNrm(c) * qn
+        (c, if (prod == 0.0) Double.NaN else round6local(dot / prod))
+      }.sortWith { (a, b) =>
+        val cmp = java.lang.Double.compare(a._2, b._2)
+        if (cmp != 0) cmp > 0 else a._1 < b._1
+      }.take(S3_NPROBE).map(t => (qid, t._1))
+    }
+  }
+
+  /** The IVF-PQ serve path over a prepared (nid, cell, code) index and
+    * a (qid, cell) probe table: ADC-score only the candidates sharing
+    * a probed cell, shortlist top-[[PQ_SHORTLIST]] per query by ADC,
+    * re-rank the shortlist EXACTLY against full-precision vectors.
+    * Factored so [[s8]] (kernel index) and the declarative twin in
+    * [[IvfPqSpec]] run the identical downstream plan. */
+  private[graft] def ivfpqServe(s: SparkSession, d: String,
+      index: DataFrame, qcells: DataFrame,
+      dtLit: Column): DataFrame = {
+    val (q, corpus) = queriesAndCorpus(s, d)
+    val adc = index
+      .join(broadcast(qcells), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        roundFp(aggregate(
+          zip_with(col("code"), element_at(dtLit, col("qid")),
+            (c, row) => get(row, c)),
+          lit(0.0), (acc, x) => acc + x), 6).as("adc"))
+    val short = adc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adc").asc, col("nid").asc)))
+      .filter(col("rn") <= PQ_SHORTLIST)
+      .select(col("qid"), col("nid"))
+    val scored = corpus.select(col("vec_id").as("nid"), col("emb"), col("nrm"))
+      .join(broadcast(short), "nid")
+      .join(broadcast(q.select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"))), "qid")
+      .select(col("qid"), col("nid"), cosPrecomp.as("cos"))
+    topNeighbors(scored, 3)
+  }
+
+  /** s8 — IVF-PQ ANN, the composed production scale path (FAISS's
+    * IVFADC): s3's coarse quantizer confines the candidate space to
+    * the probed cells, s5's product quantization scans those
+    * candidates as 8-byte codes instead of 256-byte vectors, and the
+    * shortlist re-ranks exactly — so at 100 TB of embeddings the
+    * serve path reads (a) a ~3 TB code+cell table pruned to
+    * nprobe/nlist of its cells by the equi-join, (b) the
+    * full-precision rows of ~100 shortlisted ids, and nothing else.
+    * Both approximations compose transparently: WHICH ids surface is
+    * approximate (cell pruning × ADC ordering), every reported cosine
+    * is exact, and s6's recall report prices the composition against
+    * the same ground truth as its constituents.
+    *
+    * Plan shape: ONE kernel corpus pass builds cells + codes with the
+    * models as task-closure literals ([[ivfpqEncode]] — no join, no
+    * window, nothing corpus-sized exchanges before the candidate
+    * stage); the only exchange in the whole query is the shortlist
+    * window's hash(qid) over narrow (qid, nid, adc) candidate rows,
+    * already confined to probed cells. Centroids and codebooks are
+    * deterministic bounded fetches (the s3/s5 convention) so the
+    * DuckDB oracle replays assignment, encode, ADC and re-rank
+    * bit-for-bit. */
+  private def s8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cents, cn2, dt, vecs) = pqModel(s, d)
+    val (_, corpus) = queriesAndCorpus(s, d)
+    val centEmb = Array.tabulate(4)(c => vecs(c.toLong).toArray)
+    val centNrm = centEmb.map(nrmLocal)
+    val index = ivfpqEncode(s, corpus, centEmb, centNrm, cents, cn2)
+    val qcells = s8QueryCells(vecs).toDF("qid", "cell")
+    ivfpqServe(s, d, index, qcells, typedlit(dt))
+  }
+
+  /** The declarative model-as-join twin of [[s8]]'s index build —
+    * coarse cells via the s3 centroid-join + row_number idiom, codes
+    * via [[pqEncode]] — exposed only for [[IvfPqSpec]], which pins it
+    * row-identical to the kernel form (the FnsSpec/PipeKernelLawSpec
+    * discipline: every kernel has a declarative twin). */
+  private[graft] def s8DeclarativeTwin(s: SparkSession, d: String): DataFrame = {
+    val (cents, cn2, dt, _) = pqModel(s, d)
+    val (_, corpus) = queriesAndCorpus(s, d)
+    val cents4 = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"))
+    val ranked = corpus
+      .join(broadcast(cents4))
+      .select(col("vec_id"), col("cid"), cosPrecomp.as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cid").asc)))
+    val index = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("nid"), col("cid").cast("int").as("cell"))
+      .join(pqEncode(s, corpus, cents, cn2), Seq("nid"))
+    val qcells = ranked
+      .filter(col("vec_id") < 10 && col("rn") <= S3_NPROBE)
+      .select(col("vec_id").as("qid"), col("cid").cast("int").as("cell"))
+    ivfpqServe(s, d, index, qcells, typedlit(dt))
   }
 
   /** s7's quantization steps: uint8 — 255 intervals per dimension,
@@ -775,6 +974,9 @@ object SimilarityOps {
       .union(row("s3_ann_ivf", topNeighbors(ivfCand, 3)))
       .union(row("s5_ann_pq", s5(s, d)))
       .union(row("s7_ann_sq", s7(s, d)))
+      // the composed path priced against its constituents: IVF-PQ's
+      // recall loss = cell pruning (s3's row) × ADC ordering (s5's)
+      .union(row("s8_ann_ivfpq", s8(s, d)))
   }
 
   /** Held-out query slice for cls3: fixed-size by construction
@@ -1285,6 +1487,7 @@ object SimilarityOps {
     "s4_knn_join" -> (s4 _),
     "s5_ann_pq" -> (s5 _),
     "s7_ann_sq" -> (s7 _),
+    "s8_ann_ivfpq" -> (s8 _),
     "emb7_sq_error_curve" -> (emb7 _),
     "km1_kmeans" -> (km1 _),
     "lr1_logreg" -> (lr1 _)
@@ -1741,6 +1944,62 @@ object SimilarityOps {
             FROM sc)
       SELECT qid, nid, cos, rank FROM r WHERE rank <= 3""",
     "s3_ann_ivf" -> s3OracleSql(2),
+    // IVF-PQ mirror: s3's assignment CTEs (coarse cells, probed
+    // cells) composed with s5's PQ CTEs (codebooks, encode, query
+    // tables); ADC restricted to candidates sharing a probed cell,
+    // top-10 shortlist, exact cosine re-rank — every CTE is verbatim
+    // from the constituent oracles so the composition cannot drift.
+    "s8_ann_ivfpq" -> s"""
+      WITH e AS ($EMB_SQL),
+      c AS (SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM e WHERE vec_id < 4),
+      a0 AS (SELECT e.vec_id, c.cid,
+               floor(list_sum(list_transform(generate_series(1,64),
+                 k -> e.emb[k] * c.cemb[k])) / (e.nrm * c.cnrm)*1000000 + 0.5)/1000000 AS ccos
+             FROM e, c),
+      ar AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY ccos DESC, cid) AS rn FROM a0),
+      a AS (SELECT vec_id, cid AS cell FROM ar WHERE rn = 1),
+      aq AS (SELECT vec_id AS qid, cid AS cell FROM ar
+             WHERE vec_id < 10 AND rn <= $S3_NPROBE),
+      cb AS (SELECT m.m AS m, c.vec_id AS cid,
+               list_transform(generate_series(1,8), k -> c.emb[m.m*8+k]) AS cent,
+               list_sum(list_transform(generate_series(1,8),
+                 k -> c.emb[m.m*8+k] * c.emb[m.m*8+k])) AS cn2
+             FROM generate_series(0,7) m(m), e c WHERE c.vec_id < 16),
+      enc0 AS (SELECT e.vec_id, cb.m, cb.cid,
+                 floor((cb.cn2 - 2*list_sum(list_transform(generate_series(1,8),
+                   k -> e.emb[cb.m*8+k] * cb.cent[k])))*1000000000 + 0.5)
+                   /1000000000 AS d
+               FROM e, cb),
+      enc AS (SELECT vec_id, m, cid AS code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY d, cid) AS rn FROM enc0) WHERE rn = 1),
+      dt AS (SELECT q.vec_id AS qid, cb.m, cb.cid,
+               floor((cb.cn2 - 2*list_sum(list_transform(generate_series(1,8),
+                 k -> q.emb[cb.m*8+k] * cb.cent[k])))*1000000000 + 0.5)
+                 /1000000000 AS d
+             FROM e q, cb WHERE q.vec_id < 10),
+      cand AS (SELECT aq.qid, a.vec_id AS nid
+               FROM aq JOIN a ON aq.cell = a.cell AND a.vec_id <> aq.qid),
+      adc AS (SELECT dt.qid, enc.vec_id AS nid,
+                floor(list_sum(list(dt.d ORDER BY dt.m))*1000000 + 0.5)
+                  /1000000 AS adc
+              FROM enc JOIN dt ON enc.m = dt.m AND enc.code = dt.cid
+                JOIN cand ON cand.qid = dt.qid AND cand.nid = enc.vec_id
+              GROUP BY dt.qid, enc.vec_id),
+      short AS (SELECT qid, nid FROM (
+                  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                    ORDER BY adc, nid) AS rn FROM adc) WHERE rn <= $PQ_SHORTLIST),
+      sc AS (SELECT s.qid, s.nid,
+               floor(list_sum(list_transform(generate_series(1,64),
+                 k -> q.emb[k] * c.emb[k])) / (q.nrm * c.nrm)*1000000 + 0.5)
+                 /1000000 AS cos
+             FROM short s JOIN e q ON q.vec_id = s.qid
+               JOIN e c ON c.vec_id = s.nid),
+      r AS (SELECT qid, nid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+            FROM sc)
+      SELECT qid, nid, cos, rank FROM r WHERE rank <= 3""",
     // the same [mn, mx] model and floor-form deq as s7's oracle, per
     // exact-literal level count; per-element error floor-quantized to
     // nano-units BEFORE summing, exactly the engine's expression tree
@@ -1833,6 +2092,7 @@ object SimilarityOps {
       v3n1 AS (${s3OracleSql(1)}),
       v5 AS (${baseOracles("s5_ann_pq")}),
       v7 AS (${baseOracles("s7_ann_sq")}),
+      v8 AS (${baseOracles("s8_ann_ivfpq")}),
       ex AS (SELECT qid, nid FROM ex0 WHERE rank <= 3),
       p AS (SELECT count(*) AS possible FROM ex)
       SELECT 's2_ann_lsh' AS variant, hits, possible,
@@ -1854,5 +2114,9 @@ object SimilarityOps {
       UNION ALL
       SELECT 's7_ann_sq', hits, possible, (1000000 * hits) // possible FROM
         (SELECT count(*) AS hits FROM v7 JOIN ex USING (qid, nid)
+         WHERE rank <= 3), p
+      UNION ALL
+      SELECT 's8_ann_ivfpq', hits, possible, (1000000 * hits) // possible FROM
+        (SELECT count(*) AS hits FROM v8 JOIN ex USING (qid, nid)
          WHERE rank <= 3), p""")
 }
