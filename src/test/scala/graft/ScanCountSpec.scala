@@ -175,12 +175,20 @@ class ScanCountSpec extends SparkSpec {
       // own — the budget is exactly the constituents' sum
       "rrf1_hybrid_fuse" -> ((3, 0)),
       "s5_ann_pq" -> ((4, 1)),
-      // s6 evaluates the registered s2+s3(np2)+s3(np1)+s5+s7 against
-      // cached s1 ground truth — the budget is the constituents' sum
-      // (2+4+4+4+2 scans, the s5 kernel) with the exact set
-      // persisted; the np1 row is the recall/cost curve, priced
-      // accordingly
-      "s6_ann_recall" -> ((16, 1)),
+      // s8's three adjudicated reads: the bounded 16-row model fetch
+      // (pqModel), the ONE fused encode-kernel corpus pass (cells +
+      // codes with both models as closure literals), and the exact
+      // re-rank's second read of the ~100 shortlisted full-precision
+      // rows (the s5 posture: a vec_id-partitioned layout prunes it
+      // to matching files at cluster scale). The kernel is the
+      // index build — the whole point of the fused form.
+      "s8_ann_ivfpq" -> ((3, 1)),
+      // s6 evaluates the registered s2+s3(np2)+s3(np1)+s5+s7+s8
+      // against cached s1 ground truth — the budget is the
+      // constituents' sum (2+4+4+4+2+3 scans, the s5 + s8 kernels)
+      // with the exact set persisted; the np1 row is the recall/cost
+      // curve, priced accordingly
+      "s6_ann_recall" -> ((19, 2)),
       // s7's [mn, mx] model pass + the dequantize-and-score pass —
       // the g11 two-pruned-reads adjudication (the model pass reduces
       // to 64 rows immediately)
