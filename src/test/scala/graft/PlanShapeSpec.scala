@@ -307,6 +307,30 @@ class PlanShapeSpec extends SparkSpec {
         physical(df).toString))
   }
 
+  test("IVF-PQ ANN (s8): the fused index build feeds the candidate " +
+    "stage shuffle-free — the only exchanges in the whole query are " +
+    "the two hash(qid) windows over narrow candidate rows, and no " +
+    "exchange ever carries an array (codes and embeddings both stay " +
+    "where they were computed)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val df = q("s8_ann_ivfpq")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val phys = physical(df)
+    val ex = phys.collect { case e: ShuffleExchangeExec => e }
+    // shortlist window + final top-k window, both hash(qid); the
+    // kernel's (cell, code) output reaches its broadcast-join
+    // candidate stage without any exchange
+    assert(ex.size <= 2, phys.toString)
+    ex.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        phys.toString)
+      assert(e.outputPartitioning.toString.contains("qid"), phys.toString)
+    }
+  }
+
   test("repeated-span detection never shuffles span text at corpus " +
     "volume (d9) — the candidate aggregation's exchanges carry only " +
     "the 8-byte hash, and every string-carrying exchange in the final " +
