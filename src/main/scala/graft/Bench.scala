@@ -59,7 +59,16 @@ object Bench {
       (s, d) => graft.operators.PipelineOps.primePipeMemos(s, d)),
     ("memo_dedup_sigs",
       Set("d2", "d7", "d10", "d12", "d13", "d14", "d15", "d17", "leak1"),
-      (s, d) => graft.operators.DedupOps.primeDedupMemos(s, d)))
+      (s, d) => graft.operators.DedupOps.primeDedupMemos(s, d)),
+    // r17 (guide §1.2 — remove duplicate corpus passes): the NB
+    // doc-score relation was rebuilt per consumer query — four
+    // identical three-scan model+serve passes per full run (cls2,
+    // cls4, cal1, al1); a bm25-pass memo was measured and REVERTED
+    // (no consumer gain — qr1's per-query persist already bounds the
+    // rebuild; see the qr1 scaladoc NO-GO note)
+    ("memo_nb_scores",
+      Set("cls2", "cls4", "cal1", "al1"),
+      (s, d) => graft.operators.RetrievalOps.primeNbMemo(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -113,16 +113,30 @@ object GeoOps {
       (md5Long(col("o_orderkey") + 7) % 3600).as("v"))
       .select(col("oid"), col("u"), col("v"),
         expr(s"u div $GEO3_R").as("cu"), expr(s"v div $GEO3_R").as("cv"))
+    // HALF-NEIGHBORHOOD fan-out (r17, guide §2.3 — shuffle/broadcast
+    // fewer bytes): the 3×3 fan-out emitted 9 probe rows per point
+    // and found every CROSS-cell pair twice (a probing b's home cell
+    // AND b probing a's), spending the oid guard on dedup. Probing
+    // only the positive half — home, N, NE, E, SE, i.e. (du,dv) ∈
+    // {(0,0),(0,1),(1,−1),(1,0),(1,1)} — finds each cross-cell pair
+    // EXACTLY ONCE (the non-home offsets are an antisymmetric set:
+    // cb−ca is in it iff ca−cb is not, so exactly one endpoint owns
+    // the probe), while same-cell pairs meet via both home probes
+    // and keep the oid guard. 5/9 of the probe rows and ~half the
+    // raw join output reach the aggregation; dist² is symmetric, so
+    // pair orientation never changes the histogram — row-identical
+    // to the oracle's 3×3 form, which the sf-ladder verify replays.
     val probes = pts.select(col("oid").as("a_oid"), col("u").as("a_u"),
-        col("v").as("a_v"),
-        explode(expr("array(-1, 0, 1)")).as("du"), col("cu"), col("cv"))
+        col("v").as("a_v"), col("cu"), col("cv"),
+        explode(expr("array(array(0L, 0L), array(0L, 1L), " +
+          "array(1L, -1L), array(1L, 0L), array(1L, 1L))")).as("o"))
       .select(col("a_oid"), col("a_u"), col("a_v"),
-        (col("cu") + col("du")).as("cu"),
-        explode(expr("array(-1, 0, 1)")).as("dv"), col("cv"))
-      .select(col("a_oid"), col("a_u"), col("a_v"), col("cu"),
-        (col("cv") + col("dv")).as("cv"))
+        (col("cu") + col("o").getItem(0)).as("cu"),
+        (col("cv") + col("o").getItem(1)).as("cv"),
+        (col("o").getItem(0) === 0L && col("o").getItem(1) === 0L)
+          .as("home"))
     probes.join(pts, Seq("cu", "cv"))
-      .filter(col("a_oid") < col("oid"))
+      .filter(!col("home") || col("a_oid") < col("oid"))
       .withColumn("dist2",
         (col("a_u") - col("u")) * (col("a_u") - col("u")) +
           (col("a_v") - col("v")) * (col("a_v") - col("v")))

@@ -812,8 +812,11 @@ object GraphOps {
     // (a lost partition recomputes from the edge checkpoint), unlike
     // executor-pinned checkpoint blocks. The superseded round's set
     // unpersists once its successor is materialized.
+    // round 0's census is one agg over the memoized degree table; the
+    // set itself is never joined anymore (round 1 collapses onto the
+    // degree filter below), so it no longer persists — unpersist on
+    // the unpersisted frame is a no-op when round 1 replaces it
     var cur = deg.select(col("n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     var prev = cur.count()
     val census = Seq.newBuilder[(Long, Long, Long)]
     census += ((0L, k, prev))
@@ -821,12 +824,21 @@ object GraphOps {
     var fixed = false
     while (r <= GR7_ROUNDS) {
       if (!fixed) {
-        val nxt = ed
-          .join(cur.select(col("n")), Seq("n"))
-          .join(cur.select(col("n").as("m")), Seq("m"))
-          .groupBy(col("n")).agg(count(lit(1)).as("d"))
-          .filter(col("d") >= k)
-          .select(col("n"))
+        // round 1 collapses algebraically (r17 — the gr5 round-1
+        // discipline): cur is the FULL node set, so both membership
+        // joins are identities and the in-subgraph degree IS the
+        // memoized degree table — survivors read straight off
+        // art.degrees and the 2·|E| join+agg pass the generic round
+        // spends re-deriving deg never runs. GraphLawSpec pins the
+        // collapse row-identical to the generic round on all nodes.
+        val nxt = (if (r == 1)
+            deg.filter(col("deg") >= k).select(col("n"))
+          else ed
+            .join(cur.select(col("n")), Seq("n"))
+            .join(cur.select(col("n").as("m")), Seq("m"))
+            .groupBy(col("n")).agg(count(lit(1)).as("d"))
+            .filter(col("d") >= k)
+            .select(col("n")))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val cnt = nxt.count()
         fixed = cnt == prev // monotone ⊆: equal counts ⟺ equal sets

@@ -66,6 +66,13 @@ object RetrievalOps {
     // row per doc (term = null), so the persisted relation feeds
     // BOTH consumers: hits = the non-null slice, corpus stats = a
     // 2-agg over the sentinels. Rows ≈ docs + hits, never tokens.
+    // r17 NO-GO (measured): memoizing this pass per corpus version
+    // (the memo_nb_scores pattern) moved NO cost out of qr2–qr5 —
+    // the per-query persist already bounds the rebuild to one cheap
+    // kernel scan, and every consumer's time is its own downstream
+    // stages — while the memo line added its own single-shot ~0.65 s
+    // build+checkpoint. Reverted; the nb memo stayed because ITS
+    // consumers re-ran a three-scan UNPERSISTED subtree per query.
     val qset = TERMSET.toSet
     val pass = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
@@ -283,12 +290,41 @@ object RetrievalOps {
         col("n_docs"))
   }
 
+  /** Memoized per-(session, corpus-version) NB doc-score relation —
+    * see [[buildNbDocScores]]. Four registered queries consume it
+    * (cls2 confusion, cls4 calibrated filter, cal1 calibration, al1
+    * uncertainty queue) and each used to re-run the full three-scan
+    * model-build + serve pass per query — four identical corpus
+    * scoring passes per full run (guide §1.2: remove duplicate
+    * passes first). Production scores the corpus under a model once
+    * per corpus version and every downstream report reads the score
+    * table; Bench times the build as its own `memo_nb_scores` line
+    * (the memo_dedup_sigs discipline). The checkpointed relation is
+    * docs×candidate-langs rows of (long, string, string, long) —
+    * the d10-verdict posture, narrow and docs-sized, never
+    * token-sized. */
+  private val nbMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), DataFrame]
+
+  /** Test hook (the clearPairMemo convention). */
+  private[graft] def clearNbMemo(): Unit = nbMemo.clear()
+
+  /** Bench hook: build just the NB doc-score memo. */
+  private[graft] def primeNbMemo(s: SparkSession, d: String): Unit = {
+    nbDocScores(s, d); ()
+  }
+
+  private def nbDocScores(s: SparkSession, d: String): DataFrame =
+    Tables.memoGetOrBuild(nbMemo, s, d,
+      Tables.versionStamp(d, "documents"))(
+      buildNbDocScores(s, d).localCheckpoint(true))
+
   /** The per-document NB candidate scores (doc_id, lang, m_lang,
     * score) under the cls2 restricted-vocab integer-log2 model —
     * cls2 takes the per-doc argmax into a confusion matrix, cal1
     * reads the top-2 gap as a confidence signal. One model build,
-    * two consumers. */
-  private def nbDocScores(s: SparkSession, d: String): DataFrame = {
+    * N consumers via [[nbDocScores]]'s memo. */
+  private def buildNbDocScores(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byLang = Window.partitionBy(col("lang"))
     val model = Tables.documents(s, d)

@@ -84,4 +84,36 @@ class GraphLawSpec extends SparkSpec {
     assert(generic == collapsed,
       "identity-label collapse is not the generic round")
   }
+
+  test("gr7's round-1 collapse (degree filter off the artifact) " +
+    "equals the generic peel round on the full node set") {
+    import graft.Tables
+    // the peel relation derived independently of the memo (the gr5
+    // law's posture): symmetric edges + degree table from scratch
+    val ip = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val e = ip.select(col("o"), col("p").as("pa"))
+      .join(ip.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct()
+    val ed = e.select(col("pa").as("n"), col("pb").as("m"))
+      .union(e.select(col("pb").as("n"), col("pa").as("m")))
+    val deg = ed.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // any k in the observed degree range exercises both kept and
+    // dropped nodes; use the p25 mechanism gr7 itself uses
+    val k = deg.agg(expr("CAST(floor(percentile(deg, 0.25)) AS BIGINT)"))
+      .head().getLong(0)
+    val allNodes = deg.select(col("n"))
+    val generic = ed
+      .join(allNodes, Seq("n"))
+      .join(allNodes.select(col("n").as("m")), Seq("m"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= k)
+      .select(col("n")).collect().map(_.getLong(0)).toSet
+    val collapsed = deg.filter(col("deg") >= k)
+      .select(col("n")).collect().map(_.getLong(0)).toSet
+    assert(generic.nonEmpty)
+    assert(generic == collapsed,
+      "round-1 degree-filter collapse is not the generic peel round")
+  }
 }

@@ -244,7 +244,9 @@ class Round12OpsSpec extends SparkSpec {
 
   test("geo3: the grid-blocked radius join reproduces the brute-force " +
     "all-pairs histogram exactly (every qualifying pair found exactly " +
-    "once via the 3x3 neighbor fan-out), and dist2 stays within R^2") {
+    "once via the half-neighborhood fan-out — home cell under the oid " +
+    "guard, the four positive-half cells unguarded), and dist2 stays " +
+    "within R^2") {
     import graft.functions.Fns.md5Long
     val R2 = operators.GeoOps.GEO3_R * operators.GeoOps.GEO3_R
     val rows = q("geo3_radius_pairs").collect()
