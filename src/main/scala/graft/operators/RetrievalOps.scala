@@ -324,7 +324,7 @@ object RetrievalOps {
     * cls2 takes the per-doc argmax into a confusion matrix, cal1
     * reads the top-2 gap as a confidence signal. One model build,
     * N consumers via [[nbDocScores]]'s memo. */
-  private def buildNbDocScores(s: SparkSession, d: String): DataFrame = {
+  private[graft] def buildNbDocScores(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byLang = Window.partitionBy(col("lang"))
     val model = Tables.documents(s, d)

@@ -513,7 +513,10 @@ class PlanShapeSpec extends SparkSpec {
 
   test("cls2 serves via broadcast model/prior probes — the corpus " +
     "never sort-merges against the fixed-size model") {
-    val p = plan(q("cls2_nb_confusion"))
+    // the serve pass rides the memo_nb_scores checkpoint as of r17
+    // (cls2's own plan is a checkpoint scan) — assert on the
+    // pre-checkpoint BUILD plan, the d10Plan convention above
+    val p = plan(graft.operators.RetrievalOps.buildNbDocScores(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
@@ -866,18 +869,16 @@ class PlanShapeSpec extends SparkSpec {
     * corpus), and a whitelist entry whose window disappears goes
     * stale-red so the list can't rot into a blanket waiver. */
   private val boundedUnpartitionedWindows: Map[String, String] = Map(
-    "al1_uncertain_topk" -> ("nbDocScores' class-prior total windows " +
-      "over the |langs|-row aggregate"),
+    // al1/cal1/cls2 left this map in r17: nbDocScores' |langs|-row
+    // prior window moved behind the memo_nb_scores checkpoint (the
+    // build is hand-audited where defined, like the coEdges memo);
+    // their remaining windows are doc_id-partitioned
     "an3_tcloseness" -> ("global-EMD windows ride the densified " +
       "≤|segments|·|priorities| grid (≤25 rows at any corpus size)"),
-    "cal1_margin_calibration" -> ("nbDocScores' class-prior total over " +
-      "the |langs|-row aggregate"),
     "cls1_nb_model" -> ("prior total over the |langs|-row aggregate"),
-    "cls2_nb_confusion" -> ("model prior total over the |langs|-row " +
-      "aggregate; per-doc windows are doc_id-partitioned"),
     "cls4_calibrated_filter" -> ("threshold cumsum over the " +
       "margin-domain aggregate — bounded by the ilog2 score range " +
-      "(~±40 rows), plus nbDocScores' |langs|-row prior"),
+      "(~±40 rows); nbDocScores' prior window moved behind the memo"),
     "d17_cluster_histogram" -> ("share window over the ≤|distinct " +
       "cluster sizes| histogram: k distinct sizes need k(k+1)/2 ≤ " +
       "Σ sizes = |docs in clusters| members, so k = O(√docs) narrow rows"),

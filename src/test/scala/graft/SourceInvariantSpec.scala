@@ -37,8 +37,12 @@ class SourceInvariantSpec extends AnyFunSuite {
     * PipelineOps checkpoints the memoized per-doc verdict relations
     * (doc_id + quality flags / contamination count — one narrow row
     * per doc, shared by pipe5/pipe6/pipe9, r11 verdict #6). */
+  // RetrievalOps joined in r17: the memo_nb_scores checkpoint (the
+  // same per-corpus-version memo class as the dedup signatures and
+  // pipeline verdicts — docs-sized, never corpus-token-sized)
   private val checkpointAllowlist =
-    Set("DedupOps.scala", "GraphOps.scala", "PipelineOps.scala")
+    Set("DedupOps.scala", "GraphOps.scala", "PipelineOps.scala",
+      "RetrievalOps.scala")
 
   test("localCheckpoint appears only in the signature-class " +
     "allowlist (DedupOps signatures, GraphOps edge memo) — " +
