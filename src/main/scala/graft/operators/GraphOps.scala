@@ -347,10 +347,26 @@ object GraphOps {
     // Enumeration itself is a typed kernel (r14): one exchange of the
     // directed edges on u, then per-source out-neighbor pairs in a
     // tight primitive loop with the broadcast bloom probed in-task —
-    // the d2/mmr1 boundary (dense per-pair hashing is ~4-10× slower
+    // the d2/mmr1 boundary (dense per-pair hashing is ~4-10x slower
     // as interpreted join+filter rows than as a JIT'd loop). Rows
     // arrive sorted (u, dv, v), so i<j pairs are emitted already in
     // the (deg, id) orientation order the closing join keys on.
+    //
+    // NO-GO (r18, measured at all three scales): packing the hit pair
+    // into one long through the closing exchange (gr3's r18 trick,
+    // same idsPack gate — kernel emits `b<<32|c`, the edge side packs
+    // the same key, SHJ builds a long-keyed relation) moved NOTHING:
+    // same-window A/B gr2 2.16->2.35 s and 1.79->1.94 s at sf0.1,
+    // 6.56->6.69 s at x10, 110.2->114.2 s at x100. gr2 is bound by
+    // the enumeration+probe kernel itself (the bloom is L3-resident
+    // on this box; hits are ~5% of wedges so the closing exchange is
+    // second-order), and the pack added a constant for plan/projection
+    // overhead it never earned back. The x100 second-decade ratio is
+    // wedge physics: enumerated oriented wedges measured 41M (sf0.1)
+    // -> 4.1B (x100), x10 per decade, and the degree-ordered
+    // orientation is already the exact-counting optimum — no exact
+    // algorithm emits fewer wedges, so dec2 tracks the wedge growth,
+    // not a plan defect.
     val bfB = s.sparkContext.broadcast(art.bloom)
     val hits = dir
       .repartition(col("u"))
@@ -398,8 +414,8 @@ object GraphOps {
     // the same (b,c) from different u are DIFFERENT triangles, and
     // the directed edge set is unique-keyed so inner cannot duplicate.
     // SHUFFLE_HASH on the edge side: the surviving-wedge probe side
-    // is the larger relation by construction (bloom hits ≈ triangles
-    // + fpp·wedges), and a sort-merge join would SORT it — the ×100
+    // is the larger relation by construction (bloom hits ~ triangles
+    // + fpp*wedges), and a sort-merge join would SORT it — the x100
     // probe measured the sort dominating; hashing the edge side
     // streams the probe side unsorted.
     val triCount = hits.toDF("b", "c")
@@ -467,6 +483,33 @@ object GraphOps {
     * TakeOrderedAndProject — never a global sort. */
   private def gr3(s: SparkSession, d: String): DataFrame = {
     val art = artifacts(s, d) // memoized: edges + count + degrees + bloom
+    // r18 (§2.4/§3.1, measured — see OPTIMIZATION_r18.md): when the
+    // edge list fits the session broadcast threshold, ONE map-side
+    // broadcast anti join replaces the r17 persist + bloom split +
+    // union tail (a full cn materialization pass plus three extra
+    // stages). definite ∪ settled ≡ anti-join-all by the bloom's
+    // no-false-negative law, so the split only earns its stages when
+    // edges CANNOT broadcast — at 10¹² edges the gate is false and
+    // the split path below stays the shape. Catalyst additionally
+    // pushes the LeftAnti below the count aggregate (join condition
+    // references only grouping keys), so known-edge wedges are
+    // dropped map-side BEFORE the pair exchange — the exchange
+    // carries only non-edge candidate pairs.
+    // Same-window A/B at sf0.1: 6.46 -> 5.45 s full-query (and the
+    // stepwise probe put the r17 tail at ~2 s of persist+branches).
+    // NO-GO (r18, measured): packing the (a,c) pair into one long
+    // through the exchange (31-bit id gate) was plan-identical in
+    // shape but flat in three same-window pairs at sf0.1/x10 — and
+    // the gate is false at true 10¹²-edge ids anyway; reverted.
+    gr3TopK(s, d, bcastAnti = art.nEdges * 16L <=
+      s.sessionState.conf.autoBroadcastJoinThreshold)
+  }
+
+  /** [[gr3]] with the anti-join gate explicit, so the law spec can
+    * force both shapes and pin them row-identical (r18). */
+  private[graft] def gr3TopK(s: SparkSession, d: String,
+      bcastAnti: Boolean): DataFrame = {
+    val art = artifacts(s, d)
     val sym = art.symEdges
       .select(col("u").as("w"), col("v").as("n"))
     val deg = art.degrees.select(col("p").as("w"), col("deg"))
@@ -539,22 +582,27 @@ object GraphOps {
         }.flatten
       }
       .toDF("a", "c")
-    // persist the counted candidates BEFORE the bloom split (r15, the
-    // gr3 regression bisect): the definite and settled branches are
-    // both downstream of this aggregate, and nothing guaranteed the
-    // two branches shared its exchange — the formatted plan showed
-    // the entire wedge stream enumerated once per branch. One
-    // materialization, both filters read it memory-locally.
-    val cn = registerScratch(wedges
+    val cn = wedges
       .groupBy(col("a"), col("c")).agg(count(lit(1)).as("cn"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
-    val isMaybeEdge = call_function("might_contain", lit(art.bloom),
-      xxhash64(col("a"), col("c")))
-    val definite = cn.filter(!isMaybeEdge)
-    val settled = cn.filter(isMaybeEdge)
-      .join(art.edges.select(col("pa").as("a"), col("pb").as("c")),
-        Seq("a", "c"), "left_anti")
-    definite.union(settled)
+    val edgesAC = art.edges.select(col("pa").as("a"), col("pb").as("c"))
+    val nonEdges =
+      if (bcastAnti) cn.join(broadcast(edgesAC), Seq("a", "c"), "left_anti")
+      else {
+        // persist the counted candidates BEFORE the bloom split (r15,
+        // the gr3 regression bisect): the definite and settled
+        // branches are both downstream of this aggregate, and nothing
+        // guaranteed the two branches shared its exchange — the
+        // formatted plan showed the entire wedge stream enumerated
+        // once per branch. One materialization, both filters read it
+        // memory-locally.
+        val cnP = registerScratch(cn.persist(StorageLevel.MEMORY_AND_DISK))
+        val isMaybeEdge = call_function("might_contain", lit(art.bloom),
+          xxhash64(col("a"), col("c")))
+        cnP.filter(!isMaybeEdge)
+          .union(cnP.filter(isMaybeEdge)
+            .join(edgesAC, Seq("a", "c"), "left_anti"))
+      }
+    nonEdges
       .orderBy(col("cn").desc, col("a").asc, col("c").asc)
       .limit(GR3_TOP)
   }

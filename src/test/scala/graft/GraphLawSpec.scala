@@ -116,4 +116,20 @@ class GraphLawSpec extends SparkSpec {
     assert(generic == collapsed,
       "round-1 degree-filter collapse is not the generic peel round")
   }
+
+  test("gr3's broadcast anti join equals the bloom-split form " +
+    "(r18 — definite U settled = anti-join-all, ORDER included)") {
+    // the gate-scale corpus (sf0.01 — the oracle's own gate SF) so the
+    // wedge stream is non-trivial; collect ordered rows, not sets: the
+    // top-K ORDER is part of the contract
+    val gateSf = "/root/testdata/sf0.01"
+    def rows(bcast: Boolean): Seq[(Long, Long, Long)] =
+      GraphOps.gr3TopK(spark, gateSf, bcastAnti = bcast)
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val split = rows(bcast = false) // the r17 shipped shape
+    assert(split.nonEmpty)
+    assert(rows(bcast = true) == split,
+      "gr3 broadcast-anti diverges from the bloom-split form")
+    spark.catalog.clearCache()
+  }
 }

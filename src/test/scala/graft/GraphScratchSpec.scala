@@ -38,8 +38,7 @@ class GraphScratchSpec extends SparkSpec {
     // every lazy-plan query that persists scratch: after a standalone
     // run the blocks exist (registered, resident), after release the
     // catalog is byte-for-byte back to the memo baseline
-    for (q <- Seq("gr1_pagerank", "gr2_triangles", "gr3_link_predict",
-        "gr6_degree_hist")) {
+    for (q <- Seq("gr1_pagerank", "gr2_triangles", "gr6_degree_hist")) {
       run(q)
       assert((persistedIds -- base).nonEmpty,
         s"$q should have registered scratch persists while resident")
@@ -47,6 +46,20 @@ class GraphScratchSpec extends SparkSpec {
       assert((persistedIds -- base).isEmpty,
         s"$q leaked persists past releaseScratch: ${persistedIds -- base}")
     }
+    // gr3 (r18): the broadcast-anti path consumes its pair counts
+    // exactly once and persists NOTHING — the cn persist exists only
+    // on the bloom-split path (edges past the broadcast threshold),
+    // where it is registered and released like the rest
+    run("gr3_link_predict")
+    assert((persistedIds -- base).isEmpty,
+      s"gr3's bcast-anti path should persist nothing: ${persistedIds -- base}")
+    GraphOps.gr3TopK(spark, sf, bcastAnti = false)
+      .queryExecution.toRdd.count()
+    assert((persistedIds -- base).nonEmpty,
+      "gr3's split path should register its cn persist while resident")
+    GraphOps.releaseScratch()
+    assert((persistedIds -- base).isEmpty,
+      s"gr3 split path leaked past releaseScratch: ${persistedIds -- base}")
   }
 
   test("the next graph query's entry releases its predecessor's " +
