@@ -143,7 +143,27 @@ object Tables {
       val live = stamp // versionStamp never throws (degrades to 0)
       memo.keysIterator
         .filter(k => k._1 == s && k._2 == d && k._3 != live && k._3 != mine)
-        .foreach(memo.remove)
+        .foreach { k =>
+          // r18 (ADVICE r17 #3): an evicted DataFrame entry's eager
+          // localCheckpoint holds executor-pinned blocks that only
+          // ContextCleaner GC would otherwise reclaim — a long-lived
+          // session that rewrites the corpus would accumulate one
+          // dead artifact per rewrite. Unpersist the checkpointed
+          // leaf RDDs explicitly on eviction. (A laggard thread still
+          // holding the evicted frame would recompute-fail rather
+          // than read stale data — the truncated lineage cannot
+          // rebuild — which is the correct failure for a reader of a
+          // superseded corpus version.) Non-DataFrame memo values
+          // (GraphOps' artifact bundle) keep the documented GC
+          // reliance; their blocks are edge-sized.
+          memo.remove(k).foreach {
+            case ds: org.apache.spark.sql.Dataset[_] =>
+              ds.queryExecution.optimizedPlan.collect {
+                case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+              }.foreach(_.unpersist(false))
+            case _ => ()
+          }
+        }
     }
     sweep()
     val v = memo.getOrElseUpdate((s, d, mine), build)

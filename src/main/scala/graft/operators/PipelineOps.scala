@@ -418,8 +418,18 @@ object PipelineOps {
       System.err.println(
         f"[graft]   memo_pipeline/$name%-12s ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
-    step("pipe5_perdoc") { pipe5PerDoc(s, d); () }
+    // the two verdict relations are independent (different source
+    // tables, no shared subtree), so they build as two concurrent
+    // jobs (guide §2.6 — overlap independent jobs; the r18
+    // copurchase degrees∥bloom discipline): pipe5's per-doc stats
+    // pass back-fills the cores pipe6's decontam join leaves idle
+    // between its stages. Await rethrows a scratch-thread failure.
+    val p5 = scala.concurrent.Future(
+      step("pipe5_perdoc") { pipe5PerDoc(s, d); () })(
+      scala.concurrent.ExecutionContext.global)
     step("pipe6_hits") { pipe6Hits(s, d); () }
+    scala.concurrent.Await.result(
+      p5, scala.concurrent.duration.Duration.Inf)
   }
 
   /** The per-doc Gopher statistics IN the scan kernel (r15; the r12

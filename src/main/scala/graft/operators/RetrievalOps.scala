@@ -314,7 +314,7 @@ object RetrievalOps {
     nbDocScores(s, d); ()
   }
 
-  private def nbDocScores(s: SparkSession, d: String): DataFrame =
+  private[graft] def nbDocScores(s: SparkSession, d: String): DataFrame =
     Tables.memoGetOrBuild(nbMemo, s, d,
       Tables.versionStamp(d, "documents"))(
       buildNbDocScores(s, d).localCheckpoint(true))

@@ -132,4 +132,29 @@ class GraphLawSpec extends SparkSpec {
       "gr3 broadcast-anti diverges from the bloom-split form")
     spark.catalog.clearCache()
   }
+
+  test("gr5's round-0→1 frontier is the FULL node set (r18 — the " +
+    "frontier-only-LPA NO-GO proof: identity labels + no self-loops " +
+    "⇒ every node's label changes in round 1, so at GR5_ROUNDS = 2 " +
+    "frontier plumbing is a no-op; re-examine if the depth changes)") {
+    assert(GraphOps.GR5_ROUNDS == 2,
+      "GR5_ROUNDS changed — the frontier-only NO-GO must be re-proved")
+    import graft.Tables
+    val gateSf = "/root/testdata/sf0.01"
+    val ip = Tables.lineitem(spark, gateSf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val e = ip.select(col("o"), col("p").as("pa"))
+      .join(ip.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct()
+    val sym = e.select(col("pa").as("v"), col("pb").as("n"))
+      .union(e.select(col("pb").as("v"), col("pa").as("n")))
+    // label₁(v) = min neighbor id; unchanged would mean = v
+    val unchanged = sym.groupBy(col("v")).agg(min(col("n")).as("l"))
+      .filter(col("l") === col("v")).count()
+    val nodes = sym.select(col("v")).distinct().count()
+    assert(nodes > 0)
+    assert(unchanged == 0L,
+      s"$unchanged of $nodes nodes kept their identity label in round 1")
+  }
 }

@@ -40,4 +40,18 @@ class NbMemoSpec extends SparkSpec {
     }.length
     assert(scans == 0, s"warm cal1 plans $scans FileScans (memo not used)")
   }
+
+  test("the memoized nb relation row-equals the direct unmemoized " +
+    "build (ADVICE r17 #2 — memo-vs-build equivalence pinned " +
+    "directly, not just transitively through consumers)") {
+    operators.RetrievalOps.clearNbMemo()
+    val memoized = operators.RetrievalOps.nbDocScores(spark, sf)
+      .collect().map(_.toString).sorted
+    val direct = operators.RetrievalOps.buildNbDocScores(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(memoized.nonEmpty)
+    assert(memoized.sameElements(direct),
+      "memoized nbDocScores diverges from the direct build")
+  }
+
 }

@@ -254,7 +254,12 @@ class ScanCountSpec extends SparkSpec {
       // enumeration kernel — per-pair hashing + bloom probes are the
       // d2/tok2 dense-work boundary, ~4-10× faster as a JIT'd loop
       // than as interpreted join+filter rows
-      "gr2_triangles" -> ((2, 1)))).toMap
+      "gr2_triangles" -> ((2, 1)),
+      // gr3's r16 wedge kernel became VISIBLE to this audit in r18:
+      // the broadcast-anti tail removed the cn persist whose
+      // InMemoryRelation used to hide the kernel subtree from
+      // executedPlan.collect — same memoized-artifact posture as gr2
+      "gr3_link_predict" -> ((2, 1)))).toMap
       .withDefaultValue((1, 0))
   }
 

@@ -39,17 +39,20 @@ class SourceInvariantSpec extends AnyFunSuite {
     * per doc, shared by pipe5/pipe6/pipe9, r11 verdict #6). */
   // RetrievalOps joined in r17: the memo_nb_scores checkpoint (the
   // same per-corpus-version memo class as the dedup signatures and
-  // pipeline verdicts — docs-sized, never corpus-token-sized)
-  private val checkpointAllowlist =
-    Set("DedupOps.scala", "GraphOps.scala", "PipelineOps.scala",
-      "RetrievalOps.scala")
+  // pipeline verdicts — docs-sized, never corpus-token-sized).
+  // r18 (ADVICE r17 #1): the allowlist pins an EXACT occurrence
+  // count per file, not mere membership — a second unaudited
+  // checkpoint in an already-listed file goes red here by name.
+  private val checkpointAllowlist: Map[String, Int] =
+    Map("DedupOps.scala" -> 5, "GraphOps.scala" -> 2,
+      "PipelineOps.scala" -> 3, "RetrievalOps.scala" -> 1)
 
-  test("localCheckpoint appears only in the signature-class " +
-    "allowlist (DedupOps signatures, GraphOps edge memo) — " +
-    "corpus-scale projections must persist(MEMORY_AND_DISK)") {
+  test("localCheckpoint call sites match the audited allowlist " +
+    "EXACTLY (file and count) — corpus-scale projections must " +
+    "persist(MEMORY_AND_DISK)") {
     val root = new java.io.File("src/main/scala/graft")
     assert(root.isDirectory, s"source root not found at ${root.getAbsolutePath}")
-    val offenders = scalaSources(root).filter { f =>
+    val counts = scalaSources(root).flatMap { f =>
       val src = scala.io.Source.fromFile(f, "UTF-8")
       // strip line comments and scaladoc so prose mentions don't trip it
       val code = try src.getLines()
@@ -57,12 +60,16 @@ class SourceInvariantSpec extends AnyFunSuite {
         .filterNot(l => l.trim.startsWith("*") || l.trim.startsWith("/**"))
         .mkString("\n")
       finally src.close()
-      code.contains(".localCheckpoint(")
-    }.map(_.getName).toSet
-    assert(offenders.subsetOf(checkpointAllowlist),
-      s"localCheckpoint outside the allowlist: ${offenders -- checkpointAllowlist} — " +
-        "corpus-scale relations must keep lineage; use " +
-        "persist(StorageLevel.MEMORY_AND_DISK) instead")
+      val occ = code.sliding(".localCheckpoint(".length)
+        .count(_ == ".localCheckpoint(")
+      if (occ > 0) Some(f.getName -> occ) else None
+    }.toMap
+    assert(counts == checkpointAllowlist,
+      s"localCheckpoint sites drifted from the audited allowlist: " +
+        s"found $counts, expected $checkpointAllowlist — corpus-scale " +
+        "relations must keep lineage; use " +
+        "persist(StorageLevel.MEMORY_AND_DISK) instead, or re-audit " +
+        "and re-pin")
   }
 
   test("Bench's short-key mapping stays bijective with " +
